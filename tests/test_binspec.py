@@ -1,0 +1,127 @@
+"""Unit tests for BinSpec metadata algebra (no Spark needed).
+
+Mirrors the reference's metadata contract tests
+(/root/reference/tests/test_histogram.py:76-254): bin labels, sizes,
+flow encodings (±inf / int64 min-max / "_flow_bin"), widths/centers."""
+
+import math
+
+import pytest
+
+from xarray_histogram_spark.binspec import (
+    FLOW_STR,
+    I64_MAX,
+    I64_MIN,
+    BinSpec,
+    IntCategory,
+    Integer,
+    Regular,
+    StrCategory,
+    Variable,
+)
+
+
+def test_regular_metadata():
+    s = Regular(4, 0.0, 2.0)
+    assert s.n == 4
+    assert s.extent == 6
+    assert s.edges() == [0.0, 0.5, 1.0, 1.5, 2.0]
+    assert s.labels(flow=False) == [0.0, 0.5, 1.0, 1.5]
+    assert s.labels(flow=True) == [float("-inf"), 0.0, 0.5, 1.0, 1.5, float("inf")]
+    assert s.widths(flow=False) == [0.5] * 4
+    assert s.widths(flow=True) == [1.0, 0.5, 0.5, 0.5, 0.5, 1.0]
+    assert s.centers(flow=False) == [0.25, 0.75, 1.25, 1.75]
+
+
+def test_regular_flow_flags():
+    s = Regular(4, 0.0, 2.0, underflow=False, overflow=True)
+    assert s.extent == 5
+    assert s.keep_range(flow=True) == (0, 4)
+    assert s.keep_range(flow=False) == (0, 3)
+    assert s.labels(flow=True) == [0.0, 0.5, 1.0, 1.5, float("inf")]
+
+
+def test_regular_log_edges():
+    s = Regular(3, 1.0, 1000.0, transform="log")
+    es = s.edges()
+    assert es[0] == 1.0 and es[-1] == 1000.0
+    assert es[1] == pytest.approx(10.0)
+    assert es[2] == pytest.approx(100.0)
+
+
+def test_regular_validation():
+    with pytest.raises(ValueError):
+        Regular(0, 0.0, 1.0)
+    with pytest.raises(ValueError):
+        Regular(3, 1.0, 1.0)
+    with pytest.raises(ValueError):
+        Regular(3, -1.0, 1.0, transform="log")
+    with pytest.raises(ValueError):
+        Regular(3, 0.0, 1.0, transform="exp")
+
+
+def test_variable_metadata():
+    s = Variable((0.0, 1.0, 3.0, 10.0))
+    assert s.n == 3
+    assert s.labels(flow=False) == [0.0, 1.0, 3.0]
+    assert s.widths(flow=False) == [1.0, 2.0, 7.0]
+    assert s.centers(flow=False) == [0.5, 2.0, 6.5]
+    with pytest.raises(ValueError):
+        Variable((1.0, 1.0, 2.0))
+
+
+def test_integer_metadata():
+    s = Integer(0, 5)
+    assert s.n == 5
+    assert s.labels(flow=False) == [0, 1, 2, 3, 4]
+    assert s.labels(flow=True) == [I64_MIN, 0, 1, 2, 3, 4, I64_MAX]
+    assert s.centers(flow=False) == [0.5, 1.5, 2.5, 3.5, 4.5]
+    assert s.widths(flow=True)[0] == 1.0
+
+
+def test_intcategory_metadata():
+    s = IntCategory((2, 5, 8, 7))
+    assert s.n == 4
+    assert not s.underflow and s.overflow
+    assert s.labels(flow=False) == [2, 5, 8, 7]
+    assert s.labels(flow=True) == [2, 5, 8, 7, I64_MAX]
+    assert s.keep_range(flow=True) == (0, 4)
+    assert s.keep_range(flow=False) == (0, 3)
+
+
+def test_strcategory_metadata():
+    s = StrCategory(("a", "b"))
+    assert s.labels(flow=True) == ["a", "b", FLOW_STR]
+    with pytest.raises(ValueError):
+        StrCategory(("a", "a"))
+
+
+def test_serialization_roundtrip():
+    specs = [
+        Regular(10, 1.0, 3.0, transform="log", exact=True),
+        Regular(5, 0.0, 1.0, overflow=False),
+        Variable((0.0, 1.0, 5.0)),
+        Integer(-2, 7),
+        IntCategory((4, 1, 9)),
+        StrCategory(("x", "y", "z")),
+    ]
+    for s in specs:
+        d = s.to_dict()
+        s2 = BinSpec.from_dict(d)
+        assert s2 == s, f"roundtrip failed for {s}"
+
+
+def test_areas_outer_product():
+    from xarray_histogram_spark.plans.result import HistogramResult
+
+    r = HistogramResult(
+        _df=None,
+        variables=["a", "b"],
+        specs={"a": Regular(2, 0.0, 1.0), "b": Variable((0.0, 1.0, 3.0))},
+        group_by=[],
+        value_col="v",
+        density=False,
+        flow=False,
+    )
+    # widths a: [.5,.5]; b: [1,2] → areas row-major: [.5, 1, .5, 1]
+    assert r.areas() == [0.5, 1.0, 0.5, 1.0]

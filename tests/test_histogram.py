@@ -1,0 +1,239 @@
+"""End-to-end histogram tests: Spark planner vs DuckDB oracle (exact match)
+and vs np.histogram (the reference's own oracle, with its documented atol=1
+last-bin tolerance — /root/reference/tests/test_histogram.py:292-293)."""
+
+import numpy as np
+import pytest
+
+from xarray_histogram_spark import (
+    IntCategory,
+    Integer,
+    Regular,
+    StrCategory,
+    Variable,
+    histogram,
+    histogram2d,
+    histogramdd,
+)
+from xarray_histogram_spark.oracle import histogram_oracle_sql
+
+from .util import assert_matches_sql, duck
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duck(sf_dir)
+
+
+def check(result, table, cols, specs, con, **kw):
+    sql = histogram_oracle_sql(table, cols, specs, **kw)
+    assert_matches_sql(result.df, sql, con)
+
+
+def test_regular_1d(lineitem, con):
+    spec = Regular(20, 900.0, 105000.0)
+    r = histogram(lineitem, "l_extendedprice", spec)
+    check(r, "lineitem", ["l_extendedprice"], [spec], con)
+    # dense: every bin present even if empty
+    assert r.df.count() == 20
+
+
+def test_regular_1d_flow(lineitem, con):
+    spec = Regular(10, 5000.0, 50000.0)
+    r = histogram(lineitem, "l_extendedprice", spec, flow=True)
+    check(r, "lineitem", ["l_extendedprice"], [spec], con, flow=True)
+    assert r.df.count() == 12
+    labels = [row["l_extendedprice_bins"] for row in r.df.collect()]
+    assert float("-inf") in labels and float("inf") in labels
+
+
+def test_regular_vs_numpy(lineitem):
+    vals = np.array(
+        [r["l_quantity"] for r in lineitem.select("l_quantity").collect()]
+    )
+    lo, hi, n = 1.0, 51.0, 25
+    expected, _ = np.histogram(vals, bins=n, range=(lo, hi))
+    r = histogram(lineitem, "l_quantity", Regular(n, lo, hi))
+    got = (
+        r.df.orderBy("l_quantity_bin")
+        .select("l_quantity_histogram")
+        .toPandas()["l_quantity_histogram"]
+        .to_numpy()
+    )
+    # boost half-open last bin vs numpy closed last bin: atol=1 on the last
+    np.testing.assert_allclose(got[:-1], expected[:-1], atol=0)
+    np.testing.assert_allclose(got[-1], expected[-1], atol=max(1, 0))
+
+
+def test_weighted(lineitem, con):
+    spec = Regular(15, 0.0, 0.1)
+    r = histogram(lineitem, "l_discount", spec, weights="l_extendedprice")
+    check(
+        r, "lineitem", ["l_discount"], [spec], con, weights="l_extendedprice"
+    )
+
+
+def test_grouped(lineitem, con):
+    spec = Regular(12, 1.0, 51.0)
+    r = histogram(lineitem, "l_quantity", spec, group_by=["l_returnflag"])
+    check(
+        r, "lineitem", ["l_quantity"], [spec], con, group_by=["l_returnflag"]
+    )
+    nflags = lineitem.select("l_returnflag").distinct().count()
+    assert r.df.count() == 12 * nflags
+
+
+def test_grouped_expr(lineitem, con):
+    """Grouping on a computed column — the engine's generalisation of the
+    reference's loop dims (time-sliced histograms, README.md:46-49)."""
+    from pyspark.sql import functions as F
+
+    spec = Regular(8, 1.0, 51.0)
+    df = lineitem.withColumn(
+        "ship_month", F.month("l_shipdate").cast("int")
+    )
+    r = histogram(df, "l_quantity", spec, group_by=["ship_month"])
+    check(
+        r, "lineitem", ["l_quantity"], [spec], con,
+        group_by=["ship_month"],
+        group_exprs={"ship_month": "CAST(month(l_shipdate) AS INT)"},
+    )
+
+
+def test_density(lineitem, con):
+    spec = Regular(10, 1.0, 51.0)
+    r = histogram(lineitem, "l_quantity", spec, density=True)
+    check(r, "lineitem", ["l_quantity"], [spec], con, density=True)
+    # pdf integrates to 1
+    import pandas as pd
+
+    pdf = r.df.toPandas()
+    total = (pdf["l_quantity_pdf"] * 5.0).sum()
+    assert total == pytest.approx(1.0)
+
+
+def test_density_flow_untouched(lineitem, con):
+    spec = Regular(6, 10.0, 40.0)
+    r = histogram(lineitem, "l_quantity", spec, density=True, flow=True)
+    check(r, "lineitem", ["l_quantity"], [spec], con, density=True, flow=True)
+    rows = {row["l_quantity_bin"]: row["l_quantity_pdf"] for row in r.df.collect()}
+    # flow cells keep raw counts (accessor tests: normalize leaves flow untouched)
+    assert rows[-1] == int(rows[-1]) and rows[-1] > 0
+
+
+def test_variable_axis(lineitem, con):
+    spec = Variable((0.0, 0.02, 0.05, 0.11))
+    r = histogram(lineitem, "l_discount", spec)
+    check(r, "lineitem", ["l_discount"], [spec], con)
+
+
+def test_integer_axis(lineitem, con):
+    spec = Integer(1, 8)
+    r = histogram(lineitem, "l_linenumber", spec, flow=True)
+    check(r, "lineitem", ["l_linenumber"], [spec], con, flow=True)
+
+
+def test_intcategory_axis(spark, sf_dir, con):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    spec = IntCategory((1, 5, 10, 25, 50))
+    r = histogram(part, "p_size", spec, flow=True)
+    check(r, "part", ["p_size"], [spec], con, flow=True)
+
+
+def test_strcategory_axis(lineitem, con):
+    spec = StrCategory(("N", "R"))
+    r = histogram(lineitem, "l_returnflag", spec, flow=True)
+    check(r, "lineitem", ["l_returnflag"], [spec], con, flow=True)
+    labels = {row["l_returnflag_bins"] for row in r.df.collect()}
+    assert "_flow_bin" in labels
+
+
+def test_log_transform_exact(orders, con):
+    spec = Regular(12, 100.0, 600000.0, transform="log", exact=True)
+    r = histogram(orders, "o_totalprice", spec)
+    check(r, "orders", ["o_totalprice"], [spec], con)
+
+
+def test_log_fast_matches_exact(orders):
+    """The O(1) log-arithmetic path agrees with the exact edge-scan path."""
+    fast = histogram(
+        orders, "o_totalprice", Regular(12, 100.0, 600000.0, transform="log")
+    )
+    exact = histogram(
+        orders,
+        "o_totalprice",
+        Regular(12, 100.0, 600000.0, transform="log", exact=True),
+    )
+    a = fast.df.orderBy("o_totalprice_bin").toPandas()
+    b = exact.df.orderBy("o_totalprice_bin").toPandas()
+    assert (a["o_totalprice_histogram"] == b["o_totalprice_histogram"]).all()
+
+
+def test_2d(lineitem, con):
+    specs = [Regular(10, 1.0, 51.0), Variable((0.0, 0.03, 0.06, 0.11))]
+    r = histogram2d(lineitem, "l_quantity", "l_discount", specs)
+    check(r, "lineitem", ["l_quantity", "l_discount"], specs, con)
+    assert r.df.count() == 30
+
+
+def test_3d_grouped(lineitem, con):
+    specs = [
+        Regular(5, 1.0, 51.0),
+        Regular(4, 900.0, 105000.0),
+        StrCategory(("O", "F")),
+    ]
+    r = histogramdd(
+        lineitem,
+        ["l_quantity", "l_extendedprice", "l_linestatus"],
+        specs,
+        group_by=["l_returnflag"],
+    )
+    check(
+        r,
+        "lineitem",
+        ["l_quantity", "l_extendedprice", "l_linestatus"],
+        specs,
+        con,
+        group_by=["l_returnflag"],
+    )
+
+
+def test_range_inference(lineitem, con):
+    """bins=int, range=None → min/max scan (core.py:500-506); max value lands
+    in overflow (boost half-open) — reference behaviour."""
+    r = histogram(lineitem, "l_quantity", 10)
+    spec = r.specs["l_quantity"]
+    assert spec.lo == 1.0  # driver data: quantity >= 1
+    check(r, "lineitem", ["l_quantity"], [spec], con)
+
+
+def test_int64_storage(lineitem, con):
+    spec = Regular(10, 1.0, 51.0)
+    r = histogram(lineitem, "l_quantity", spec, storage="int64")
+    assert dict(r.df.dtypes)["l_quantity_histogram"] == "bigint"
+    check(r, "lineitem", ["l_quantity"], [spec], con, storage="int64")
+
+
+def test_dtype_rejection(lineitem):
+    with pytest.raises(TypeError):
+        histogram(lineitem, "l_returnflag", Regular(5, 0.0, 1.0))
+    with pytest.raises(TypeError):
+        histogram(lineitem, "l_quantity", Integer(0, 5))  # double col
+    with pytest.raises(TypeError):
+        histogram(lineitem, "l_linenumber", StrCategory(("a",)))
+
+
+def test_per_slice_decomposition(lineitem):
+    """Grouped histogram equals independent histogram of each slice
+    (reference per-slice test, tests/test_histogram.py:306-363)."""
+    spec = Regular(8, 1.0, 51.0)
+    r = histogram(lineitem, "l_quantity", spec, group_by=["l_returnflag"])
+    whole = {
+        (row["l_returnflag"], row["l_quantity_bin"]): row["l_quantity_histogram"]
+        for row in r.df.collect()
+    }
+    for flag in ["A", "N", "R"]:
+        sub = lineitem.where(f"l_returnflag = '{flag}'")
+        rs = histogram(sub, "l_quantity", spec)
+        for row in rs.df.collect():
+            assert whole[(flag, row["l_quantity_bin"])] == row["l_quantity_histogram"]

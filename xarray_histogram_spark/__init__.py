@@ -1,0 +1,46 @@
+"""PySpark-native N-dimensional weighted histogram engine.
+
+A brand-new engine with the query and data-processing capabilities of
+Descanonge/xarray-histogram (reference at /root/reference, MIT), re-expressed
+Spark-first: bucketize is Catalyst-codegen'd column arithmetic, the fill is
+``groupBy().agg()`` (Spark's partial+final HashAggregate replaces the
+reference's per-chunk boost fill + Dask tree reduce), dense output is a
+broadcast bin-spine join, normalization and distribution statistics are
+window queries.  Extensions: Structured Streaming histograms and
+LLM-data-pipeline operators (dedup, similarity search, text analysis,
+multimodal plumbing) designed for 100 TB scale.
+"""
+
+from .binspec import (
+    FLOW_STR,
+    I64_MAX,
+    I64_MIN,
+    Bin,
+    BinSpec,
+    IntCategory,
+    Integer,
+    Regular,
+    StrCategory,
+    Variable,
+)
+from .plans.histogram import histogram, histogram2d, histogramdd
+from .plans.result import HistogramResult
+
+__all__ = [
+    "Bin",
+    "BinSpec",
+    "Regular",
+    "Variable",
+    "Integer",
+    "IntCategory",
+    "StrCategory",
+    "I64_MIN",
+    "I64_MAX",
+    "FLOW_STR",
+    "histogram",
+    "histogram2d",
+    "histogramdd",
+    "HistogramResult",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,628 @@
+"""Bin-axis specifications: the aggregation "schema" of a histogram.
+
+Reference parity (WHAT, not HOW): the five boost-histogram axis families the
+reference consumes — Regular (with optional log/sqrt transform), Variable,
+Integer, IntCategory, StrCategory — including underflow/overflow ("flow") bin
+flags, flow-label encodings (±inf for floats, int64 min/max for ints,
+``"_flow_bin"`` for strings) and the edge/center/width algebra.
+See /root/reference/src/xarray_histogram/core.py:524-646 and
+accessor.py:148-250 for the semantics being reproduced.
+
+Spark-first design: each spec compiles the value→bin-id lookup to a pure
+Catalyst Column expression (``raw_id_col``) that stays inside whole-stage
+codegen — O(1) arithmetic for Regular/Integer, a vectorised JVM fold for
+Variable, ``array_position`` for categories.  Every spec ALSO emits the exact
+same arithmetic as a DuckDB SQL snippet (``raw_id_sql``) so the driver's
+oracle comparison is bit-identical: both engines run the same IEEE-754
+double operations in the same order (no transcendentals in the hot path —
+log-transformed axes precompute their edges Python-side for the exact path).
+
+Bin-id convention (uniform across the engine):
+  raw id ∈ [-1, n]:  -1 = underflow, 0..n-1 = core bins, n = overflow.
+  NaN / NULL values map to the overflow id (boost sends NaN to overflow;
+  with flow disabled they simply drop out — core.py NaN semantics).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+I64_MIN = -(2**63)
+I64_MAX = 2**63 - 1
+FLOW_STR = "_flow_bin"
+
+
+def flit(v: float) -> str:
+    """DuckDB literal for a Python float that parses back to the same double.
+
+    Goes through a VARCHAR cast: DuckDB parses bare numeric literals as
+    DECIMAL and the DECIMAL→DOUBLE conversion is not correctly rounded
+    (off-by-one-ulp observed), while VARCHAR→DOUBLE is — and must match
+    Python/Spark bit-for-bit for the oracle hash comparison."""
+    v = float(v)
+    if math.isinf(v):
+        return "CAST('infinity' AS DOUBLE)" if v > 0 else "CAST('-infinity' AS DOUBLE)"
+    if math.isnan(v):
+        return "CAST('nan' AS DOUBLE)"
+    if v == int(v) and abs(v) < 1e15:
+        return f"CAST({int(v)} AS DOUBLE)"
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def slit(s: str) -> str:
+    """DuckDB single-quoted string literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+@dataclass(frozen=True)
+class Bin:
+    """One output bin: id + label + coordinate algebra (edges/center/width).
+
+    ``label`` is the reference's bin-coordinate value (left edge for
+    Regular/Variable, the integer/string category otherwise); flow bins carry
+    the reference's flow encodings.  ``width`` is 1 for integer/category and
+    flow bins (core.py:614-646); ``center`` is label+0.5 for integer-like
+    axes (accessor.py:182-212).
+    """
+
+    id: int
+    label: Any
+    left: Optional[float]
+    right: Optional[float]
+    center: float
+    width: float
+    is_flow: bool
+
+
+class BinSpec:
+    """Abstract bin-axis spec. Subclasses: Regular, Variable, Integer,
+    IntCategory, StrCategory."""
+
+    underflow: bool
+    overflow: bool
+
+    # Spark type of the label column
+    label_type: str = "double"
+
+    @property
+    def n(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def extent(self) -> int:
+        return self.n + int(self.underflow) + int(self.overflow)
+
+    # ---- coordinate algebra (pure Python metadata) ----
+    def core_bins(self) -> list[Bin]:
+        raise NotImplementedError
+
+    def flow_under_bin(self) -> Bin:
+        raise NotImplementedError
+
+    def flow_over_bin(self) -> Bin:
+        raise NotImplementedError
+
+    def bins(self, flow: bool) -> list[Bin]:
+        out: list[Bin] = []
+        if flow and self.underflow:
+            out.append(self.flow_under_bin())
+        out.extend(self.core_bins())
+        if flow and self.overflow:
+            out.append(self.flow_over_bin())
+        return out
+
+    def edges(self) -> Optional[list[float]]:
+        """n+1 edges for interval axes, None for category axes."""
+        return None
+
+    def centers(self, flow: bool = False) -> list[float]:
+        return [b.center for b in self.bins(flow)]
+
+    def widths(self, flow: bool = False) -> list[float]:
+        return [b.width for b in self.bins(flow)]
+
+    def labels(self, flow: bool = False) -> list:
+        return [b.label for b in self.bins(flow)]
+
+    # ---- compilation ----
+    def raw_id_col(self, c: Column) -> Column:
+        """Spark Column: value -> raw bin id in [-1, n]."""
+        raise NotImplementedError
+
+    def raw_id_sql(self, expr: str) -> str:
+        """DuckDB SQL mirroring raw_id_col exactly (same IEEE ops, same order)."""
+        raise NotImplementedError
+
+    def keep_range(self, flow: bool) -> tuple[int, int]:
+        """Inclusive [lo, hi] raw-id range of EMITTED bins.
+
+        Flow bins exist only if the axis has them; they are emitted only when
+        ``flow=True`` (core.py:86 semantics: always counted, emitted on
+        request — filtering pre-aggregation is output-equivalent and cheaper).
+        """
+        lo = -1 if (flow and self.underflow) else 0
+        hi = self.n if (flow and self.overflow) else self.n - 1
+        return lo, hi
+
+    def validate_dtype(self, dt: T.DataType, col: str) -> None:
+        raise NotImplementedError
+
+    def label_sql_lit(self, label: Any) -> str:
+        if self.label_type == "double":
+            return flit(label)
+        if self.label_type == "bigint":
+            return str(int(label))
+        return slit(str(label))
+
+    # ---- (de)serialization for sidecar metadata ----
+    def to_dict(self) -> dict:
+        raise NotImplementedError
+
+    @staticmethod
+    def from_dict(d: dict) -> "BinSpec":
+        kind = d["kind"]
+        d = {k: v for k, v in d.items() if k != "kind"}
+        cls = {
+            "regular": Regular,
+            "variable": Variable,
+            "integer": Integer,
+            "intcategory": IntCategory,
+            "strcategory": StrCategory,
+        }[kind]
+        if kind in ("variable",):
+            d["edges_"] = tuple(d.pop("edges"))
+        if kind in ("intcategory", "strcategory"):
+            d["categories"] = tuple(d["categories"])
+        return cls(**d)
+
+
+def _numeric_ok(dt: T.DataType) -> bool:
+    return isinstance(
+        dt,
+        (
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.FloatType,
+            T.DoubleType,
+            T.BooleanType,
+            T.DecimalType,
+        ),
+    )
+
+
+def _integral_ok(dt: T.DataType) -> bool:
+    return isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)
+    )
+
+
+@dataclass(frozen=True)
+class Regular(BinSpec):
+    """Equal-width bins over [lo, hi), optionally log/sqrt-transform-spaced.
+
+    Boost semantics: every bin half-open [left, right) INCLUDING the last —
+    a value exactly equal to ``hi`` lands in overflow (this is the documented
+    delta vs numpy's closed last bin; the reference's own oracle tests use
+    atol=1 for it).  Bucket lookup is O(1) arithmetic, the reference's
+    headline performance advantage (docs/source/usage.rst:54-59) — here it is
+    a codegen'd floor expression.
+
+    ``transform``: None | "log" | "sqrt".  Transformed axes keep O(1) lookup
+    by bucketing the transformed value against transformed bounds when
+    ``exact=False``; with ``exact=True`` (the oracle-deterministic path) the
+    precomputed edges are scanned with exact comparisons so Spark and DuckDB
+    cannot diverge by a libm ulp.
+    """
+
+    nbins: int
+    lo: float
+    hi: float
+    underflow: bool = True
+    overflow: bool = True
+    transform: Optional[str] = None
+    exact: bool = False
+    label_type: str = field(default="double", init=False)
+
+    def __post_init__(self) -> None:
+        if self.nbins <= 0:
+            raise ValueError("Regular: nbins must be > 0")
+        if not (self.hi > self.lo):
+            raise ValueError("Regular: need hi > lo")
+        if self.transform not in (None, "log", "sqrt"):
+            raise ValueError(f"unknown transform {self.transform!r}")
+        if self.transform == "log" and self.lo <= 0:
+            raise ValueError("log transform needs lo > 0")
+        if self.transform == "sqrt" and self.lo < 0:
+            raise ValueError("sqrt transform needs lo >= 0")
+
+    @property
+    def n(self) -> int:
+        return self.nbins
+
+    def _tf(self, v: float) -> float:
+        if self.transform == "log":
+            return math.log(v)
+        if self.transform == "sqrt":
+            return math.sqrt(v)
+        return v
+
+    def _tf_inv(self, v: float) -> float:
+        if self.transform == "log":
+            return math.exp(v)
+        if self.transform == "sqrt":
+            return v * v
+        return v
+
+    def edges(self) -> list[float]:
+        tlo, thi = self._tf(self.lo), self._tf(self.hi)
+        es = [
+            self._tf_inv(tlo + (thi - tlo) * i / self.n) for i in range(self.n + 1)
+        ]
+        # pin endpoints exactly
+        es[0], es[-1] = float(self.lo), float(self.hi)
+        return es
+
+    def core_bins(self) -> list[Bin]:
+        es = self.edges()
+        return [
+            Bin(
+                id=i,
+                label=es[i],
+                left=es[i],
+                right=es[i + 1],
+                center=(es[i] + es[i + 1]) / 2.0,
+                width=es[i + 1] - es[i],
+                is_flow=False,
+            )
+            for i in range(self.n)
+        ]
+
+    def flow_under_bin(self) -> Bin:
+        return Bin(-1, float("-inf"), float("-inf"), float(self.lo), float("-inf"), 1.0, True)
+
+    def flow_over_bin(self) -> Bin:
+        return Bin(self.n, float("inf"), float(self.hi), float("inf"), float("inf"), 1.0, True)
+
+    def validate_dtype(self, dt: T.DataType, col: str) -> None:
+        if not _numeric_ok(dt):
+            raise TypeError(f"Regular axis needs a numeric column, got {col}: {dt}")
+
+    # -- compilation --
+    def _linear_id_col(self, c: Column) -> Column:
+        n = self.n
+        if self.transform is None:
+            y, ylo, yhi = c.cast("double"), float(self.lo), float(self.hi)
+        elif self.transform == "log":
+            y, ylo, yhi = F.log(c.cast("double")), math.log(self.lo), math.log(self.hi)
+        else:  # sqrt — IEEE correctly rounded, safe to mirror
+            y, ylo, yhi = F.sqrt(c.cast("double")), math.sqrt(self.lo), math.sqrt(self.hi)
+        span = yhi - ylo
+        t = (y - F.lit(ylo)) * F.lit(float(n)) / F.lit(span)
+        core = F.least(F.floor(t).cast("int"), F.lit(n - 1))
+        x = c.cast("double")
+        bad = x.isNull() | F.isnan(x)
+        if self.transform == "log":
+            bad = bad | (x <= F.lit(0.0))
+        return (
+            F.when(bad, F.lit(self.n))
+            .when(y < F.lit(ylo), F.lit(-1))
+            .when(y >= F.lit(yhi), F.lit(self.n))
+            .otherwise(core)
+        )
+
+    def raw_id_col(self, c: Column) -> Column:
+        if self.transform is not None and self.exact:
+            return _edge_scan_id_col(c, self.edges())
+        return self._linear_id_col(c)
+
+    def raw_id_sql(self, expr: str) -> str:
+        if self.transform is not None and self.exact:
+            return _edge_scan_id_sql(expr, self.edges())
+        n = self.n
+        if self.transform is None:
+            y, ylo, yhi = f"CAST({expr} AS DOUBLE)", float(self.lo), float(self.hi)
+        elif self.transform == "log":
+            y, ylo, yhi = f"ln(CAST({expr} AS DOUBLE))", math.log(self.lo), math.log(self.hi)
+        else:
+            y, ylo, yhi = f"sqrt(CAST({expr} AS DOUBLE))", math.sqrt(self.lo), math.sqrt(self.hi)
+        span = yhi - ylo
+        x = f"CAST({expr} AS DOUBLE)"
+        bad = f"{x} IS NULL OR isnan({x})"
+        if self.transform == "log":
+            bad += f" OR {x} <= 0.0"
+        return (
+            f"CASE WHEN {bad} THEN {n} "
+            f"WHEN {y} < {flit(ylo)} THEN -1 "
+            f"WHEN {y} >= {flit(yhi)} THEN {n} "
+            f"ELSE LEAST(CAST(FLOOR(({y} - {flit(ylo)}) * {flit(float(n))} / {flit(span)}) AS INT), {n - 1}) END"
+        )
+
+    def to_dict(self) -> dict:
+        return {
+            "kind": "regular",
+            "nbins": self.nbins,
+            "lo": self.lo,
+            "hi": self.hi,
+            "underflow": self.underflow,
+            "overflow": self.overflow,
+            "transform": self.transform,
+            "exact": self.exact,
+        }
+
+
+def _edge_scan_id_col(c: Column, edges: Sequence[float]) -> Column:
+    """raw id via exact edge comparisons: (#edges <= x) - 1. JVM fold, codegen'd."""
+    n = len(edges) - 1
+    x = c.cast("double")
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    cnt = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, e: acc + F.when(x >= e, F.lit(1)).otherwise(F.lit(0)),
+    )
+    bad = x.isNull() | F.isnan(x)
+    return F.when(bad, F.lit(n)).otherwise(F.least(cnt - 1, F.lit(n)))
+
+
+def _edge_scan_id_sql(expr: str, edges: Sequence[float]) -> str:
+    n = len(edges) - 1
+    x = f"CAST({expr} AS DOUBLE)"
+    lst = "[" + ", ".join(flit(e) for e in edges) + "]"
+    cnt = f"list_sum(list_transform({lst}, e -> CASE WHEN {x} >= e THEN 1 ELSE 0 END))"
+    return (
+        f"CASE WHEN {x} IS NULL OR isnan({x}) THEN {n} "
+        f"ELSE LEAST(CAST({cnt} AS INT) - 1, {n}) END"
+    )
+
+
+@dataclass(frozen=True)
+class Variable(BinSpec):
+    """Explicit monotonic edges; bin i covers [e_i, e_{i+1}) (half-open, incl. last).
+
+    Lookup is an O(n) vectorised JVM fold over the (small, literal) edge
+    array — the reference's own docs advise keeping variable axes out of the
+    hot path vs O(1) regular axes; at very large n a broadcast range join
+    would replace this.
+    """
+
+    edges_: tuple
+    underflow: bool = True
+    overflow: bool = True
+    label_type: str = field(default="double", init=False)
+
+    def __post_init__(self) -> None:
+        es = [float(e) for e in self.edges_]
+        if len(es) < 2 or any(b <= a for a, b in zip(es, es[1:])):
+            raise ValueError("Variable: edges must be strictly increasing, >= 2")
+        object.__setattr__(self, "edges_", tuple(es))
+
+    @property
+    def n(self) -> int:
+        return len(self.edges_) - 1
+
+    def edges(self) -> list[float]:
+        return list(self.edges_)
+
+    def core_bins(self) -> list[Bin]:
+        es = self.edges_
+        return [
+            Bin(i, es[i], es[i], es[i + 1], (es[i] + es[i + 1]) / 2.0, es[i + 1] - es[i], False)
+            for i in range(self.n)
+        ]
+
+    def flow_under_bin(self) -> Bin:
+        return Bin(-1, float("-inf"), float("-inf"), self.edges_[0], float("-inf"), 1.0, True)
+
+    def flow_over_bin(self) -> Bin:
+        return Bin(self.n, float("inf"), self.edges_[-1], float("inf"), float("inf"), 1.0, True)
+
+    def validate_dtype(self, dt: T.DataType, col: str) -> None:
+        if not _numeric_ok(dt):
+            raise TypeError(f"Variable axis needs a numeric column, got {col}: {dt}")
+
+    def raw_id_col(self, c: Column) -> Column:
+        n = self.n
+        inner = _edge_scan_id_col(c, self.edges_)
+        # edge-scan maps x < e0 to -1 already (count 0 - 1); x >= en to n
+        return inner
+
+    def raw_id_sql(self, expr: str) -> str:
+        return _edge_scan_id_sql(expr, self.edges_)
+
+    def to_dict(self) -> dict:
+        return {
+            "kind": "variable",
+            "edges": list(self.edges_),
+            "underflow": self.underflow,
+            "overflow": self.overflow,
+        }
+
+
+@dataclass(frozen=True)
+class Integer(BinSpec):
+    """One bin per integer in [lo, hi). Accepts integral/boolean columns only
+    (the reference's "uib" dtype gate, core.py:535-537). Flow labels are
+    int64 min/max (NetCDF-able encoding, core.py:545-552)."""
+
+    lo: int
+    hi: int
+    underflow: bool = True
+    overflow: bool = True
+    label_type: str = field(default="bigint", init=False)
+
+    def __post_init__(self) -> None:
+        if self.hi <= self.lo:
+            raise ValueError("Integer: need hi > lo")
+
+    @property
+    def n(self) -> int:
+        return int(self.hi - self.lo)
+
+    def edges(self) -> list[float]:
+        return [float(v) for v in range(self.lo, self.hi + 1)]
+
+    def core_bins(self) -> list[Bin]:
+        return [
+            Bin(i, self.lo + i, float(self.lo + i), float(self.lo + i + 1),
+                self.lo + i + 0.5, 1.0, False)
+            for i in range(self.n)
+        ]
+
+    def flow_under_bin(self) -> Bin:
+        return Bin(-1, I64_MIN, None, None, float(I64_MIN), 1.0, True)
+
+    def flow_over_bin(self) -> Bin:
+        return Bin(self.n, I64_MAX, None, None, float(I64_MAX), 1.0, True)
+
+    def validate_dtype(self, dt: T.DataType, col: str) -> None:
+        if not _integral_ok(dt):
+            raise TypeError(f"Integer axis needs an integral/boolean column, got {col}: {dt}")
+
+    def raw_id_col(self, c: Column) -> Column:
+        x = c.cast("bigint")
+        return (
+            F.when(x.isNull(), F.lit(self.n))
+            .when(x < F.lit(self.lo), F.lit(-1))
+            .when(x >= F.lit(self.hi), F.lit(self.n))
+            .otherwise((x - F.lit(self.lo)).cast("int"))
+        )
+
+    def raw_id_sql(self, expr: str) -> str:
+        x = f"CAST({expr} AS BIGINT)"
+        return (
+            f"CASE WHEN {x} IS NULL THEN {self.n} "
+            f"WHEN {x} < {self.lo} THEN -1 "
+            f"WHEN {x} >= {self.hi} THEN {self.n} "
+            f"ELSE CAST({x} - {self.lo} AS INT) END"
+        )
+
+    def to_dict(self) -> dict:
+        return {
+            "kind": "integer",
+            "lo": self.lo,
+            "hi": self.hi,
+            "underflow": self.underflow,
+            "overflow": self.overflow,
+        }
+
+
+@dataclass(frozen=True)
+class IntCategory(BinSpec):
+    """Explicit unordered integer categories; misses land in the overflow bin.
+    Category axes have no underflow (boost semantics, core.py:554-568)."""
+
+    categories: tuple
+    overflow: bool = True
+    underflow: bool = field(default=False, init=False)
+    label_type: str = field(default="bigint", init=False)
+
+    def __post_init__(self) -> None:
+        cats = tuple(int(v) for v in self.categories)
+        if len(set(cats)) != len(cats) or not cats:
+            raise ValueError("IntCategory: need non-empty unique categories")
+        object.__setattr__(self, "categories", cats)
+
+    @property
+    def n(self) -> int:
+        return len(self.categories)
+
+    def core_bins(self) -> list[Bin]:
+        return [
+            Bin(i, v, None, None, float(v) + 0.5, 1.0, False)
+            for i, v in enumerate(self.categories)
+        ]
+
+    def flow_over_bin(self) -> Bin:
+        return Bin(self.n, I64_MAX, None, None, float(I64_MAX), 1.0, True)
+
+    def validate_dtype(self, dt: T.DataType, col: str) -> None:
+        if not _integral_ok(dt):
+            raise TypeError(f"IntCategory axis needs an integral column, got {col}: {dt}")
+
+    def raw_id_col(self, c: Column) -> Column:
+        x = c.cast("bigint")
+        arr = F.array(*[F.lit(int(v)) for v in self.categories])
+        pos = F.array_position(arr, x)  # 1-based, 0 if absent
+        return (
+            F.when(x.isNull(), F.lit(self.n))
+            .when(pos > 0, (pos - 1).cast("int"))
+            .otherwise(F.lit(self.n))
+        )
+
+    def raw_id_sql(self, expr: str) -> str:
+        x = f"CAST({expr} AS BIGINT)"
+        lst = "[" + ", ".join(str(int(v)) for v in self.categories) + "]"
+        pos = f"COALESCE(list_position({lst}, {x}), 0)"
+        return (
+            f"CASE WHEN {x} IS NULL THEN {self.n} "
+            f"WHEN {pos} > 0 THEN CAST({pos} - 1 AS INT) "
+            f"ELSE {self.n} END"
+        )
+
+    def to_dict(self) -> dict:
+        return {"kind": "intcategory", "categories": list(self.categories),
+                "overflow": self.overflow}
+
+
+@dataclass(frozen=True)
+class StrCategory(BinSpec):
+    """Explicit string categories; misses land in overflow, labelled
+    ``"_flow_bin"`` (core.py:570-575)."""
+
+    categories: tuple
+    overflow: bool = True
+    underflow: bool = field(default=False, init=False)
+    label_type: str = field(default="string", init=False)
+
+    def __post_init__(self) -> None:
+        cats = tuple(str(v) for v in self.categories)
+        if len(set(cats)) != len(cats) or not cats:
+            raise ValueError("StrCategory: need non-empty unique categories")
+        object.__setattr__(self, "categories", cats)
+
+    @property
+    def n(self) -> int:
+        return len(self.categories)
+
+    def core_bins(self) -> list[Bin]:
+        return [
+            Bin(i, v, None, None, i + 0.5, 1.0, False)
+            for i, v in enumerate(self.categories)
+        ]
+
+    def flow_over_bin(self) -> Bin:
+        return Bin(self.n, FLOW_STR, None, None, float(self.n) + 0.5, 1.0, True)
+
+    def validate_dtype(self, dt: T.DataType, col: str) -> None:
+        if not isinstance(dt, T.StringType):
+            raise TypeError(f"StrCategory axis needs a string column, got {col}: {dt}")
+
+    def raw_id_col(self, c: Column) -> Column:
+        arr = F.array(*[F.lit(v) for v in self.categories])
+        pos = F.array_position(arr, c)
+        return (
+            F.when(c.isNull(), F.lit(self.n))
+            .when(pos > 0, (pos - 1).cast("int"))
+            .otherwise(F.lit(self.n))
+        )
+
+    def raw_id_sql(self, expr: str) -> str:
+        lst = "[" + ", ".join(slit(v) for v in self.categories) + "]"
+        pos = f"COALESCE(list_position({lst}, {expr}), 0)"
+        return (
+            f"CASE WHEN {expr} IS NULL THEN {self.n} "
+            f"WHEN {pos} > 0 THEN CAST({pos} - 1 AS INT) "
+            f"ELSE {self.n} END"
+        )
+
+    def to_dict(self) -> dict:
+        return {"kind": "strcategory", "categories": list(self.categories),
+                "overflow": self.overflow}

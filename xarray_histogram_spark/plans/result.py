@@ -1,0 +1,185 @@
+"""HistogramResult: the histogram-DataFrame wrapper + bin-coordinate algebra.
+
+Reference parity: the ``hist`` accessor
+(/root/reference/src/xarray_histogram/accessor.py) — bins/edges/centers/
+widths/areas (accessor.py:148-250), remove_flow (278-305), normalize
+(252-276), apply_func/scale (355-395).  The reference round-trips schema
+through a naming convention + coordinate attrs; here the wrapper carries the
+BinSpec objects directly (and ``sources.io`` persists them as a JSON sidecar
+next to parquet, the analog of NetCDF attrs).
+
+The wrapped ``_df`` keeps internal ``__<var>_width`` / ``__<var>_is_flow``
+columns so normalization and statistics never re-join the spine; the public
+``df`` drops them.  All algebra on bin coordinates is metadata-only — no
+touch of the aggregated data (matches accessor.py:355-380: transforming a
+coordinate relabels it, the counts are untouched).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, replace
+from functools import reduce
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..binspec import BinSpec, Variable
+
+
+@dataclass
+class HistogramResult:
+    _df: DataFrame
+    variables: list[str]
+    specs: dict[str, BinSpec]
+    group_by: list[str]
+    value_col: str
+    density: bool
+    flow: bool
+
+    # ---- public DataFrame (internal metadata columns dropped) ----
+    @property
+    def df(self) -> DataFrame:
+        return self._df.drop(
+            *[c for c in self._df.columns if c.startswith("__")]
+        )
+
+    def _one_var(self, variable: Optional[str]) -> str:
+        if variable is None:
+            if len(self.variables) != 1:
+                raise ValueError("multiple variables; specify one")
+            return self.variables[0]
+        if variable not in self.variables:
+            raise ValueError(f"unknown variable {variable!r}")
+        return variable
+
+    # ---- coordinate algebra (pure metadata; accessor.py:148-250) ----
+    def bins(self, variable: Optional[str] = None, flow: bool = True) -> list:
+        v = self._one_var(variable)
+        return self.specs[v].labels(flow=flow and self.flow)
+
+    def edges(self, variable: Optional[str] = None) -> list[float]:
+        v = self._one_var(variable)
+        e = self.specs[v].edges()
+        if e is None:
+            raise ValueError(f"category axis {v!r} has no edges")
+        return e
+
+    def centers(self, variable: Optional[str] = None, flow: bool = True) -> list[float]:
+        v = self._one_var(variable)
+        return self.specs[v].centers(flow=flow and self.flow)
+
+    def widths(self, variable: Optional[str] = None, flow: bool = True) -> list[float]:
+        v = self._one_var(variable)
+        return self.specs[v].widths(flow=flow and self.flow)
+
+    def areas(self, variables: Optional[Sequence[str]] = None, flow: bool = True) -> list:
+        """Outer product of per-variable widths, flow cells forced to 1
+        (core.py:638-646).  Row-major over the chosen variables."""
+        vs = list(variables) if variables is not None else list(self.variables)
+        import itertools
+
+        grids = [self.specs[v].bins(flow=flow and self.flow) for v in vs]
+        out = []
+        for combo in itertools.product(*grids):
+            a = 1.0
+            for b in combo:
+                a *= 1.0 if b.is_flow else b.width
+            out.append(a)
+        return out
+
+    def is_normalized(self) -> bool:
+        return self.density
+
+    # ---- flow removal (accessor.py:278-305) ----
+    def remove_flow(self, variables: Optional[Sequence[str]] = None) -> "HistogramResult":
+        vs = list(variables) if variables is not None else list(self.variables)
+        conds = []
+        new_specs = dict(self.specs)
+        for v in vs:
+            s = self.specs[v]
+            conds.append(F.col(f"{v}_bin").between(F.lit(0), F.lit(s.n - 1)))
+            fields = {}
+            if "underflow" in {f.name for f in dataclasses.fields(s) if f.init}:
+                fields["underflow"] = False
+            if "overflow" in {f.name for f in dataclasses.fields(s) if f.init}:
+                fields["overflow"] = False
+            new_specs[v] = replace(s, **fields) if fields else s
+        out = self._df.where(reduce(lambda a, b: a & b, conds))
+        return replace(self, _df=out, specs=new_specs)
+
+    # ---- normalization (accessor.py:252-276, core.py:649-663) ----
+    def normalize(self, variables: Optional[Sequence[str]] = None) -> "HistogramResult":
+        if self.density:
+            raise ValueError("histogram is already normalized")
+        vs = list(variables) if variables is not None else list(self.variables)
+        for v in vs:
+            if v not in self.variables:
+                raise ValueError(f"unknown variable {v!r}")
+        other = [v for v in self.variables if v not in vs]
+        part = self.group_by + [f"{v}_bin" for v in other]
+        any_flow = reduce(
+            lambda a, b: a | b, [F.col(f"__{v}_is_flow") for v in vs]
+        )
+        area = reduce(lambda a, b: a * b, [F.col(f"__{v}_width") for v in vs])
+        w = Window.partitionBy(*[F.col(k) for k in part])
+        total = F.sum(
+            F.when(any_flow, F.lit(0.0)).otherwise(F.col(self.value_col))
+        ).over(w)
+        pdf = F.when(any_flow, F.col(self.value_col).cast("double")).otherwise(
+            F.col(self.value_col).cast("double") / area / F.nullif(total, F.lit(0.0))
+        )
+        new_name = (
+            self.value_col[: -len("_histogram")] + "_pdf"
+            if self.value_col.endswith("_histogram")
+            else self.value_col + "_pdf"
+        )
+        out = self._df.withColumn(self.value_col, pdf).withColumnRenamed(
+            self.value_col, new_name
+        )
+        return replace(self, _df=out, value_col=new_name, density=True)
+
+    # ---- coordinate transforms (accessor.py:355-395): metadata-only ----
+    def apply_func(
+        self, func: Callable[[float], float], variable: Optional[str] = None
+    ) -> "HistogramResult":
+        """Relabel one variable's bin coordinate by applying ``func`` to its
+        edges — equivalent to having histogrammed ``func(x)``.  Data columns
+        are untouched; only the label column and the spec change.  ``func``
+        must be strictly increasing on the edge range."""
+        v = self._one_var(variable)
+        s = self.specs[v]
+        old_edges = s.edges()
+        if old_edges is None:
+            raise ValueError("apply_func needs an interval axis (Regular/Variable)")
+        new_edges = [float(func(e)) for e in old_edges]
+        if any(b <= a for a, b in zip(new_edges, new_edges[1:])):
+            raise ValueError("func must be strictly increasing over the edges")
+        new_spec = Variable(
+            tuple(new_edges), underflow=s.underflow, overflow=s.overflow
+        )
+        mapping = {b.id: b for b in new_spec.bins(flow=self.flow)}
+        kvs: list[Column] = []
+        for bid, b in mapping.items():
+            kvs.append(F.lit(bid))
+            kvs.append(F.lit(b.label))
+        m = F.create_map(*kvs)
+        wkvs: list[Column] = []
+        for bid, b in mapping.items():
+            wkvs.append(F.lit(bid))
+            wkvs.append(F.lit(float(b.width)))
+        wm = F.create_map(*wkvs)
+        out = self._df.withColumn(
+            f"{v}_bins", m[F.col(f"{v}_bin")]
+        ).withColumn(f"__{v}_width", wm[F.col(f"{v}_bin")])
+        new_specs = dict(self.specs)
+        new_specs[v] = new_spec
+        return replace(self, _df=out, specs=new_specs)
+
+    def scale(self, factor: float, variable: Optional[str] = None) -> "HistogramResult":
+        """Scale a bin coordinate by a constant factor (accessor.py:382-395)."""
+        if factor <= 0:
+            raise ValueError("factor must be > 0 (monotonicity)")
+        return self.apply_func(lambda e: e * factor, variable)
