@@ -18,9 +18,17 @@ Scale notes (designed for ~100 TB inputs, 1000 executors):
 - Range inference (``bins=int, range=None``) runs ONE combined min/max job
   over all columns needing it (the reference does one eager pass per array,
   core.py:500-506 — this is the same cost, batched).
-- ``exact_sums=True`` routes weighted sums through DECIMAL(38,10) so the
-  distributed sum is order-independent (bit-identical across any partitioning
-  and vs the DuckDB oracle); set False for raw double speed.
+- Determinism of weighted sums: double addition is not associative, so a
+  distributed sum is partitioning-dependent and can never hash-match an
+  oracle bit-for-bit.  With ``weight_scale=s`` (default 6) weights are
+  quantised to ``round(w * 10^s)`` int64 and summed as integers — exact,
+  order-independent, identical in Spark and DuckDB (int64→double casts are
+  hardware-rounded identically; DuckDB's DECIMAL→DOUBLE cast is NOT
+  correctly rounded, which rules the DECIMAL route out).  The quantisation
+  (~1e-11 relative on these tables) is the documented price of a
+  deterministic gate; ``weight_scale=None`` gives raw double sums for
+  production speed (int64 overflow bound: |w|·10^s · rows < 2^63).
+  Unweighted counts are naturally integers — always exact.
 """
 
 from __future__ import annotations
@@ -124,14 +132,19 @@ def resolve_specs(
 
 
 def spine_df(spark: SparkSession, var: str, spec: BinSpec, flow: bool) -> DataFrame:
-    """Tiny per-axis bin table: (id, label, width, is_flow) — the analog of the
-    reference's bin coordinate (core.py:524-587), broadcast into the dense join."""
-    rows = [(b.id, b.label, float(b.width), b.is_flow) for b in spec.bins(flow)]
+    """Tiny per-axis bin table: (id, label, width, center, is_flow) — the
+    analog of the reference's bin coordinate (core.py:524-587), broadcast
+    into the dense join."""
+    rows = [
+        (b.id, b.label, float(b.width), float(b.center), b.is_flow)
+        for b in spec.bins(flow)
+    ]
     schema = T.StructType(
         [
             T.StructField(id_col(var), T.IntegerType(), False),
             T.StructField(label_col(var), _LABEL_SPARK_TYPE[spec.label_type], False),
             T.StructField(f"__{var}_width", T.DoubleType(), False),
+            T.StructField(f"__{var}_center", T.DoubleType(), False),
             T.StructField(f"__{var}_is_flow", T.BooleanType(), False),
         ]
     )
@@ -149,7 +162,7 @@ def histogramdd(
     group_by: Sequence[str] = (),
     flow: bool = False,
     storage: str = "double",
-    exact_sums: bool = True,
+    weight_scale: Optional[int] = 6,
 ) -> HistogramResult:
     """N-dimensional weighted histogram over a long-form DataFrame.
 
@@ -160,6 +173,10 @@ def histogramdd(
     ``flow=True`` emits the underflow/overflow bins of axes that have them.
     ``storage`` ∈ {"double", "int64"}: output dtype of unweighted counts
     (core.py:432-436); weighted histograms are always double.
+    ``weight_scale``: weighted sums are computed as exact int64 sums of
+    ``round(w·10^scale)`` (deterministic, oracle-matchable — see module
+    docstring); ``None`` → raw double sums (fast path, not deterministic
+    under reordering).
     """
     cols = list(cols)
     group_by = list(group_by)
@@ -192,16 +209,22 @@ def histogramdd(
     )
     base = base.where(keep_cond)
 
-    # aggregate: Catalyst plans partial (map-side) + final HashAggregate
+    # aggregate: Catalyst plans partial (map-side) + final HashAggregate.
+    # int_mode: __val is an exact int64 (count, or scaled-int weighted sum) —
+    # order-independent, the oracle-deterministic representation.
     if weights is not None:
-        if exact_sums:
-            val = F.sum(F.col("__w").cast("decimal(38,10)")).cast("double")
+        if weight_scale is not None:
+            divisor = float(10**weight_scale)
+            val = F.sum(
+                F.round(F.col("__w").cast("double") * F.lit(divisor)).cast("bigint")
+            )
+            int_mode = True
         else:
             val = F.sum(F.col("__w").cast("double"))
-    elif storage == "int64":
-        val = F.count(F.lit(1)).cast("bigint")
+            int_mode, divisor = False, 1.0
     else:
-        val = F.count(F.lit(1)).cast("double")
+        val = F.count(F.lit(1))
+        int_mode, divisor = True, 1.0
     keys = group_by + [id_col(c) for c in cols]
     agg = base.groupBy(*keys).agg(val.alias("__val"))
 
@@ -221,7 +244,7 @@ def histogramdd(
         [F.col(f"__d.{g}").eqNullSafe(F.col(f"__a.{g}")) for g in group_by]
         + [F.col(f"__d.{id_col(c)}") == F.col(f"__a.{id_col(c)}") for c in cols],
     )
-    zero = F.lit(0).cast("bigint") if (weights is None and storage == "int64") else F.lit(0.0)
+    zero = F.lit(0).cast("bigint") if int_mode else F.lit(0.0)
     filled = (
         d.join(a, cond, "left")
         .select(
@@ -230,14 +253,23 @@ def histogramdd(
             *[F.col(f"__d.{label_col(c)}").alias(label_col(c)) for c in cols],
             F.coalesce(F.col("__a.__val"), zero).alias("__val"),
             *[F.col(f"__d.__{c}_width").alias(f"__{c}_width") for c in cols],
+            *[F.col(f"__d.__{c}_center").alias(f"__{c}_center") for c in cols],
             *[F.col(f"__d.__{c}_is_flow").alias(f"__{c}_is_flow") for c in cols],
         )
     )
 
     vname = value_col_name(cols, density)
     if density:
-        filled = _apply_density(filled, cols, group_by)
-    out = filled.withColumnRenamed("__val", vname)
+        vis = _density_expr(cols, group_by, int_mode, divisor)
+    elif int_mode and weights is None and storage == "int64":
+        vis = F.col("__val")
+    elif int_mode:
+        vis = F.col("__val").cast("double")
+        if divisor != 1.0:
+            vis = vis / F.lit(divisor)
+    else:
+        vis = F.col("__val")
+    out = filled.withColumn(vname, vis)
 
     return HistogramResult(
         _df=out,
@@ -247,27 +279,42 @@ def histogramdd(
         value_col=vname,
         density=density,
         flow=flow,
+        int_mode=int_mode,
+        divisor=divisor,
     )
 
 
-def _apply_density(
-    filled: DataFrame,
+def _density_expr(
     norm_vars: Sequence[str],
     partition_keys: Sequence[str],
-) -> DataFrame:
+    int_mode: bool,
+    divisor: float,
+) -> Column:
     """Histogram → PDF along ``norm_vars`` (core.py:649-663 semantics):
     the total EXCLUDES flow bins, the value is divided by bin area × total,
-    and flow-bin cells are left untouched."""
+    and flow-bin cells keep their raw counts.  In int_mode the window total
+    is an exact integer sum → deterministic under any partitioning."""
     any_flow = reduce(
         lambda a, b: a | b, [F.col(f"__{v}_is_flow") for v in norm_vars]
     )
     area = reduce(lambda a, b: a * b, [F.col(f"__{v}_width") for v in norm_vars])
     w = Window.partitionBy(*[F.col(k) for k in partition_keys])
-    total = F.sum(F.when(any_flow, F.lit(0.0)).otherwise(F.col("__val"))).over(w)
-    pdf = F.when(any_flow, F.col("__val")).otherwise(
-        F.col("__val").cast("double") / area / F.nullif(total, F.lit(0.0))
+    if int_mode:
+        zero = F.lit(0).cast("bigint")
+        total = F.sum(F.when(any_flow, zero).otherwise(F.col("__val"))).over(w)
+        raw = F.col("__val").cast("double")
+        total_d = total.cast("double")
+        if divisor != 1.0:
+            raw = raw / F.lit(divisor)
+            total_d = total_d / F.lit(divisor)
+    else:
+        total_d = F.sum(
+            F.when(any_flow, F.lit(0.0)).otherwise(F.col("__val"))
+        ).over(w)
+        raw = F.col("__val")
+    return F.when(any_flow, raw).otherwise(
+        raw / area / F.nullif(total_d, F.lit(0.0))
     )
-    return filled.withColumn("__val", pdf)
 
 
 def histogram(
@@ -281,13 +328,13 @@ def histogram(
     group_by: Sequence[str] = (),
     flow: bool = False,
     storage: str = "double",
-    exact_sums: bool = True,
+    weight_scale: Optional[int] = 6,
 ) -> HistogramResult:
     """1-D histogram (core.py:46-107)."""
     return histogramdd(
         df, [col], bins, ranges=[range] if range is not None else None,
         weights=weights, density=density, group_by=group_by, flow=flow,
-        storage=storage, exact_sums=exact_sums,
+        storage=storage, weight_scale=weight_scale,
     )
 
 
@@ -303,11 +350,11 @@ def histogram2d(
     group_by: Sequence[str] = (),
     flow: bool = False,
     storage: str = "double",
-    exact_sums: bool = True,
+    weight_scale: Optional[int] = 6,
 ) -> HistogramResult:
     """2-D histogram (core.py:110-179)."""
     return histogramdd(
         df, [col_x, col_y], bins, ranges=ranges, weights=weights,
         density=density, group_by=group_by, flow=flow, storage=storage,
-        exact_sums=exact_sums,
+        weight_scale=weight_scale,
     )

@@ -38,6 +38,10 @@ class HistogramResult:
     value_col: str
     density: bool
     flow: bool
+    # internal value representation: exact int64 (count or scaled-int weighted
+    # sum) with a display divisor, or raw double (int_mode=False)
+    int_mode: bool = True
+    divisor: float = 1.0
 
     # ---- public DataFrame (internal metadata columns dropped) ----
     @property
@@ -120,24 +124,17 @@ class HistogramResult:
                 raise ValueError(f"unknown variable {v!r}")
         other = [v for v in self.variables if v not in vs]
         part = self.group_by + [f"{v}_bin" for v in other]
-        any_flow = reduce(
-            lambda a, b: a | b, [F.col(f"__{v}_is_flow") for v in vs]
-        )
-        area = reduce(lambda a, b: a * b, [F.col(f"__{v}_width") for v in vs])
-        w = Window.partitionBy(*[F.col(k) for k in part])
-        total = F.sum(
-            F.when(any_flow, F.lit(0.0)).otherwise(F.col(self.value_col))
-        ).over(w)
-        pdf = F.when(any_flow, F.col(self.value_col).cast("double")).otherwise(
-            F.col(self.value_col).cast("double") / area / F.nullif(total, F.lit(0.0))
-        )
+        from .histogram import _density_expr
+
+        pdf = _density_expr(vs, part, self.int_mode, self.divisor)
         new_name = (
             self.value_col[: -len("_histogram")] + "_pdf"
             if self.value_col.endswith("_histogram")
             else self.value_col + "_pdf"
         )
-        out = self._df.withColumn(self.value_col, pdf).withColumnRenamed(
-            self.value_col, new_name
+        out = (
+            self._df.drop(self.value_col)
+            .withColumn(new_name, pdf)
         )
         return replace(self, _df=out, value_col=new_name, density=True)
 
@@ -161,19 +158,19 @@ class HistogramResult:
             tuple(new_edges), underflow=s.underflow, overflow=s.overflow
         )
         mapping = {b.id: b for b in new_spec.bins(flow=self.flow)}
-        kvs: list[Column] = []
-        for bid, b in mapping.items():
-            kvs.append(F.lit(bid))
-            kvs.append(F.lit(b.label))
-        m = F.create_map(*kvs)
-        wkvs: list[Column] = []
-        for bid, b in mapping.items():
-            wkvs.append(F.lit(bid))
-            wkvs.append(F.lit(float(b.width)))
-        wm = F.create_map(*wkvs)
-        out = self._df.withColumn(
-            f"{v}_bins", m[F.col(f"{v}_bin")]
-        ).withColumn(f"__{v}_width", wm[F.col(f"{v}_bin")])
+
+        def lit_map(value_of) -> Column:
+            kvs: list[Column] = []
+            for bid, b in mapping.items():
+                kvs.append(F.lit(bid))
+                kvs.append(F.lit(value_of(b)))
+            return F.create_map(*kvs)
+
+        out = (
+            self._df.withColumn(f"{v}_bins", lit_map(lambda b: b.label)[F.col(f"{v}_bin")])
+            .withColumn(f"__{v}_width", lit_map(lambda b: float(b.width))[F.col(f"{v}_bin")])
+            .withColumn(f"__{v}_center", lit_map(lambda b: float(b.center))[F.col(f"{v}_bin")])
+        )
         new_specs = dict(self.specs)
         new_specs[v] = new_spec
         return replace(self, _df=out, specs=new_specs)
@@ -183,3 +180,44 @@ class HistogramResult:
         if factor <= 0:
             raise ValueError("factor must be > 0 (monotonicity)")
         return self.apply_func(lambda e: e * factor, variable)
+
+    # ---- distribution statistics (accessor.py:397-573); see plans.stats ----
+    def mean(self, variable: Optional[str] = None) -> DataFrame:
+        from . import stats
+
+        return stats.mean(self, variable)
+
+    def var(self, variable: Optional[str] = None) -> DataFrame:
+        from . import stats
+
+        return stats.var(self, variable)
+
+    def std(self, variable: Optional[str] = None) -> DataFrame:
+        from . import stats
+
+        return stats.std(self, variable)
+
+    def moment(self, order: int, variable: Optional[str] = None) -> DataFrame:
+        from . import stats
+
+        return stats.moment(self, order, variable)
+
+    def median(self, variable: Optional[str] = None) -> DataFrame:
+        from . import stats
+
+        return stats.median(self, variable)
+
+    def ppf(self, q, variable: Optional[str] = None) -> DataFrame:
+        from . import stats
+
+        return stats.ppf(self, q, variable)
+
+    def cdf(self, x: float, variable: Optional[str] = None) -> DataFrame:
+        from . import stats
+
+        return stats.cdf(self, x, variable)
+
+    def interval(self, confidence: float, variable: Optional[str] = None) -> DataFrame:
+        from . import stats
+
+        return stats.interval(self, confidence, variable)
