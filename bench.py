@@ -1,0 +1,89 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
+(per-query sec), "sf"}.  Each query is executed fully (noop sink — no column
+pruning of the result, no driver collect cost), warmup 1 + mean of 3 timed
+runs, mirroring the reference's %%timeit methodology on its in-memory data
+(docs/source/performances.ipynb)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+from xarray_histogram_spark import entry_queries as eq
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("BENCH_REPEAT", "3"))
+
+HEADLINE = [
+    "hist_regular_1d",
+    "hist_2d",
+    "hist_grouped",
+    "hist_group_month",
+    "hist_weighted",
+    "hist_density",
+    "hist_3d_grouped",
+    "stat_median",
+    "stat_mean",
+]
+
+
+def run_query(df) -> None:
+    # noop sink: full plan execution, no result materialisation on the driver
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("xhs-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = eq.registry()
+    names = [n for n in HEADLINE if n in registry]
+
+    # warm: JVM/codegen + OS page cache for the parquet inputs
+    for name in names:
+        fn = registry[name][0]
+        run_query(fn(spark, SF_DIR))
+
+    results: dict[str, float] = {}
+    for name in names:
+        fn = registry[name][0]
+        times = []
+        for _ in range(REPEAT):
+            t0 = time.perf_counter()
+            run_query(fn(spark, SF_DIR))
+            times.append(time.perf_counter() - t0)
+        results[name] = round(sum(times) / len(times), 4)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    out = {
+        "metric": "histogram_suite_total",
+        "value": round(sum(results.values()), 4),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

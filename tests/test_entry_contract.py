@@ -1,0 +1,40 @@
+"""Driver-contract simulation: run EVERY registered query against its DuckDB
+oracle exactly the way the driver does (sf0.001 here for speed; the driver
+uses sf0.01 — set TEST_SF_DIR=/root/testdata/sf0.01 to replicate)."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+from .util import assert_matches_sql, duck
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duck(sf_dir)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_oracle_cover():
+    qs = entry_mod.queries()
+    os_ = entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    # every query should have an oracle unless explicitly non-SQL-expressible
+    missing = set(qs) - set(os_)
+    assert not missing, f"queries without oracle: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(name, spark, sf_dir, con):
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    df = fn(spark, sf_dir)
+    if sql is None:
+        assert df.count() >= 0
+        return
+    assert_matches_sql(df, sql, con)

@@ -1,0 +1,299 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 as a (spark_query, duckdb_oracle_sql) pair.
+
+``__spark_entry__.py`` re-exports this registry.  Each Spark callable takes
+``(spark, sf_dir)`` and returns a DataFrame; the oracle SQL runs in DuckDB
+against pre-registered views of the same parquet tables and must hash-match
+exactly (column names aliased identically on both sides; see oracle.py for
+the float-determinism rules that make exact matching possible).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .binspec import BinSpec, IntCategory, Integer, Regular, StrCategory, Variable
+from . import oracle as orc
+from .plans.histogram import histogram, histogramdd
+from .plans import stats as st
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# registry: name -> (fn, oracle_sql_or_None)
+_REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {}
+
+
+def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
+    if name in _REGISTRY:
+        raise ValueError(f"duplicate query name {name}")
+    _REGISTRY[name] = (fn, sql)
+
+
+def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
+    return dict(_REGISTRY)
+
+
+def _hist_query(
+    name: str,
+    table: str,
+    cols: list[str],
+    specs,
+    *,
+    group_cols: Optional[dict] = None,  # name -> (spark_fn, sql_expr)
+    **kw,
+) -> None:
+    """Register a histogramdd query + its generated oracle."""
+    group_cols = group_cols or {}
+    group_by = kw.pop("group_by", list(group_cols.keys()))
+
+    def fn(spark: SparkSession, sf_dir: str, _table=table, _cols=cols, _specs=specs,
+           _group_by=group_by, _gc=group_cols, _kw=dict(kw)) -> DataFrame:
+        df = t(spark, sf_dir, _table)
+        for gname, (gfn, _) in _gc.items():
+            df = df.withColumn(gname, gfn(df))
+        return histogramdd(df, _cols, _specs, group_by=_group_by, **_kw).df
+
+    sql = orc.histogram_oracle_sql(
+        table, cols, specs if isinstance(specs, (list, tuple)) else [specs] * len(cols),
+        group_by=group_by,
+        group_exprs={g: sqle for g, (_, sqle) in group_cols.items() if sqle},
+        **kw,
+    )
+    register(name, fn, sql)
+
+
+def _stat_query(
+    name: str,
+    kind: str,
+    table: str,
+    cols: list[str],
+    specs: list[BinSpec],
+    variable: str,
+    *,
+    group_by: list[str] = [],
+    hist_kw: Optional[dict] = None,
+    **stat_kw,
+) -> None:
+    hist_kw = dict(hist_kw or {})
+
+    def fn(spark: SparkSession, sf_dir: str, _kind=kind, _table=table, _cols=cols,
+           _specs=specs, _v=variable, _g=group_by, _hkw=hist_kw,
+           _skw=dict(stat_kw)) -> DataFrame:
+        df = t(spark, sf_dir, _table)
+        h = histogramdd(df, _cols, _specs, group_by=_g, **_hkw)
+        if _kind == "moment":
+            return st.moment(h, _skw["order"], _v)
+        if _kind == "ppf":
+            return st.ppf(h, _skw["q"], _v)
+        if _kind == "interval":
+            return st.interval(h, _skw["confidence"], _v)
+        if _kind == "cdf":
+            return st.cdf(h, _skw["x"], _v)
+        return getattr(st, _kind)(h, _v)
+
+    sql = orc.stats_oracle_sql(
+        kind, table, cols, specs, variable, group_by=group_by,
+        weights=hist_kw.get("weights"), flow=hist_kw.get("flow", False),
+        **stat_kw,
+    )
+    register(name, fn, sql)
+
+
+# ---------------------------------------------------------------------------
+# Histogram operator coverage (SURVEY §2.1/§2.2: operators #1-#3, #5, #6,
+# #11, #16; every axis family of §2.2; flow, density, weights, storage,
+# grouping incl. computed keys)
+# ---------------------------------------------------------------------------
+
+_hist_query("hist_regular_1d", "lineitem", ["l_extendedprice"],
+            [Regular(40, 900.0, 105000.0)])
+_hist_query("hist_regular_flow", "lineitem", ["l_extendedprice"],
+            [Regular(10, 5000.0, 50000.0)], flow=True)
+_hist_query("hist_weighted", "lineitem", ["l_discount"],
+            [Regular(15, 0.0, 0.1)], weights="l_extendedprice")
+_hist_query("hist_grouped", "lineitem", ["l_quantity"],
+            [Regular(12, 1.0, 51.0)], group_by=["l_returnflag"])
+_hist_query(
+    "hist_group_month", "lineitem", ["l_quantity"], [Regular(8, 1.0, 51.0)],
+    group_cols={
+        "ship_month": (
+            lambda df: F.month("l_shipdate").cast("int"),
+            "CAST(month(l_shipdate) AS INT)",
+        )
+    },
+)
+_hist_query("hist_density", "lineitem", ["l_quantity"],
+            [Regular(10, 1.0, 51.0)], density=True)
+_hist_query("hist_density_flow", "lineitem", ["l_quantity"],
+            [Regular(6, 10.0, 40.0)], density=True, flow=True)
+_hist_query("hist_variable_axis", "lineitem", ["l_discount"],
+            [Variable((0.0, 0.02, 0.05, 0.11))])
+_hist_query("hist_integer_axis", "lineitem", ["l_linenumber"],
+            [Integer(1, 8)], flow=True)
+_hist_query("hist_intcategory", "part", ["p_size"],
+            [IntCategory((1, 5, 10, 25, 50))], flow=True)
+_hist_query("hist_strcategory", "lineitem", ["l_returnflag"],
+            [StrCategory(("N", "R"))], flow=True)
+_hist_query("hist_log_axis", "orders", ["o_totalprice"],
+            [Regular(12, 100.0, 600000.0, transform="log", exact=True)])
+_hist_query("hist_2d", "lineitem", ["l_quantity", "l_discount"],
+            [Regular(10, 1.0, 51.0), Variable((0.0, 0.03, 0.06, 0.11))])
+_hist_query(
+    "hist_3d_grouped", "lineitem",
+    ["l_quantity", "l_extendedprice", "l_linestatus"],
+    [Regular(5, 1.0, 51.0), Regular(4, 900.0, 105000.0), StrCategory(("O", "F"))],
+    group_by=["l_returnflag"],
+)
+_hist_query("hist_int64_storage", "lineitem", ["l_quantity"],
+            [Regular(10, 1.0, 51.0)], storage="int64")
+_hist_query(
+    "hist_weighted_grouped_density", "orders", ["o_totalprice"],
+    [Regular(20, 800.0, 600000.0)], weights="o_totalprice",
+    group_by=["o_orderpriority"], density=True,
+)
+_hist_query("hist_sqrt_axis", "orders", ["o_totalprice"],
+            [Regular(10, 0.0, 640000.0, transform="sqrt")])
+
+
+def _range_infer_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bins=int, range=None → engine infers min/max with one scan (#4)
+    return histogram(t(spark, sf_dir, "lineitem"), "l_tax", 10).df
+
+
+def _range_infer_sql() -> str:
+    # the oracle cannot re-run Spark's inference job, so it inlines the same
+    # min/max semantics via a scalar subquery producing identical doubles
+    # is impossible to express with static literals; instead mirror the whole
+    # derivation in SQL: lo/hi from an aggregate CTE, same floor arithmetic.
+    n = 10
+    x = "CAST(l_tax AS DOUBLE)"
+    return f"""
+WITH mm AS (SELECT MIN({x}) AS lo, MAX({x}) AS hi FROM lineitem),
+raw AS (
+  SELECT CASE WHEN {x} IS NULL OR isnan({x}) THEN {n}
+              WHEN {x} < mm.lo THEN -1
+              WHEN {x} >= mm.hi THEN {n}
+              ELSE LEAST(CAST(FLOOR(({x} - mm.lo) * {n}.0 / (mm.hi - mm.lo)) AS INT), {n - 1}) END AS l_tax_bin
+  FROM lineitem, mm
+),
+agg AS (SELECT l_tax_bin, CAST(COUNT(*) AS BIGINT) AS __val FROM raw
+        WHERE l_tax_bin BETWEEN 0 AND {n - 1} GROUP BY l_tax_bin),
+spine AS (SELECT i AS l_tax_bin, mm.lo + (mm.hi - mm.lo) * i / {n} AS l_tax_bins
+          FROM range({n}) r(i), mm)
+SELECT s.l_tax_bin, s.l_tax_bins,
+       CAST(COALESCE(a.__val, 0) AS DOUBLE) AS l_tax_histogram
+FROM spine s LEFT JOIN agg a ON s.l_tax_bin = a.l_tax_bin
+"""
+
+
+register("hist_range_infer", _range_infer_fn, _range_infer_sql())
+
+
+# ---------------------------------------------------------------------------
+# Accessor algebra (#23 normalize-after, #24 remove_flow, #25/#26
+# apply_func/scale as metadata-only relabels)
+# ---------------------------------------------------------------------------
+
+_ALG_SPEC = Regular(10, 1.0, 51.0)
+
+
+def _normalize_after_fn(spark, sf_dir):
+    h = histogram(t(spark, sf_dir, "lineitem"), "l_quantity", _ALG_SPEC,
+                  group_by=["l_returnflag"])
+    return h.normalize().df
+
+
+register(
+    "alg_normalize_after", _normalize_after_fn,
+    # metamorphic law: histogram().normalize() == histogramdd(density=True)
+    orc.histogram_oracle_sql(
+        "lineitem", ["l_quantity"], [_ALG_SPEC], density=True,
+        group_by=["l_returnflag"],
+    ),
+)
+
+
+def _remove_flow_fn(spark, sf_dir):
+    h = histogram(t(spark, sf_dir, "lineitem"), "l_quantity",
+                  Regular(6, 10.0, 40.0), flow=True)
+    return h.remove_flow().df
+
+
+register(
+    "alg_remove_flow", _remove_flow_fn,
+    # law: remove_flow(flow-emitting hist) == flow=False hist
+    orc.histogram_oracle_sql("lineitem", ["l_quantity"], [Regular(6, 10.0, 40.0)]),
+)
+
+
+def _scale_fn(spark, sf_dir):
+    h = histogram(t(spark, sf_dir, "lineitem"), "l_quantity", _ALG_SPEC)
+    return h.scale(2.0).df
+
+
+register(
+    "alg_scale", _scale_fn,
+    orc.histogram_oracle_sql(
+        "lineitem", ["l_quantity"], [_ALG_SPEC],
+        label_specs=[Variable(tuple(e * 2.0 for e in _ALG_SPEC.edges()))],
+    ),
+)
+
+
+def _apply_func_fn(spark, sf_dir):
+    h = histogram(t(spark, sf_dir, "orders"), "o_totalprice",
+                  Regular(10, 100.0, 600000.0))
+    return h.apply_func(math.log).df
+
+
+register(
+    "alg_apply_func_log", _apply_func_fn,
+    orc.histogram_oracle_sql(
+        "orders", ["o_totalprice"], [Regular(10, 100.0, 600000.0)],
+        label_specs=[
+            Variable(tuple(math.log(e) for e in Regular(10, 100.0, 600000.0).edges()))
+        ],
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Statistics (#27-#35)
+# ---------------------------------------------------------------------------
+
+_STAT_SPEC = Regular(25, 1.0, 51.0)
+_STAT = dict(table="lineitem", cols=["l_quantity"], specs=[_STAT_SPEC],
+             variable="l_quantity", group_by=["l_returnflag"])
+
+_stat_query("stat_mean", "mean", **_STAT)
+_stat_query("stat_var", "var", **_STAT)
+_stat_query("stat_std", "std", **_STAT)
+_stat_query("stat_moment3", "moment", order=3, **_STAT)
+_stat_query("stat_median", "median", **_STAT)
+_stat_query("stat_ppf90", "ppf", q=0.9, **_STAT)
+_stat_query("stat_interval80", "interval", confidence=0.8, **_STAT)
+_stat_query("stat_cdf25", "cdf", x=25.0, **_STAT)
+_stat_query(
+    "stat_mean_weighted", "mean", table="lineitem", cols=["l_quantity"],
+    specs=[_STAT_SPEC], variable="l_quantity", group_by=["l_returnflag"],
+    hist_kw={"weights": "l_extendedprice"},
+)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped weighted histogram — the minimum end-to-end slice of SURVEY §7
+    plus grouping and weights."""
+    df = t(spark, sf_dir, "lineitem")
+    return histogram(
+        df, "l_extendedprice", Regular(40, 900.0, 105000.0),
+        weights="l_quantity", group_by=["l_returnflag"],
+    ).df

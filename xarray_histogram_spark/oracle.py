@@ -61,13 +61,21 @@ def histogram_oracle_ctes(
     flow: bool = False,
     weight_scale: Optional[int] = 6,
     where: Optional[str] = None,
+    label_specs: Optional[Sequence[BinSpec]] = None,
 ) -> tuple[list[str], bool, float]:
     """CTE list ending in ``filled`` (dense rows with exact-int ``__val`` and
-    internal width/center/is_flow columns).  Returns (ctes, int_mode, divisor)."""
+    internal width/center/is_flow columns).  Returns (ctes, int_mode, divisor).
+
+    ``label_specs`` (optional) supplies different specs for the spine
+    labels/widths/centers than for the bucketize — the mirror of the
+    accessor's metadata-only coordinate transforms (scale/apply_func), which
+    relabel bins without touching the data.
+    """
     cols = list(cols)
     specs = list(specs)
     group_by = list(group_by)
     group_exprs = dict(group_exprs or {})
+    label_specs = list(label_specs) if label_specs is not None else specs
 
     gsel = ", ".join(f"{group_exprs.get(g, g)} AS {g}" for g in group_by)
     idsel = ", ".join(
@@ -104,7 +112,9 @@ def histogram_oracle_ctes(
         f"GROUP BY {', '.join(keys)}"
     )
 
-    spine = " CROSS JOIN ".join(_spine_values(c, s, flow) for c, s in zip(cols, specs))
+    spine = " CROSS JOIN ".join(
+        _spine_values(c, s, flow) for c, s in zip(cols, label_specs)
+    )
     if group_by:
         grp = f"SELECT DISTINCT {', '.join(group_by)} FROM agg"
         dense = f"SELECT * FROM grp CROSS JOIN (SELECT * FROM {spine}) AS spine"
@@ -182,13 +192,15 @@ def histogram_oracle_sql(
     weight_scale: Optional[int] = 6,
     where: Optional[str] = None,
     value_name: Optional[str] = None,
+    label_specs: Optional[Sequence[BinSpec]] = None,
 ) -> str:
     """DuckDB SQL equivalent of ``plans.histogram.histogramdd``.
 
     ``group_exprs`` maps a group column name to the SQL expression computing
     it (for Spark-side ``withColumn`` groups like a truncated date); plain
     table columns need no entry.  ``where`` mirrors any pre-filter the Spark
-    side applied to the input DataFrame.
+    side applied to the input DataFrame.  ``label_specs`` mirrors
+    scale/apply_func relabelling (see ``histogram_oracle_ctes``).
     """
     cols = list(cols)
     group_by = list(group_by)
@@ -196,7 +208,7 @@ def histogram_oracle_sql(
     ctes, int_mode, divisor = histogram_oracle_ctes(
         table, cols, specs, weights=weights, group_by=group_by,
         group_exprs=group_exprs, flow=flow, weight_scale=weight_scale,
-        where=where,
+        where=where, label_specs=label_specs,
     )
     out_cols = (
         list(group_by) + [id_col(c) for c in cols] + [label_col(c) for c in cols]

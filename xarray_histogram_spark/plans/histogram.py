@@ -134,21 +134,23 @@ def resolve_specs(
 def spine_df(spark: SparkSession, var: str, spec: BinSpec, flow: bool) -> DataFrame:
     """Tiny per-axis bin table: (id, label, width, center, is_flow) — the
     analog of the reference's bin coordinate (core.py:524-587), broadcast
-    into the dense join."""
-    rows = [
-        (b.id, b.label, float(b.width), float(b.center), b.is_flow)
+    into the dense join.
+
+    Built as a pure-Catalyst literal relation (``inline`` of literal structs
+    → LocalRelation after constant folding): a ``createDataFrame`` here would
+    round-trip through a Python RDD and cost seconds of Python-worker
+    startup per query, serially, for a few dozen constant rows."""
+    structs = [
+        F.struct(
+            F.lit(b.id).cast("int").alias(id_col(var)),
+            F.lit(b.label).cast(spec.label_type).alias(label_col(var)),
+            F.lit(float(b.width)).alias(f"__{var}_width"),
+            F.lit(float(b.center)).alias(f"__{var}_center"),
+            F.lit(bool(b.is_flow)).alias(f"__{var}_is_flow"),
+        )
         for b in spec.bins(flow)
     ]
-    schema = T.StructType(
-        [
-            T.StructField(id_col(var), T.IntegerType(), False),
-            T.StructField(label_col(var), _LABEL_SPARK_TYPE[spec.label_type], False),
-            T.StructField(f"__{var}_width", T.DoubleType(), False),
-            T.StructField(f"__{var}_center", T.DoubleType(), False),
-            T.StructField(f"__{var}_is_flow", T.BooleanType(), False),
-        ]
-    )
-    return spark.createDataFrame(rows, schema)
+    return spark.range(1).select(F.inline(F.array(*structs)))
 
 
 def histogramdd(
