@@ -1,0 +1,135 @@
+"""LLM-pipeline operator tests: semantic sanity beyond the oracle matches
+(the oracle equivalence itself runs for every registered query in
+test_entry_contract.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_histogram_spark.operators import dedup as dd
+from xarray_histogram_spark.operators import multimodal as mm
+from xarray_histogram_spark.operators import similarity as sim
+from xarray_histogram_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup_finds_planted_dups(spark, docs):
+    # plant exact duplicates
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    both = docs.unionByName(dup)
+    r = dd.exact_dedup(both, "text", "doc_id")
+    dups = r.where(F.col("n_dups") >= 2)
+    assert dups.count() >= 5
+    # keeper is the original (min id)
+    assert dups.where(F.col("keep_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_detects_near_dups(spark, docs):
+    # a near-duplicate: original text + small suffix
+    near = (
+        docs.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    both = docs.unionByName(near)
+    pairs = dd.lsh_candidate_pairs(both, "text", "doc_id")
+    found = pairs.where(
+        (F.col("id_b") - F.col("id_a")) == 1_000_000
+    ).count()
+    assert found >= 4  # near-dups collide in ≥1 band (allow 1 miss)
+
+
+def test_jaccard_values(spark, docs):
+    near = (
+        docs.limit(3)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    both = docs.unionByName(near)
+    j = dd.jaccard_pairs(both, "text", "doc_id")
+    planted = j.where((F.col("id_b") - F.col("id_a")) == 1_000_000)
+    rows = planted.collect()
+    assert rows and all(r["jaccard"] > 0.8 for r in rows)
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    near = (
+        docs.limit(3)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    both = docs.unionByName(near)
+    s = {r["doc_id"]: r["simhash"] for r in dd.simhash(both, "text", "doc_id").collect()}
+    for base in list(s):
+        if base + 1_000_000 in s:
+            ham = bin(s[base] ^ s[base + 1_000_000]).count("1")
+            assert ham <= 4, f"simhash hamming {ham} too large for near-dup"
+
+
+def test_cosine_topk_self_similarity(spark, emb):
+    # a vector duplicated under a new id must be its own top-1
+    dup = emb.where(F.col("vec_id") == 0).withColumn("vec_id", F.lit(999_999))
+    both = emb.unionByName(dup)
+    top = sim.cosine_topk(both, query_id=0, k=3).collect()
+    assert top[0]["vec_id"] == 999_999
+    assert top[0]["cos"] == pytest.approx(1.0)
+
+
+def test_ann_recall_vs_bruteforce(spark, emb):
+    exact = {r["vec_id"] for r in sim.cosine_topk(emb, 0, k=10).collect()}
+    approx = {r["vec_id"] for r in sim.ann_topk(emb, 0, k=10).collect()}
+    # same-bucket ANN keeps decent recall on 4 planes
+    assert len(exact & approx) >= 3
+
+
+def test_token_count_values(spark, docs):
+    r = tx.token_count(docs, "text", "doc_id").collect()
+    byid = {x["doc_id"]: x for x in r}
+    raw = {x["doc_id"]: x["text"] for x in docs.collect()}
+    for did, row in list(byid.items())[:20]:
+        assert row["n_tokens"] == len(raw[did].split())
+        assert row["n_chars"] == len(raw[did])
+
+
+def test_langid_english_soup(spark, docs):
+    # driver documents are english-ish word soup with 'the'/'a' present
+    r = tx.lang_id(docs, "text", "doc_id")
+    langs = {x["lang_pred"] for x in r.collect()}
+    assert langs <= {"en", "und"}
+
+
+def test_fingerprint_whitespace_invariance(spark, docs):
+    doubled = docs.limit(5).withColumn(
+        "text", F.regexp_replace("text", " ", "  ")
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    both = docs.limit(5).unionByName(doubled)
+    fp = tx.fingerprint(both, "text", "doc_id").collect()
+    byid = {x["doc_id"]: x["fp_doc"] for x in fp}
+    for did in list(byid):
+        if did < 1_000_000:
+            assert byid[did] == byid[did + 1_000_000]
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = mm.as_media(docs.limit(50), "doc_id", "text", "text/plain")
+    meta = mm.decode_meta(media).collect()
+    assert len(meta) == 50
+    assert all(m["n_bytes"] > 0 and len(m["fp8"]) == 8 for m in meta)
+    feats = mm.extract_features(media, use_fake=True).collect()
+    assert len(feats) == 50 and all(len(f["feature"]) == mm.FEATURE_DIM for f in feats)
+
+
+def test_multimodal_stub_raises(spark, docs):
+    media = mm.as_media(docs.limit(2), "doc_id", "text", "image/png")
+    with pytest.raises(Exception, match="NotImplementedError|unavailable"):
+        mm.resize_image(media, 64, 64).collect()
+    with pytest.raises(Exception, match="NotImplementedError|unavailable"):
+        mm.extract_features(media, use_fake=False).collect()

@@ -289,6 +289,84 @@ _stat_query(
 )
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (north-star extensions, BASELINE.json):
+# dedup / similarity / text analysis / multimodal plumbing
+# ---------------------------------------------------------------------------
+
+from .operators import dedup as dd
+from .operators import multimodal as mm
+from .operators import similarity as sim
+from .operators import text as tx
+
+register(
+    "dedup_exact",
+    lambda spark, sf_dir: dd.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id"),
+    dd.exact_dedup_sql("documents", "text", "doc_id"),
+)
+register(
+    "dedup_minhash_pairs",
+    lambda spark, sf_dir: dd.lsh_candidate_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
+    ),
+    dd.lsh_candidate_pairs_sql("documents", "text", "doc_id"),
+)
+register(
+    "dedup_jaccard",
+    lambda spark, sf_dir: dd.jaccard_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
+    ),
+    dd.jaccard_pairs_sql("documents", "text", "doc_id"),
+)
+register(
+    "dedup_simhash",
+    lambda spark, sf_dir: dd.simhash(t(spark, sf_dir, "documents"), "text", "doc_id"),
+    dd.simhash_sql("documents", "text", "doc_id"),
+)
+register(
+    "dedup_embed_pairs",
+    lambda spark, sf_dir: sim.embed_dup_pairs(t(spark, sf_dir, "embeddings")),
+    sim.embed_dup_pairs_sql("embeddings"),
+)
+register(
+    "sim_cosine_topk",
+    lambda spark, sf_dir: sim.cosine_topk(t(spark, sf_dir, "embeddings"), query_id=0),
+    sim.cosine_topk_sql("embeddings", query_id=0),
+)
+register(
+    "sim_ann_topk",
+    lambda spark, sf_dir: sim.ann_topk(t(spark, sf_dir, "embeddings"), query_id=0),
+    sim.ann_topk_sql("embeddings", query_id=0),
+)
+register(
+    "text_token_count",
+    lambda spark, sf_dir: tx.token_count(t(spark, sf_dir, "documents"), "text", "doc_id"),
+    tx.token_count_sql("documents", "text", "doc_id"),
+)
+register(
+    "text_quality",
+    lambda spark, sf_dir: tx.quality_score(t(spark, sf_dir, "documents"), "text", "doc_id"),
+    tx.quality_score_sql("documents", "text", "doc_id"),
+)
+register(
+    "text_langid",
+    lambda spark, sf_dir: tx.lang_id(t(spark, sf_dir, "documents"), "text", "doc_id"),
+    tx.lang_id_sql("documents", "text", "doc_id"),
+)
+register(
+    "text_fingerprint",
+    lambda spark, sf_dir: tx.fingerprint(t(spark, sf_dir, "documents"), "text", "doc_id"),
+    tx.fingerprint_sql("documents", "text", "doc_id"),
+)
+register(
+    "mm_decode_meta",
+    lambda spark, sf_dir: mm.decode_meta(
+        mm.as_media(t(spark, sf_dir, "documents"), "doc_id", "text", "text/plain")
+    ),
+    mm.decode_meta_sql("documents", "doc_id", "text"),
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped weighted histogram — the minimum end-to-end slice of SURVEY §7
     plus grouping and weights."""

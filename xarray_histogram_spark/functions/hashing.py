@@ -1,0 +1,76 @@
+"""Cross-engine deterministic text-hashing primitives.
+
+Every primitive here is expressed twice — as a Spark Column (JVM, codegen)
+and as the equivalent DuckDB SQL — built so both produce BIT-IDENTICAL
+results (the driver's oracle gate hash-compares values):
+
+- md5 is the only hash both engines share; 64-bit+ signatures are built
+  from hex-string slices of (possibly repeated) md5, compared
+  lexicographically — a valid uniform "permutation" for MinHash without
+  ever converting hex to native ints (DuckDB lacks conv()).
+- char-k-shingling via sequence/generate_series + substring (identical
+  1-based, inclusive semantics).
+- tokenisation via regex split on ``\\s+`` with empty-string filtering
+  (Java regex and RE2 agree on this class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+# ---- md5 ----
+def md5_hex(c: Column) -> Column:
+    return F.md5(c.cast("binary"))
+
+
+def md5_hex_sql(expr: str) -> str:
+    return f"md5({expr})"
+
+
+def md5cc(c: Column) -> Column:
+    """64 hex chars: md5(s) || md5('x' || s) — eight 8-hex-char (32-bit)
+    independent hash slices for MinHash signatures."""
+    return F.concat(md5_hex(c), F.md5(F.concat(F.lit("x"), c).cast("binary")))
+
+
+def md5cc_sql(expr: str) -> str:
+    return f"md5({expr}) || md5('x' || {expr})"
+
+
+# ---- shingles ----
+def shingles(text: Column, k: int) -> Column:
+    """All char k-shingles (1..len-k+1); whole string if shorter than k."""
+    n = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(text, i, k)
+    )
+
+
+def shingles_sql(expr: str, k: int) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(length({expr}) - {k - 1}, 1)), "
+        f"i -> substring({expr}, i, {k}))"
+    )
+
+
+# ---- tokens ----
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"list_filter(regexp_split_to_array(lower({expr}), '\\s+'), t -> t != '')"
+
+
+# ---- hex nibble value (for SimHash bits) ----
+def nibble_val(c: Column) -> Column:
+    """Value 0-15 of a single lowercase hex char (conv is JVM-side)."""
+    return F.conv(c, 16, 10).cast("int")
+
+
+def nibble_val_sql(expr: str) -> str:
+    return f"(strpos('{HEX}', {expr}) - 1)"

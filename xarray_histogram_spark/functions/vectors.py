@@ -1,0 +1,85 @@
+"""Cross-engine deterministic vector math over array<float> embedding columns.
+
+Dot products / norms are strict sequential left folds (element order of the
+array), seeded with 0.0 on both engines — Spark ``aggregate(zip_with(...))``
+and DuckDB ``list_reduce(list_prepend(0.0, list_transform(...)))`` execute
+the same IEEE additions in the same order, so cosine scores are
+bit-identical and top-k cutoffs cannot disagree.  float→double casts happen
+per element before multiplying (both engines widen identically)."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..binspec import flit
+
+_D0 = "CAST(0.0 AS DOUBLE)"
+
+
+def _fold(products: Column) -> Column:
+    return F.aggregate(products, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(
+        a, b, lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return _fold(prods)
+
+
+def dot_sql(a: str, b: str) -> str:
+    prods = (
+        f"list_transform({a}, (x, i) -> CAST(x AS DOUBLE) * "
+        f"CAST({b}[i] AS DOUBLE))"
+    )
+    return f"list_reduce(list_prepend({_D0}, {prods}), (p, q) -> p + q)"
+
+
+def dot_lit(a: Column, vec: Sequence[float]) -> Column:
+    return dot(a, F.array(*[F.lit(float(v)) for v in vec]))
+
+
+def dot_lit_sql(a: str, vec: Sequence[float]) -> str:
+    lits = "[" + ", ".join(flit(v) for v in vec) + "]"
+    prods = f"list_transform({a}, (x, i) -> CAST(x AS DOUBLE) * ({lits})[i])"
+    return f"list_reduce(list_prepend({_D0}, {prods}), (p, q) -> p + q)"
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
+    )
+
+
+def hyperplanes(n: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded numpy), embedded as
+    literals in BOTH engines — the random-projection LSH family for cosine."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, dim)).tolist()
+
+
+def lsh_bucket(emb: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Sign-bit bucket id: Σ 2^j · [dot(v, h_j) > 0]."""
+    acc = F.lit(0)
+    for j, p in enumerate(planes):
+        acc = acc + F.when(dot_lit(emb, p) > F.lit(0.0), F.lit(2**j)).otherwise(
+            F.lit(0)
+        )
+    return acc
+
+
+def lsh_bucket_sql(emb: str, planes: Sequence[Sequence[float]]) -> str:
+    terms = [
+        f"CASE WHEN {dot_lit_sql(emb, p)} > {_D0} THEN {2**j} ELSE 0 END"
+        for j, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"

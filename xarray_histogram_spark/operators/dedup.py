@@ -1,0 +1,251 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-lean and expressed as DataFrame ops (no Python in
+the data path) with exact DuckDB oracle mirrors:
+
+- **exact**: hash-groupBy on md5(text) → keeper id + duplicate count.  One
+  shuffle on the 32-hex key; at 100 TB this is the canonical dedup shuffle
+  (partial aggregation collapses per-partition duplicates map-side).
+- **MinHash + LSH**: char-shingles → 8 minhash slices of md5 (string-min —
+  see functions.hashing) → 4 bands of 2 → candidate pairs via band-key
+  self-join.  Only bucket collisions are joined — the O(n²) pair space is
+  never materialised; band keys are uniform hashes so the join is
+  skew-resistant by construction.
+- **exact n-gram Jaccard**: computed only on LSH candidate pairs
+  (|A∩B| via shingle join, |A∪B| = |A|+|B|−|A∩B|).
+- **SimHash**: 16-bit sign fingerprint of token md5 nibbles, computed as 16
+  conditional aggregates in a single groupBy (no explode, one shuffle).
+
+Reference scope note: the reference engine has no dedup surface; these are
+the north-star LLM-pipeline extensions (BASELINE.json) built on the same
+deterministic hashing substrate as the histogram oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical texts: (text_md5, keep_id = min id, n_dups)."""
+    return (
+        df.select(H.md5_hex(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup_sql(table: str, text_col: str, id_col: str) -> str:
+    return (
+        f"SELECT {H.md5_hex_sql(text_col)} AS text_md5, "
+        f"MIN({id_col}) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups "
+        f"FROM {table} GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+N_HASHES = 8
+N_BANDS = 4  # bands of 2 slices
+
+
+def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(H.shingles(F.col(text_col), k)).alias("sh")
+    ).distinct()
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Per-doc MinHash signature: 8 string-min slices over shingle md5s."""
+    sh = _shingle_rows(df, text_col, id_col, k)
+    cc = H.md5cc(F.col("sh"))
+    aggs = [
+        F.min(F.substring(cc, 1 + 8 * i, 8)).alias(f"mh{i}") for i in range(N_HASHES)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def _shingle_rows_sql(table: str, text_col: str, id_col: str, k: int) -> str:
+    return (
+        f"SELECT DISTINCT {id_col}, sh FROM "
+        f"(SELECT {id_col}, unnest({H.shingles_sql(text_col, k)}) AS sh "
+        f"FROM {table}) t"
+    )
+
+
+def minhash_signatures_sql(table: str, text_col: str, id_col: str, k: int = 8) -> str:
+    cc = H.md5cc_sql("sh")
+    aggs = ", ".join(
+        f"MIN(substring({cc}, {1 + 8 * i}, 8)) AS mh{i}" for i in range(N_HASHES)
+    )
+    return (
+        f"SELECT {id_col}, {aggs} FROM ({_shingle_rows_sql(table, text_col, id_col, k)}) s "
+        f"GROUP BY {id_col}"
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band; returns
+    (id_a, id_b, n_bands) with id_a < id_b."""
+    sigs = minhash_signatures(df, text_col, id_col, k)
+    bands = F.array(
+        *[
+            F.concat_ws("_", F.col(f"mh{2 * j}"), F.col(f"mh{2 * j + 1}"))
+            for j in range(N_BANDS)
+        ]
+    )
+    b = sigs.select(F.col(id_col), F.posexplode(bands).alias("bi", "bk"))
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bi") == F.col("r.bi"))
+            & (F.col("l.bk") == F.col("r.bk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def lsh_candidate_pairs_sql(
+    table: str, text_col: str, id_col: str, k: int = 8
+) -> str:
+    sigs = minhash_signatures_sql(table, text_col, id_col, k)
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, {j} AS bi, mh{2 * j} || '_' || mh{2 * j + 1} AS bk FROM sigs"
+        for j in range(N_BANDS)
+    )
+    return (
+        f"WITH sigs AS ({sigs}), bands AS ({band_rows}) "
+        f"SELECT l.{id_col} AS id_a, r.{id_col} AS id_b, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_bands "
+        f"FROM bands l JOIN bands r ON l.bi = r.bi AND l.bk = r.bk "
+        f"AND l.{id_col} < r.{id_col} "
+        f"GROUP BY l.{id_col}, r.{id_col}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard on candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Exact shingle-set Jaccard for every LSH candidate pair:
+    (id_a, id_b, jaccard)."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col, k).select("id_a", "id_b")
+    sh = _shingle_rows(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    inter = (
+        pairs.join(sh.alias("sa"), pairs["id_a"] == F.col(f"sa.{id_col}"))
+        .join(
+            sh.alias("sb"),
+            (pairs["id_b"] == F.col(f"sb.{id_col}"))
+            & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.alias("za"), inter["id_a"] == F.col(f"za.{id_col}"))
+        .join(sizes.alias("zb"), inter["id_b"] == F.col(f"zb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("za.nsh") + F.col("zb.nsh") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def jaccard_pairs_sql(table: str, text_col: str, id_col: str, k: int = 8) -> str:
+    pairs = lsh_candidate_pairs_sql(table, text_col, id_col, k)
+    sh = _shingle_rows_sql(table, text_col, id_col, k)
+    return (
+        f"WITH pairs AS (SELECT id_a, id_b FROM ({pairs}) p), "
+        f"sh AS ({sh}), "
+        f"sizes AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS nsh FROM sh "
+        f"GROUP BY {id_col}), "
+        f"inter AS (SELECT pairs.id_a, pairs.id_b, CAST(COUNT(*) AS BIGINT) AS inter "
+        f"FROM pairs JOIN sh sa ON pairs.id_a = sa.{id_col} "
+        f"JOIN sh sb ON pairs.id_b = sb.{id_col} AND sa.sh = sb.sh "
+        f"GROUP BY pairs.id_a, pairs.id_b) "
+        f"SELECT inter.id_a, inter.id_b, "
+        f"CAST(inter AS DOUBLE) / CAST(za.nsh + zb.nsh - inter AS DOUBLE) AS jaccard "
+        f"FROM inter JOIN sizes za ON inter.id_a = za.{id_col} "
+        f"JOIN sizes zb ON inter.id_b = zb.{id_col}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash over token md5 nibbles: (id, simhash BIGINT).
+    One groupBy with 16 conditional aggregates over exploded tokens — one
+    shuffle.  Documents with no tokens (empty/null text) produce no row."""
+    toks = df.select(
+        F.col(id_col), F.explode(H.tokens(F.col(text_col))).alias("tok")
+    )
+    h4 = F.substring(F.md5(F.col("tok").cast("binary")), 1, 4)
+    aggs = []
+    for b in range(SIMHASH_BITS):
+        v = H.nibble_val(F.substring(h4, 1 + b // 4, 1))
+        bit = F.shiftright(v, 3 - b % 4).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"s{b}")
+        )
+    scored = toks.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return scored.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def simhash_sql(table: str, text_col: str, id_col: str) -> str:
+    toks = (
+        f"SELECT {id_col}, unnest({H.tokens_sql(text_col)}) AS tok FROM {table}"
+    )
+    h4 = "substring(md5(tok), 1, 4)"
+    aggs = []
+    for b in range(SIMHASH_BITS):
+        v = H.nibble_val_sql(f"substring({h4}, {1 + b // 4}, 1)")
+        bit = f"(({v} >> {3 - b % 4}) & 1)"
+        aggs.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{b}")
+    terms = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return (
+        f"WITH toks AS ({toks}), scored AS "
+        f"(SELECT {id_col}, {', '.join(aggs)} FROM toks GROUP BY {id_col}) "
+        f"SELECT {id_col}, CAST({terms} AS BIGINT) AS simhash FROM scored"
+    )

@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **brute-force cosine top-k**: the correctness baseline — one pass over all
+  vectors, exact cosine (deterministic fold, see functions.vectors),
+  ORDER BY (cos DESC, id) LIMIT k with an explicit id tiebreak so the top-k
+  SET is well-defined on both engines.
+- **LSH-bucketed ANN**: the 100 TB scale path — random-hyperplane sign
+  buckets (seeded literals identical in both engines) shrink the candidate
+  set to one bucket (≈ n/2^planes vectors) before the exact cosine; at scale
+  the bucket id is the shuffle/partition key, so a query touches one
+  partition instead of the full corpus.
+- **embedding near-dup pairs**: all same-bucket pairs above a cosine
+  threshold — the embedding analog of MinHash dedup.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..binspec import flit
+from ..functions import vectors as V
+
+DIM = 64
+N_PLANES = 4
+PLANES = V.hyperplanes(N_PLANES, DIM, seed=42)
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to the vector with ``query_id`` (excluded)."""
+    q = df.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv")
+    )
+    joined = df.crossJoin(F.broadcast(q))
+    cos = V.cosine(F.col(vec_col), F.col("__qv"))
+    return (
+        joined.where(F.col(id_col) != query_id)
+        .select(F.col(id_col), cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_sql(
+    table: str,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    cos = V.cosine_sql(vec_col, "__qv")
+    return (
+        f"WITH q AS (SELECT {vec_col} AS __qv FROM {table} "
+        f"WHERE {id_col} = {query_id}) "
+        f"SELECT {id_col}, {cos} AS cos FROM {table} CROSS JOIN q "
+        f"WHERE {id_col} <> {query_id} "
+        f"ORDER BY cos DESC, {id_col} LIMIT {k}"
+    )
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", planes=PLANES
+) -> DataFrame:
+    return df.withColumn("bucket", V.lsh_bucket(F.col(vec_col), planes))
+
+
+def ann_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes=PLANES,
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's LSH bucket plus all
+    Hamming-1 probe buckets (multiprobe — recovers most neighbours lost to a
+    single sign flip).  The probe keys are ENUMERATED and equi-joined, so at
+    scale this stays a hash join on the bucket key touching 1+n_planes
+    buckets, never a scan of the corpus."""
+    b = with_lsh_bucket(df, vec_col, planes)
+    q = b.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv"), F.col("bucket").alias("__qb")
+    )
+    probes = F.array(
+        F.col("__qb"),
+        *[F.col("__qb").bitwiseXOR(F.lit(2**j)) for j in range(len(planes))],
+    )
+    qp = q.select("__qv", F.explode(probes).alias("__pb"))
+    joined = b.join(F.broadcast(qp), F.col("bucket") == F.col("__pb"))
+    cos = V.cosine(F.col(vec_col), F.col("__qv"))
+    return (
+        joined.where(F.col(id_col) != query_id)
+        .select(F.col(id_col), cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ann_topk_sql(
+    table: str,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes=PLANES,
+) -> str:
+    bucket = V.lsh_bucket_sql(vec_col, planes)
+    cos = V.cosine_sql(vec_col, "__qv")
+    probes = ", ".join(
+        ["__qb"] + [f"xor(__qb, {2**j})" for j in range(len(planes))]
+    )
+    return (
+        f"WITH b AS (SELECT *, {bucket} AS bucket FROM {table}), "
+        f"q AS (SELECT {vec_col} AS __qv, bucket AS __qb FROM b "
+        f"WHERE {id_col} = {query_id}), "
+        f"qp AS (SELECT __qv, unnest([{probes}]) AS __pb FROM q) "
+        f"SELECT {id_col}, {cos} AS cos FROM b JOIN qp ON b.bucket = qp.__pb "
+        f"WHERE {id_col} <> {query_id} "
+        f"ORDER BY cos DESC, {id_col} LIMIT {k}"
+    )
+
+
+def embed_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes=PLANES,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: same LSH bucket AND cosine ≥ threshold,
+    (id_a < id_b)."""
+    b = with_lsh_bucket(df, vec_col, planes)
+    l = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    r = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    cos = V.cosine(F.col("va"), F.col("vb"))
+    return (
+        l.join(r, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= F.lit(float(threshold)))
+    )
+
+
+def embed_dup_pairs_sql(
+    table: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes=PLANES,
+) -> str:
+    bucket = V.lsh_bucket_sql(vec_col, planes)
+    cos = V.cosine_sql("va", "vb")
+    return (
+        f"WITH b AS (SELECT {id_col}, {vec_col} AS v, {bucket} AS bucket "
+        f"FROM {table}) "
+        f"SELECT l.{id_col} AS id_a, r.{id_col} AS id_b, {cos} AS cos "
+        f"FROM (SELECT {id_col}, v AS va, bucket FROM b) l "
+        f"JOIN (SELECT {id_col}, v AS vb, bucket FROM b) r "
+        f"ON l.bucket = r.bucket AND l.{id_col} < r.{id_col} "
+        f"WHERE {cos} >= {flit(threshold)}"
+    )
