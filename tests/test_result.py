@@ -1,0 +1,104 @@
+"""Result-wrapper tests: persistence roundtrip + the reference's metamorphic
+laws (tests/test_accessor.py:294-331): normalize/remove_flow commutation,
+histogramdd(density=True) ≡ histogram().normalize(), apply_func isolation."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_histogram_spark import Regular, Variable, histogram, histogram2d, histogramdd
+from xarray_histogram_spark.sources.io import read_result, write_result
+
+
+def _pdf(df, keys):
+    return df.toPandas().sort_values(keys).reset_index(drop=True)
+
+
+def test_io_roundtrip(spark, lineitem):
+    h = histogram(
+        lineitem, "l_quantity", Regular(12, 1.0, 51.0),
+        weights="l_extendedprice", group_by=["l_returnflag"], flow=True,
+    )
+    path = tempfile.mkdtemp(prefix="xhs_io_") + "/hist"
+    write_result(h, path)
+    h2 = read_result(spark, path)
+    assert h2.specs == h.specs
+    assert h2.group_by == h.group_by and h2.value_col == h.value_col
+    a = _pdf(h.df, ["l_returnflag", "l_quantity_bin"])
+    b = _pdf(h2.df, ["l_returnflag", "l_quantity_bin"])
+    assert a.equals(b[a.columns])
+    # full accessor surface works on the reloaded result
+    m1 = _pdf(h.median(), ["l_returnflag"])
+    m2 = _pdf(h2.median(), ["l_returnflag"])
+    assert m1.equals(m2[m1.columns])
+
+
+def test_normalize_remove_flow_commute(spark, lineitem):
+    spec = Regular(6, 10.0, 40.0)
+    h = histogram(lineitem, "l_quantity", spec, flow=True)
+    a = h.normalize().remove_flow()
+    b = h.remove_flow().normalize()
+    pa = _pdf(a.df, ["l_quantity_bin"])
+    pb = _pdf(b.df, ["l_quantity_bin"])
+    assert pa.equals(pb[pa.columns])
+
+
+def test_density_equals_normalize(spark, lineitem):
+    spec = Regular(10, 1.0, 51.0)
+    d = histogram(lineitem, "l_quantity", spec, density=True,
+                  group_by=["l_returnflag"])
+    n = histogram(lineitem, "l_quantity", spec,
+                  group_by=["l_returnflag"]).normalize()
+    pa = _pdf(d.df, ["l_returnflag", "l_quantity_bin"])
+    pb = _pdf(n.df, ["l_returnflag", "l_quantity_bin"])
+    assert pa.equals(pb[pa.columns])
+
+
+def test_partial_normalize_2d(spark, lineitem):
+    """Normalising along one variable of a 2-D histogram: each slice along
+    the other variable integrates to 1."""
+    h = histogram2d(
+        lineitem, "l_quantity", "l_discount",
+        [Regular(5, 1.0, 51.0), Variable((0.0, 0.05, 0.11))],
+    )
+    n = h.normalize(["l_quantity"])
+    pdf = n.df.toPandas()
+    widths = dict(zip(range(5), n.specs["l_quantity"].widths()))
+    for db in pdf["l_discount_bin"].unique():
+        sl = pdf[pdf["l_discount_bin"] == db]
+        tot = sum(
+            r["l_quantity_l_discount_pdf"] * widths[r["l_quantity_bin"]]
+            for _, r in sl.iterrows()
+        )
+        if sl["l_quantity_l_discount_pdf"].abs().sum() > 0:
+            assert tot == pytest.approx(1.0)
+
+
+def test_apply_func_isolation(spark, lineitem):
+    """apply_func on one variable leaves the other variable's labels and all
+    counts untouched (reference: no side effects on other variables)."""
+    h = histogram2d(
+        lineitem, "l_quantity", "l_discount",
+        [Regular(5, 1.0, 51.0), Variable((0.0, 0.05, 0.11))],
+    )
+    g = h.apply_func(lambda e: e * 10.0, "l_quantity")
+    a = _pdf(h.df, ["l_quantity_bin", "l_discount_bin"])
+    b = _pdf(g.df, ["l_quantity_bin", "l_discount_bin"])
+    assert (a["l_discount_bins"] == b["l_discount_bins"]).all()
+    assert (
+        a["l_quantity_l_discount_histogram"]
+        == b["l_quantity_l_discount_histogram"]
+    ).all()
+    assert (b["l_quantity_bins"].to_numpy() == a["l_quantity_bins"].to_numpy() * 10.0).all()
+    # double-apply keeps raising
+    with pytest.raises(ValueError):
+        h.normalize().normalize()
+
+
+def test_remove_flow_resets_specs(spark, lineitem):
+    h = histogram(lineitem, "l_quantity", Regular(6, 10.0, 40.0), flow=True)
+    r = h.remove_flow()
+    s = r.specs["l_quantity"]
+    assert not s.underflow and not s.overflow
+    assert r.df.count() == 6

@@ -1,0 +1,78 @@
+"""Structured Streaming histogram tests: real streaming execution (file
+source → watermarked windowed agg → memory sink, availableNow trigger)
+compared against the identical batch plan."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_histogram_spark import Regular
+from xarray_histogram_spark.streaming.histogram_stream import (
+    dense_fill,
+    streaming_histogram,
+)
+
+SPEC = Regular(10, 0.0, 500.0)
+
+
+@pytest.fixture(scope="module")
+def events_ts(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        "ts", "event_type", "value"
+    )
+
+
+def test_streaming_matches_batch(spark, events_ts):
+    src = tempfile.mkdtemp(prefix="xhs_stream_src_")
+    events_ts.repartition(3).write.mode("overwrite").parquet(src)
+    schema = events_ts.schema
+    sdf = spark.readStream.schema(schema).parquet(src)
+    assert sdf.isStreaming
+
+    out = streaming_histogram(
+        sdf, "value", SPEC, "ts", window_duration="1 day",
+        watermark="1 hour", group_by=["event_type"],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("xhs_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM xhs_stream_test").collect()
+    batch = streaming_histogram(
+        events_ts, "value", SPEC, "ts", window_duration="1 day",
+        group_by=["event_type"],
+    ).collect()
+
+    def key(rows):
+        return sorted(
+            (
+                (r["window_start"], r["event_type"], r["value_bin"]),
+                r["count"],
+            )
+            for r in rows
+        )
+
+    assert len(got) > 0
+    assert key(got) == key(batch)
+
+
+def test_dense_fill(spark, events_ts):
+    sparse = streaming_histogram(
+        events_ts, "value", SPEC, "ts", window_duration="1 day",
+        group_by=["event_type"],
+    )
+    dense = dense_fill(sparse, "value", SPEC, group_by=["event_type"])
+    n_windows = sparse.select("window_start", "event_type").distinct().count()
+    assert dense.count() == n_windows * SPEC.n
+    # zero-filled rows exist and sums are preserved
+    assert dense.agg(F.sum("count")).first()[0] == sparse.agg(
+        F.sum("count")
+    ).first()[0]

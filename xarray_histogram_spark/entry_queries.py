@@ -367,6 +367,45 @@ register(
 )
 
 
+# ---------------------------------------------------------------------------
+# events: time-bucketed histograms (batch analog of the streaming operator;
+# the events table stores TIMESTAMP(NANOS) which Spark reads as long via the
+# legacy conf — bucketing is exact integer division on both engines)
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return t(spark, sf_dir, "events").withColumn(
+        "hour_bucket", F.expr("ts div 3600000000000")
+    )
+
+
+_EV_SPEC = Regular(20, 0.0, 500.0)
+
+register(
+    "events_hourly_hist",
+    lambda spark, sf_dir: histogramdd(
+        _events(spark, sf_dir), ["value"], [_EV_SPEC], group_by=["hour_bucket"]
+    ).df,
+    orc.histogram_oracle_sql(
+        "events", ["value"], [_EV_SPEC], group_by=["hour_bucket"],
+        group_exprs={"hour_bucket": "epoch_ns(ts) // 3600000000000"},
+    ),
+)
+
+_EV2_SPECS = [StrCategory(("click", "view", "purchase", "signup", "error")),
+              Regular(10, 0.0, 500.0)]
+
+register(
+    "events_type_value_hist",
+    lambda spark, sf_dir: histogramdd(
+        _events(spark, sf_dir), ["event_type", "value"], _EV2_SPECS
+    ).df,
+    orc.histogram_oracle_sql("events", ["event_type", "value"], _EV2_SPECS),
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped weighted histogram — the minimum end-to-end slice of SURVEY §7
     plus grouping and weights."""

@@ -1,0 +1,126 @@
+"""Structured Streaming histograms: tumbling/sliding-window bucketized
+aggregation with watermarked late-data handling.
+
+The reference has no streaming surface (SURVEY §2.4) — its time-sliced batch
+histogram (``dims=['lat','lon']`` over a ``time`` dim) is the batch analog of
+exactly this operator.  Histogram state is trivially mergeable (a vector of
+counts), so Spark's windowed ``groupBy().agg()`` with a watermark IS the
+stateful operator — no ``applyInPandasWithState`` needed; late events inside
+the watermark merge into their window's partial counts, windows finalise and
+evict when the watermark passes.
+
+Output is SPARSE (window × group × non-empty bin): a dense left join against
+the spine inside a streaming agg would need an outer stream-static join after
+aggregation, which streaming disallows — densify per emitted batch with
+``dense_fill`` in ``foreachBatch`` (the batch is tiny: windows × bins).
+
+Scale notes: state size is |open windows| × |groups| × |non-empty bins|
+rows of long counters — bounded by the watermark horizon; the shuffle key is
+(window, group, bin), uniform by construction.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..binspec import BinSpec
+from ..plans.histogram import id_col, label_col, spine_df
+
+
+def streaming_histogram(
+    sdf: DataFrame,
+    col: str,
+    spec: BinSpec,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "1 hour",
+    group_by: Sequence[str] = (),
+    weights: Optional[str] = None,
+    flow: bool = False,
+    weight_scale: Optional[int] = 6,
+) -> DataFrame:
+    """Windowed histogram over a STREAMING DataFrame.
+
+    Returns a streaming DataFrame with columns
+    (window_start, window_end, group_by…, <col>_bin, <col>_bins, count).
+    Works identically on a batch DataFrame (same plan, no watermark state).
+    """
+    group_by = list(group_by)
+    is_streaming = sdf.isStreaming
+    if is_streaming:
+        sdf = sdf.withWatermark(ts_col, watermark)
+    win = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
+    bin_id = spec.raw_id_col(F.col(col)).alias(id_col(col))
+    lo, hi = spec.keep_range(flow)
+    base = sdf.select(
+        win.alias("__w"),
+        *[F.col(g) for g in group_by],
+        bin_id,
+        *([F.col(weights).alias("__wt")] if weights else []),
+    ).where(F.col(id_col(col)).between(F.lit(lo), F.lit(hi)))
+    if weights is not None:
+        if weight_scale is not None:
+            val = (
+                F.sum(
+                    F.round(
+                        F.col("__wt").cast("double") * F.lit(float(10**weight_scale))
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(float(10**weight_scale))
+            )
+        else:
+            val = F.sum(F.col("__wt").cast("double"))
+    else:
+        val = F.count(F.lit(1)).cast("double")
+    agg = base.groupBy("__w", *group_by, id_col(col)).agg(val.alias("count"))
+    # label via broadcast stream-static equi-join with the literal spine
+    sp = spine_df(agg.sparkSession, col, spec, flow).select(
+        id_col(col), label_col(col)
+    )
+    return agg.join(F.broadcast(sp), id_col(col)).select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *group_by,
+        F.col(id_col(col)),
+        F.col(label_col(col)),
+        F.col("count"),
+    )
+
+
+def dense_fill(
+    batch: DataFrame,
+    col: str,
+    spec: BinSpec,
+    flow: bool = False,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Densify one emitted micro-batch (foreachBatch side): every
+    (window, group) × bin combination present, zero-filled."""
+    group_by = list(group_by)
+    keys = ["window_start", "window_end", *group_by]
+    sp = spine_df(batch.sparkSession, col, spec, flow).select(
+        id_col(col), label_col(col)
+    )
+    wins = batch.select(*keys).distinct()
+    dense = wins.crossJoin(F.broadcast(sp))
+    d, b = dense.alias("__d"), batch.alias("__b")
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"__d.{k}").eqNullSafe(F.col(f"__b.{k}")) for k in keys]
+        + [F.col(f"__d.{id_col(col)}") == F.col(f"__b.{id_col(col)}")],
+    )
+    return d.join(b, cond, "left").select(
+        *[F.col(f"__d.{k}").alias(k) for k in keys],
+        F.col(f"__d.{id_col(col)}").alias(id_col(col)),
+        F.col(f"__d.{label_col(col)}").alias(label_col(col)),
+        F.coalesce(F.col("__b.count"), F.lit(0.0)).alias("count"),
+    )
