@@ -24,9 +24,12 @@ def test_oracle_cover():
     qs = entry_mod.queries()
     os_ = entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
-    # every query should have an oracle unless explicitly non-SQL-expressible
+    # every query has an oracle except the explicitly non-deterministic
+    # fast path (raw double sums — order-dependent, rows-only check)
     missing = set(qs) - set(os_)
-    assert not missing, f"queries without oracle: {missing}"
+    assert missing == {"hist_weighted_fastpath"}, (
+        f"unexpected queries without oracle: {missing}"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))

@@ -406,6 +406,109 @@ register(
 )
 
 
+# ---------------------------------------------------------------------------
+# additional coverage: boolean axis, join-fed histogram, computed weights,
+# fast-path weighted (double sums — rows-only check), bin-coordinate table
+# ---------------------------------------------------------------------------
+
+
+def _bool_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "lineitem").withColumn(
+        "is_bulk", (F.col("l_quantity") > F.lit(25.0))
+    )
+    return histogramdd(df, ["is_bulk"], [Integer(0, 2)]).df
+
+
+register(
+    "hist_bool_axis", _bool_fn,
+    orc.histogram_oracle_sql(
+        "(SELECT CAST(l_quantity > 25.0 AS BIGINT) AS is_bulk FROM lineitem) tb",
+        ["is_bulk"], [Integer(0, 2)],
+    ),
+)
+
+
+def _join_revenue_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders")
+    j = li.join(od, li["l_orderkey"] == od["o_orderkey"]).withColumn(
+        "revenue", F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    return histogramdd(
+        j, ["o_totalprice"], [Regular(15, 800.0, 600000.0)],
+        weights="revenue", group_by=["o_orderpriority"],
+    ).df
+
+
+register(
+    "hist_join_revenue", _join_revenue_fn,
+    orc.histogram_oracle_sql(
+        "(SELECT o_totalprice, o_orderpriority, "
+        "l_extendedprice * (1.0 - l_discount) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey) tj",
+        ["o_totalprice"], [Regular(15, 800.0, 600000.0)],
+        weights="revenue", group_by=["o_orderpriority"],
+    ),
+)
+
+
+def _weighted_fast_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # production fast path: raw double sums (weight_scale=None) — inherently
+    # order-dependent in the last ulps, so no SQL oracle (rows-only check)
+    return histogram(
+        t(spark, sf_dir, "lineitem"), "l_quantity", Regular(12, 1.0, 51.0),
+        weights="l_extendedprice", weight_scale=None,
+    ).df
+
+
+register("hist_weighted_fastpath", _weighted_fast_fn, None)
+
+_COORD_SPECS = [Regular(6, 0.0, 3.0), Variable((0.0, 1.0, 3.0, 10.0))]
+
+
+def _coords_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bin-coordinate algebra surfaced as data: ids, labels, widths, centers,
+    # areas (outer product, flow forced to 1) for a 2-axis histogram
+    h = histogramdd(
+        t(spark, sf_dir, "lineitem"), ["l_tax", "l_quantity"], _COORD_SPECS,
+        flow=True,
+    )
+    d = h._df
+    return d.select(
+        "l_tax_bin", "l_quantity_bin", "l_tax_bins", "l_quantity_bins",
+        F.col("__l_tax_width").alias("tax_width"),
+        F.col("__l_quantity_width").alias("qty_width"),
+        F.col("__l_tax_center").alias("tax_center"),
+        F.col("__l_quantity_center").alias("qty_center"),
+        (
+            F.when(F.col("__l_tax_is_flow"), F.lit(1.0)).otherwise(
+                F.col("__l_tax_width")
+            )
+            * F.when(F.col("__l_quantity_is_flow"), F.lit(1.0)).otherwise(
+                F.col("__l_quantity_width")
+            )
+        ).alias("area"),
+    )
+
+
+def _coords_sql() -> str:
+    from xarray_histogram_spark.oracle import _spine_values
+
+    sa = _spine_values("l_tax", _COORD_SPECS[0], True)
+    sb = _spine_values("l_quantity", _COORD_SPECS[1], True)
+    return (
+        f"SELECT l_tax_bin, l_quantity_bin, l_tax_bins, l_quantity_bins, "
+        f"__l_tax_width AS tax_width, __l_quantity_width AS qty_width, "
+        f"__l_tax_center AS tax_center, __l_quantity_center AS qty_center, "
+        f"(CASE WHEN __l_tax_is_flow THEN CAST(1.0 AS DOUBLE) ELSE __l_tax_width END) * "
+        f"(CASE WHEN __l_quantity_is_flow THEN CAST(1.0 AS DOUBLE) ELSE __l_quantity_width END) AS area "
+        f"FROM {sa} CROSS JOIN {sb}"
+    )
+
+
+register("alg_bin_coordinates", _coords_fn, _coords_sql())
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped weighted histogram — the minimum end-to-end slice of SURVEY §7
     plus grouping and weights."""

@@ -33,6 +33,7 @@ Scale notes (designed for ~100 TB inputs, 1000 executors):
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 from typing import Optional, Sequence, Union
 
@@ -140,17 +141,28 @@ def spine_df(spark: SparkSession, var: str, spec: BinSpec, flow: bool) -> DataFr
     → LocalRelation after constant folding): a ``createDataFrame`` here would
     round-trip through a Python RDD and cost seconds of Python-worker
     startup per query, serially, for a few dozen constant rows."""
-    structs = [
-        F.struct(
-            F.lit(b.id).cast("int").alias(id_col(var)),
-            F.lit(b.label).cast(spec.label_type).alias(label_col(var)),
-            F.lit(float(b.width)).alias(f"__{var}_width"),
-            F.lit(float(b.center)).alias(f"__{var}_center"),
-            F.lit(bool(b.is_flow)).alias(f"__{var}_is_flow"),
-        )
+    def spark_lit(v, typ: str) -> str:
+        if typ == "double":
+            x = float(v)
+            if math.isinf(x):
+                return f"CAST('{'Infinity' if x > 0 else '-Infinity'}' AS DOUBLE)"
+            return f"CAST('{x!r}' AS DOUBLE)"
+        if typ == "bigint":
+            return f"CAST({int(v)} AS BIGINT)"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    rows = ", ".join(
+        "named_struct("
+        f"'{id_col(var)}', CAST({b.id} AS INT), "
+        f"'{label_col(var)}', {spark_lit(b.label, spec.label_type)}, "
+        f"'__{var}_width', {spark_lit(b.width, 'double')}, "
+        f"'__{var}_center', {spark_lit(b.center, 'double')}, "
+        f"'__{var}_is_flow', {'true' if b.is_flow else 'false'})"
         for b in spec.bins(flow)
-    ]
-    return spark.range(1).select(F.inline(F.array(*structs)))
+    )
+    # one selectExpr round trip instead of hundreds of py4j lit() calls —
+    # plan-construction latency is real overhead at interactive scale
+    return spark.range(1).selectExpr(f"inline(array({rows}))")
 
 
 def histogramdd(
@@ -230,34 +242,45 @@ def histogramdd(
     keys = group_by + [id_col(c) for c in cols]
     agg = base.groupBy(*keys).agg(val.alias("__val"))
 
-    # dense output: bin spine (broadcast, tiny) × observed group keys
+    # dense output: bin spine (broadcast, tiny) × observed group keys.
+    # Grouped case packs each group's sparse bins into a map and expands it
+    # against the broadcast spine — ONE scan of the input and no self-join
+    # (a groups-distinct + join-back plan scans and aggregates the raw data
+    # twice; at 100 TB the scan dominates, so this halves the query).
     spine = reduce(
         lambda a, b: a.crossJoin(b),
         [spine_df(spark, c, s, flow) for c, s in zip(cols, specs)],
     )
-    if group_by:
-        groups = agg.select(*group_by).distinct()
-        dense = groups.crossJoin(F.broadcast(spine))
-    else:
-        dense = spine
-    d, a = dense.alias("__d"), agg.alias("__a")
-    cond = reduce(
-        lambda x, y: x & y,
-        [F.col(f"__d.{g}").eqNullSafe(F.col(f"__a.{g}")) for g in group_by]
-        + [F.col(f"__d.{id_col(c)}") == F.col(f"__a.{id_col(c)}") for c in cols],
-    )
     zero = F.lit(0).cast("bigint") if int_mode else F.lit(0.0)
-    filled = (
-        d.join(a, cond, "left")
-        .select(
-            *[F.col(f"__d.{g}").alias(g) for g in group_by],
-            *[F.col(f"__d.{id_col(c)}").alias(id_col(c)) for c in cols],
-            *[F.col(f"__d.{label_col(c)}").alias(label_col(c)) for c in cols],
-            F.coalesce(F.col("__a.__val"), zero).alias("__val"),
-            *[F.col(f"__d.__{c}_width").alias(f"__{c}_width") for c in cols],
-            *[F.col(f"__d.__{c}_center").alias(f"__{c}_center") for c in cols],
-            *[F.col(f"__d.__{c}_is_flow").alias(f"__{c}_is_flow") for c in cols],
+    key = F.struct(*[F.col(id_col(c)) for c in cols])
+    if group_by:
+        packed = agg.groupBy(*group_by).agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(key.alias("key"), F.col("__val").alias("value"))
+                )
+            ).alias("__m")
         )
+        dense = packed.crossJoin(F.broadcast(spine))
+        val = F.coalesce(F.element_at(F.col("__m"), key), zero)
+    else:
+        packed = agg.agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(key.alias("key"), F.col("__val").alias("value"))
+                )
+            ).alias("__m")
+        )
+        dense = F.broadcast(packed).crossJoin(spine)
+        val = F.coalesce(F.element_at(F.col("__m"), key), zero)
+    filled = dense.select(
+        *group_by,
+        *[F.col(id_col(c)) for c in cols],
+        *[F.col(label_col(c)) for c in cols],
+        val.alias("__val"),
+        *[F.col(f"__{c}_width") for c in cols],
+        *[F.col(f"__{c}_center") for c in cols],
+        *[F.col(f"__{c}_is_flow") for c in cols],
     )
 
     vname = value_col_name(cols, density)
