@@ -1,0 +1,73 @@
+"""Physical-plan assertions — the engine analog of the reference's dask-layer
+test (tests/test_histogram.py:420-439, exact layer names/counts): the plans
+Catalyst produces must be the plans we designed for 100 TB."""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_histogram_spark import Regular, histogram
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def grouped_plan(lineitem):
+    r = histogram(
+        lineitem, "l_quantity", Regular(12, 1.0, 51.0), group_by=["l_returnflag"]
+    )
+    return plan_of(r.df)
+
+
+def test_single_scan(grouped_plan):
+    """The grouped dense fill must scan the input exactly once (formatted
+    explain lists each scan node twice: tree + detail)."""
+    assert len(re.findall(r"\(\d+\) Scan parquet", grouped_plan)) == 1
+
+
+def test_partial_and_final_aggregate(grouped_plan):
+    """Catalyst's partial+final aggregation = the reference's per-chunk fill
+    + tree reduce: two HashAggregates for the count and two
+    ObjectHashAggregates for the group-pack, over exactly two exchanges."""
+    assert len(re.findall(r"\(\d+\) HashAggregate", grouped_plan)) == 2
+    assert len(re.findall(r"\(\d+\) ObjectHashAggregate", grouped_plan)) == 2
+    assert len(re.findall(r"\(\d+\) Exchange", grouped_plan)) == 2
+
+
+def test_no_python_in_data_path(grouped_plan):
+    assert "BatchEvalPython" not in grouped_plan
+    assert "ArrowEvalPython" not in grouped_plan
+    assert "applySchemaToPythonRDD" not in grouped_plan  # literal spine, no RDD
+
+
+def test_broadcast_spine(grouped_plan):
+    assert "BroadcastNestedLoopJoin" in grouped_plan or "BroadcastHashJoin" in grouped_plan
+
+
+def test_filter_pushdown(lineitem):
+    """A pre-filtered histogram pushes the predicate into the parquet scan."""
+    df = lineitem.where(F.col("l_returnflag") == "A")
+    r = histogram(df, "l_quantity", Regular(10, 1.0, 51.0))
+    p = plan_of(r.df)
+    assert re.search(r"PushedFilters: \[.*l_returnflag.*\]", p), p[:2000]
+
+
+def test_column_pruning(lineitem):
+    """The scan reads only the needed columns (bucketized + grouping), not
+    the full 11-column lineitem schema."""
+    r = histogram(
+        lineitem, "l_quantity", Regular(10, 1.0, 51.0), group_by=["l_returnflag"]
+    )
+    p = plan_of(r.df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, "no ReadSchema in plan"
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(cols) == {"l_quantity", "l_returnflag"}

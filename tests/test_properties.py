@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis): the bucketize compilation agrees with a
+pure-Python executable spec on arbitrary inputs, including boundary values,
+NaN/inf, and values exactly on bin edges.  This is the engine analog of the
+reference's parametrized-grid oracle tests (SURVEY §5)."""
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from xarray_histogram_spark.binspec import (
+    IntCategory,
+    Integer,
+    Regular,
+    StrCategory,
+    Variable,
+)
+
+
+def py_regular_id(spec: Regular, x):
+    """Executable spec: raw id per boost semantics (half-open, NaN→overflow)."""
+    if x is None or math.isnan(x):
+        return spec.n
+    if spec.transform == "log":
+        if x <= 0:
+            return spec.n
+        y, lo, hi = math.log(x), math.log(spec.lo), math.log(spec.hi)
+    elif spec.transform == "sqrt":
+        y, lo, hi = math.sqrt(x), math.sqrt(spec.lo), math.sqrt(spec.hi)
+    else:
+        y, lo, hi = x, float(spec.lo), float(spec.hi)
+    if y < lo:
+        return -1
+    if y >= hi:
+        return spec.n
+    return min(int(math.floor((y - lo) * spec.n / (hi - lo))), spec.n - 1)
+
+
+def spark_ids(spark, spec, values, typ="double"):
+    df = spark.createDataFrame([(v,) for v in values], f"x: {typ}")
+    return [r["b"] for r in df.select(spec.raw_id_col(F.col("x")).alias("b")).collect()]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+            st.none(),
+            st.floats(min_value=-10.0, max_value=10.0),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_regular_bucketize_property(spark, values):
+    spec = Regular(7, -3.0, 5.0)
+    got = spark_ids(spark, spec, values)
+    exp = [py_regular_id(spec, v) for v in values]
+    assert got == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.floats(min_value=0.0, max_value=20.0), min_size=1, max_size=20))
+def test_variable_bucketize_property(spark, values):
+    edges = (0.5, 1.0, 4.0, 9.5)
+    spec = Variable(edges)
+
+    def py_id(x):
+        if x is None or math.isnan(x):
+            return spec.n
+        c = sum(1 for e in edges if x >= e)
+        return min(c - 1, spec.n)
+
+    got = spark_ids(spark, spec, values)
+    exp = [py_id(v) for v in values]
+    assert got == exp
+
+
+def test_edge_values_regular(spark):
+    """Values exactly on edges go RIGHT (half-open) incl. hi → overflow."""
+    spec = Regular(4, 0.0, 4.0)
+    vals = [0.0, 1.0, 2.0, 3.0, 4.0, -0.0, 3.9999999999999996]
+    got = spark_ids(spark, spec, vals)
+    assert got == [0, 1, 2, 3, 4, 0, 3]
+
+
+def test_edge_values_integer(spark):
+    spec = Integer(-2, 3)
+    vals = [-3, -2, 0, 2, 3, None]
+    got = spark_ids(spark, spec, vals, typ="bigint")
+    assert got == [-1, 0, 2, 4, 5, 5]
+
+
+def test_category_misses(spark):
+    spec = IntCategory((5, 1, 9))
+    got = spark_ids(spark, spec, [5, 1, 9, 2, None], typ="bigint")
+    assert got == [0, 1, 2, 3, 3]
+    s2 = StrCategory(("b", "a"))
+    got2 = spark_ids(spark, s2, ["b", "a", "zz", None], typ="string")
+    assert got2 == [0, 1, 2, 2]
+
+
+def test_log_axis_edges(spark):
+    spec = Regular(3, 1.0, 1000.0, transform="log")
+    vals = [0.5, 1.0, 9.999, 10.0, 999.0, 1000.0, -5.0, 0.0]
+    got = spark_ids(spark, spec, vals)
+    assert got == [-1, 0, 0, 1, 2, 3, 3, 3]  # neg/zero → overflow (NaN rule)
