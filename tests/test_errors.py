@@ -1,0 +1,86 @@
+"""Error-contract tests (reference §5: malformed inputs fail fast with clear
+errors — accessor.py:456-457, 565-568, core.py dtype gates)."""
+
+import pytest
+
+from xarray_histogram_spark import (
+    IntCategory,
+    Integer,
+    Regular,
+    StrCategory,
+    Variable,
+    histogram,
+    histogramdd,
+)
+
+
+def test_bins_ranges_arity(lineitem):
+    with pytest.raises(ValueError, match="bin specs"):
+        histogramdd(lineitem, ["l_quantity", "l_discount"], [Regular(5, 0, 1)])
+    with pytest.raises(ValueError, match="ranges"):
+        histogramdd(
+            lineitem, ["l_quantity", "l_discount"], [5, 5],
+            ranges=[(0.0, 1.0), (0.0, 1.0), (0.0, 1.0)],
+        )
+
+
+def test_no_variables(lineitem):
+    with pytest.raises(ValueError, match="at least one"):
+        histogramdd(lineitem, [], 5)
+
+
+def test_bad_storage(lineitem):
+    with pytest.raises(ValueError, match="storage"):
+        histogram(lineitem, "l_quantity", 5, storage="int32")
+
+
+def test_unknown_column(lineitem):
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        histogram(lineitem, "nope", Regular(5, 0.0, 1.0))
+
+
+def test_apply_func_non_monotonic(lineitem):
+    h = histogram(lineitem, "l_quantity", Regular(5, 1.0, 51.0))
+    with pytest.raises(ValueError, match="increasing"):
+        h.apply_func(lambda e: -e)
+    with pytest.raises(ValueError, match="factor"):
+        h.scale(-2.0)
+
+
+def test_apply_func_on_category(lineitem):
+    h = histogram(lineitem, "l_returnflag", StrCategory(("A", "N", "R")))
+    with pytest.raises(ValueError, match="interval axis"):
+        h.apply_func(lambda e: e)
+    with pytest.raises(ValueError, match="no edges"):
+        h.edges()
+
+
+def test_interval_confidence_range(lineitem):
+    h = histogram(lineitem, "l_quantity", Regular(5, 1.0, 51.0))
+    with pytest.raises(ValueError, match="confidence"):
+        h.interval(1.5)
+
+
+def test_moment_order(lineitem):
+    h = histogram(lineitem, "l_quantity", Regular(5, 1.0, 51.0))
+    with pytest.raises(ValueError, match="order"):
+        h.moment(0)
+
+
+def test_unknown_variable(lineitem):
+    h = histogram(lineitem, "l_quantity", Regular(5, 1.0, 51.0))
+    with pytest.raises(ValueError, match="unknown variable"):
+        h.mean("l_discount")
+    with pytest.raises(ValueError, match="unknown variable"):
+        h.normalize(["l_discount"])
+
+
+def test_spec_validation_errors():
+    with pytest.raises(ValueError):
+        Variable((1.0,))
+    with pytest.raises(ValueError):
+        Integer(5, 5)
+    with pytest.raises(ValueError):
+        IntCategory(())
+    with pytest.raises(ValueError):
+        IntCategory((1, 1))

@@ -64,6 +64,29 @@ def test_streaming_matches_batch(spark, events_ts):
     assert key(got) == key(batch)
 
 
+def test_sliding_window_batch_plan(spark, events_ts):
+    """Sliding windows: each event lands in window_duration/slide windows."""
+    out = streaming_histogram(
+        events_ts, "value", SPEC, "ts",
+        window_duration="2 days", slide="1 day",
+    )
+    rows = out.collect()
+    tumb = streaming_histogram(
+        events_ts, "value", SPEC, "ts", window_duration="1 day"
+    ).collect()
+    # total mass doubles (every event counted in 2 sliding windows)
+    assert sum(r["count"] for r in rows) == 2 * sum(r["count"] for r in tumb)
+
+
+def test_weighted_streaming_hist(spark, events_ts):
+    out = streaming_histogram(
+        events_ts, "value", SPEC, "ts", window_duration="1 day",
+        weights="value",
+    ).collect()
+    assert all(r["count"] >= 0 for r in out)
+    assert sum(r["count"] for r in out) > 0
+
+
 def test_dense_fill(spark, events_ts):
     sparse = streaming_histogram(
         events_ts, "value", SPEC, "ts", window_duration="1 day",

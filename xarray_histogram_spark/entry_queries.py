@@ -287,6 +287,21 @@ _stat_query(
     specs=[_STAT_SPEC], variable="l_quantity", group_by=["l_returnflag"],
     hist_kw={"weights": "l_extendedprice"},
 )
+# vectorised multi-variable statistic: the other histogram variable acts as a
+# loop dim (reference accessor.py:428-437 semantics) — mean of l_quantity per
+# l_discount bin per return flag
+_stat_query(
+    "stat_mean_2d", "mean", table="lineitem",
+    cols=["l_quantity", "l_discount"],
+    specs=[Regular(20, 1.0, 51.0), Variable((0.0, 0.03, 0.06, 0.11))],
+    variable="l_quantity", group_by=["l_returnflag"],
+)
+_stat_query(
+    "stat_median_2d", "median", table="lineitem",
+    cols=["l_quantity", "l_discount"],
+    specs=[Regular(20, 1.0, 51.0), Variable((0.0, 0.03, 0.06, 0.11))],
+    variable="l_quantity", group_by=["l_returnflag"],
+)
 
 
 # ---------------------------------------------------------------------------
@@ -317,6 +332,13 @@ register(
         t(spark, sf_dir, "documents"), "text", "doc_id"
     ),
     dd.jaccard_pairs_sql("documents", "text", "doc_id"),
+)
+register(
+    "dedup_near_keep",
+    lambda spark, sf_dir: dd.near_dedup_keep(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
+    ),
+    dd.near_dedup_keep_sql("documents", "text", "doc_id"),
 )
 register(
     "dedup_simhash",

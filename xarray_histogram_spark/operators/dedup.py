@@ -201,6 +201,32 @@ def jaccard_pairs_sql(table: str, text_col: str, id_col: str, k: int = 8) -> str
     )
 
 
+def near_dedup_keep(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, threshold: float = 0.8
+) -> DataFrame:
+    """Greedy near-dedup decision: keep a doc unless a LOWER-id doc is
+    near-identical (exact Jaccard ≥ threshold on LSH candidates).  One
+    anti-join against the flagged ids — the standard "keep first occurrence"
+    policy without iterative connected components."""
+    j = jaccard_pairs(df, text_col, id_col, k)
+    drop = j.where(F.col("jaccard") >= F.lit(float(threshold))).select(
+        F.col("id_b").alias(id_col)
+    ).distinct()
+    return df.select(id_col).join(drop, id_col, "left_anti")
+
+
+def near_dedup_keep_sql(
+    table: str, text_col: str, id_col: str, k: int = 8, threshold: float = 0.8
+) -> str:
+    from ..binspec import flit
+
+    j = jaccard_pairs_sql(table, text_col, id_col, k)
+    return (
+        f"SELECT {id_col} FROM {table} WHERE {id_col} NOT IN "
+        f"(SELECT DISTINCT id_b FROM ({j}) jp WHERE jaccard >= {flit(threshold)})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
