@@ -223,6 +223,37 @@ def test_dtype_rejection(lineitem):
         histogram(lineitem, "l_linenumber", StrCategory(("a",)))
 
 
+def test_empty_input_contract(lineitem):
+    """Empty input: dense zero histogram (boost empty-hist semantics);
+    grouped → no groups → empty; density → null pdf (0/0)."""
+    from pyspark.sql import functions as F
+
+    empty = lineitem.where(F.lit(False))
+    spec = Regular(5, 1.0, 51.0)
+    r = histogram(empty, "l_quantity", spec)
+    rows = r.df.orderBy("l_quantity_bin").collect()
+    assert [x["l_quantity_histogram"] for x in rows] == [0.0] * 5
+    assert histogram(empty, "l_quantity", spec, group_by=["l_returnflag"]).df.count() == 0
+    pdf = histogram(empty, "l_quantity", spec, density=True).df.collect()
+    assert all(x["l_quantity_pdf"] is None for x in pdf)
+
+
+def test_storage_aliases(lineitem):
+    spec = Regular(5, 1.0, 51.0)
+    assert (
+        dict(histogram(lineitem, "l_quantity", spec, storage="Unlimited").df.dtypes)[
+            "l_quantity_histogram"
+        ]
+        == "double"
+    )
+    assert (
+        dict(
+            histogram(lineitem, "l_quantity", spec, storage="AtomicInt64").df.dtypes
+        )["l_quantity_histogram"]
+        == "bigint"
+    )
+
+
 def test_per_slice_decomposition(lineitem):
     """Grouped histogram equals independent histogram of each slice
     (reference per-slice test, tests/test_histogram.py:306-363)."""

@@ -474,6 +474,30 @@ register(
 )
 
 
+def _join_align_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reference broadcast-align parity (core.py:257-269): variables living on
+    # different "arrays" (tables) are aligned by an equi-join on the shared
+    # dim, then histogrammed together
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+    return histogramdd(
+        j, ["l_quantity", "p_retailprice"],
+        [Regular(8, 1.0, 51.0), Regular(6, 900.0, 2000.0)],
+    ).df
+
+
+register(
+    "hist_join_align_2var", _join_align_fn,
+    orc.histogram_oracle_sql(
+        "(SELECT l_quantity, p_retailprice FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey) ta",
+        ["l_quantity", "p_retailprice"],
+        [Regular(8, 1.0, 51.0), Regular(6, 900.0, 2000.0)],
+    ),
+)
+
+
 def _weighted_fast_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production fast path: raw double sums (weight_scale=None) — inherently
     # order-dependent in the last ulps, so no SQL oracle (rows-only check)

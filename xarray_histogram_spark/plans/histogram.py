@@ -196,8 +196,14 @@ def histogramdd(
     group_by = list(group_by)
     if not cols:
         raise ValueError("need at least one variable column")
+    # reference storage families (core.py:29-34): Double/Unlimited → float
+    # output, Int64/AtomicInt64 → integer output
+    storage = {
+        "unlimited": "double",
+        "atomicint64": "int64",
+    }.get(storage.lower(), storage.lower())
     if storage not in ("double", "int64"):
-        raise ValueError("storage must be 'double' or 'int64'")
+        raise ValueError("storage must be 'double'/'unlimited' or 'int64'/'atomicint64'")
     spark = df.sparkSession
     specs = resolve_specs(df, cols, bins, ranges)
     dtypes = dict(df.dtypes)
