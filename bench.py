@@ -81,12 +81,19 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
+    n_rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    total = round(sum(results.values()), 4)
     out = {
         "metric": "histogram_suite_total",
-        "value": round(sum(results.values()), 4),
+        "value": total,
         "unit": "sec",
         "queries": results,
         "sf": sf,
+        "lineitem_rows": n_rows,
+        "rows_per_sec_1d": round(n_rows / results["hist_regular_1d"])
+        if results.get("hist_regular_1d")
+        else None,
+        "config": {"cpus": CPUS, "aqe": True, "repeat": REPEAT},
     }
     print(json.dumps(out))
 

@@ -555,6 +555,70 @@ def _coords_sql() -> str:
 register("alg_bin_coordinates", _coords_fn, _coords_sql())
 
 
+# ---------------------------------------------------------------------------
+# streaming: a REAL Structured Streaming execution (file source → watermarked
+# windowed histogram → memory sink, availableNow) whose final state must
+# exactly equal the batch oracle — streaming correctness as a gated query,
+# not just a unit test
+# ---------------------------------------------------------------------------
+
+_ST_SPEC = Regular(10, 0.0, 500.0)
+
+
+def _streaming_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from .streaming.histogram_stream import streaming_histogram
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    conv = (
+        t(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("ts", "value")
+    )
+    src = tempfile.mkdtemp(prefix="xhs_stream_q_")
+    conv.write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(conv.schema).parquet(src)
+    out = streaming_histogram(
+        sdf, "value", _ST_SPEC, "ts", window_duration="1 day", watermark="1 hour"
+    )
+    name = "xhs_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "window_start",
+        "value_bin",
+        "value_bins",
+        F.col("count").alias("n"),
+    )
+
+
+def _streaming_window_sql() -> str:
+    from .oracle import _spine_values
+
+    bucket = _ST_SPEC.raw_id_sql("value")
+    spine = _spine_values("value", _ST_SPEC, False)
+    return (
+        f"WITH raw AS (SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, "
+        f"{bucket} AS value_bin FROM events), "
+        f"agg AS (SELECT window_start, value_bin, CAST(COUNT(*) AS DOUBLE) AS n "
+        f"FROM raw WHERE value_bin BETWEEN 0 AND {_ST_SPEC.n - 1} "
+        f"GROUP BY window_start, value_bin) "
+        f"SELECT agg.window_start, agg.value_bin, sp.value_bins, agg.n "
+        f"FROM agg JOIN (SELECT * FROM {spine}) sp ON agg.value_bin = sp.value_bin"
+    )
+
+
+register("streaming_window_hist", _streaming_window_fn, _streaming_window_sql())
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped weighted histogram — the minimum end-to-end slice of SURVEY §7
     plus grouping and weights."""
