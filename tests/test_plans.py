@@ -71,3 +71,24 @@ def test_column_pruning(lineitem):
     assert m, "no ReadSchema in plan"
     cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
     assert set(cols) == {"l_quantity", "l_returnflag"}
+
+
+def test_dedup_no_cartesian(spark, sf_dir):
+    """LSH candidate generation must be an equi-join on band keys — never a
+    cartesian/nested-loop pair expansion."""
+    from xarray_histogram_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(lsh_candidate_pairs(docs, "text", "doc_id"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_ann_no_corpus_scan_join(spark, sf_dir):
+    """Multiprobe ANN joins on enumerated bucket keys (hash join)."""
+    from xarray_histogram_spark.operators.similarity import ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_of(ann_topk(emb, 0))
+    assert "CartesianProduct" not in p

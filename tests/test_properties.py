@@ -108,3 +108,22 @@ def test_log_axis_edges(spark):
     vals = [0.5, 1.0, 9.999, 10.0, 999.0, 1000.0, -5.0, 0.0]
     got = spark_ids(spark, spec, vals)
     assert got == [-1, 0, 0, 1, 2, 3, 3, 3]  # neg/zero → overflow (NaN rule)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+            st.floats(min_value=-1.0, max_value=25.0),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_variable_binary_equals_linear(spark, values):
+    """The O(log n) binary-search path agrees with the O(n) fold path."""
+    edges = (0.0, 0.5, 1.5, 2.0, 7.25, 9.0, 11.5, 20.0)
+    lin = Variable(edges)
+    bin_ = Variable(edges, binary=True)
+    assert spark_ids(spark, lin, values) == spark_ids(spark, bin_, values)

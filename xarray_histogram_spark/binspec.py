@@ -383,19 +383,67 @@ def _edge_scan_id_sql(expr: str, edges: Sequence[float]) -> str:
     )
 
 
+def _bsearch_id_col(c: Column, edges: Sequence[float]) -> Column:
+    """O(log n) binary-search bucketize as a balanced nested-CASE tree —
+    codegen'd, exact comparisons, mirrored 1:1 in SQL."""
+    x = c.cast("double")
+    n = len(edges) - 1
+
+    def rec(lo: int, hi: int) -> Column:
+        # precondition: edges[lo] <= x < edges[hi]; bins lo..hi-1
+        if hi - lo == 1:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(x < F.lit(float(edges[mid])), rec(lo, mid)).otherwise(
+            rec(mid, hi)
+        )
+
+    bad = x.isNull() | F.isnan(x)
+    return (
+        F.when(bad, F.lit(n))
+        .when(x < F.lit(float(edges[0])), F.lit(-1))
+        .when(x >= F.lit(float(edges[-1])), F.lit(n))
+        .otherwise(rec(0, n))
+    )
+
+
+def _bsearch_id_sql(expr: str, edges: Sequence[float]) -> str:
+    x = f"CAST({expr} AS DOUBLE)"
+    n = len(edges) - 1
+
+    def rec(lo: int, hi: int) -> str:
+        if hi - lo == 1:
+            return str(lo)
+        mid = (lo + hi) // 2
+        return (
+            f"CASE WHEN {x} < {flit(edges[mid])} THEN {rec(lo, mid)} "
+            f"ELSE {rec(mid, hi)} END"
+        )
+
+    return (
+        f"CASE WHEN {x} IS NULL OR isnan({x}) THEN {n} "
+        f"WHEN {x} < {flit(edges[0])} THEN -1 "
+        f"WHEN {x} >= {flit(edges[-1])} THEN {n} "
+        f"ELSE {rec(0, n)} END"
+    )
+
+
 @dataclass(frozen=True)
 class Variable(BinSpec):
     """Explicit monotonic edges; bin i covers [e_i, e_{i+1}) (half-open, incl. last).
 
     Lookup is an O(n) vectorised JVM fold over the (small, literal) edge
-    array — the reference's own docs advise keeping variable axes out of the
-    hot path vs O(1) regular axes; at very large n a broadcast range join
-    would replace this.
+    array; with ``binary=True`` it compiles to an O(log n) balanced
+    nested-CASE binary search instead — the hot-path choice for large edge
+    arrays (the reference's docs make the same O(1)-vs-binary-search point
+    for its axes, docs/source/usage.rst:54-59).  Both paths use exact
+    comparisons and mirror into DuckDB deterministically.
     """
 
     edges_: tuple
     underflow: bool = True
     overflow: bool = True
+    binary: bool = False
     label_type: str = field(default="double", init=False)
 
     def __post_init__(self) -> None:
@@ -429,12 +477,14 @@ class Variable(BinSpec):
             raise TypeError(f"Variable axis needs a numeric column, got {col}: {dt}")
 
     def raw_id_col(self, c: Column) -> Column:
-        n = self.n
-        inner = _edge_scan_id_col(c, self.edges_)
+        if self.binary:
+            return _bsearch_id_col(c, self.edges_)
         # edge-scan maps x < e0 to -1 already (count 0 - 1); x >= en to n
-        return inner
+        return _edge_scan_id_col(c, self.edges_)
 
     def raw_id_sql(self, expr: str) -> str:
+        if self.binary:
+            return _bsearch_id_sql(expr, self.edges_)
         return _edge_scan_id_sql(expr, self.edges_)
 
     def to_dict(self) -> dict:
@@ -443,6 +493,7 @@ class Variable(BinSpec):
             "edges": list(self.edges_),
             "underflow": self.underflow,
             "overflow": self.overflow,
+            "binary": self.binary,
         }
 
 

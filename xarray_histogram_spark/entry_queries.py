@@ -137,6 +137,15 @@ _hist_query("hist_density_flow", "lineitem", ["l_quantity"],
             [Regular(6, 10.0, 40.0)], density=True, flow=True)
 _hist_query("hist_variable_axis", "lineitem", ["l_discount"],
             [Variable((0.0, 0.02, 0.05, 0.11))])
+# O(log n) binary-search bucketize over a large (48-edge) log-spaced grid —
+# the hot-path form for big Variable axes
+_hist_query(
+    "hist_variable_binary", "orders", ["o_totalprice"],
+    [Variable(
+        tuple(Regular(47, 800.0, 600000.0, transform="log").edges()),
+        binary=True,
+    )],
+)
 _hist_query("hist_integer_axis", "lineitem", ["l_linenumber"],
             [Integer(1, 8)], flow=True)
 _hist_query("hist_intcategory", "part", ["p_size"],

@@ -26,6 +26,23 @@ from ..functions import vectors as V
 DIM = 64
 N_PLANES = 4
 PLANES = V.hyperplanes(N_PLANES, DIM, seed=42)
+# ANN uses a finer partition (more planes) + deeper multiprobe; pair-dedup
+# keeps the coarse one (recall inside one bucket matters more there)
+ANN_PLANES = V.hyperplanes(6, DIM, seed=43)
+
+
+def _probe_xors(n_planes: int, radius: int = 2) -> list[int]:
+    """Bucket-id XOR masks within the given Hamming radius (incl. 0)."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << j for j in range(n_planes)]
+    if radius >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return masks
 
 
 def cosine_topk(
@@ -78,20 +95,23 @@ def ann_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes=PLANES,
+    planes=ANN_PLANES,
+    probe_radius: int = 2,
 ) -> DataFrame:
     """Approximate top-k: exact cosine within the query's LSH bucket plus all
-    Hamming-1 probe buckets (multiprobe — recovers most neighbours lost to a
-    single sign flip).  The probe keys are ENUMERATED and equi-joined, so at
-    scale this stays a hash join on the bucket key touching 1+n_planes
-    buckets, never a scan of the corpus."""
+    probe buckets within Hamming radius ``probe_radius`` (multiprobe —
+    recovers neighbours lost to one or two sign flips).  The probe keys are
+    ENUMERATED and equi-joined, so at scale this stays a hash join on the
+    bucket key touching a fixed number of buckets, never a corpus scan."""
     b = with_lsh_bucket(df, vec_col, planes)
     q = b.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("__qv"), F.col("bucket").alias("__qb")
     )
     probes = F.array(
-        F.col("__qb"),
-        *[F.col("__qb").bitwiseXOR(F.lit(2**j)) for j in range(len(planes))],
+        *[
+            F.col("__qb").bitwiseXOR(F.lit(m))
+            for m in _probe_xors(len(planes), probe_radius)
+        ]
     )
     qp = q.select("__qv", F.explode(probes).alias("__pb"))
     joined = b.join(F.broadcast(qp), F.col("bucket") == F.col("__pb"))
@@ -110,12 +130,13 @@ def ann_topk_sql(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes=PLANES,
+    planes=ANN_PLANES,
+    probe_radius: int = 2,
 ) -> str:
     bucket = V.lsh_bucket_sql(vec_col, planes)
     cos = V.cosine_sql(vec_col, "__qv")
     probes = ", ".join(
-        ["__qb"] + [f"xor(__qb, {2**j})" for j in range(len(planes))]
+        f"xor(__qb, {m})" for m in _probe_xors(len(planes), probe_radius)
     )
     return (
         f"WITH b AS (SELECT *, {bucket} AS bucket FROM {table}), "
