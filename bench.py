@@ -42,6 +42,33 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def synthetic_baseline_plans(spark) -> dict:
+    """Workloads matching the reference's performance notebook EXACTLY
+    (BASELINE.md): 1e7 normally-distributed values, 100 regular bins over
+    (-3, 3) — flat, two-variable (100×100), and along-a-dim (3×1e7).
+    Inputs are cached in memory, as the reference's arrays are."""
+    from pyspark.sql import functions as F
+
+    from xarray_histogram_spark import Regular, histogram, histogram2d
+
+    spec = Regular(100, -3.0, 3.0)
+    flat = spark.range(10_000_000).select(F.randn(1).alias("x")).cache()
+    flat.count()
+    two = spark.range(10_000_000).select(
+        F.randn(2).alias("x"), F.randn(3).alias("y")
+    ).cache()
+    two.count()
+    along = spark.range(30_000_000).select(
+        (F.col("id") % 3).alias("d"), F.randn(4).alias("x")
+    ).cache()
+    along.count()
+    return {
+        "baseline_flat_1d_1e7": histogram(flat, "x", spec).df,
+        "baseline_two_var_1e7": histogram2d(two, "x", "y", [spec, spec]).df,
+        "baseline_along_dim_3x1e7": histogram(along, "x", spec, group_by=["d"]).df,
+    }
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -67,6 +94,7 @@ def main() -> None:
     # build each plan once (the reference's %%timeit equally excludes its
     # one-time array/axis setup), warm codegen, then time executions
     plans = {name: registry[name][0](spark, SF_DIR) for name in names}
+    plans.update(synthetic_baseline_plans(spark))
     for df in plans.values():
         run_query(df)
 

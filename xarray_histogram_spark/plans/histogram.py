@@ -247,12 +247,39 @@ def histogramdd(
         int_mode, divisor = True, 1.0
     keys = group_by + [id_col(c) for c in cols]
     agg = base.groupBy(*keys).agg(val.alias("__val"))
+    return finish_from_agg(
+        agg, cols, specs, group_by=group_by, flow=flow, density=density,
+        storage=storage, int_mode=int_mode, divisor=divisor,
+        weighted=weights is not None,
+    )
 
-    # dense output: bin spine (broadcast, tiny) × observed group keys.
-    # Grouped case packs each group's sparse bins into a map and expands it
-    # against the broadcast spine — ONE scan of the input and no self-join
-    # (a groups-distinct + join-back plan scans and aggregates the raw data
-    # twice; at 100 TB the scan dominates, so this halves the query).
+
+def finish_from_agg(
+    agg: DataFrame,
+    cols: Sequence[str],
+    specs: Sequence[BinSpec],
+    *,
+    group_by: Sequence[str],
+    flow: bool,
+    density: bool,
+    storage: str,
+    int_mode: bool,
+    divisor: float,
+    weighted: bool,
+) -> HistogramResult:
+    """Shared finish stage: sparse (group, bin-ids, __val) aggregate →
+    dense labelled result.  Used by both the pure-Column path and the
+    Arrow/numpy fill path (plans.fast_fill) — identical output.
+
+    Dense output: bin spine (broadcast, tiny) × observed group keys.
+    The grouped case packs each group's sparse bins into a map and expands
+    it against the broadcast spine — ONE scan of the input and no self-join
+    (a groups-distinct + join-back plan scans and aggregates the raw data
+    twice; at 100 TB the scan dominates, so this halves the query)."""
+    cols = list(cols)
+    specs = list(specs)
+    group_by = list(group_by)
+    spark = agg.sparkSession
     spine = reduce(
         lambda a, b: a.crossJoin(b),
         [spine_df(spark, c, s, flow) for c, s in zip(cols, specs)],
@@ -292,7 +319,7 @@ def histogramdd(
     vname = value_col_name(cols, density)
     if density:
         vis = _density_expr(cols, group_by, int_mode, divisor)
-    elif int_mode and weights is None and storage == "int64":
+    elif int_mode and not weighted and storage == "int64":
         vis = F.col("__val")
     elif int_mode:
         vis = F.col("__val").cast("double")
