@@ -164,6 +164,26 @@ _hist_query(
 )
 _hist_query("hist_int64_storage", "lineitem", ["l_quantity"],
             [Regular(10, 1.0, 51.0)], storage="int64")
+
+
+def _fill_path_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Arrow/numpy vectorised fill (plans.fast_fill) — bit-exact with the
+    # column path, so it shares the same generated oracle
+    from .plans.fast_fill import histogramdd_fill
+
+    return histogramdd_fill(
+        t(spark, sf_dir, "lineitem"), ["l_quantity"], [Regular(12, 1.0, 51.0)],
+        weights="l_extendedprice", group_by=["l_returnflag"],
+    ).df
+
+
+register(
+    "hist_fill_arrow_path", _fill_path_fn,
+    orc.histogram_oracle_sql(
+        "lineitem", ["l_quantity"], [Regular(12, 1.0, 51.0)],
+        weights="l_extendedprice", group_by=["l_returnflag"],
+    ),
+)
 _hist_query(
     "hist_weighted_grouped_density", "orders", ["o_totalprice"],
     [Regular(20, 800.0, 600000.0)], weights="o_totalprice",
