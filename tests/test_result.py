@@ -102,3 +102,22 @@ def test_remove_flow_resets_specs(spark, lineitem):
     s = r.specs["l_quantity"]
     assert not s.underflow and not s.overflow
     assert r.df.count() == 6
+
+
+def test_rollup_levels_consistent(spark, lineitem):
+    """Multi-resolution histogram: each coarser level equals the sum of its
+    children; the global level equals the plain histogram."""
+    from xarray_histogram_spark.plans.rollup import rollup_histogram
+
+    spec = Regular(10, 1.0, 51.0)
+    r = rollup_histogram(
+        lineitem, "l_quantity", spec, ["l_returnflag", "l_linestatus"]
+    ).toPandas()
+    leaf = r[r["__grouping_id"] == 0]
+    mid = r[r["__grouping_id"] == 1]
+    top = r[r["__grouping_id"] == 3]
+    assert top["n"].sum() == leaf["n"].sum() == mid["n"].sum()
+    plain = histogram(lineitem, "l_quantity", spec, storage="int64").df.toPandas()
+    merged = top.set_index("l_quantity_bin")["n"]
+    for _, row in plain.iterrows():
+        assert merged.get(row["l_quantity_bin"], 0) == row["l_quantity_histogram"]

@@ -418,6 +418,33 @@ register(
 )
 
 
+from .plans.rollup import rollup_histogram, rollup_histogram_sql
+
+_RU_SPEC = Regular(10, 1.0, 51.0)
+
+register(
+    "hist_rollup_multires",
+    lambda spark, sf_dir: rollup_histogram(
+        t(spark, sf_dir, "lineitem"), "l_quantity", _RU_SPEC,
+        ["l_returnflag", "l_linestatus"],
+    ),
+    rollup_histogram_sql(
+        "lineitem", "l_quantity", _RU_SPEC, ["l_returnflag", "l_linestatus"]
+    ),
+)
+register(
+    "hist_cube_multires",
+    lambda spark, sf_dir: rollup_histogram(
+        t(spark, sf_dir, "lineitem"), "l_quantity", _RU_SPEC,
+        ["l_returnflag", "l_linestatus"], cube=True,
+    ),
+    rollup_histogram_sql(
+        "lineitem", "l_quantity", _RU_SPEC,
+        ["l_returnflag", "l_linestatus"], cube=True,
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # events: time-bucketed histograms (batch analog of the streaming operator;
 # the events table stores TIMESTAMP(NANOS) which Spark reads as long via the

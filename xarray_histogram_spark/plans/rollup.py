@@ -1,0 +1,107 @@
+"""Multi-resolution histograms via GROUPING SETS.
+
+The reference has no grouping-sets concept (SURVEY §2.4 marks it absent and
+notes Spark provides it for free) — this operator is the Spark-native
+generalisation: ONE pass over the data produces the histogram at every
+prefix resolution of the group hierarchy (e.g. (flag, status) → (flag) →
+global), sharing the scan and partial aggregates.  At 100 TB this replaces
+H separate histogram jobs with one shuffle whose output is the sum of the
+H histogram sizes.
+
+The bin column is kept in EVERY grouping set (a plain ROLLUP over
+``(groups…, bin)`` would aggregate the bins away at coarser levels):
+rollup → sets ``(g1..gk, bin)`` for k = n..0; cube → every subset × bin.
+Output is sparse; subtotal rows carry NULL group keys plus
+``__grouping_id`` (Spark ``grouping_id()`` ≡ Σ GROUPING(g)·2^i in DuckDB)
+to distinguish "NULL key value" from "aggregated away"."""
+
+from __future__ import annotations
+
+from itertools import combinations
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..binspec import BinSpec
+from .histogram import id_col
+
+
+def _group_sets(group_by: list[str], cube: bool) -> list[list[str]]:
+    if cube:
+        out = []
+        for k in range(len(group_by), -1, -1):
+            for combo in combinations(group_by, k):
+                out.append(list(combo))
+        return out
+    return [group_by[:k] for k in range(len(group_by), -1, -1)]
+
+
+def rollup_histogram(
+    df: DataFrame,
+    col: str,
+    spec: BinSpec,
+    group_by: Sequence[str],
+    *,
+    cube: bool = False,
+    flow: bool = False,
+) -> DataFrame:
+    """Histogram of ``col`` at every rollup (or cube) level of ``group_by``.
+
+    Returns (group_by…, __grouping_id, <col>_bin, n) — sparse."""
+    group_by = list(group_by)
+    if not group_by:
+        raise ValueError("rollup_histogram needs at least one group column")
+    bid = spec.raw_id_col(F.col(col)).alias(id_col(col))
+    lo, hi = spec.keep_range(flow)
+    base = df.select(*[F.col(g) for g in group_by], bid).where(
+        F.col(id_col(col)).between(F.lit(lo), F.lit(hi))
+    )
+    sets = [
+        [F.col(g) for g in gs] + [F.col(id_col(col))]
+        for gs in _group_sets(group_by, cube)
+    ]
+    grouped = base.groupingSets(
+        sets, *[F.col(g) for g in group_by], F.col(id_col(col))
+    )
+    out = grouped.agg(
+        F.grouping_id().alias("__gid_raw"), F.count(F.lit(1)).alias("n")
+    )
+    # lowest grouping bit belongs to the bin column and is always 0 (the bin
+    # is in every set) — strip it so the id only encodes the group columns
+    return out.select(
+        *group_by,
+        (F.col("__gid_raw") / 2).cast("int").alias("__grouping_id"),
+        F.col(id_col(col)),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def rollup_histogram_sql(
+    table: str,
+    col: str,
+    spec: BinSpec,
+    group_by: Sequence[str],
+    *,
+    cube: bool = False,
+    flow: bool = False,
+) -> str:
+    group_by = list(group_by)
+    bid = spec.raw_id_sql(col)
+    lo, hi = spec.keep_range(flow)
+    gcols = ", ".join(group_by)
+    sets = ", ".join(
+        "(" + ", ".join(gs + [id_col(col)]) + ")"
+        for gs in _group_sets(group_by, cube)
+    )
+    gid = " + ".join(
+        f"GROUPING({g}) * {2 ** (len(group_by) - 1 - i)}"
+        for i, g in enumerate(group_by)
+    )
+    return (
+        f"WITH base AS (SELECT * FROM (SELECT {gcols}, {bid} AS {id_col(col)} "
+        f"FROM {table}) b WHERE {id_col(col)} BETWEEN {lo} AND {hi}) "
+        f"SELECT {gcols}, CAST({gid} AS INT) AS __grouping_id, "
+        f"{id_col(col)}, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM base GROUP BY GROUPING SETS ({sets})"
+    )
