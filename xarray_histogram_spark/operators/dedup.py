@@ -70,8 +70,14 @@ def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFram
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = 8
 ) -> DataFrame:
-    """Per-doc MinHash signature: 8 string-min slices over shingle md5s."""
-    sh = _shingle_rows(df, text_col, id_col, k)
+    """Per-doc MinHash signature: 8 string-min slices over shingle md5s.
+
+    No shingle-distinct pass: MIN is idempotent under duplicates, so the
+    dedupe shuffle would only add cost (Jaccard, which needs true sets,
+    keeps its own distinct)."""
+    sh = df.select(
+        F.col(id_col), F.explode(H.shingles(F.col(text_col), k)).alias("sh")
+    )
     cc = H.md5cc(F.col("sh"))
     aggs = [
         F.min(F.substring(cc, 1 + 8 * i, 8)).alias(f"mh{i}") for i in range(N_HASHES)
@@ -92,10 +98,10 @@ def minhash_signatures_sql(table: str, text_col: str, id_col: str, k: int = 8) -
     aggs = ", ".join(
         f"MIN(substring({cc}, {1 + 8 * i}, 8)) AS mh{i}" for i in range(N_HASHES)
     )
-    return (
-        f"SELECT {id_col}, {aggs} FROM ({_shingle_rows_sql(table, text_col, id_col, k)}) s "
-        f"GROUP BY {id_col}"
+    rows = (
+        f"SELECT {id_col}, unnest({H.shingles_sql(text_col, k)}) AS sh FROM {table}"
     )
+    return f"SELECT {id_col}, {aggs} FROM ({rows}) s GROUP BY {id_col}"
 
 
 def lsh_candidate_pairs(
