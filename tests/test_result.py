@@ -121,3 +121,24 @@ def test_rollup_levels_consistent(spark, lineitem):
     merged = top.set_index("l_quantity_bin")["n"]
     for _, row in plain.iterrows():
         assert merged.get(row["l_quantity_bin"], 0) == row["l_quantity_histogram"]
+
+
+def test_merge_shards_equals_whole(spark, lineitem):
+    """Histogram addition: per-shard histograms merge exactly into the whole
+    (boost `+` / xarray arithmetic parity); weighted too."""
+    spec = Regular(10, 1.0, 51.0)
+    whole = histogram(lineitem, "l_quantity", spec, group_by=["l_returnflag"],
+                      weights="l_extendedprice")
+    h1 = histogram(lineitem.where(F.col("l_orderkey") % 2 == 0), "l_quantity",
+                   spec, group_by=["l_returnflag"], weights="l_extendedprice")
+    h2 = histogram(lineitem.where(F.col("l_orderkey") % 2 == 1), "l_quantity",
+                   spec, group_by=["l_returnflag"], weights="l_extendedprice")
+    merged = h1 + h2
+    a = _pdf(whole.df, ["l_returnflag", "l_quantity_bin"])
+    b = _pdf(merged.df, ["l_returnflag", "l_quantity_bin"])
+    assert a.equals(b[a.columns])
+    # stats + normalize still work on merged results
+    assert merged.median().count() == 3
+    assert merged.normalize().df.count() == a.shape[0]
+    with pytest.raises(ValueError):
+        h1.merge(histogram(lineitem, "l_quantity", Regular(5, 1.0, 51.0)))

@@ -418,6 +418,31 @@ register(
 )
 
 
+def _merge_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # histogram addition (boost `+` / xarray arithmetic): shard histograms
+    # merge exactly into the whole — oracle is simply the full histogram
+    df = t(spark, sf_dir, "lineitem")
+    spec = Regular(10, 1.0, 51.0)
+    h1 = histogramdd(
+        df.where(F.col("l_orderkey") % 2 == 0), ["l_quantity"], [spec],
+        group_by=["l_returnflag"],
+    )
+    h2 = histogramdd(
+        df.where(F.col("l_orderkey") % 2 == 1), ["l_quantity"], [spec],
+        group_by=["l_returnflag"],
+    )
+    return h1.merge(h2).df
+
+
+register(
+    "hist_merge_shards", _merge_fn,
+    orc.histogram_oracle_sql(
+        "lineitem", ["l_quantity"], [Regular(10, 1.0, 51.0)],
+        group_by=["l_returnflag"],
+    ),
+)
+
+
 from .plans.rollup import rollup_histogram, rollup_histogram_sql
 
 _RU_SPEC = Regular(10, 1.0, 51.0)

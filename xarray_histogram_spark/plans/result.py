@@ -181,6 +181,45 @@ class HistogramResult:
             raise ValueError("factor must be > 0 (monotonicity)")
         return self.apply_func(lambda e: e * factor, variable)
 
+    # ---- histogram addition (xarray DataArray arithmetic / boost `+`) ----
+    def merge(self, *others: "HistogramResult") -> "HistogramResult":
+        """Sum histograms with identical schema (specs, grouping, flow) —
+        the reference's DataArray addition; the merge of per-shard or
+        incremental histograms.  Exact in int_mode (integer addition)."""
+        for o in others:
+            if (
+                o.variables != self.variables
+                or o.specs != self.specs
+                or o.group_by != self.group_by
+                or o.flow != self.flow
+                or o.int_mode != self.int_mode
+                or o.divisor != self.divisor
+            ):
+                raise ValueError("merge needs identical histogram schemas")
+            if o.density or self.density:
+                raise ValueError("merge normalized histograms before normalize, not after")
+        keys = self.group_by + [f"{v}_bin" for v in self.variables]
+        keep = keys + [f"{v}_bins" for v in self.variables] + [
+            c for c in self._df.columns if c.startswith("__") and c != "__val"
+        ]
+        unioned = self._df
+        for o in others:
+            unioned = unioned.unionByName(o._df)
+        summed = unioned.groupBy(*keep).agg(F.sum("__val").alias("__val"))
+        vis = F.col("__val")
+        if self.int_mode and self.value_col.endswith("_histogram"):
+            # recompute the visible value like the planner does
+            storage_int = dict(self._df.dtypes).get(self.value_col) == "bigint"
+            if not storage_int:
+                vis = vis.cast("double")
+                if self.divisor != 1.0:
+                    vis = vis / F.lit(self.divisor)
+        out = summed.withColumn(self.value_col, vis)
+        return replace(self, _df=out)
+
+    def __add__(self, other: "HistogramResult") -> "HistogramResult":
+        return self.merge(other)
+
     # ---- distribution statistics (accessor.py:397-573); see plans.stats ----
     def mean(self, variable: Optional[str] = None) -> DataFrame:
         from . import stats
