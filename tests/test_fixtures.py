@@ -1,0 +1,231 @@
+"""FIXTURES.md parity matrix: the driver's described synthetic fixtures
+(F1 samples_1d, F2 samples_grid, F3 samples_pair, F4 samples_normal)
+exercised against numpy oracles with the reference's tolerances — the
+tabular analog of the reference's parametrized-grid tests (SURVEY §5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_histogram_spark import (
+    IntCategory,
+    Integer,
+    Regular,
+    StrCategory,
+    Variable,
+    histogram,
+    histogramdd,
+)
+
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def f1_samples_1d(spark):
+    rng = np.random.default_rng(SEED)
+    n = 10_000
+    val = rng.uniform(0, 1, n)
+    null_mask = rng.uniform(0, 1, n) < 0.01
+    rows = [
+        (
+            int(i),
+            None if null_mask[i] else float(val[i]),
+            int(rng.integers(0, 10)),
+            bool(rng.integers(0, 2)),
+            str(rng.choice(["a", "b", "c"])),
+            float(rng.uniform(0, 1)),
+        )
+        for i in range(n)
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "i: long, val: double, val_int: long, val_bool: boolean, "
+            "val_str: string, weight: double"
+        ).cache(),
+        np.where(null_mask, np.nan, val),
+    )
+
+
+def test_f1_regular_vs_numpy(f1_samples_1d):
+    df, val = f1_samples_1d
+    clean = val[~np.isnan(val)]
+    expected, _ = np.histogram(clean, bins=30, range=(0.0, 1.0))
+    r = histogram(df, "val", Regular(30, 0.0, 1.0))
+    got = np.array(
+        [row["val_histogram"] for row in r.df.orderBy("val_bin").collect()]
+    )
+    # boost half-open last bin vs numpy closed: atol=1 on the last bin
+    np.testing.assert_allclose(got[:-1], expected[:-1])
+    assert abs(got[-1] - expected[-1]) <= 1
+
+
+def test_f1_flow_combinations(f1_samples_1d):
+    df, val = f1_samples_1d
+    clean = val[~np.isnan(val)]
+    n_null = int(np.isnan(val).sum())
+    lo, hi = 0.2, 0.8
+    for under in (True, False):
+        for over in (True, False):
+            spec = Regular(6, lo, hi, underflow=under, overflow=over)
+            r = histogram(df, "val", spec, flow=True, storage="int64")
+            rows = {row["val_bin"]: row["val_histogram"] for row in r.df.collect()}
+            if under:
+                assert rows[-1] == (clean < lo).sum()
+            else:
+                assert -1 not in rows
+            if over:
+                # NaN/NULL → overflow
+                assert rows[6] == (clean >= hi).sum() + n_null
+            else:
+                assert 6 not in rows
+
+
+def test_f1_integer_intcat_bool_str(f1_samples_1d):
+    df, _ = f1_samples_1d
+    pdf = df.toPandas()
+    # Integer axis
+    r = histogram(df, "val_int", Integer(0, 10), storage="int64")
+    got = {row["val_int_bins"]: row["val_int_histogram"] for row in r.df.collect()}
+    for v in range(10):
+        assert got[v] == (pdf["val_int"] == v).sum()
+    # IntCategory with overflow
+    r2 = histogram(df, "val_int", IntCategory((2, 5, 8, 7)), flow=True,
+                   storage="int64")
+    got2 = {row["val_int_bin"]: row["val_int_histogram"] for row in r2.df.collect()}
+    assert got2[0] == (pdf["val_int"] == 2).sum()
+    assert got2[4] == (~pdf["val_int"].isin([2, 5, 8, 7])).sum()
+    # bool via Integer(0,2)
+    r3 = histogram(df, "val_bool", Integer(0, 2), storage="int64")
+    got3 = {row["val_bool_bins"]: row["val_bool_histogram"] for row in r3.df.collect()}
+    assert got3[0] == (~pdf["val_bool"]).sum() and got3[1] == pdf["val_bool"].sum()
+    # StrCategory
+    r4 = histogram(df, "val_str", StrCategory(("a", "b")), flow=True,
+                   storage="int64")
+    got4 = {row["val_str_bins"]: row["val_str_histogram"] for row in r4.df.collect()}
+    assert got4["a"] == (pdf["val_str"] == "a").sum()
+    assert got4["_flow_bin"] == (pdf["val_str"] == "c").sum()
+
+
+@pytest.fixture(scope="module")
+def f2_samples_grid(spark):
+    rng = np.random.default_rng(SEED)
+    rows = []
+    for x in range(4):
+        for y in range(5):
+            for w in range(20):
+                rows.append(
+                    (x, y, w, float(rng.uniform(0, 1)), float(rng.uniform(0, 1)))
+                )
+    return spark.createDataFrame(
+        rows, "x: int, y: int, w: int, val: double, weight: double"
+    ).cache()
+
+
+def test_f2_per_slice_decomposition(f2_samples_grid):
+    """Histogram grouped by (x, y) equals an independent histogram of every
+    (x, y) slice (reference tests/test_histogram.py:355-363)."""
+    spec = Regular(8, 0.0, 1.0)
+    whole = histogram(
+        f2_samples_grid, "val", spec, group_by=["x", "y"], storage="int64"
+    )
+    lookup = {
+        (r["x"], r["y"], r["val_bin"]): r["val_histogram"]
+        for r in whole.df.collect()
+    }
+    for x, y in [(0, 0), (2, 3), (3, 4)]:
+        sl = f2_samples_grid.where((F.col("x") == x) & (F.col("y") == y))
+        rs = histogram(sl, "val", spec, storage="int64")
+        for r in rs.df.collect():
+            assert lookup[(x, y, r["val_bin"])] == r["val_histogram"]
+
+
+def test_f2_weighted_grouped_vs_numpy(f2_samples_grid):
+    pdf = f2_samples_grid.toPandas()
+    spec = Regular(5, 0.0, 1.0)
+    r = histogram(
+        f2_samples_grid, "val", spec, weights="weight", group_by=["x"]
+    )
+    got = {(row["x"], row["val_bin"]): row["val_histogram"] for row in r.df.collect()}
+    for x in range(4):
+        sl = pdf[pdf["x"] == x]
+        w = np.round(sl["weight"].to_numpy() * 1e6)  # engine quantisation
+        exp, _ = np.histogram(
+            sl["val"], bins=5, range=(0.0, 1.0), weights=w / 1e6
+        )
+        for b in range(5):
+            assert got[(x, b)] == pytest.approx(exp[b], rel=1e-9, abs=2e-6)
+
+
+@pytest.fixture(scope="module")
+def f3_samples_pair(spark):
+    rng = np.random.default_rng(SEED)
+    n = 10_000
+    rows = []
+    for i in range(n):
+        var2 = float(rng.uniform(0, 1))  # function of i only
+        for r_ in range(2):
+            rows.append(
+                (i, r_, float(rng.uniform(0, 1)), var2, float(rng.uniform(0, 1)))
+            )
+    return spark.createDataFrame(
+        rows, "i: long, r: int, var1: double, var2: double, var3: double"
+    ).cache()
+
+
+def test_f3_broadcast_semantics(f3_samples_pair):
+    """var2 constant across the r dim: the 2-D histogram restricted to one r
+    slice equals the var2-marginal — the reference's broadcast test analog
+    (tests/test_histogram.py:477-506)."""
+    specs = [Regular(6, 0.0, 1.0), Regular(6, 0.0, 1.0)]
+    h = histogramdd(
+        f3_samples_pair, ["var1", "var2"], specs, group_by=["r"],
+        storage="int64",
+    )
+    pdf = h.df.toPandas()
+    # each r slice contains every i exactly once → var2 marginals match
+    m0 = pdf[pdf["r"] == 0].groupby("var2_bin")["var1_var2_histogram"].sum()
+    m1 = pdf[pdf["r"] == 1].groupby("var2_bin")["var1_var2_histogram"].sum()
+    assert (m0 == m1).all()
+
+
+def test_f3_3var(f3_samples_pair):
+    specs = [Regular(4, 0.0, 1.0)] * 3
+    h = histogramdd(
+        f3_samples_pair, ["var1", "var2", "var3"], specs, storage="int64"
+    )
+    total = h.df.agg(F.sum("var1_var2_var3_histogram")).first()[0]
+    assert total == f3_samples_pair.count()
+    assert h.df.count() == 64
+
+
+@pytest.fixture(scope="module")
+def f4_samples_normal(spark):
+    rng = np.random.default_rng(SEED)
+    rows = []
+    for g in range(10):
+        for v in rng.normal(5.0, 1.0, 1000):
+            rows.append((g, float(v)))
+    return spark.createDataFrame(rows, "g: int, val: double").cache(), rows
+
+
+def test_f4_stats_tolerance(f4_samples_normal):
+    """Hist-derived stats within half a bin width of raw per-group values
+    (reference tests/test_accessor.py:334-363), bins Regular(30, 0, 10)."""
+    df, rows = f4_samples_normal
+    spec = Regular(30, 0.0, 10.0)
+    half_bin = (10.0 - 0.0) / 30 / 2
+    h = histogram(df, "val", spec, group_by=["g"])
+    med = {r["g"]: r["val_median"] for r in h.median().collect()}
+    mean = {r["g"]: r["val_mean"] for r in h.mean().collect()}
+    std = {r["g"]: r["val_std"] for r in h.std().collect()}
+    import collections
+
+    by_g = collections.defaultdict(list)
+    for g, v in rows:
+        if 0.0 <= v < 10.0:
+            by_g[g].append(v)
+    for g in range(10):
+        arr = np.array(by_g[g])
+        assert abs(med[g] - np.median(arr)) < half_bin
+        assert abs(mean[g] - arr.mean()) < half_bin
+        assert abs(std[g] - arr.std()) < half_bin
