@@ -268,3 +268,36 @@ def test_per_slice_decomposition(lineitem):
         rs = histogram(sub, "l_quantity", spec)
         for row in rs.df.collect():
             assert whole[(flag, row["l_quantity_bin"])] == row["l_quantity_histogram"]
+
+
+def test_categories_from_data(lineitem):
+    """Growth-axis emulation: discover categories with a distinct scan, then
+    bin — no misses land in overflow."""
+    from xarray_histogram_spark.plans.histogram import categories_from_data
+
+    spec = categories_from_data(lineitem, "l_returnflag")
+    assert spec.categories == ("A", "N", "R")
+    r = histogram(lineitem, "l_returnflag", spec, flow=True, storage="int64")
+    rows = {row["l_returnflag_bins"]: row["l_returnflag_histogram"]
+            for row in r.df.collect()}
+    assert rows["_flow_bin"] == 0
+    assert sum(rows.values()) == lineitem.count()
+    ispec = categories_from_data(lineitem, "l_linenumber")
+    assert list(ispec.categories) == sorted(ispec.categories)
+    with pytest.raises(ValueError, match="distinct"):
+        categories_from_data(lineitem, "l_orderkey", max_categories=10)
+
+
+def test_ppf_vs_percentile_approx(lineitem):
+    """Histogram-derived ppf vs Spark's raw-data t-digest sketch — the
+    from-raw-data analog (SURVEY #28): agree within half a bin width."""
+    from pyspark.sql import functions as F
+
+    spec = Regular(40, 900.0, 105000.0)
+    h = histogram(lineitem, "l_extendedprice", spec)
+    got = h.ppf(0.9).collect()[0][0]
+    raw = lineitem.agg(
+        F.percentile_approx("l_extendedprice", 0.9, 10000)
+    ).first()[0]
+    half_bin = (105000.0 - 900.0) / 40 / 2
+    assert abs(got - raw) < half_bin

@@ -375,6 +375,33 @@ def _density_expr(
     )
 
 
+def categories_from_data(
+    df: DataFrame, col: str, max_categories: int = 10_000
+):
+    """Emulate the reference's growth axes (rejected under Dask,
+    core.py:266-269) with an explicit distinct scan: category axes need a
+    deterministic schema before aggregation under distribution, so growth
+    becomes discover-then-bin.  Returns a StrCategory/IntCategory over the
+    observed values (sorted for a stable bin order)."""
+    from ..binspec import IntCategory, StrCategory
+    from pyspark.sql import types as T
+
+    dt = {f.name: f.dataType for f in df.schema.fields}[col]
+    rows = (
+        df.select(col).where(F.col(col).isNotNull()).distinct()
+        .limit(max_categories + 1).collect()
+    )
+    if len(rows) > max_categories:
+        raise ValueError(
+            f"{col!r} has more than {max_categories} distinct values; "
+            "use an interval axis or raise max_categories"
+        )
+    vals = sorted(r[0] for r in rows)
+    if isinstance(dt, T.StringType):
+        return StrCategory(tuple(vals))
+    return IntCategory(tuple(vals))
+
+
 def histogram(
     df: DataFrame,
     col: str,
