@@ -133,3 +133,9 @@ def test_multimodal_stub_raises(spark, docs):
         mm.resize_image(media, 64, 64).collect()
     with pytest.raises(Exception, match="NotImplementedError|unavailable"):
         mm.extract_features(media, use_fake=False).collect()
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    exact = {r["vec_id"] for r in sim.cosine_topk(emb, 0, k=10).collect()}
+    approx = {r["vec_id"] for r in sim.ivf_topk(emb, 0, k=10).collect()}
+    assert len(exact & approx) >= 3

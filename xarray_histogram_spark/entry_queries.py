@@ -390,6 +390,11 @@ register(
     sim.ann_topk_sql("embeddings", query_id=0),
 )
 register(
+    "sim_ivf_topk",
+    lambda spark, sf_dir: sim.ivf_topk(t(spark, sf_dir, "embeddings"), query_id=0),
+    sim.ivf_topk_sql("embeddings", query_id=0),
+)
+register(
     "text_token_count",
     lambda spark, sf_dir: tx.token_count(t(spark, sf_dir, "documents"), "text", "doc_id"),
     tx.token_count_sql("documents", "text", "doc_id"),

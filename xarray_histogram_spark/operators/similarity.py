@@ -19,6 +19,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..binspec import flit
 from ..functions import vectors as V
@@ -146,6 +147,112 @@ def ann_topk_sql(
         f"SELECT {id_col}, {cos} AS cos FROM b JOIN qp ON b.bucket = qp.__pb "
         f"WHERE {id_col} <> {query_id} "
         f"ORDER BY cos DESC, {id_col} LIMIT {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer + inverted lists + nprobe
+# ---------------------------------------------------------------------------
+
+
+def _centroid_step(n_vectors_hint: int, k: int) -> int:
+    return max(1, n_vectors_hint // k)
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_centroids: int = 16,
+    n_hint: int = 512,
+) -> DataFrame:
+    """Coarse quantisation: centroids are a DETERMINISTIC id-strided sample
+    of the corpus (no k-means — iterative float training cannot be mirrored
+    bit-exactly in an oracle, and for ANN bucketing a fixed net of real data
+    points is a serviceable quantizer).  Each vector joins its nearest
+    centroid by exact cosine with (distance, centroid-id) row_number
+    tie-breaking — fully deterministic.  Returns (id, vec, cid)."""
+    step = _centroid_step(n_hint, k_centroids)
+    cents = df.where((F.col(id_col) % step) == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    cand = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(cents))
+    sim = V.cosine(F.col(vec_col), F.col("cv"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.col("cid"))
+    return (
+        cand.select(id_col, vec_col, "cid", sim.alias("sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_centroids: int = 16,
+    n_hint: int = 512,
+) -> DataFrame:
+    """IVF ANN search: probe the query's ``nprobe`` nearest inverted lists,
+    exact cosine inside them.  At scale the assignment is precomputed/stored
+    partitioned by cid, so a query reads nprobe partitions."""
+    assigned = ivf_assign(df, id_col, vec_col, k_centroids, n_hint)
+    step = _centroid_step(n_hint, k_centroids)
+    cents = df.where((F.col(id_col) % step) == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+    qsim = V.cosine(F.col("__qv"), F.col("cv"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("__qv", "cid", qsim.alias("sim"))
+        .orderBy(F.desc("sim"), F.col("cid"))
+        .limit(nprobe)
+        .select("__qv", "cid")
+    )
+    cand = assigned.join(F.broadcast(probes), "cid")
+    cos = V.cosine(F.col(vec_col), F.col("__qv"))
+    return (
+        cand.where(F.col(id_col) != query_id)
+        .select(F.col(id_col), cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk_sql(
+    table: str,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_centroids: int = 16,
+    n_hint: int = 512,
+) -> str:
+    step = _centroid_step(n_hint, k_centroids)
+    sim_vc = V.cosine_sql(vec_col, "cv")
+    sim_qc = V.cosine_sql("__qv", "cv")
+    cos = V.cosine_sql(vec_col, "__qv")
+    return (
+        f"WITH cents AS (SELECT {id_col} AS cid, {vec_col} AS cv FROM {table} "
+        f"WHERE {id_col} % {step} = 0), "
+        f"assigned AS (SELECT {id_col}, {vec_col}, cid FROM ("
+        f"SELECT t.{id_col}, t.{vec_col}, c.cid, "
+        f"ROW_NUMBER() OVER (PARTITION BY t.{id_col} "
+        f"ORDER BY {sim_vc} DESC, c.cid) AS rn "
+        f"FROM {table} t CROSS JOIN cents c) a WHERE rn = 1), "
+        f"q AS (SELECT {vec_col} AS __qv FROM {table} WHERE {id_col} = {query_id}), "
+        f"probes AS (SELECT __qv, cid FROM q CROSS JOIN cents "
+        f"ORDER BY {sim_qc} DESC, cid LIMIT {nprobe}) "
+        f"SELECT a.{id_col}, {cos} AS cos "
+        f"FROM assigned a JOIN probes p ON a.cid = p.cid "
+        f"WHERE a.{id_col} <> {query_id} "
+        f"ORDER BY cos DESC, a.{id_col} LIMIT {k}"
     )
 
 
