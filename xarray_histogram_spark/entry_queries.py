@@ -678,8 +678,10 @@ def _streaming_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    # epoch-seconds window key: integer-typed on both engines, immune to
+    # timestamp-unit differences (Spark ns vs DuckDB µs) in the value hash
     return spark.table(name).select(
-        "window_start",
+        F.unix_timestamp("window_start").cast("bigint").alias("window_start_s"),
         "value_bin",
         "value_bins",
         F.col("count").alias("n"),
@@ -692,12 +694,13 @@ def _streaming_window_sql() -> str:
     bucket = _ST_SPEC.raw_id_sql("value")
     spine = _spine_values("value", _ST_SPEC, False)
     return (
-        f"WITH raw AS (SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, "
+        f"WITH raw AS (SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) "
+        f"AS BIGINT) AS window_start_s, "
         f"{bucket} AS value_bin FROM events), "
-        f"agg AS (SELECT window_start, value_bin, CAST(COUNT(*) AS DOUBLE) AS n "
+        f"agg AS (SELECT window_start_s, value_bin, CAST(COUNT(*) AS DOUBLE) AS n "
         f"FROM raw WHERE value_bin BETWEEN 0 AND {_ST_SPEC.n - 1} "
-        f"GROUP BY window_start, value_bin) "
-        f"SELECT agg.window_start, agg.value_bin, sp.value_bins, agg.n "
+        f"GROUP BY window_start_s, value_bin) "
+        f"SELECT agg.window_start_s, agg.value_bin, sp.value_bins, agg.n "
         f"FROM agg JOIN (SELECT * FROM {spine}) sp ON agg.value_bin = sp.value_bin"
     )
 
