@@ -28,6 +28,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load for compute-heavy per-row kernels (shingling, hashing).
+
+    The small-SF fixture tables are single parquet files → one scan split,
+    so hash kernels would run single-threaded.  Round-robin to all cores
+    when the scan is narrower than the cluster; at production scale the
+    scan already has thousands of splits and this branch never fires.
+    Only used by ops whose results are distribution-independent
+    (min/count/int-sum aggregates, per-row projections)."""
+    df = t(spark, sf_dir, name)
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
+
+
 # registry: name -> (fn, oracle_sql_or_None)
 _REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {}
 
@@ -345,33 +361,33 @@ from .operators import text as tx
 
 register(
     "dedup_exact",
-    lambda spark, sf_dir: dd.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id"),
+    lambda spark, sf_dir: dd.exact_dedup(t_wide(spark, sf_dir, "documents"), "text", "doc_id"),
     dd.exact_dedup_sql("documents", "text", "doc_id"),
 )
 register(
     "dedup_minhash_pairs",
     lambda spark, sf_dir: dd.lsh_candidate_pairs(
-        t(spark, sf_dir, "documents"), "text", "doc_id"
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id"
     ),
     dd.lsh_candidate_pairs_sql("documents", "text", "doc_id"),
 )
 register(
     "dedup_jaccard",
     lambda spark, sf_dir: dd.jaccard_pairs(
-        t(spark, sf_dir, "documents"), "text", "doc_id"
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id"
     ),
     dd.jaccard_pairs_sql("documents", "text", "doc_id"),
 )
 register(
     "dedup_near_keep",
     lambda spark, sf_dir: dd.near_dedup_keep(
-        t(spark, sf_dir, "documents"), "text", "doc_id"
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id"
     ),
     dd.near_dedup_keep_sql("documents", "text", "doc_id"),
 )
 register(
     "dedup_simhash",
-    lambda spark, sf_dir: dd.simhash(t(spark, sf_dir, "documents"), "text", "doc_id"),
+    lambda spark, sf_dir: dd.simhash(t_wide(spark, sf_dir, "documents"), "text", "doc_id"),
     dd.simhash_sql("documents", "text", "doc_id"),
 )
 register(
@@ -396,28 +412,28 @@ register(
 )
 register(
     "text_token_count",
-    lambda spark, sf_dir: tx.token_count(t(spark, sf_dir, "documents"), "text", "doc_id"),
+    lambda spark, sf_dir: tx.token_count(t_wide(spark, sf_dir, "documents"), "text", "doc_id"),
     tx.token_count_sql("documents", "text", "doc_id"),
 )
 register(
     "text_quality",
-    lambda spark, sf_dir: tx.quality_score(t(spark, sf_dir, "documents"), "text", "doc_id"),
+    lambda spark, sf_dir: tx.quality_score(t_wide(spark, sf_dir, "documents"), "text", "doc_id"),
     tx.quality_score_sql("documents", "text", "doc_id"),
 )
 register(
     "text_langid",
-    lambda spark, sf_dir: tx.lang_id(t(spark, sf_dir, "documents"), "text", "doc_id"),
+    lambda spark, sf_dir: tx.lang_id(t_wide(spark, sf_dir, "documents"), "text", "doc_id"),
     tx.lang_id_sql("documents", "text", "doc_id"),
 )
 register(
     "text_fingerprint",
-    lambda spark, sf_dir: tx.fingerprint(t(spark, sf_dir, "documents"), "text", "doc_id"),
+    lambda spark, sf_dir: tx.fingerprint(t_wide(spark, sf_dir, "documents"), "text", "doc_id"),
     tx.fingerprint_sql("documents", "text", "doc_id"),
 )
 register(
     "mm_decode_meta",
     lambda spark, sf_dir: mm.decode_meta(
-        mm.as_media(t(spark, sf_dir, "documents"), "doc_id", "text", "text/plain")
+        mm.as_media(t_wide(spark, sf_dir, "documents"), "doc_id", "text", "text/plain")
     ),
     mm.decode_meta_sql("documents", "doc_id", "text"),
 )

@@ -70,19 +70,42 @@ def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFram
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = 8
 ) -> DataFrame:
-    """Per-doc MinHash signature: 8 string-min slices over shingle md5s.
+    """Per-doc MinHash signature: 8 string-min slices over shingle md5s,
+    computed **per row with zero shuffle** — the md5cc array over all
+    shingles is built once (codegen subexpression elimination shares it
+    across the 8 slices) and each slice is an ``array_min``.
 
-    No shingle-distinct pass: MIN is idempotent under duplicates, so the
-    dedupe shuffle would only add cost (Jaccard, which needs true sets,
-    keeps its own distinct)."""
-    sh = df.select(
-        F.col(id_col), F.explode(H.shingles(F.col(text_col), k)).alias("sh")
+    Values are bit-identical to the explode + groupBy formulation (the same
+    lexicographic min over the same multiset), so the DuckDB oracle mirror
+    is unchanged.  No shingle-distinct pass either: MIN is idempotent under
+    duplicates (Jaccard, which needs true sets, keeps its own distinct).
+    At scale this makes signatures a pure map stage — the only shuffle in
+    the LSH pipeline is the (4 rows/doc) band-key join."""
+    # NOTE: this must stay a SINGLE nested-lambda output column expanded by
+    # element_at in a second select.  Spark 4.1.2's analyzer mis-resolves
+    # lambda variables when several output columns each contain nested
+    # higher-order functions (array_min(transform(transform(...))) per mh_i
+    # silently yields '') — one aggregate over the md5cc array is both
+    # correct and a single pass over the shingles.
+    cc_arr = F.transform(H.shingles(F.col(text_col), k), lambda s: H.md5cc(s))
+    init = F.array_repeat(F.lit("g"), N_HASHES)  # 'g' > every lowercase hex string
+    sig = F.aggregate(
+        cc_arr,
+        init,
+        lambda acc, c: F.array(
+            *[
+                F.least(F.element_at(acc, i + 1), F.substring(c, 1 + 8 * i, 8))
+                for i in range(N_HASHES)
+            ]
+        ),
     )
-    cc = H.md5cc(F.col("sh"))
-    aggs = [
-        F.min(F.substring(cc, 1 + 8 * i, 8)).alias(f"mh{i}") for i in range(N_HASHES)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return df.select(F.col(id_col), sig.alias("_sig")).select(
+        F.col(id_col),
+        *[
+            F.element_at(F.col("_sig"), i + 1).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ],
+    )
 
 
 def _shingle_rows_sql(table: str, text_col: str, id_col: str, k: int) -> str:
