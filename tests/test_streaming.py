@@ -87,6 +87,54 @@ def test_weighted_streaming_hist(spark, events_ts):
     assert sum(r["count"] for r in out) > 0
 
 
+def test_stateful_cumulative_histogram(spark, events_ts):
+    """applyInPandasWithState operator: dense per-key snapshots whose final
+    state (after 3 micro-batches) equals the batch histogram."""
+    from xarray_histogram_spark import histogram
+    from xarray_histogram_spark.streaming.stateful import (
+        latest_snapshot,
+        stateful_cumulative_histogram,
+    )
+
+    src = tempfile.mkdtemp(prefix="xhs_state_src_")
+    ckpt = tempfile.mkdtemp(prefix="xhs_state_ckpt_")
+    data = events_ts.select("event_type", "value")
+    data.repartition(3).write.mode("overwrite").parquet(src)
+    sdf = (
+        spark.readStream.schema(data.schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple batches → state merges
+        .parquet(src)
+    )
+    out = stateful_cumulative_histogram(sdf, "value", SPEC, "event_type")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("xhs_stateful_test")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = spark.sql("SELECT * FROM xhs_stateful_test")
+    n_keys = data.select("event_type").distinct().count()
+    # more emissions than one snapshot per key → state really spanned batches
+    assert emitted.count() > n_keys * SPEC.n
+
+    final = latest_snapshot(emitted, "event_type")
+    batch = histogram(data, "value", SPEC, group_by=["event_type"]).df
+
+    def key(rows):
+        return sorted(
+            ((r["event_type"], r["value_bin"]), r["value_bins"], r["value_histogram"])
+            for r in rows
+        )
+
+    got, want = final.collect(), batch.collect()
+    assert len(got) == n_keys * SPEC.n
+    assert key(got) == key(want)
+
+
 def test_dense_fill(spark, events_ts):
     sparse = streaming_histogram(
         events_ts, "value", SPEC, "ts", window_duration="1 day",

@@ -724,6 +724,48 @@ def _streaming_window_sql() -> str:
 register("streaming_window_hist", _streaming_window_fn, _streaming_window_sql())
 
 
+def _streaming_stateful_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): cumulative dense
+    per-key histogram, state merged across 3 forced micro-batches; the final
+    snapshot per key must hash-match the batch dense-histogram oracle."""
+    import tempfile
+    import uuid
+
+    from .streaming.stateful import latest_snapshot, stateful_cumulative_histogram
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    data = t(spark, sf_dir, "events").select("event_type", "value")
+    src = tempfile.mkdtemp(prefix="xhs_stateful_src_")
+    ckpt = tempfile.mkdtemp(prefix="xhs_stateful_ckpt_")
+    data.repartition(3).write.mode("overwrite").parquet(src)
+    sdf = (
+        spark.readStream.schema(data.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_cumulative_histogram(sdf, "value", _ST_SPEC, "event_type")
+    name = "xhs_stateful_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return latest_snapshot(spark.table(name), "event_type")
+
+
+register(
+    "streaming_stateful_hist",
+    _streaming_stateful_fn,
+    orc.histogram_oracle_sql(
+        "events", ["value"], [_ST_SPEC], group_by=["event_type"]
+    ),
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped weighted histogram — the minimum end-to-end slice of SURVEY §7
     plus grouping and weights."""
