@@ -127,3 +127,64 @@ def test_variable_binary_equals_linear(spark, values):
     lin = Variable(edges)
     bin_ = Variable(edges, binary=True)
     assert spark_ids(spark, lin, values) == spark_ids(spark, bin_, values)
+
+
+# ---------------------------------------------------------------------------
+# keep_pred_col ≡ id-range filter (the raw-value keep predicate used to avoid
+# re-evaluating bucketize in the filter must keep EXACTLY the rows whose raw
+# id lies in keep_range)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+def _kept_sets(spark, spec, values, typ, flow):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], f"i: int, x: {typ}"
+    )
+    lo, hi = spec.keep_range(flow)
+    by_id = df.where(
+        spec.raw_id_col(F.col("x")).between(F.lit(lo), F.lit(hi))
+    )
+    pred = spec.keep_pred_col(F.col("x"), flow)
+    by_pred = df.where(pred) if pred is not None else df
+    key = lambda d: sorted(r["i"] for r in d.select("i").collect())
+    return key(by_id), key(by_pred)
+
+
+def _float_grid(lo, hi):
+    return [
+        None, float("nan"), float("inf"), float("-inf"),
+        lo, hi, (lo + hi) / 2.0,
+        float(np.nextafter(lo, -np.inf)), float(np.nextafter(lo, np.inf)),
+        float(np.nextafter(hi, -np.inf)), float(np.nextafter(hi, np.inf)),
+        0.0, -0.0, 1e308, -1e308,
+    ]
+
+
+@pytest.mark.parametrize("flow", [False, True])
+@pytest.mark.parametrize(
+    "spec,typ,values",
+    [
+        (Regular(7, 2.0, 9.5), "double", _float_grid(2.0, 9.5)),
+        (Regular(5, 1.0, 1000.0, transform="log"), "double",
+         _float_grid(1.0, 1000.0) + [-3.0, 0.5]),
+        (Regular(5, 1.0, 1000.0, transform="log", exact=True), "double",
+         _float_grid(1.0, 1000.0) + [-3.0, 0.5]),
+        (Regular(4, 0.0, 16.0, transform="sqrt"), "double",
+         _float_grid(0.0, 16.0) + [-4.0]),
+        (Variable((0.0, 0.5, 2.25, 7.0)), "double", _float_grid(0.0, 7.0)),
+        (Variable((0.0, 0.5, 2.25, 7.0), binary=True), "double",
+         _float_grid(0.0, 7.0)),
+        (Integer(-2, 5), "bigint",
+         [None, -3, -2, -1, 0, 4, 5, 6, (1 << 62)]),
+        (IntCategory((3, 1, 7)), "bigint", [None, 1, 2, 3, 7, -7, 0]),
+        (StrCategory(("N", "R")), "string", [None, "N", "R", "x", "", "NN"]),
+    ],
+    ids=lambda p: str(getattr(p, "__class__", type(p)).__name__)[:12]
+    if isinstance(p, (Regular, Variable, Integer, IntCategory, StrCategory))
+    else None,
+)
+def test_keep_pred_equals_id_filter(spark, spec, typ, values, flow):
+    by_id, by_pred = _kept_sets(spark, spec, values, typ, flow)
+    assert by_id == by_pred

@@ -153,6 +153,29 @@ class BinSpec:
     def validate_dtype(self, dt: T.DataType, col: str) -> None:
         raise NotImplementedError
 
+    def _raw_id_min(self) -> int:
+        """Smallest id ``raw_id_col`` can emit (-1 for interval axes,
+        0 for category axes, which have no underflow)."""
+        return -1
+
+    def keep_pred_col(self, c: Column, flow: bool) -> Optional[Column]:
+        """Raw-VALUE predicate equivalent to ``raw_id_col(c) ∈ keep_range``.
+
+        Filtering on the raw column instead of the computed id matters:
+        Catalyst pushes the keep filter below the bucketize projection by
+        substituting the id expression into both BETWEEN bounds, so the
+        (potentially expensive) bucketize CASE would be evaluated ~3× per
+        row.  A direct range/membership predicate on the value is evaluated
+        once, stays cheap in codegen, and can push into the parquet scan.
+        ``None`` means every raw id is kept (no filter needed).  Subclasses
+        override; this fallback re-evaluates the id expression and is only
+        hit for unusual partial-flow configurations.
+        """
+        lo, hi = self.keep_range(flow)
+        if lo <= self._raw_id_min() and hi >= self.n:
+            return None
+        return self.raw_id_col(c).between(F.lit(lo), F.lit(hi))
+
     def label_sql_lit(self, label: Any) -> str:
         if self.label_type == "double":
             return flit(label)
@@ -323,6 +346,24 @@ class Regular(BinSpec):
             return _edge_scan_id_col(c, self.edges())
         return self._linear_id_col(c)
 
+    def keep_pred_col(self, c: Column, flow: bool) -> Optional[Column]:
+        lo_id, hi_id = self.keep_range(flow)
+        if lo_id == -1 and hi_id == self.n:
+            return None
+        if (lo_id, hi_id) != (0, self.n - 1):
+            return super().keep_pred_col(c, flow)
+        if self.transform is not None and not self.exact:
+            # the fast transform path buckets the TRANSFORMED value, so the
+            # keep set must be decided by the same comparisons (log(x) vs
+            # log(lo)) — a value-space bound could disagree by a libm ulp.
+            # NULL/NaN/out-of-domain transform results all fail the range.
+            y = (F.log if self.transform == "log" else F.sqrt)(c.cast("double"))
+            return (y >= F.lit(self._tf(self.lo))) & (y < F.lit(self._tf(self.hi)))
+        # linear & exact edge-scan: endpoints are pinned to lo/hi, so
+        # id ∈ [0, n-1] ⟺ lo <= x < hi; NULL and NaN both fail the range
+        x = c.cast("double")
+        return (x >= F.lit(float(self.lo))) & (x < F.lit(float(self.hi)))
+
     def raw_id_sql(self, expr: str) -> str:
         if self.transform is not None and self.exact:
             return _edge_scan_id_sql(expr, self.edges())
@@ -482,6 +523,19 @@ class Variable(BinSpec):
         # edge-scan maps x < e0 to -1 already (count 0 - 1); x >= en to n
         return _edge_scan_id_col(c, self.edges_)
 
+    def keep_pred_col(self, c: Column, flow: bool) -> Optional[Column]:
+        lo_id, hi_id = self.keep_range(flow)
+        if lo_id == -1 and hi_id == self.n:
+            return None
+        if (lo_id, hi_id) != (0, self.n - 1):
+            return super().keep_pred_col(c, flow)
+        # both scan variants compare x against the edges directly, so
+        # id ∈ [0, n-1] ⟺ e0 <= x < e_n; NULL and NaN both fail the range
+        x = c.cast("double")
+        return (x >= F.lit(float(self.edges_[0]))) & (
+            x < F.lit(float(self.edges_[-1]))
+        )
+
     def raw_id_sql(self, expr: str) -> str:
         if self.binary:
             return _bsearch_id_sql(expr, self.edges_)
@@ -555,6 +609,15 @@ class Integer(BinSpec):
             f"ELSE CAST({x} - {self.lo} AS INT) END"
         )
 
+    def keep_pred_col(self, c: Column, flow: bool) -> Optional[Column]:
+        lo_id, hi_id = self.keep_range(flow)
+        if lo_id == -1 and hi_id == self.n:
+            return None
+        if (lo_id, hi_id) != (0, self.n - 1):
+            return super().keep_pred_col(c, flow)
+        x = c.cast("bigint")
+        return (x >= F.lit(int(self.lo))) & (x < F.lit(int(self.hi)))
+
     def to_dict(self) -> dict:
         return {
             "kind": "integer",
@@ -618,6 +681,17 @@ class IntCategory(BinSpec):
             f"ELSE {self.n} END"
         )
 
+    def _raw_id_min(self) -> int:
+        return 0
+
+    def keep_pred_col(self, c: Column, flow: bool) -> Optional[Column]:
+        lo_id, hi_id = self.keep_range(flow)
+        if lo_id == 0 and hi_id == self.n:
+            return None
+        # flow=False: keep = category membership (NULL/miss → overflow → drop)
+        arr = F.array(*[F.lit(int(v)) for v in self.categories])
+        return F.array_contains(arr, c.cast("bigint"))
+
     def to_dict(self) -> dict:
         return {"kind": "intcategory", "categories": list(self.categories),
                 "overflow": self.overflow}
@@ -673,6 +747,16 @@ class StrCategory(BinSpec):
             f"WHEN {pos} > 0 THEN CAST({pos} - 1 AS INT) "
             f"ELSE {self.n} END"
         )
+
+    def _raw_id_min(self) -> int:
+        return 0
+
+    def keep_pred_col(self, c: Column, flow: bool) -> Optional[Column]:
+        lo_id, hi_id = self.keep_range(flow)
+        if lo_id == 0 and hi_id == self.n:
+            return None
+        arr = F.array(*[F.lit(v) for v in self.categories])
+        return F.array_contains(arr, c)
 
     def to_dict(self) -> dict:
         return {"kind": "strcategory", "categories": list(self.categories),

@@ -53,10 +53,9 @@ def rollup_histogram(
     if not group_by:
         raise ValueError("rollup_histogram needs at least one group column")
     bid = spec.raw_id_col(F.col(col)).alias(id_col(col))
-    lo, hi = spec.keep_range(flow)
-    base = df.select(*[F.col(g) for g in group_by], bid).where(
-        F.col(id_col(col)).between(F.lit(lo), F.lit(hi))
-    )
+    pred = spec.keep_pred_col(F.col(col), flow)
+    src = df.where(pred) if pred is not None else df
+    base = src.select(*[F.col(g) for g in group_by], bid)
     sets = [
         [F.col(g) for g in gs] + [F.col(id_col(col))]
         for gs in _group_sets(group_by, cube)

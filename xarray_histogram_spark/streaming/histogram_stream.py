@@ -60,13 +60,15 @@ def streaming_histogram(
         else F.window(ts_col, window_duration)
     )
     bin_id = spec.raw_id_col(F.col(col)).alias(id_col(col))
-    lo, hi = spec.keep_range(flow)
+    pred = spec.keep_pred_col(F.col(col), flow)
+    if pred is not None:
+        sdf = sdf.where(pred)
     base = sdf.select(
         win.alias("__w"),
         *[F.col(g) for g in group_by],
         bin_id,
         *([F.col(weights).alias("__wt")] if weights else []),
-    ).where(F.col(id_col(col)).between(F.lit(lo), F.lit(hi)))
+    )
     if weights is not None:
         if weight_scale is not None:
             val = (

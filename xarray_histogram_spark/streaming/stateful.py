@@ -105,9 +105,11 @@ def stateful_cumulative_histogram(
             }
         )
 
-    bucketized = sdf.select(
+    pred = spec.keep_pred_col(F.col(col), flow)
+    src = sdf.where(pred) if pred is not None else sdf
+    bucketized = src.select(
         F.col(key_col), spec.raw_id_col(F.col(col)).alias("__bin")
-    ).where(F.col("__bin").between(F.lit(lo), F.lit(hi)))
+    )
     return bucketized.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
