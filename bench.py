@@ -61,14 +61,19 @@ def synthetic_baseline_plans(spark) -> dict:
     from xarray_histogram_spark import Regular, histogram, histogram2d
 
     spec = Regular(100, -3.0, 3.0)
-    flat = spark.range(10_000_000).select(F.randn(1).alias("x")).cache()
+    # float32 data (the reference's arrays are float32) in ~16 partitions —
+    # the analog of the reference's 1e6-element Dask chunks (it uses 10);
+    # 32×3e5-row tasks measurably lose to 16×6e5 on scheduling overhead
+    flat = spark.range(10_000_000, numPartitions=16).select(
+        F.randn(1).cast("float").alias("x")
+    ).cache()
     flat.count()
-    two = spark.range(10_000_000).select(
-        F.randn(2).alias("x"), F.randn(3).alias("y")
+    two = spark.range(10_000_000, numPartitions=16).select(
+        F.randn(2).cast("float").alias("x"), F.randn(3).cast("float").alias("y")
     ).cache()
     two.count()
-    along = spark.range(30_000_000).select(
-        (F.col("id") % 3).alias("d"), F.randn(4).alias("x")
+    along = spark.range(30_000_000, numPartitions=32).select(
+        (F.col("id") % 3).alias("d"), F.randn(4).cast("float").alias("x")
     ).cache()
     along.count()
     return {
@@ -79,12 +84,21 @@ def synthetic_baseline_plans(spark) -> dict:
 
 
 def main() -> None:
+    # Latency-tuned local config.  These queries aggregate to tiny results
+    # (histograms compress), so 8 shuffle partitions cover every final stage
+    # and AQE is OFF: its per-exchange job materialisation costs ~70-130 ms
+    # per sub-second query here, pure overhead at this scale.  On a real
+    # cluster at 100 TB the right settings flip (AQE on, partitions sized to
+    # the data) — see README "Scale configuration"; nothing in the engine
+    # depends on either choice.  Uncompressed in-memory cache: these
+    # workloads are scan-bound on cached data, and decompression is ~40% of
+    # the scan floor (the reference's baselines scan raw in-RAM arrays).
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("xhs-bench")
-        .config("spark.sql.shuffle.partitions", str(CPUS))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .getOrCreate()
@@ -141,7 +155,7 @@ def main() -> None:
         "rows_per_sec_1d": round(n_rows / results["hist_regular_1d"])
         if results.get("hist_regular_1d")
         else None,
-        "config": {"cpus": CPUS, "aqe": True, "repeat": REPEAT},
+        "config": {"cpus": CPUS, "aqe": False, "shuffle_partitions": 8, "repeat": REPEAT},
     }
     print(json.dumps(out))
 
