@@ -86,8 +86,10 @@ def test_cosine_topk_self_similarity(spark, emb):
 def test_ann_recall_vs_bruteforce(spark, emb):
     exact = {r["vec_id"] for r in sim.cosine_topk(emb, 0, k=10).collect()}
     approx = {r["vec_id"] for r in sim.ann_topk(emb, 0, k=10).collect()}
-    # same-bucket ANN keeps decent recall on 4 planes
-    assert len(exact & approx) >= 3
+    # query-directed multiprobe (22 of 64 buckets): numpy prototype measured
+    # 8/10 for this query, 5.8/10 mean over 60 queries; slack for fold-order
+    # float differences vs the prototype
+    assert len(exact & approx) >= 5
 
 
 def test_token_count_values(spark, docs):
