@@ -142,3 +142,68 @@ def test_merge_shards_equals_whole(spark, lineitem):
     assert merged.normalize().df.count() == a.shape[0]
     with pytest.raises(ValueError):
         h1.merge(histogram(lineitem, "l_quantity", Regular(5, 1.0, 51.0)))
+
+
+# ---------------------------------------------------------------------------
+# dense exports (migration surface — the reference returns dense arrays)
+# ---------------------------------------------------------------------------
+
+
+def test_to_numpy_matches_collected_df(spark, lineitem):
+    import numpy as np
+
+    spec = Regular(10, 1.0, 51.0)
+    r = histogram(lineitem, "l_quantity", spec)
+    a = r.to_numpy()
+    byid = {
+        row["l_quantity_bin"]: row["l_quantity_histogram"]
+        for row in r.df.collect()
+    }
+    assert a.shape == (10,)
+    assert [a[i] for i in range(10)] == [byid[i] for i in range(10)]
+    # flow layout: underflow first, overflow last (reference coordinate order)
+    rf = histogram(lineitem, "l_quantity", spec, flow=True)
+    af = rf.to_numpy()
+    assert af.shape == (12,)
+    byidf = {
+        row["l_quantity_bin"]: row["l_quantity_histogram"]
+        for row in rf.df.collect()
+    }
+    assert af[0] == byidf[-1] and af[-1] == byidf[10]
+    assert np.nansum(af) >= np.nansum(a)
+
+
+def test_to_numpy_grouped_pivot(spark, lineitem):
+    spec = Regular(5, 1.0, 51.0)
+    r = histogram(lineitem, "l_quantity", spec, group_by=["l_returnflag"])
+    vals, dims, coords = r._dense_pivot()
+    assert dims == ["l_returnflag", "l_quantity_bins"]
+    assert vals.shape == (len(coords["l_returnflag"]), 5)
+    # spot-check one cell against the DataFrame
+    flag = coords["l_returnflag"][0]
+    row = r.df.where(
+        (F.col("l_returnflag") == flag) & (F.col("l_quantity_bin") == 2)
+    ).collect()[0]
+    assert vals[0, 2] == row["l_quantity_histogram"]
+
+
+def test_to_pandas_ordering(spark, lineitem):
+    r = histogram(lineitem, "l_quantity", Regular(10, 1.0, 51.0),
+                  group_by=["l_returnflag"])
+    pdf = r.to_pandas()
+    assert list(pdf.columns)[0] == "l_returnflag"
+    assert pdf["l_returnflag"].is_monotonic_increasing
+    per = pdf.groupby("l_returnflag")["l_quantity_bin"].apply(list)
+    assert all(v == sorted(v) for v in per)
+
+
+def test_to_xarray_reference_conventions(spark, lineitem):
+    xr = pytest.importorskip("xarray")
+    r = histogram(lineitem, "l_quantity", Regular(10, 1.0, 51.0), flow=True)
+    da = r.to_xarray()
+    assert da.name == "l_quantity_histogram"
+    assert list(da.dims) == ["l_quantity_bins"]
+    at = da.coords["l_quantity_bins"].attrs
+    assert at["bin_type"] == "Regular"
+    assert at["underflow"] == 1 and at["overflow"] == 1
+    assert at["right_edge"] == 51.0

@@ -260,3 +260,82 @@ class HistogramResult:
         from . import stats
 
         return stats.interval(self, confidence, variable)
+
+    # ---- dense exports (migration surface: the reference RETURNS a dense
+    # labelled array; these collect the bin-bounded result — never raw data —
+    # and rebuild that exact shape driver-side) ----
+    def to_pandas(self):
+        """Collect the result ordered by (group keys, bin ids) — flow bins
+        first/last like the reference's coordinates (underflow leads,
+        overflow trails, core.py:524-587)."""
+        order = self.group_by + [f"{v}_bin" for v in self.variables]
+        return self.df.orderBy(*order).toPandas()
+
+    def _dense_pivot(self):
+        """(values ndarray, dim names, coords dict).  Shape = (sorted
+        distinct observed values per group column…, bin extents…); group
+        combinations never observed are NaN-filled (the reference cannot
+        produce them — its loop dims come from a dense array)."""
+        import numpy as np
+        import pandas as pd
+
+        bid = [f"{v}_bin" for v in self.variables]
+        pdf = self.df.orderBy(*self.group_by, *bid).toPandas()
+        labels = {v: self.specs[v].labels(flow=self.flow) for v in self.variables}
+        ids = {
+            v: [b.id for b in self.specs[v].bins(self.flow)]
+            for v in self.variables
+        }
+        dims = list(self.group_by) + [f"{v}_bins" for v in self.variables]
+        coords: dict = {}
+        levels = []
+        for g in self.group_by:
+            uniq = sorted(pdf[g].dropna().unique().tolist())
+            coords[g] = uniq
+            levels.append(uniq)
+        for v in self.variables:
+            coords[f"{v}_bins"] = labels[v]
+            levels.append(ids[v])
+        shape = tuple(len(l) for l in levels)
+        series = pdf.set_index(self.group_by + bid)[self.value_col]
+        if len(levels) == 1:
+            series = series.reindex(levels[0])
+        else:
+            series = series.reindex(pd.MultiIndex.from_product(levels))
+        return series.to_numpy().reshape(shape), dims, coords
+
+    def to_numpy(self):
+        """Dense ndarray shaped (group dims…, bin dims…), reference array
+        layout (underflow first, overflow last along each bin dim)."""
+        return self._dense_pivot()[0]
+
+    def to_xarray(self):
+        """The reference's exact output object: a DataArray named
+        ``<vars>_{histogram|pdf}`` with ``<var>_bins`` coordinates carrying
+        ``bin_type`` / ``right_edge`` / ``underflow`` / ``overflow`` attrs
+        (core.py:524-591, accessor.py:25-47).  Requires xarray (optional
+        dependency)."""
+        try:
+            import xarray as xr
+        except ImportError as e:  # pragma: no cover - xarray optional
+            raise ImportError(
+                "to_xarray() needs the optional xarray package"
+            ) from e
+
+        values, dims, coords = self._dense_pivot()
+        da = xr.DataArray(
+            values, dims=dims, coords=coords, name=self.value_col
+        )
+        for v in self.variables:
+            s = self.specs[v]
+            emitted = s.bins(self.flow)
+            attrs = {
+                "bin_type": type(s).__name__,
+                "underflow": int(any(b.id == -1 for b in emitted)),
+                "overflow": int(any(b.id == s.n for b in emitted)),
+            }
+            edges = s.edges()
+            if edges is not None and type(s).__name__ in ("Regular", "Variable"):
+                attrs["right_edge"] = edges[-1]
+            da.coords[f"{v}_bins"].attrs.update(attrs)
+        return da
