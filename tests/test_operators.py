@@ -141,3 +141,23 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     exact = {r["vec_id"] for r in sim.cosine_topk(emb, 0, k=10).collect()}
     approx = {r["vec_id"] for r in sim.ivf_topk(emb, 0, k=10).collect()}
     assert len(exact & approx) >= 3
+
+
+def test_ann_indexed_equals_raw(spark, emb, tmp_path):
+    """Persisted bucket-partitioned index + driver-ranked probes must return
+    the EXACT ann_topk result (same probe set, same cosine), and the scan
+    must be partition-pruned on the probe buckets."""
+    path = str(tmp_path / "annidx")
+    sim.write_ann_index(emb, path)
+    raw = [tuple(r) for r in sim.ann_topk(emb, query_id=0).collect()]
+    idx_df = sim.ann_topk_indexed(spark, path, query_id=0)
+    idx = [tuple(r) for r in idx_df.collect()]
+    assert raw == idx
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        idx_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan

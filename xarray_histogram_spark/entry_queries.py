@@ -405,6 +405,30 @@ register(
     lambda spark, sf_dir: sim.ann_topk(t(spark, sf_dir, "embeddings"), query_id=0),
     sim.ann_topk_sql("embeddings", query_id=0),
 )
+_ANN_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the persisted bucket-partitioned ANN index."""
+    if sf_dir not in _ANN_INDEX_CACHE:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="xhs_ann_index_")
+        sim.write_ann_index(t(spark, sf_dir, "embeddings"), path)
+        _ANN_INDEX_CACHE[sf_dir] = path
+    return _ANN_INDEX_CACHE[sf_dir]
+
+
+register(
+    # identical result set to sim_ann_topk (same probes, same exact cosine)
+    # but executed against the persisted partitionBy(bucket) index with
+    # driver-ranked probes → partition-pruned scan; shares the raw oracle
+    "sim_ann_indexed",
+    lambda spark, sf_dir: sim.ann_topk_indexed(
+        spark, _ann_index_path(spark, sf_dir), query_id=0
+    ),
+    sim.ann_topk_sql("embeddings", query_id=0),
+)
 register(
     "sim_ivf_topk",
     lambda spark, sf_dir: sim.ivf_topk(t(spark, sf_dir, "embeddings"), query_id=0),

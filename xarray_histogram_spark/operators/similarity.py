@@ -200,6 +200,85 @@ def ann_topk_sql(
 
 
 # ---------------------------------------------------------------------------
+# persisted ANN index: corpus partitioned by LSH bucket → partition-pruned
+# probes (the 100 TB execution strategy made concrete: a query reads
+# n_probes partition directories, never the corpus)
+# ---------------------------------------------------------------------------
+
+
+def write_ann_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    planes=ANN_PLANES,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus as parquet ``partitionBy(bucket)``: one directory
+    per LSH bucket.  A probe filter ``bucket IN (...)`` then prunes at the
+    FILE level (``PartitionFilters`` in the scan) — the scale path where
+    re-bucketizing per query would be a full corpus scan."""
+    with_lsh_bucket(df, vec_col, planes).write.mode(mode).partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def _fold_dot(vec, plane) -> float:
+    """Driver-side replica of the engines' sequential left-fold dot product
+    (same IEEE float64 adds in the same order — see functions.vectors), so
+    driver-computed probe rankings match the in-engine/oracle rankings
+    bit-for-bit."""
+    acc = 0.0
+    for x, p in zip(vec, plane):
+        acc += float(x) * float(p)
+    return acc
+
+
+def ann_topk_indexed(
+    spark,
+    path: str,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes=ANN_PLANES,
+    n_probes: int = 22,
+    max_probe_weight: int = 3,
+) -> DataFrame:
+    """Query-directed multiprobe ANN over a persisted index: probe buckets
+    are ranked DRIVER-side from the query vector (bit-identical fold), then
+    the scan reads only those partitions.  Result set is identical to
+    ``ann_topk`` on the raw corpus — same probes, same exact cosine —
+    so it shares the same oracle."""
+    idx = spark.read.parquet(path)
+    row = idx.where(F.col(id_col) == query_id).select(vec_col).first()
+    if row is None:
+        raise ValueError(f"query id {query_id} not in index {path}")
+    qv = [float(x) for x in row[0]]
+    n_pl = len(planes)
+    projs = [_fold_dot(qv, p) for p in planes]
+    bucket = sum(1 << j for j, pr in enumerate(projs) if pr > 0.0)
+
+    def score(mask: int) -> float:
+        s = 0.0
+        for j in _mask_score_terms(mask, n_pl):
+            s += abs(projs[j])
+        return s
+
+    ranked = sorted(
+        _probe_masks(n_pl, max_probe_weight), key=lambda m: (score(m), m)
+    )[:n_probes]
+    probes = [bucket ^ m for m in ranked]
+    qlit = F.array(*[F.lit(x) for x in qv])
+    cos = V.cosine(F.col(vec_col), qlit)
+    return (
+        idx.where(F.col("bucket").isin(probes) & (F.col(id_col) != query_id))
+        .select(F.col(id_col), cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse quantizer + inverted lists + nprobe
 # ---------------------------------------------------------------------------
 
