@@ -24,16 +24,28 @@ def _tok(text: Column) -> Column:
     return H.tokens(text)
 
 
+# GPT-2-style pre-tokenization pieces: letter runs / digit runs / punctuation
+# runs (whitespace separates, never counted).  Restricted to syntax Java
+# regex (Spark) and RE2 (DuckDB) interpret identically: explicit character
+# classes only — no lookahead, no \s (whose class differs by one codepoint
+# between the engines).
+BPE_PIECE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+"
+
+
 def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Whitespace tokens + a BPE-ish subword proxy: ceil(chars/4) pieces."""
+    """Whitespace tokens, BPE-ish pre-tokenizer pieces (regex runs — the
+    GPT-2 pre-tokenization shape), a ceil(chars/4) subword-count proxy, and
+    raw characters."""
     toks = _tok(F.col(text_col))
     n_tok = F.size(toks)
+    n_pieces = F.regexp_count(F.col(text_col), F.lit(BPE_PIECE_RE))
     n_sub = F.ceil(F.length(F.col(text_col)).cast("double") / F.lit(4.0)).cast(
         "bigint"
     )
     return df.select(
         F.col(id_col),
         n_tok.cast("bigint").alias("n_tokens"),
+        n_pieces.cast("bigint").alias("n_pieces"),
         n_sub.alias("n_subwords"),
         F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
     )
@@ -43,6 +55,8 @@ def token_count_sql(table: str, text_col: str, id_col: str) -> str:
     toks = H.tokens_sql(text_col)
     return (
         f"SELECT {id_col}, CAST(len({toks}) AS BIGINT) AS n_tokens, "
+        f"CAST(len(regexp_extract_all({text_col}, '{BPE_PIECE_RE}')) AS BIGINT) "
+        f"AS n_pieces, "
         f"CAST(ceil(CAST(length({text_col}) AS DOUBLE) / {flit(4.0)}) AS BIGINT) "
         f"AS n_subwords, "
         f"CAST(length({text_col}) AS BIGINT) AS n_chars FROM {table}"
