@@ -147,3 +147,51 @@ def test_dense_fill(spark, events_ts):
     assert dense.agg(F.sum("count")).first()[0] == sparse.agg(
         F.sum("count")
     ).first()[0]
+
+
+def test_session_histogram_streaming_append(spark, events_ts):
+    """Session windows under REAL streaming execution: append mode emits
+    watermark-closed sessions; every emitted (session, bin) row must equal
+    its batch twin, and nearly all sessions must have closed (the data spans
+    30 days, the watermark 1 hour)."""
+    import tempfile as _tf
+    from xarray_histogram_spark.streaming.histogram_stream import (
+        session_histogram,
+    )
+
+    src = _tf.mkdtemp(prefix="xhs_sess_src_")
+    events_ts.repartition(3).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(events_ts.schema).parquet(src)
+    out = session_histogram(
+        sdf, "value", SPEC, "ts", gap="30 minutes",
+        watermark="1 hour", group_by=["event_type"],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("xhs_session_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM xhs_session_test").collect()
+    batch = session_histogram(
+        events_ts, "value", SPEC, "ts", gap="30 minutes",
+        group_by=["event_type"],
+    ).collect()
+
+    def key(rows):
+        return {
+            (
+                r["session_start_us"], r["session_end_us"], r["event_type"],
+                r["value_bin"],
+            ): r["count"]
+            for r in rows
+        }
+
+    gk, bk = key(got), key(batch)
+    assert len(gk) > 0
+    # emitted rows are exact batch rows
+    assert all(bk.get(k) == v for k, v in gk.items())
+    # only sessions near the stream's end may still be open
+    assert len(gk) >= 0.95 * len(bk)

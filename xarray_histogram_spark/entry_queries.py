@@ -542,6 +542,54 @@ register(
     ),
 )
 
+def _session_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.histogram_stream import session_histogram
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = t(spark, sf_dir, "events").select(
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    return session_histogram(
+        ev, "value", _EV_SPEC, "ts", gap="30 minutes", group_by=["event_type"]
+    )
+
+
+def _session_sql(gap_us: int = 1_800_000_000) -> str:
+    """Gaps-and-islands mirror of ``session_histogram``: new session when
+    ts - prev >= gap (Spark merges only strictly-overlapping ranges); range
+    = [min(ts), max(ts)+gap); dense per-session spine, zero-filled.  All
+    session arithmetic on exact epoch-micros integers (both engines
+    truncate the parquet nanos identically)."""
+    bid = _EV_SPEC.raw_id_sql("value")
+    spine = orc._spine_values("value", _EV_SPEC, False)
+    return (
+        f"WITH e AS (SELECT event_type, epoch_us(ts) AS t, value FROM events "
+        f"WHERE value >= {orc.flit(0.0)} AND value < {orc.flit(500.0)}), "
+        f"s AS (SELECT event_type, t, value, CASE WHEN t - lag(t) OVER "
+        f"(PARTITION BY event_type ORDER BY t) >= {gap_us} THEN 1 ELSE 0 END "
+        f"AS brk FROM e), "
+        f"g AS (SELECT event_type, t, value, SUM(brk) OVER (PARTITION BY "
+        f"event_type ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+        f"ROW) AS sid FROM s), "
+        f"sess AS (SELECT event_type, sid, MIN(t) AS session_start_us, "
+        f"MAX(t) + {gap_us} AS session_end_us FROM g "
+        f"GROUP BY event_type, sid), "
+        f"binned AS (SELECT event_type, sid, {bid} AS b, count(*) AS c "
+        f"FROM g GROUP BY event_type, sid, b) "
+        f"SELECT sess.session_start_us, sess.session_end_us, "
+        f"sess.event_type, sp_value.value_bin, sp_value.value_bins, "
+        f"CAST(coalesce(binned.c, 0) AS BIGINT) AS count "
+        f"FROM sess CROSS JOIN {spine} "
+        f"LEFT JOIN binned ON binned.event_type = sess.event_type "
+        f"AND binned.sid = sess.sid AND binned.b = sp_value.value_bin"
+    )
+
+
+register("events_session_hist", _session_fn, _session_sql())
+
+
 _EV2_SPECS = [StrCategory(("click", "view", "purchase", "signup", "error")),
               Regular(10, 0.0, 500.0)]
 

@@ -98,6 +98,85 @@ def streaming_histogram(
     )
 
 
+def session_histogram(
+    sdf: DataFrame,
+    col: str,
+    spec: BinSpec,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    group_by: Sequence[str] = (),
+    flow: bool = False,
+) -> DataFrame:
+    """Per-(group, session) histogram using SESSION windows (merging
+    stateful windows — ``F.session_window``): a session is a maximal run of
+    kept events within ``gap`` of the previous event; its range is
+    ``[min(ts), max(ts) + gap)``.  Two events exactly ``gap`` apart start a
+    new session (Spark merges only strictly-overlapping ranges).
+
+    Sessions are defined over the KEPT events (the keep filter runs before
+    sessionization) — the operator contract is "sessions of the histogrammed
+    values", self-consistent with the batch oracle.
+
+    Returns (session_start_us, session_end_us BIGINT epoch-micros — exact
+    integers on both engines, group_by…, <col>_bin, <col>_bins, count) —
+    DENSE: every emitted spine bin per session, zero-filled.
+    Works identically on a batch DataFrame (gaps-and-islands equivalent).
+
+    Shape note: the session window must be grouped ONLY by ``group_by`` —
+    adding the bin id to the grouping keys would sessionize each bin
+    independently (a different, wrong operator).  So the single stateful
+    aggregation collects the session's bin ids; the dense per-bin counts
+    are a stateless projection after it (extent is known statically), which
+    keeps the whole thing legal in streaming append mode (one stateful op).
+    State per open session is its kept-event bin list — bounded by session
+    activity; for adversarial unbounded sessions use
+    ``streaming.stateful`` (count-vector state) instead.
+    """
+    group_by = list(group_by)
+    if sdf.isStreaming:
+        sdf = sdf.withWatermark(ts_col, watermark)
+    pred = spec.keep_pred_col(F.col(col), flow)
+    if pred is not None:
+        sdf = sdf.where(pred)
+    base = sdf.select(
+        F.session_window(F.col(ts_col), gap).alias("__w"),
+        *[F.col(g) for g in group_by],
+        spec.raw_id_col(F.col(col)).alias(id_col(col)),
+    )
+    agg = base.groupBy("__w", *group_by).agg(
+        F.collect_list(F.col(id_col(col))).alias("__bins")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(b.id).alias("id"),
+                spec.label_lit(b.label).alias("label"),
+                F.size(
+                    F.filter(F.col("__bins"), lambda x: x == F.lit(b.id))
+                ).cast("bigint").alias("count"),
+            )
+            for b in spec.bins(flow)
+        ]
+    )
+    return (
+        agg.select(
+            F.unix_micros(F.col("__w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("__w.end")).alias("session_end_us"),
+            *group_by,
+            F.explode(cells).alias("__c"),
+        )
+        .select(
+            "session_start_us",
+            "session_end_us",
+            *group_by,
+            F.col("__c.id").alias(id_col(col)),
+            F.col("__c.label").alias(label_col(col)),
+            F.col("__c.count").alias("count"),
+        )
+    )
+
+
 def dense_fill(
     batch: DataFrame,
     col: str,
