@@ -161,3 +161,24 @@ def test_ann_indexed_equals_raw(spark, emb, tmp_path):
         idx_df.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_dedup_components_transitive(spark, docs):
+    """A~B and B~C (but A and C further apart) must share one component —
+    the transitive semantics the greedy keep-filter cannot express."""
+    base = docs.limit(1).collect()[0]
+    extra = spark.createDataFrame(
+        [
+            (base["doc_id"], base["text"]),
+            (9000001, base["text"] + " tail"),
+            (9000002, base["text"] + " tail more"),
+        ],
+        "doc_id: long, text: string",
+    )
+    r = {
+        x["doc_id"]: (x["component"], x["keep"])
+        for x in dd.dedup_components(extra, "text", "doc_id").collect()
+    }
+    assert r[9000001][0] == r[9000002][0] == r[base["doc_id"]][0]
+    keepers = [d for d, (_, k) in r.items() if k]
+    assert keepers == [base["doc_id"]]

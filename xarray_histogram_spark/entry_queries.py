@@ -386,6 +386,15 @@ register(
     dd.near_dedup_keep_sql("documents", "text", "doc_id"),
 )
 register(
+    # iterative min-label propagation vs recursive-CTE transitive closure —
+    # a hash-checked ITERATIVE algorithm (deterministic fixpoint)
+    "dedup_components",
+    lambda spark, sf_dir: dd.dedup_components(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id"
+    ),
+    dd.dedup_components_sql("documents", "text", "doc_id"),
+)
+register(
     "dedup_simhash",
     lambda spark, sf_dir: dd.simhash(t_wide(spark, sf_dir, "documents"), "text", "doc_id"),
     dd.simhash_sql("documents", "text", "doc_id"),

@@ -256,6 +256,95 @@ def near_dedup_keep_sql(
     )
 
 
+def dedup_components(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    threshold: float = 0.8,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected-component near-dedup: the exact transitive-closure
+    semantics the greedy keep-filter approximates.  Edges are verified
+    near-dup pairs (exact Jaccard ≥ threshold over LSH candidates);
+    ``component`` is the MIN doc id reachable through them (the canonical
+    keeper), ``keep`` marks the keeper row.
+
+    Execution: iterative min-label propagation — per round every node takes
+    ``min(own label, neighbours' labels)`` (two broadcast-scale joins over
+    the EDGE set only, never the corpus), with ``localCheckpoint`` per
+    round to truncate lineage.  Labels decrease monotonically to a
+    deterministic fixpoint in ≤ component-diameter rounds (near-dup
+    clusters are shallow; the loop stops at the first unchanged round via
+    the strictly-decreasing label sum).  Deterministic ⇒ hash-matches the
+    DuckDB recursive-CTE transitive closure (an oracle-checked ITERATIVE
+    algorithm).
+    """
+    edges = (
+        jaccard_pairs(df, text_col, id_col, k)
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+    )
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = df.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).first()[0] or 0
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0] or 0
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("component"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
+
+
+def dedup_components_sql(
+    table: str, text_col: str, id_col: str, k: int = 8, threshold: float = 0.8
+) -> str:
+    """Recursive-CTE transitive closure over the same verified edges:
+    component = min reachable id (matches the propagation fixpoint)."""
+    from ..binspec import flit
+
+    jp = jaccard_pairs_sql(table, text_col, id_col, k)
+    return (
+        f"WITH RECURSIVE jp AS ({jp}), "
+        f"ed AS (SELECT id_a AS a, id_b AS b FROM jp "
+        f"WHERE jaccard >= {flit(threshold)} "
+        f"UNION SELECT id_b, id_a FROM jp WHERE jaccard >= {flit(threshold)}), "
+        f"reach(a, b) AS (SELECT a, b FROM ed "
+        f"UNION SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a), "
+        f"comp AS (SELECT a, MIN(b) AS mb FROM reach GROUP BY a) "
+        f"SELECT t.{id_col}, "
+        f"CAST(coalesce(least(comp.mb, t.{id_col}), t.{id_col}) AS BIGINT) "
+        f"AS component, "
+        f"coalesce(least(comp.mb, t.{id_col}), t.{id_col}) = t.{id_col} AS keep "
+        f"FROM {table} t LEFT JOIN comp ON comp.a = t.{id_col}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
