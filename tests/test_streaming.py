@@ -195,3 +195,54 @@ def test_session_histogram_streaming_append(spark, events_ts):
     assert all(bk.get(k) == v for k, v in gk.items())
     # only sessions near the stream's end may still be open
     assert len(gk) >= 0.95 * len(bk)
+
+
+def test_session_boundary_semantics(spark):
+    """Events exactly `gap` apart start a NEW session (Spark merges only
+    strictly-overlapping ranges) — the boundary the gaps-and-islands oracle
+    must agree on; duplicate timestamps share a session."""
+    from xarray_histogram_spark.streaming.histogram_stream import (
+        session_histogram,
+    )
+
+    gap_us = 60_000_000  # 1 minute
+    base = 1_704_067_200_000_000
+    rows = [
+        # g1: exactly gap apart -> MERGE (touching ranges); gap+1 -> split
+        ("g1", base, 10.0),
+        ("g1", base + gap_us, 20.0),
+        ("g1", base + 2 * gap_us + 1, 20.0),
+        # g2: gap-1us apart -> ONE session; plus a duplicate ts
+        ("g2", base, 30.0),
+        ("g2", base + gap_us - 1, 40.0),
+        ("g2", base + gap_us - 1, 41.0),
+    ]
+    df = spark.createDataFrame(
+        [(g, t, v) for g, t, v in rows], "grp: string, us: long, value: double"
+    ).select(
+        F.timestamp_micros(F.col("us")).alias("ts"), "grp", "value"
+    )
+    out = session_histogram(
+        df, "value", Regular(5, 0.0, 50.0), "ts", gap="1 minute",
+        group_by=["grp"],
+    ).collect()
+    sessions = {
+        (r["grp"], r["session_start_us"], r["session_end_us"])
+        for r in out
+    }
+    assert sessions == {
+        ("g1", base, base + 2 * gap_us),
+        ("g1", base + 2 * gap_us + 1, base + 3 * gap_us + 1),
+        ("g2", base, base + 2 * gap_us - 1),
+    }
+    counts = {
+        (r["grp"], r["session_start_us"], r["value_bin"]): r["count"]
+        for r in out
+    }
+    assert counts[("g1", base, 1)] == 1
+    assert counts[("g1", base, 2)] == 1
+    assert counts[("g1", base + 2 * gap_us + 1, 2)] == 1
+    assert counts[("g2", base, 3)] == 1
+    assert counts[("g2", base, 4)] == 2
+    # dense: zero bins present for every session
+    assert counts[("g1", base, 0)] == 0

@@ -567,9 +567,10 @@ def _session_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _session_sql(gap_us: int = 1_800_000_000) -> str:
     """Gaps-and-islands mirror of ``session_histogram``: new session when
-    ts - prev >= gap (Spark merges only strictly-overlapping ranges); range
-    = [min(ts), max(ts)+gap); dense per-session spine, zero-filled.  All
-    session arithmetic on exact epoch-micros integers (both engines
+    ts - prev > gap STRICTLY (Spark merges touching ranges — events exactly
+    gap apart share a session; pinned in test_session_boundary_semantics);
+    range = [min(ts), max(ts)+gap); dense per-session spine, zero-filled.
+    All session arithmetic on exact epoch-micros integers (both engines
     truncate the parquet nanos identically)."""
     bid = _EV_SPEC.raw_id_sql("value")
     spine = orc._spine_values("value", _EV_SPEC, False)
@@ -577,7 +578,7 @@ def _session_sql(gap_us: int = 1_800_000_000) -> str:
         f"WITH e AS (SELECT event_type, epoch_us(ts) AS t, value FROM events "
         f"WHERE value >= {orc.flit(0.0)} AND value < {orc.flit(500.0)}), "
         f"s AS (SELECT event_type, t, value, CASE WHEN t - lag(t) OVER "
-        f"(PARTITION BY event_type ORDER BY t) >= {gap_us} THEN 1 ELSE 0 END "
+        f"(PARTITION BY event_type ORDER BY t) > {gap_us} THEN 1 ELSE 0 END "
         f"AS brk FROM e), "
         f"g AS (SELECT event_type, t, value, SUM(brk) OVER (PARTITION BY "
         f"event_type ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "

@@ -111,8 +111,10 @@ def session_histogram(
     """Per-(group, session) histogram using SESSION windows (merging
     stateful windows — ``F.session_window``): a session is a maximal run of
     kept events within ``gap`` of the previous event; its range is
-    ``[min(ts), max(ts) + gap)``.  Two events exactly ``gap`` apart start a
-    new session (Spark merges only strictly-overlapping ranges).
+    ``[min(ts), max(ts) + gap)``.  Boundary (empirically pinned in
+    test_session_boundary_semantics): two events EXACTLY ``gap`` apart
+    MERGE — Spark joins touching ranges, so a new session needs
+    ``ts - prev > gap`` strictly.
 
     Sessions are defined over the KEPT events (the keep filter runs before
     sessionization) — the operator contract is "sessions of the histogrammed
