@@ -198,9 +198,10 @@ def test_session_histogram_streaming_append(spark, events_ts):
 
 
 def test_session_boundary_semantics(spark):
-    """Events exactly `gap` apart start a NEW session (Spark merges only
-    strictly-overlapping ranges) — the boundary the gaps-and-islands oracle
-    must agree on; duplicate timestamps share a session."""
+    """Events exactly `gap` apart MERGE into one session (Spark joins
+    touching ranges; a split needs a strictly larger gap) — the boundary
+    the gaps-and-islands oracle must agree on; duplicate timestamps share
+    a session."""
     from xarray_histogram_spark.streaming.histogram_stream import (
         session_histogram,
     )
@@ -246,3 +247,53 @@ def test_session_boundary_semantics(spark):
     assert counts[("g2", base, 4)] == 2
     # dense: zero bins present for every session
     assert counts[("g1", base, 0)] == 0
+
+
+def test_write_stream_histogram_sink(spark, events_ts):
+    """foreachBatch sink: finalized windows land exactly once as dense
+    parquet partitioned by window_us, equal to the batch twin on the
+    emitted (watermark-closed) windows."""
+    import tempfile as _tf
+    from xarray_histogram_spark.streaming.histogram_stream import (
+        write_stream_histogram,
+    )
+
+    src = _tf.mkdtemp(prefix="xhs_sink_src_")
+    dst = _tf.mkdtemp(prefix="xhs_sink_dst_")
+    ckp = _tf.mkdtemp(prefix="xhs_sink_ckp_")
+    events_ts.repartition(3).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(events_ts.schema).parquet(src)
+    out = streaming_histogram(
+        sdf, "value", SPEC, "ts", window_duration="1 day",
+        watermark="1 hour", group_by=["event_type"],
+    )
+    q = write_stream_histogram(
+        out, dst, "value", SPEC, ckp, group_by=["event_type"],
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(dst)
+    batch = dense_fill(
+        streaming_histogram(
+            events_ts, "value", SPEC, "ts", window_duration="1 day",
+            group_by=["event_type"],
+        ),
+        "value", SPEC, group_by=["event_type"],
+    )
+    gp = {
+        (r["window_us"], r["event_type"], r["value_bin"]): r["count"]
+        for r in got.collect()
+    }
+    emitted_windows = {k[0] for k in gp}
+    assert emitted_windows  # nearly a month of closed windows
+    bp = {
+        (int(r["window_start"].timestamp() * 1_000_000), r["event_type"],
+         r["value_bin"]): r["count"]
+        for r in batch.collect()
+        if int(r["window_start"].timestamp() * 1_000_000) in emitted_windows
+    }
+    assert gp == bp
+    # dense per window: every bin id present
+    one = [k for k in gp if k[0] == min(emitted_windows)]
+    assert len({k[2] for k in one}) == SPEC.n

@@ -179,6 +179,50 @@ def session_histogram(
     )
 
 
+def write_stream_histogram(
+    out: DataFrame,
+    path: str,
+    col: str,
+    spec: BinSpec,
+    checkpoint: str,
+    flow: bool = False,
+    group_by: Sequence[str] = (),
+    available_now: bool = False,
+):
+    """End-to-end streaming sink for ``streaming_histogram`` output: append
+    mode (only watermark-finalised windows emit — each window is written
+    exactly once), each micro-batch densified against the spine and
+    appended as parquet partitioned by ``window_us`` (epoch-micros of the
+    window start — integer partition values, prunable by time-range
+    predicates).  Returns the started StreamingQuery.
+
+    At scale this is the materialised rollup store: finalized histogram
+    windows land once, partition layout supports both time-range reads and
+    `HistogramResult`-style reloads.
+    """
+    group_by = list(group_by)
+
+    def _sink(batch: DataFrame, _epoch: int) -> None:
+        dense = dense_fill(batch, col, spec, flow, group_by)
+        (
+            dense.withColumn(
+                "window_us", F.unix_micros(F.col("window_start"))
+            )
+            .write.mode("append")
+            .partitionBy("window_us")
+            .parquet(path)
+        )
+
+    writer = (
+        out.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dense_fill(
     batch: DataFrame,
     col: str,
