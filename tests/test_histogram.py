@@ -301,3 +301,23 @@ def test_ppf_vs_percentile_approx(lineitem):
     ).first()[0]
     half_bin = (105000.0 - 900.0) / 40 / 2
     assert abs(got - raw) < half_bin
+
+
+def test_quantile_bins_equal_mass(spark, lineitem):
+    """Rank-exact quantile edges give equal-mass bins (±1 row for the
+    half-open last bin sending the max to overflow)."""
+    from xarray_histogram_spark import Variable, histogramdd
+    from xarray_histogram_spark.plans.histogram import quantile_edges
+
+    edges = quantile_edges(lineitem, "l_extendedprice", 5)
+    assert len(edges) == 6 and edges == sorted(edges)
+    r = histogramdd(lineitem, ["l_extendedprice"], [Variable(tuple(edges))])
+    counts = [
+        row["l_extendedprice_histogram"]
+        for row in r.df.orderBy("l_extendedprice_bin").collect()
+    ]
+    total = sum(counts)
+    assert all(abs(c - total / 5) <= 1 for c in counts)
+    # approx path: same shape, sketch-accurate edges
+    a = quantile_edges(lineitem, "l_extendedprice", 5, approx=True)
+    assert len(a) == 6 and a[0] <= edges[0] and abs(a[-1] - edges[-1]) < 1e-6

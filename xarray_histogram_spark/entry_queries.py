@@ -600,6 +600,49 @@ def _session_sql(gap_us: int = 1_800_000_000) -> str:
 register("events_session_hist", _session_fn, _session_sql())
 
 
+def _qbins_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.histogram import quantile_edges
+
+    df = t(spark, sf_dir, "lineitem")
+    edges = quantile_edges(df, "l_extendedprice", 8)
+    return histogramdd(df, ["l_extendedprice"], [Variable(tuple(edges))]).df
+
+
+def _qbins_sql(n: int = 8) -> str:
+    """Equal-mass binning, fully IN-SQL: rank-based edges (integer rank
+    arithmetic ⇒ the exact same doubles the Spark side collects and embeds
+    as Variable-axis literals), then the standard dense edge-scan histogram
+    over them."""
+    return (
+        f"WITH t AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x "
+        f"FROM lineitem WHERE l_extendedprice IS NOT NULL), "
+        f"cnt AS (SELECT count(*) AS c FROM t), "
+        f"r AS (SELECT x, row_number() OVER (ORDER BY x) - 1 AS rn FROM t), "
+        f"tg AS (SELECT DISTINCT ((c - 1) * i) // {n} AS rn "
+        f"FROM cnt, range(0, {n + 1}) AS ri(i)), "
+        f"ed AS (SELECT DISTINCT x FROM r JOIN tg USING (rn)), "
+        f"ne AS (SELECT count(*) AS m FROM ed), "
+        f"eo AS (SELECT x AS e, row_number() OVER (ORDER BY x) - 1 AS ei "
+        f"FROM ed), "
+        f"spine AS (SELECT CAST(ei AS INT) AS l_extendedprice_bin, "
+        f"e AS l_extendedprice_bins FROM eo, ne WHERE ei < m - 1), "
+        f"b AS (SELECT (SELECT count(*) FROM ed WHERE ed.x <= t.x) - 1 "
+        f"AS bid FROM t), "
+        f"binned AS (SELECT bid, count(*) AS k FROM b, ne "
+        f"WHERE bid >= 0 AND bid <= m - 2 GROUP BY bid) "
+        f"SELECT spine.l_extendedprice_bin, spine.l_extendedprice_bins, "
+        f"CAST(coalesce(binned.k, 0) AS DOUBLE) AS l_extendedprice_histogram "
+        f"FROM spine LEFT JOIN binned ON binned.bid = spine.l_extendedprice_bin"
+    )
+
+
+register(
+    # adaptive equal-mass bins: rank-exact quantile edges (same doubles on
+    # both engines via integer rank arithmetic), Variable-axis histogram
+    "hist_quantile_bins", _qbins_fn, _qbins_sql(),
+)
+
+
 _EV2_SPECS = [StrCategory(("click", "view", "purchase", "signup", "error")),
               Regular(10, 0.0, 500.0)]
 

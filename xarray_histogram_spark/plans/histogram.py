@@ -396,6 +396,40 @@ def _density_expr(
     )
 
 
+def quantile_edges(
+    df: DataFrame, col: str, n: int, approx: bool = False
+) -> list[float]:
+    """Equal-mass bin edges: exact rank-based quantiles — edge_i is the
+    value at sorted position ``(count-1)·i // n`` (pure integer rank
+    arithmetic, so an oracle can reproduce the EXACT same doubles).
+    Duplicate edges from skewed data are deduplicated (fewer, still
+    strictly-increasing edges).
+
+    The exact path global-sorts (one ranking pass) — the inherent cost of
+    exact quantiles.  ``approx=True`` uses ``approxQuantile`` (Greenwald-
+    Khanna sketch, no global sort — the 100 TB path) at the price of
+    oracle-exactness.
+    """
+    if n < 1:
+        raise ValueError("need n >= 1 bins")
+    x = df.where(F.col(col).isNotNull()).select(
+        F.col(col).cast("double").alias("x")
+    )
+    if approx:
+        qs = [i / n for i in range(n + 1)]
+        edges = x.stat.approxQuantile("x", qs, 1e-4)
+        return sorted(set(edges))
+    c = x.count()
+    if c == 0:
+        raise ValueError(f"cannot infer quantile bins of empty column {col!r}")
+    targets = sorted({((c - 1) * i) // n for i in range(n + 1)})
+    from pyspark.sql.window import Window as _W
+
+    ranked = x.select("x", (F.row_number().over(_W.orderBy("x")) - 1).alias("rn"))
+    rows = ranked.where(F.col("rn").isin(targets)).collect()
+    return sorted({r["x"] for r in rows})
+
+
 def categories_from_data(
     df: DataFrame, col: str, max_categories: int = 10_000
 ):
