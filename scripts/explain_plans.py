@@ -77,6 +77,16 @@ SELECTION: dict[str, tuple[list[str], str]] = {
         "(corpus bucketed/partitioned by bucket id) a lookup reads a fixed "
         "number of buckets — never a scan.",
     ),
+    "events_session_hist": (
+        ["HashAggregate", "collect_list"],
+        "Session-window histogram (batch twin of the streaming merge-agg): "
+        "ONE stateful aggregation keyed by (session_window, group) collects "
+        "the session's bin ids; the dense per-bin counts are a stateless "
+        "generate/project after it — the shape that keeps streaming append "
+        "mode legal (single stateful operator).  Never key the session "
+        "window by the bin id: that would sessionize each bin "
+        "independently.",
+    ),
     "streaming_window_hist": (
         [],
         "(Batch twin of the streaming plan — the streaming run executes the "
