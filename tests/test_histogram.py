@@ -321,3 +321,11 @@ def test_quantile_bins_equal_mass(spark, lineitem):
     # approx path: same shape, sketch-accurate edges
     a = quantile_edges(lineitem, "l_extendedprice", 5, approx=True)
     assert len(a) == 6 and a[0] <= edges[0] and abs(a[-1] - edges[-1]) < 1e-6
+
+
+def test_quantile_bins_constant_column_raises(spark):
+    from xarray_histogram_spark.plans.histogram import quantile_edges
+
+    df = spark.range(100).selectExpr("CAST(7.5 AS DOUBLE) AS x")
+    with pytest.raises(ValueError, match="single distinct value"):
+        quantile_edges(df, "x", 4)

@@ -427,7 +427,14 @@ def quantile_edges(
 
     ranked = x.select("x", (F.row_number().over(_W.orderBy("x")) - 1).alias("rn"))
     rows = ranked.where(F.col("rn").isin(targets)).collect()
-    return sorted({r["x"] for r in rows})
+    edges = sorted({r["x"] for r in rows})
+    if len(edges) < 2:
+        raise ValueError(
+            f"column {col!r} has a single distinct value "
+            f"({edges[0]!r}); equal-mass binning needs spread — "
+            "use an Integer/Category axis instead"
+        )
+    return edges
 
 
 def categories_from_data(
