@@ -92,3 +92,36 @@ def test_ann_no_corpus_scan_join(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     p = plan_of(ann_topk(emb, 0))
     assert "CartesianProduct" not in p
+
+
+def test_registry_wide_no_python_eval(spark, sf_dir):
+    """Every registered query plan stays JVM-side — no row-at-a-time or
+    Arrow Python eval in any data path — except the operators whose
+    SEMANTICS are a Python kernel (multimodal decode, the Arrow fill
+    strategy, applyInPandasWithState).  Cheap-to-build plans only (some
+    registry entries run driver-side jobs at build time)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from xarray_histogram_spark import entry_queries as eq
+
+    allowed_python = {"mm_decode_meta", "hist_fill_arrow_path",
+                      "streaming_stateful_hist"}
+    expensive_build = {"hist_range_infer", "hist_quantile_bins",
+                       "sim_ann_indexed", "dedup_components",
+                       "streaming_window_hist"}
+    reg = eq.registry()
+    checked = 0
+    for name, (fn, _sql) in reg.items():
+        if name in allowed_python or name in expensive_build:
+            continue
+        df = fn(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "BatchEvalPython" not in plan, f"{name}: row-wise Python"
+        assert "ArrowEvalPython" not in plan, f"{name}: Arrow Python eval"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        checked += 1
+    assert checked >= 55
