@@ -297,21 +297,39 @@ def ivf_assign(
     """Coarse quantisation: centroids are a DETERMINISTIC id-strided sample
     of the corpus (no k-means — iterative float training cannot be mirrored
     bit-exactly in an oracle, and for ANN bucketing a fixed net of real data
-    points is a serviceable quantizer).  Each vector joins its nearest
-    centroid by exact cosine with (distance, centroid-id) row_number
-    tie-breaking — fully deterministic.  Returns (id, vec, cid)."""
+    points is a serviceable quantizer).  Assignment is a ZERO-SHUFFLE
+    per-row argmin: the k centroids are collected (tiny, deterministic) and
+    embedded as literal structs, and each row folds over them keeping the
+    best (cosine, centroid-id) with id tie-break — pure codegen projection,
+    no crossJoin + window (a ``row_number`` over ``partitionBy(id)`` would
+    sort-shuffle the whole corpus; at 100 TB the assignment must stay
+    embarrassingly parallel).  Same values as the oracle's rank-based SQL:
+    identical fold cosines, identical tie-break.  Returns (id, vec, cid)."""
     step = _centroid_step(n_hint, k_centroids)
-    cents = df.where((F.col(id_col) % step) == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    cents = (
+        df.where((F.col(id_col) % step) == 0)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
     )
-    cand = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(cents))
-    sim = V.cosine(F.col(vec_col), F.col("cv"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.col("cid"))
-    return (
-        cand.select(id_col, vec_col, "cid", sim.alias("sim"))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(id_col, vec_col, "cid")
+    cents = sorted(((int(r["cid"]), [float(x) for x in r["cv"]]) for r in cents))
+    v = F.col(vec_col)
+    # linear-size argmin: array_max over (sim, -cid) structs — struct order
+    # is lexicographic, so the max is (greatest sim, then smallest cid), the
+    # oracle's exact (sim DESC, cid ASC) rank-1.  A chained when(best,…)
+    # would re-embed the whole prior tree per level (exponential plan size).
+    arr = F.array(
+        *[
+            F.struct(
+                V.cosine(v, F.array(*[F.lit(x) for x in cv])).alias("sim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (-F.array_max(arr)["ncid"]).cast("bigint").alias("cid"),
     )
 
 
