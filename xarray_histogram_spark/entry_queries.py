@@ -429,6 +429,12 @@ def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
 
 
 register(
+    # semantic dedup: connected components over embedding near-dup pairs
+    "dedup_embed_components",
+    lambda spark, sf_dir: dd.embed_components(t(spark, sf_dir, "embeddings")),
+    dd.embed_components_sql("embeddings"),
+)
+register(
     # identical result set to sim_ann_topk (same probes, same exact cosine)
     # but executed against the persisted partitionBy(bucket) index with
     # driver-ranked probes → partition-pruned scan; shares the raw oracle

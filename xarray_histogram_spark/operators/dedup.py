@@ -256,6 +256,51 @@ def near_dedup_keep_sql(
     )
 
 
+def components_from_edges(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an explicit (id_a, id_b) edge set by
+    iterative min-label propagation (see ``dedup_components`` for the
+    scale/determinism discussion).  Returns (id, component, keep)."""
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).first()[0] or 0
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0] or 0
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("component"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
+
+
 def dedup_components(
     df: DataFrame,
     text_col: str,
@@ -285,39 +330,48 @@ def dedup_components(
         .where(F.col("jaccard") >= F.lit(float(threshold)))
         .select("id_a", "id_b")
     )
-    sym = edges.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = df.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("label")).first()[0] or 0
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(labels, sym["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nl"))
-        )
-        labels = (
-            labels.join(nbr, labels["node"] == nbr["src"], "left")
-            .select(
-                F.col("node"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("label")).first()[0] or 0
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels.select(
-        F.col("node").alias(id_col),
-        F.col("label").alias("component"),
-        (F.col("node") == F.col("label")).alias("keep"),
+    return components_from_edges(df, edges, id_col, max_iter)
+
+
+def embed_components(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over embedding near-dup pairs (same-LSH-bucket
+    cosine ≥ threshold) — the semantic-dedup analog of
+    ``dedup_components``."""
+    from .similarity import embed_dup_pairs
+
+    edges = embed_dup_pairs(df, threshold, id_col, vec_col).select(
+        "id_a", "id_b"
+    )
+    return components_from_edges(df, edges, id_col, max_iter)
+
+
+def embed_components_sql(
+    table: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    from .similarity import embed_dup_pairs_sql
+
+    ep = embed_dup_pairs_sql(table, threshold, id_col, vec_col)
+    return (
+        f"WITH RECURSIVE ep AS ({ep}), "
+        f"ed AS (SELECT id_a AS a, id_b AS b FROM ep "
+        f"UNION SELECT id_b, id_a FROM ep), "
+        f"reach(a, b) AS (SELECT a, b FROM ed "
+        f"UNION SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a), "
+        f"comp AS (SELECT a, MIN(b) AS mb FROM reach GROUP BY a) "
+        f"SELECT t.{id_col}, "
+        f"CAST(coalesce(least(comp.mb, t.{id_col}), t.{id_col}) AS BIGINT) "
+        f"AS component, "
+        f"coalesce(least(comp.mb, t.{id_col}), t.{id_col}) = t.{id_col} AS keep "
+        f"FROM {table} t LEFT JOIN comp ON comp.a = t.{id_col}"
     )
 
 
