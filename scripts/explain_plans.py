@@ -77,6 +77,13 @@ SELECTION: dict[str, tuple[list[str], str]] = {
         "(corpus bucketed/partitioned by bucket id) a lookup reads a fixed "
         "number of buckets — never a scan.",
     ),
+    "sim_ivf_topk": (
+        ["array_max", "BroadcastHashJoin"],
+        "IVF ANN: coarse assignment is a ZERO-SHUFFLE per-row fold-argmin "
+        "(`array_max` over literal centroid structs — no crossJoin, no "
+        "corpus-wide `row_number` window sort); the probe is a broadcast "
+        "hash join on the nprobe nearest inverted lists.",
+    ),
     "events_session_hist": (
         ["HashAggregate", "collect_list"],
         "Session-window histogram (batch twin of the streaming merge-agg): "
