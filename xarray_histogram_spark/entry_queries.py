@@ -518,6 +518,17 @@ register(
     ),
 )
 register(
+    "hist_rollup_weighted",
+    lambda spark, sf_dir: rollup_histogram(
+        t(spark, sf_dir, "lineitem"), "l_quantity", _RU_SPEC,
+        ["l_returnflag", "l_linestatus"], weights="l_extendedprice",
+    ),
+    rollup_histogram_sql(
+        "lineitem", "l_quantity", _RU_SPEC, ["l_returnflag", "l_linestatus"],
+        weights="l_extendedprice",
+    ),
+)
+register(
     "hist_cube_multires",
     lambda spark, sf_dir: rollup_histogram(
         t(spark, sf_dir, "lineitem"), "l_quantity", _RU_SPEC,

@@ -45,17 +45,34 @@ def rollup_histogram(
     *,
     cube: bool = False,
     flow: bool = False,
+    weights: str | None = None,
+    weight_scale: int | None = 6,
 ) -> DataFrame:
     """Histogram of ``col`` at every rollup (or cube) level of ``group_by``.
 
-    Returns (group_by…, __grouping_id, <col>_bin, n) — sparse."""
+    Returns (group_by…, __grouping_id, <col>_bin, n) — sparse.  With
+    ``weights``, ``n`` is the weighted sum (same exact-int64 quantisation
+    contract as ``histogramdd``: deterministic under any partitioning)."""
     group_by = list(group_by)
     if not group_by:
         raise ValueError("rollup_histogram needs at least one group column")
     bid = spec.raw_id_col(F.col(col)).alias(id_col(col))
     pred = spec.keep_pred_col(F.col(col), flow)
     src = df.where(pred) if pred is not None else df
-    base = src.select(*[F.col(g) for g in group_by], bid)
+    proj = [F.col(g) for g in group_by] + [bid]
+    if weights is not None:
+        proj.append(F.col(weights).alias("__w"))
+    base = src.select(*proj)
+    if weights is None:
+        val = F.count(F.lit(1)).cast("bigint")
+    elif weight_scale is not None:
+        s = float(10**weight_scale)
+        val = (
+            F.sum(F.round(F.col("__w").cast("double") * F.lit(s)).cast("bigint"))
+            .cast("double") / F.lit(s)
+        )
+    else:
+        val = F.sum(F.col("__w").cast("double"))
     sets = [
         [F.col(g) for g in gs] + [F.col(id_col(col))]
         for gs in _group_sets(group_by, cube)
@@ -64,7 +81,7 @@ def rollup_histogram(
         sets, *[F.col(g) for g in group_by], F.col(id_col(col))
     )
     out = grouped.agg(
-        F.grouping_id().alias("__gid_raw"), F.count(F.lit(1)).alias("n")
+        F.grouping_id().alias("__gid_raw"), val.alias("n")
     )
     # lowest grouping bit belongs to the bin column and is always 0 (the bin
     # is in every set) — strip it so the id only encodes the group columns
@@ -72,7 +89,7 @@ def rollup_histogram(
         *group_by,
         (F.col("__gid_raw") / 2).cast("int").alias("__grouping_id"),
         F.col(id_col(col)),
-        F.col("n").cast("bigint").alias("n"),
+        F.col("n"),
     )
 
 
@@ -84,11 +101,26 @@ def rollup_histogram_sql(
     *,
     cube: bool = False,
     flow: bool = False,
+    weights: str | None = None,
+    weight_scale: int | None = 6,
 ) -> str:
+    from ..binspec import flit
+
     group_by = list(group_by)
     bid = spec.raw_id_sql(col)
     lo, hi = spec.keep_range(flow)
     gcols = ", ".join(group_by)
+    wsel = f", {weights} AS __w" if weights is not None else ""
+    if weights is None:
+        val = "CAST(COUNT(*) AS BIGINT)"
+    elif weight_scale is not None:
+        s = flit(float(10**weight_scale))
+        val = (
+            f"CAST(SUM(CAST(ROUND(CAST(__w AS DOUBLE) * {s}) AS BIGINT)) "
+            f"AS DOUBLE) / {s}"
+        )
+    else:
+        val = "SUM(CAST(__w AS DOUBLE))"
     sets = ", ".join(
         "(" + ", ".join(gs + [id_col(col)]) + ")"
         for gs in _group_sets(group_by, cube)
@@ -98,9 +130,9 @@ def rollup_histogram_sql(
         for i, g in enumerate(group_by)
     )
     return (
-        f"WITH base AS (SELECT * FROM (SELECT {gcols}, {bid} AS {id_col(col)} "
-        f"FROM {table}) b WHERE {id_col(col)} BETWEEN {lo} AND {hi}) "
+        f"WITH base AS (SELECT * FROM (SELECT {gcols}, {bid} AS {id_col(col)}"
+        f"{wsel} FROM {table}) b WHERE {id_col(col)} BETWEEN {lo} AND {hi}) "
         f"SELECT {gcols}, CAST({gid} AS INT) AS __grouping_id, "
-        f"{id_col(col)}, CAST(COUNT(*) AS BIGINT) AS n "
+        f"{id_col(col)}, {val} AS n "
         f"FROM base GROUP BY GROUPING SETS ({sets})"
     )
