@@ -16,11 +16,10 @@
 from __future__ import annotations
 
 from functools import reduce
-from typing import Optional, Sequence
+from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..binspec import flit
 from ..functions import vectors as V
