@@ -207,3 +207,27 @@ def test_to_xarray_reference_conventions(spark, lineitem):
     assert at["bin_type"] == "Regular"
     assert at["underflow"] == 1 and at["overflow"] == 1
     assert at["right_edge"] == 51.0
+
+
+def test_rebin_metamorphic(spark, lineitem):
+    """rebin(f) == reshape-and-sum of the dense array; labels are the exact
+    old edges; flow bins pass through; invalid factors / pdf rebin raise."""
+    import numpy as np
+
+    h = histogram(lineitem, "l_quantity", Regular(10, 1.0, 51.0))
+    assert np.array_equal(
+        h.to_numpy().reshape(5, 2).sum(axis=1), h.rebin(2).to_numpy()
+    )
+    assert h.rebin(2).edges() == h.edges()[::2]
+    hw = histogram(lineitem, "l_quantity", Regular(10, 1.0, 51.0),
+                   weights="l_extendedprice", group_by=["l_returnflag"],
+                   flow=True)
+    a, b = hw.to_numpy(), hw.rebin(5).to_numpy()
+    assert np.allclose(a[:, 1:-1].reshape(a.shape[0], 2, 5).sum(2), b[:, 1:-1])
+    assert np.array_equal(a[:, 0], b[:, 0])  # underflow untouched
+    with pytest.raises(ValueError, match="must divide"):
+        h.rebin(3)
+    with pytest.raises(ValueError, match="normalize"):
+        h.normalize().rebin(2)
+    # stats still work on the rebinned result
+    assert h.rebin(2).median().count() == 1

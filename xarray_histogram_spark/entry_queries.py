@@ -799,6 +799,32 @@ def _coords_sql() -> str:
 register("alg_bin_coordinates", _coords_fn, _coords_sql())
 
 
+def _rebin_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = histogram(t(spark, sf_dir, "lineitem"), "l_quantity", _ALG_SPEC)
+    return h.rebin(2).df
+
+
+def _rebin_sql() -> str:
+    """Oracle mirrors the COMPUTATION (10-bin histogram, then integer-div
+    merge), not a direct 5-bin histogram: float bucketize at n=5 could
+    disagree with n=10//2 by an ulp at edges, and the merged labels are the
+    exact OLD edge doubles (MIN per merged bin)."""
+    inner = orc.histogram_oracle_sql("lineitem", ["l_quantity"], [_ALG_SPEC])
+    return (
+        f"SELECT CAST(l_quantity_bin // 2 AS INT) AS l_quantity_bin, "
+        f"MIN(l_quantity_bins) AS l_quantity_bins, "
+        f"SUM(l_quantity_histogram) AS l_quantity_histogram "
+        f"FROM ({inner}) h GROUP BY 1"
+    )
+
+
+register(
+    # boost UHI-style rebin: output-bounded re-aggregation, exact old-edge
+    # labels via a Variable axis over every 2nd edge
+    "alg_rebin", _rebin_fn, _rebin_sql(),
+)
+
+
 # ---------------------------------------------------------------------------
 # streaming: a REAL Structured Streaming execution (file source → watermarked
 # windowed histogram → memory sink, availableNow) whose final state must

@@ -181,6 +181,69 @@ class HistogramResult:
             raise ValueError("factor must be > 0 (monotonicity)")
         return self.apply_func(lambda e: e * factor, variable)
 
+    # ---- rebin (boost UHI-style adjacent-bin merge) ----
+    def rebin(self, factor: int, variable: Optional[str] = None) -> "HistogramResult":
+        """Merge ``factor`` adjacent bins along one variable — boost's rebin.
+        Runs on the aggregated result only (raw data never re-read): integer
+        id remap + re-sum + the shared dense finish.  The new axis is a
+        ``Variable`` over every ``factor``-th OLD edge, so the label doubles
+        survive EXACTLY (recomputing ``lo + i·span/(n/f)`` could differ in
+        the last ulp from the original edge values).  Flow bins pass
+        through unchanged.  Rebin before ``normalize`` — merging pdf bins
+        is not mass-preserving."""
+        from ..binspec import Regular, Variable as _Var
+        from .histogram import finish_from_agg
+
+        v = self._one_var(variable)
+        if self.density:
+            raise ValueError("rebin the histogram, then normalize")
+        s = self.specs[v]
+        if not isinstance(s, (Regular, _Var)):
+            raise TypeError("rebin needs an interval axis (Regular/Variable)")
+        f = int(factor)
+        if f < 1 or s.n % f != 0:
+            raise ValueError(f"factor {f} must divide n={s.n}")
+        if f == 1:
+            return self
+        new_spec = _Var(
+            tuple(s.edges()[::f]),
+            underflow=getattr(s, "underflow", True),
+            overflow=getattr(s, "overflow", True),
+        )
+        old = F.col(f"{v}_bin")
+        new_id = (
+            F.when(old < 0, F.lit(-1))
+            .when(old >= s.n, F.lit(new_spec.n))
+            .otherwise(F.floor(old / F.lit(f)))
+            .cast("int")
+        )
+        ids = [
+            (new_id if vv == v else F.col(f"{vv}_bin")).alias(f"{vv}_bin")
+            for vv in self.variables
+        ]
+        agg = (
+            self._df.select(*self.group_by, *ids, F.col("__val"))
+            .groupBy(*self.group_by, *[f"{vv}_bin" for vv in self.variables])
+            .agg(F.sum("__val").alias("__val"))
+        )
+        storage = (
+            "int64"
+            if dict(self._df.dtypes).get(self.value_col) == "bigint"
+            else "double"
+        )
+        return finish_from_agg(
+            agg,
+            self.variables,
+            [new_spec if vv == v else self.specs[vv] for vv in self.variables],
+            group_by=self.group_by,
+            flow=self.flow,
+            density=False,
+            storage=storage,
+            int_mode=self.int_mode,
+            divisor=self.divisor,
+            weighted=(self.divisor != 1.0) or not self.int_mode,
+        )
+
     # ---- histogram addition (xarray DataArray arithmetic / boost `+`) ----
     def merge(self, *others: "HistogramResult") -> "HistogramResult":
         """Sum histograms with identical schema (specs, grouping, flow) —
