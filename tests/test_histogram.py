@@ -329,3 +329,29 @@ def test_quantile_bins_constant_column_raises(spark):
     df = spark.range(100).selectExpr("CAST(7.5 AS DOUBLE) AS x")
     with pytest.raises(ValueError, match="single distinct value"):
         quantile_edges(df, "x", 4)
+
+
+def test_preserve_groups_all_nan_slice(spark):
+    """Reference loop-slice semantics: a group whose values all fall in flow
+    bins appears with zero counts under preserve_groups=True, vanishes under
+    the default (performance) semantics."""
+    from xarray_histogram_spark import Regular, histogram
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", float("nan")), ("b", None)],
+        "g: string, x: double",
+    )
+    spec = Regular(4, 0.0, 4.0)
+    fast = histogram(df, "x", spec, group_by=["g"]).df
+    assert {r["g"] for r in fast.collect()} == {"a"}
+    full = histogram(df, "x", spec, group_by=["g"], preserve_groups=True)
+    rows = full.df.collect()
+    assert {r["g"] for r in rows} == {"a", "b"}
+    bsum = sum(r["x_histogram"] for r in rows if r["g"] == "b")
+    assert bsum == 0.0
+    assert len(rows) == 2 * 4  # dense both groups
+    # flow=True + preserve_groups: flow bins carry the NaN count
+    fl = histogram(df, "x", spec, group_by=["g"], flow=True,
+                   preserve_groups=True).df.collect()
+    bover = [r for r in fl if r["g"] == "b" and r["x_bin"] == 4]
+    assert bover and bover[0]["x_histogram"] == 2.0

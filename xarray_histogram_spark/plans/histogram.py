@@ -177,6 +177,7 @@ def histogramdd(
     flow: bool = False,
     storage: str = "double",
     weight_scale: Optional[int] = 6,
+    preserve_groups: bool = False,
 ) -> HistogramResult:
     """N-dimensional weighted histogram over a long-form DataFrame.
 
@@ -191,6 +192,14 @@ def histogramdd(
     ``round(w·10^scale)`` (deterministic, oracle-matchable — see module
     docstring); ``None`` → raw double sums (fast path, not deterministic
     under reordering).
+    ``preserve_groups``: with ``flow=False`` a group whose rows ALL land in
+    flow bins (all NaN/NULL/out-of-range) has no surviving rows, so it
+    vanishes from the output — whereas the reference's loop slices come
+    from a dense array and would appear with all-zero counts.  ``True``
+    restores reference semantics by aggregating flow ids too (the dense
+    fill then drops them, but the group's spine rows remain): costs ≤2
+    extra bins per group in the shuffle and forgoes the scan-level keep
+    pushdown, so it is opt-in.
     """
     cols = list(cols)
     group_by = list(group_by)
@@ -217,11 +226,15 @@ def histogramdd(
     # scan, and the bucketize CASE below is then evaluated exactly once per
     # row — an id-range filter would be pushdown-substituted into both
     # BETWEEN bounds, tripling the bucketize work per row
-    preds = [
-        p
-        for c, s in zip(cols, specs)
-        if (p := s.keep_pred_col(F.col(c), flow)) is not None
-    ]
+    if preserve_groups and group_by:
+        preds = []  # aggregate flow ids too; dense fill drops them but the
+        # group's spine rows survive (reference loop-slice semantics)
+    else:
+        preds = [
+            p
+            for c, s in zip(cols, specs)
+            if (p := s.keep_pred_col(F.col(c), flow)) is not None
+        ]
     src = df.where(reduce(lambda a, b: a & b, preds)) if preds else df
 
     # bucketize: raw bin ids, codegen'd expressions
@@ -476,12 +489,14 @@ def histogram(
     flow: bool = False,
     storage: str = "double",
     weight_scale: Optional[int] = 6,
+    preserve_groups: bool = False,
 ) -> HistogramResult:
     """1-D histogram (core.py:46-107)."""
     return histogramdd(
         df, [col], bins, ranges=[range] if range is not None else None,
         weights=weights, density=density, group_by=group_by, flow=flow,
         storage=storage, weight_scale=weight_scale,
+        preserve_groups=preserve_groups,
     )
 
 
@@ -498,10 +513,11 @@ def histogram2d(
     flow: bool = False,
     storage: str = "double",
     weight_scale: Optional[int] = 6,
+    preserve_groups: bool = False,
 ) -> HistogramResult:
     """2-D histogram (core.py:110-179)."""
     return histogramdd(
         df, [col_x, col_y], bins, ranges=ranges, weights=weights,
         density=density, group_by=group_by, flow=flow, storage=storage,
-        weight_scale=weight_scale,
+        weight_scale=weight_scale, preserve_groups=preserve_groups,
     )
