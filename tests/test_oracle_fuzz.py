@@ -1,0 +1,70 @@
+"""Seeded randomized cross-engine fuzz of the oracle generator: random spec
+family × flow × weights × grouping combinations, each run through BOTH the
+engine and `histogram_oracle_sql`, compared exactly.  Hardens the generator
+beyond the fixed registry configurations."""
+
+import random
+
+import pytest
+
+from xarray_histogram_spark import (
+    IntCategory,
+    Integer,
+    Regular,
+    StrCategory,
+    Variable,
+    histogramdd,
+)
+from xarray_histogram_spark import oracle as orc
+
+from .util import assert_matches_sql, duck
+
+
+def _random_config(rng: random.Random):
+    kind = rng.choice(["regular", "log", "sqrt", "variable", "vbinary",
+                       "integer", "intcat", "strcat"])
+    if kind == "regular":
+        lo = rng.uniform(0.0, 20.0)
+        spec, col = Regular(rng.randint(3, 24), lo, lo + rng.uniform(5.0, 80.0)), "l_quantity"
+    elif kind == "log":
+        spec, col = Regular(rng.randint(3, 12), rng.uniform(0.5, 2.0),
+                            rng.uniform(40.0, 60.0), transform="log"), "l_quantity"
+    elif kind == "sqrt":
+        spec, col = Regular(rng.randint(3, 12), 0.0,
+                            rng.uniform(40.0, 60.0), transform="sqrt"), "l_quantity"
+    elif kind in ("variable", "vbinary"):
+        cuts = sorted({round(rng.uniform(1.0, 50.0), 3) for _ in range(rng.randint(3, 9))})
+        if len(cuts) < 2:
+            cuts = [1.0, 25.0, 50.0]
+        spec = Variable(tuple(cuts), binary=(kind == "vbinary"))
+        col = "l_quantity"
+    elif kind == "integer":
+        lo = rng.randint(-2, 10)
+        spec, col = Integer(lo, lo + rng.randint(2, 40)), "l_linenumber"
+    elif kind == "intcat":
+        cats = tuple(sorted(rng.sample(range(1, 8), rng.randint(2, 5))))
+        spec, col = IntCategory(cats), "l_linenumber"
+    else:
+        cats = tuple(sorted(rng.sample(["A", "N", "R"], rng.randint(2, 3))))
+        spec, col = StrCategory(cats), "l_returnflag"
+    flow = rng.random() < 0.5
+    weights = "l_extendedprice" if rng.random() < 0.4 else None
+    group_by = ["l_linestatus"] if rng.random() < 0.4 and col != "l_linenumber" else []
+    density = rng.random() < 0.3
+    return spec, col, flow, weights, group_by, density
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_spec_matches_oracle(spark, sf_dir, seed):
+    rng = random.Random(20260813 + seed)
+    spec, col, flow, weights, group_by, density = _random_config(rng)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    r = histogramdd(
+        li, [col], [spec], flow=flow, weights=weights,
+        group_by=group_by, density=density,
+    )
+    sql = orc.histogram_oracle_sql(
+        "lineitem", [col], [spec], flow=flow, weights=weights,
+        group_by=group_by, density=density,
+    )
+    assert_matches_sql(r.df, sql, duck(sf_dir))
