@@ -68,3 +68,26 @@ def test_fuzzed_spec_matches_oracle(spark, sf_dir, seed):
         group_by=group_by, density=density,
     )
     assert_matches_sql(r.df, sql, duck(sf_dir))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzzed_2var_matches_oracle(spark, sf_dir, seed):
+    rng = random.Random(777 + seed)
+    s1 = Regular(rng.randint(3, 10), rng.uniform(0.0, 5.0), rng.uniform(40.0, 60.0))
+    cuts = sorted({round(rng.uniform(0.0, 0.1), 4) for _ in range(rng.randint(3, 6))})
+    if len(cuts) < 2:
+        cuts = [0.0, 0.05, 0.1]
+    s2 = Variable(tuple(cuts))
+    flow = rng.random() < 0.5
+    weights = "l_extendedprice" if rng.random() < 0.5 else None
+    group_by = ["l_returnflag"] if rng.random() < 0.5 else []
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    r = histogramdd(
+        li, ["l_quantity", "l_discount"], [s1, s2], flow=flow,
+        weights=weights, group_by=group_by,
+    )
+    sql = orc.histogram_oracle_sql(
+        "lineitem", ["l_quantity", "l_discount"], [s1, s2], flow=flow,
+        weights=weights, group_by=group_by,
+    )
+    assert_matches_sql(r.df, sql, duck(sf_dir))
