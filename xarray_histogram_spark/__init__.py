@@ -23,8 +23,21 @@ from .binspec import (
     StrCategory,
     Variable,
 )
-from .plans.histogram import histogram, histogram2d, histogramdd
+from .plans.histogram import (
+    categories_from_data,
+    histogram,
+    histogram2d,
+    histogramdd,
+    quantile_edges,
+)
 from .plans.result import HistogramResult
+from .plans.rollup import rollup_histogram
+from .sources.io import read_result, write_result
+from .streaming.histogram_stream import (
+    session_histogram,
+    streaming_histogram,
+    write_stream_histogram,
+)
 
 __all__ = [
     "Bin",
@@ -41,6 +54,14 @@ __all__ = [
     "histogram2d",
     "histogramdd",
     "HistogramResult",
+    "quantile_edges",
+    "categories_from_data",
+    "rollup_histogram",
+    "read_result",
+    "write_result",
+    "streaming_histogram",
+    "session_histogram",
+    "write_stream_histogram",
 ]
 
 __version__ = "0.1.0"
