@@ -892,6 +892,57 @@ def _streaming_window_sql() -> str:
 register("streaming_window_hist", _streaming_window_fn, _streaming_window_sql())
 
 
+def _sliding_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window histogram (batch twin of the streaming plan — real
+    streaming execution is exercised by streaming_window_hist): every event
+    lands in duration/slide = 2 windows."""
+    from .streaming.histogram_stream import streaming_histogram
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    conv = (
+        t(spark, sf_dir, "events")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("ts", "value")
+    )
+    out = streaming_histogram(
+        conv, "value", _ST_SPEC, "ts", window_duration="2 days", slide="1 day"
+    )
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("window_start_s"),
+        "value_bin",
+        "value_bins",
+        F.col("count").alias("n"),
+    )
+
+
+def _sliding_window_sql() -> str:
+    """Mirror with pure integer micros arithmetic: window starts of event t
+    are {day_floor(t), day_floor(t) − 1 day} (slide-aligned to epoch, like
+    Spark's `window()`); avoids DuckDB `time_bucket` whose multi-day origin
+    (2000-01-03) would misalign 2-day buckets."""
+    from .oracle import _spine_values
+
+    bucket = _ST_SPEC.raw_id_sql("value")
+    spine = _spine_values("value", _ST_SPEC, False)
+    day = 86_400_000_000
+    return (
+        f"WITH raw AS (SELECT epoch_us(ts) AS t, {bucket} AS value_bin "
+        f"FROM events), "
+        f"win AS (SELECT ((t // {day}) - k.k) * 86400 AS window_start_s, "
+        f"value_bin FROM raw, (SELECT unnest([0, 1]) AS k) k), "
+        f"agg AS (SELECT CAST(window_start_s AS BIGINT) AS window_start_s, "
+        f"value_bin, CAST(COUNT(*) AS DOUBLE) AS n FROM win "
+        f"WHERE value_bin BETWEEN 0 AND {_ST_SPEC.n - 1} "
+        f"GROUP BY 1, 2) "
+        f"SELECT agg.window_start_s, agg.value_bin, sp.value_bins, agg.n "
+        f"FROM agg JOIN (SELECT * FROM {spine}) sp "
+        f"ON agg.value_bin = sp.value_bin"
+    )
+
+
+register("events_sliding_hist", _sliding_window_fn, _sliding_window_sql())
+
+
 def _streaming_stateful_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): cumulative dense
     per-key histogram, state merged across 3 forced micro-batches; the final
