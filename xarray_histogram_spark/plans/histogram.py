@@ -47,12 +47,6 @@ from .result import HistogramResult
 
 BinsArg = Union[int, BinSpec, Sequence[Union[int, BinSpec]]]
 
-_LABEL_SPARK_TYPE = {
-    "double": T.DoubleType(),
-    "bigint": T.LongType(),
-    "string": T.StringType(),
-}
-
 
 def id_col(var: str) -> str:
     return f"{var}_bin"
