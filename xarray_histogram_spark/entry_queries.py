@@ -943,6 +943,27 @@ def _sliding_window_sql() -> str:
 register("events_sliding_hist", _sliding_window_fn, _sliding_window_sql())
 
 
+def _props_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured input: histogram over a JSON-extracted field
+    (`get_json_object` ≡ DuckDB `json_extract_string` on scalar paths —
+    both return the unquoted scalar, cast to BIGINT)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "pk", F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    )
+    return histogramdd(ev, ["pk"], [Integer(0, 100)], group_by=["event_type"]).df
+
+
+register(
+    "events_props_json_hist", _props_fn,
+    orc.histogram_oracle_sql(
+        "(SELECT event_type, "
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS pk "
+        "FROM events) tp",
+        ["pk"], [Integer(0, 100)], group_by=["event_type"],
+    ),
+)
+
+
 def _streaming_stateful_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): cumulative dense
     per-key histogram, state merged across 3 forced micro-batches; the final
