@@ -503,7 +503,12 @@ register(
 )
 
 
-from .plans.rollup import rollup_histogram, rollup_histogram_sql
+from .plans.rollup import (
+    rollup_histogram,
+    rollup_histogram_sql,
+    rollup_histogramdd,
+    rollup_histogramdd_sql,
+)
 
 _RU_SPEC = Regular(10, 1.0, 51.0)
 
@@ -526,6 +531,17 @@ register(
     rollup_histogram_sql(
         "lineitem", "l_quantity", _RU_SPEC, ["l_returnflag", "l_linestatus"],
         weights="l_extendedprice",
+    ),
+)
+register(
+    "hist_rollup_2d",
+    lambda spark, sf_dir: rollup_histogramdd(
+        t(spark, sf_dir, "lineitem"), ["l_quantity", "l_discount"],
+        [_RU_SPEC, Regular(4, 0.0, 0.12)], ["l_returnflag", "l_linestatus"],
+    ),
+    rollup_histogramdd_sql(
+        "lineitem", ["l_quantity", "l_discount"],
+        [_RU_SPEC, Regular(4, 0.0, 0.12)], ["l_returnflag", "l_linestatus"],
     ),
 )
 register(

@@ -93,6 +93,121 @@ def rollup_histogram(
     )
 
 
+def rollup_histogramdd(
+    df: DataFrame,
+    cols: Sequence[str],
+    specs: Sequence[BinSpec],
+    group_by: Sequence[str],
+    *,
+    cube: bool = False,
+    flow: bool = False,
+    weights: str | None = None,
+    weight_scale: int | None = 6,
+) -> DataFrame:
+    """Multi-variable rollup/cube histogram: ALL bin ids are kept in every
+    grouping set (only the group hierarchy coarsens — the N-d histogram
+    itself stays intact at each level).  Same single-pass / output-bounded
+    shape as the 1-D rollup."""
+    cols = list(cols)
+    specs = list(specs)
+    group_by = list(group_by)
+    if not group_by:
+        raise ValueError("rollup_histogramdd needs at least one group column")
+    if len(cols) != len(specs):
+        raise ValueError("cols/specs length mismatch")
+    bids = [
+        s.raw_id_col(F.col(c)).alias(id_col(c)) for c, s in zip(cols, specs)
+    ]
+    preds = [
+        p
+        for c, s in zip(cols, specs)
+        if (p := s.keep_pred_col(F.col(c), flow)) is not None
+    ]
+    src = df
+    for p in preds:
+        src = src.where(p)
+    proj = [F.col(g) for g in group_by] + bids
+    if weights is not None:
+        proj.append(F.col(weights).alias("__w"))
+    base = src.select(*proj)
+    if weights is None:
+        val = F.count(F.lit(1)).cast("bigint")
+    elif weight_scale is not None:
+        s = float(10**weight_scale)
+        val = (
+            F.sum(F.round(F.col("__w").cast("double") * F.lit(s)).cast("bigint"))
+            .cast("double") / F.lit(s)
+        )
+    else:
+        val = F.sum(F.col("__w").cast("double"))
+    idc = [F.col(id_col(c)) for c in cols]
+    sets = [
+        [F.col(g) for g in gs] + idc for gs in _group_sets(group_by, cube)
+    ]
+    grouped = base.groupingSets(sets, *[F.col(g) for g in group_by], *idc)
+    out = grouped.agg(F.grouping_id().alias("__gid_raw"), val.alias("n"))
+    # the lowest len(cols) grouping bits belong to the bin columns and are
+    # always 0 — strip them so the id encodes only the group hierarchy
+    return out.select(
+        *group_by,
+        (F.col("__gid_raw") / (2 ** len(cols))).cast("int").alias("__grouping_id"),
+        *idc,
+        F.col("n"),
+    )
+
+
+def rollup_histogramdd_sql(
+    table: str,
+    cols: Sequence[str],
+    specs: Sequence[BinSpec],
+    group_by: Sequence[str],
+    *,
+    cube: bool = False,
+    flow: bool = False,
+    weights: str | None = None,
+    weight_scale: int | None = 6,
+) -> str:
+    from ..binspec import flit
+
+    cols = list(cols)
+    specs = list(specs)
+    group_by = list(group_by)
+    gcols = ", ".join(group_by)
+    idc = [id_col(c) for c in cols]
+    bsel = ", ".join(
+        f"{s.raw_id_sql(c)} AS {id_col(c)}" for c, s in zip(cols, specs)
+    )
+    keep = " AND ".join(
+        f"{id_col(c)} BETWEEN {s.keep_range(flow)[0]} AND {s.keep_range(flow)[1]}"
+        for c, s in zip(cols, specs)
+    )
+    wsel = f", {weights} AS __w" if weights is not None else ""
+    if weights is None:
+        val = "CAST(COUNT(*) AS BIGINT)"
+    elif weight_scale is not None:
+        sc = flit(float(10**weight_scale))
+        val = (
+            f"CAST(SUM(CAST(ROUND(CAST(__w AS DOUBLE) * {sc}) AS BIGINT)) "
+            f"AS DOUBLE) / {sc}"
+        )
+    else:
+        val = "SUM(CAST(__w AS DOUBLE))"
+    sets = ", ".join(
+        "(" + ", ".join(gs + idc) + ")" for gs in _group_sets(group_by, cube)
+    )
+    gid = " + ".join(
+        f"GROUPING({g}) * {2 ** (len(group_by) - 1 - i)}"
+        for i, g in enumerate(group_by)
+    )
+    return (
+        f"WITH base AS (SELECT * FROM (SELECT {gcols}, {bsel}{wsel} "
+        f"FROM {table}) b WHERE {keep}) "
+        f"SELECT {gcols}, CAST({gid} AS INT) AS __grouping_id, "
+        f"{', '.join(idc)}, {val} AS n "
+        f"FROM base GROUP BY GROUPING SETS ({sets})"
+    )
+
+
 def rollup_histogram_sql(
     table: str,
     col: str,
