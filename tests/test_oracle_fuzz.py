@@ -91,3 +91,47 @@ def test_fuzzed_2var_matches_oracle(spark, sf_dir, seed):
         weights=weights, group_by=group_by,
     )
     assert_matches_sql(r.df, sql, duck(sf_dir))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzzed_stats_match_oracle(spark, sf_dir, seed):
+    """Randomized distribution-statistic configs through both the engine
+    and `stats_oracle_sql` (fold-heavy generator — the riskiest mirror)."""
+    from xarray_histogram_spark.plans import stats as st
+
+    rng = random.Random(4242 + seed)
+    kind = rng.choice(["mean", "var", "std", "median", "moment", "ppf",
+                       "cdf", "interval"])
+    lo = rng.uniform(0.5, 3.0)
+    spec = Regular(rng.randint(4, 16), lo, lo + rng.uniform(20.0, 60.0))
+    group_by = ["l_returnflag"] if rng.random() < 0.5 else []
+    weights = "l_extendedprice" if rng.random() < 0.3 else None
+    skw = {}
+    if kind == "moment":
+        skw["order"] = rng.randint(1, 4)
+    elif kind == "ppf":
+        skw["q"] = round(rng.uniform(0.05, 0.95), 2)
+    elif kind == "cdf":
+        skw["x"] = round(rng.uniform(lo, lo + 20.0), 2)
+    elif kind == "interval":
+        skw["confidence"] = round(rng.uniform(0.5, 0.95), 2)
+    from xarray_histogram_spark import histogramdd
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    h = histogramdd(li, ["l_quantity"], [spec], group_by=group_by,
+                    weights=weights)
+    if kind == "moment":
+        sdf = st.moment(h, skw["order"], "l_quantity")
+    elif kind == "ppf":
+        sdf = st.ppf(h, skw["q"], "l_quantity")
+    elif kind == "cdf":
+        sdf = st.cdf(h, skw["x"], "l_quantity")
+    elif kind == "interval":
+        sdf = st.interval(h, skw["confidence"], "l_quantity")
+    else:
+        sdf = getattr(st, kind)(h, "l_quantity")
+    sql = orc.stats_oracle_sql(
+        kind, "lineitem", ["l_quantity"], [spec], "l_quantity",
+        group_by=group_by, weights=weights, **skw,
+    )
+    assert_matches_sql(sdf, sql, duck(sf_dir))
