@@ -54,8 +54,34 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
     _REGISTRY[name] = (fn, sql)
 
 
+# Queries the round-1 driver verified (green rows in CORRECTNESS_r01.json).
+# The driver checks the first ~50 registry entries per round, so queries
+# WITHOUT a driver row yet are ordered first: each round extends hard-signal
+# coverage instead of re-verifying the same prefix.
+_DRIVER_VERIFIED = frozenset({
+    "hist_regular_1d", "hist_regular_flow", "hist_weighted", "hist_grouped",
+    "hist_group_month", "hist_density", "hist_density_flow",
+    "hist_variable_axis", "hist_variable_binary", "hist_integer_axis",
+    "hist_intcategory", "hist_strcategory", "hist_log_axis", "hist_2d",
+    "hist_3d_grouped", "hist_int64_storage", "hist_fill_arrow_path",
+    "hist_weighted_grouped_density", "hist_sqrt_axis", "hist_range_infer",
+    "alg_normalize_after", "alg_remove_flow", "alg_scale",
+    "alg_apply_func_log", "stat_mean", "stat_var", "stat_std",
+    "stat_moment3", "stat_median", "stat_ppf90", "stat_interval80",
+    "stat_cdf25", "stat_mean_weighted", "stat_mean_2d", "stat_median_2d",
+    "dedup_exact", "dedup_minhash_pairs", "dedup_jaccard", "dedup_near_keep",
+    "dedup_components", "dedup_simhash", "dedup_embed_pairs",
+    "sim_cosine_topk", "sim_ann_topk", "dedup_embed_components",
+    "sim_ann_indexed", "sim_ivf_topk", "text_token_count", "text_quality",
+    "text_langid",
+})
+
+
 def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
-    return dict(_REGISTRY)
+    items = list(_REGISTRY.items())
+    head = [(n, v) for n, v in items if n not in _DRIVER_VERIFIED]
+    tail = [(n, v) for n, v in items if n in _DRIVER_VERIFIED]
+    return dict(head + tail)
 
 
 def _hist_query(
