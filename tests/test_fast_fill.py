@@ -68,3 +68,18 @@ def test_fill_stats_compatible(spark, lineitem):
     )
     rows = h.median().collect()
     assert len(rows) == 3 and all(r[1] > 0 for r in rows)
+
+
+def test_fill_sqrt_negative_matches_column_path(spark, lineitem):
+    """sqrt(negative) = NaN must land in overflow on BOTH paths (Spark's
+    NaN ordering sends it there; the kernel adds it to `bad` explicitly)."""
+    from pyspark.sql import functions as F
+
+    df = lineitem.select((F.col("l_quantity") - 25.0).alias("q"))
+    spec = [Regular(6, 0.5, 5.0, transform="sqrt")]
+    a = histogramdd(df, ["q"], spec, flow=True)
+    b = histogramdd_fill(df, ["q"], spec, flow=True)
+    _cmp(a, b, ["q_bin"])
+    # negatives exist, so overflow must be populated identically & nonzero
+    over = {r["q_bin"]: r["q_histogram"] for r in a.df.collect()}[6]
+    assert over > 0

@@ -112,13 +112,19 @@ def test_density(lineitem, con):
     assert total == pytest.approx(1.0)
 
 
-def test_density_flow_untouched(lineitem, con):
+def test_density_flow_divided(lineitem, con):
     spec = Regular(6, 10.0, 40.0)
     r = histogram(lineitem, "l_quantity", spec, density=True, flow=True)
     check(r, "lineitem", ["l_quantity"], [spec], con, density=True, flow=True)
     rows = {row["l_quantity_bin"]: row["l_quantity_pdf"] for row in r.df.collect()}
-    # flow cells keep raw counts (accessor tests: normalize leaves flow untouched)
-    assert rows[-1] == int(rows[-1]) and rows[-1] > 0
+    raw = histogram(lineitem, "l_quantity", spec, flow=True)
+    counts = {row["l_quantity_bin"]: row["l_quantity_histogram"] for row in raw.df.collect()}
+    # core.py:662: pdf = hist / get_area / flow-excluded total, for EVERY
+    # cell; get_area (core.py:638-646) forces flow areas to 1, so a flow
+    # cell is raw/total
+    total = sum(v for k, v in counts.items() if 0 <= k < spec.n)
+    assert rows[-1] == pytest.approx(counts[-1] / total)
+    assert rows[spec.n] == pytest.approx(counts[spec.n] / total)
 
 
 def test_variable_axis(lineitem, con):

@@ -231,3 +231,24 @@ def test_rebin_metamorphic(spark, lineitem):
         h.normalize().rebin(2)
     # stats still work on the rebinned result
     assert h.rebin(2).median().count() == 1
+
+
+def test_dense_pivot_null_group_key(spark, lineitem):
+    """NULL group keys become an explicit trailing None level — observed
+    groups never silently vanish from dense exports (to_numpy/to_xarray)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from xarray_histogram_spark import Regular, histogram
+
+    df = lineitem.select(
+        "l_quantity",
+        F.when(F.col("l_linenumber") <= 2, F.col("l_returnflag")).alias("g"),
+    )
+    h = histogram(df, "l_quantity", Regular(5, 1.0, 51.0), group_by=["g"])
+    vals, dims, coords = h._dense_pivot()
+    assert coords["g"][-1] is None and len(coords["g"]) == 4
+    null_slice = vals[-1]
+    assert np.nansum(null_slice) > 0
+    total = h.df.agg(F.sum("l_quantity_histogram")).collect()[0][0]
+    assert np.nansum(vals) == total

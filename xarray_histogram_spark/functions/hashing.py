@@ -58,12 +58,21 @@ def shingles_sql(expr: str, k: int) -> str:
 
 
 # ---- tokens ----
+# Explicit whitespace class instead of \s: Java's \s includes U+000B but
+# RE2's (DuckDB's) does not — split identically in both engines (same
+# one-codepoint discrepancy operators/text.py's BPE_PIECE_RE documents).
+_WS_CLASS = "[ \\t\\n\\r\\f\\x0B]+"
+
+
 def tokens(text: Column) -> Column:
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.lower(text), _WS_CLASS), lambda t: t != "")
 
 
 def tokens_sql(expr: str) -> str:
-    return f"list_filter(regexp_split_to_array(lower({expr}), '\\s+'), t -> t != '')"
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '{_WS_CLASS}'), "
+        "t -> t != '')"
+    )
 
 
 # ---- hex nibble value (for SimHash bits) ----

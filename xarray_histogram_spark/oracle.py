@@ -13,7 +13,7 @@ Spark planner compiles, mirroring:
   int64→double cast is hardware-rounded identically in both engines (unlike
   DuckDB's DECIMAL→DOUBLE cast, which is observably off by an ulp);
 - the dense spine join with groups derived from the aggregated output;
-- the density window (flow-excluded integer total, flow cells untouched).
+- the density window (flow-excluded integer total; flow cells ÷ total, area 1).
 
 Spine VALUES literals are explicitly CAST — DuckDB parses bare numeric
 literals as DECIMAL, which would silently change column types and poison
@@ -172,9 +172,10 @@ def density_sql_expr(
             f"OVER ({part})"
         )
         raw = "__val"
+    total_nz = f"NULLIF({total_d}, CAST(0.0 AS DOUBLE))"
     return (
-        f"CASE WHEN {any_flow} THEN {raw} "
-        f"ELSE {raw} / ({area}) / NULLIF({total_d}, CAST(0.0 AS DOUBLE)) END"
+        f"CASE WHEN {any_flow} THEN {raw} / {total_nz} "
+        f"ELSE {raw} / ({area}) / {total_nz} END"
     )
 
 

@@ -165,6 +165,10 @@ def histogramdd_fill(
             elif d["pre"] == "sqrt":
                 with _np.errstate(invalid="ignore"):
                     y = _np.sqrt(x)
+                # sqrt(negative) = NaN: Spark/DuckDB NaN-ordering makes
+                # y >= yhi true → overflow; mirror that, don't let the NaN
+                # fall through numpy's always-False comparisons into mid
+                bad = bad | _np.isnan(y)
             else:
                 y = x
             ylo, yhi = d["ylo"], d["yhi"]

@@ -377,9 +377,11 @@ def _density_expr(
     divisor: float,
 ) -> Column:
     """Histogram → PDF along ``norm_vars`` (core.py:649-663 semantics):
-    the total EXCLUDES flow bins, the value is divided by bin area × total,
-    and flow-bin cells keep their raw counts.  In int_mode the window total
-    is an exact integer sum → deterministic under any partitioning."""
+    the total EXCLUDES flow bins, and EVERY cell — flow included — is
+    divided by ``area × total``; ``get_area`` (core.py:638-646) forces flow
+    areas to 1, so flow cells come out as ``raw / total``.  In int_mode the
+    window total is an exact integer sum → deterministic under any
+    partitioning."""
     any_flow = reduce(
         lambda a, b: a | b, [F.col(f"__{v}_is_flow") for v in norm_vars]
     )
@@ -398,9 +400,8 @@ def _density_expr(
             F.when(any_flow, F.lit(0.0)).otherwise(F.col("__val"))
         ).over(w)
         raw = F.col("__val")
-    return F.when(any_flow, raw).otherwise(
-        raw / area / F.nullif(total_d, F.lit(0.0))
-    )
+    total_nz = F.nullif(total_d, F.lit(0.0))
+    return F.when(any_flow, raw / total_nz).otherwise(raw / area / total_nz)
 
 
 def quantile_edges(
@@ -424,8 +425,14 @@ def quantile_edges(
     )
     if approx:
         qs = [i / n for i in range(n + 1)]
-        edges = x.stat.approxQuantile("x", qs, 1e-4)
-        return sorted(set(edges))
+        edges = sorted(set(x.stat.approxQuantile("x", qs, 1e-4)))
+        if len(edges) < 2:
+            raise ValueError(
+                f"column {col!r} has a single distinct value "
+                f"({edges[0]!r})" if edges
+                else f"cannot infer quantile bins of empty column {col!r}"
+            )
+        return edges
     c = x.count()
     if c == 0:
         raise ValueError(f"cannot infer quantile bins of empty column {col!r}")

@@ -338,9 +338,11 @@ class HistogramResult:
         """(values ndarray, dim names, coords dict).  Shape = (sorted
         distinct observed values per group column…, bin extents…); group
         combinations never observed are NaN-filled (the reference cannot
-        produce them — its loop dims come from a dense array)."""
+        produce them — its loop dims come from a dense array).  A NULL
+        group key (possible when grouping by a nullable column) becomes an
+        explicit trailing ``None`` level — observed groups are never
+        silently dropped."""
         import numpy as np
-        import pandas as pd
 
         bid = [f"{v}_bin" for v in self.variables]
         pdf = self.df.orderBy(*self.group_by, *bid).toPandas()
@@ -351,21 +353,33 @@ class HistogramResult:
         }
         dims = list(self.group_by) + [f"{v}_bins" for v in self.variables]
         coords: dict = {}
-        levels = []
+        code_cols: list[np.ndarray] = []
+        shape: list[int] = []
         for g in self.group_by:
-            uniq = sorted(pdf[g].dropna().unique().tolist())
-            coords[g] = uniq
-            levels.append(uniq)
+            col = pdf[g]
+            isna = col.isna().to_numpy()
+            uniq = sorted(col.dropna().unique().tolist())
+            level = uniq + ([None] if isna.any() else [])
+            coords[g] = level
+            lut = {v: i for i, v in enumerate(uniq)}
+            codes = np.array(
+                [len(uniq) if na else lut[v] for v, na in zip(col.tolist(), isna)],
+                dtype=np.int64,
+            )
+            code_cols.append(codes)
+            shape.append(len(level))
         for v in self.variables:
             coords[f"{v}_bins"] = labels[v]
-            levels.append(ids[v])
-        shape = tuple(len(l) for l in levels)
-        series = pdf.set_index(self.group_by + bid)[self.value_col]
-        if len(levels) == 1:
-            series = series.reindex(levels[0])
-        else:
-            series = series.reindex(pd.MultiIndex.from_product(levels))
-        return series.to_numpy().reshape(shape), dims, coords
+            lut = {b: i for i, b in enumerate(ids[v])}
+            code_cols.append(
+                np.array([lut[b] for b in pdf[f"{v}_bin"].tolist()], dtype=np.int64)
+            )
+            shape.append(len(ids[v]))
+        flat = np.full(int(np.prod(shape)), np.nan)
+        if len(pdf):
+            idx = np.ravel_multi_index(tuple(code_cols), tuple(shape))
+            flat[idx] = pdf[self.value_col].to_numpy(dtype="float64")
+        return flat.reshape(tuple(shape)), dims, coords
 
     def to_numpy(self):
         """Dense ndarray shaped (group dims…, bin dims…), reference array
