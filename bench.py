@@ -58,7 +58,9 @@ def synthetic_baseline_plans(spark) -> dict:
     Inputs are cached in memory, as the reference's arrays are."""
     from pyspark.sql import functions as F
 
-    from xarray_histogram_spark import Regular, histogram, histogram2d
+    from xarray_histogram_spark import (
+        Regular, histogram, histogram2d, histogram_columns,
+    )
 
     spec = Regular(100, -3.0, 3.0)
     # float32 data (the reference's arrays are float32) in ~16 partitions —
@@ -72,14 +74,22 @@ def synthetic_baseline_plans(spark) -> dict:
         F.randn(2).cast("float").alias("x"), F.randn(3).cast("float").alias("y")
     ).cache()
     two.count()
-    along = spark.range(30_000_000, numPartitions=32).select(
-        (F.col("id") % 3).alias("d"), F.randn(4).cast("float").alias("x")
+    # along-dim: the reference's input is a (3 × 1e7) float32 array — the
+    # faithful wide-form mirror is three float columns (histogram_columns
+    # prunes each union branch to its own column, so exactly 3×1e7 float32
+    # are scanned — same bytes as the reference reads)
+    along = spark.range(10_000_000, numPartitions=10).select(
+        F.randn(4).cast("float").alias("x0"),
+        F.randn(5).cast("float").alias("x1"),
+        F.randn(6).cast("float").alias("x2"),
     ).cache()
     along.count()
     return {
         "baseline_flat_1d_1e7": histogram(flat, "x", spec).df,
         "baseline_two_var_1e7": histogram2d(two, "x", "y", [spec, spec]).df,
-        "baseline_along_dim_3x1e7": histogram(along, "x", spec, group_by=["d"]).df,
+        "baseline_along_dim_3x1e7": histogram_columns(
+            along, ["x0", "x1", "x2"], spec, dim_name="d"
+        ).df,
     }
 
 
@@ -99,6 +109,7 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "131072")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .getOrCreate()
@@ -114,13 +125,13 @@ def main() -> None:
     for table in ("lineitem", "orders", "part"):
         spark.read.parquet(f"{SF_DIR}/{table}.parquet").cache().count()
 
-    def time_plans(plans: dict) -> dict:
+    def time_plans(plans: dict, repeat: int = REPEAT) -> dict:
         for df in plans.values():  # warm codegen
             run_query(df)
         out = {}
         for name, df in plans.items():
             times = []
-            for _ in range(REPEAT):
+            for _ in range(repeat):
                 t0 = time.perf_counter()
                 run_query(df)
                 times.append(time.perf_counter() - t0)
@@ -138,7 +149,12 @@ def main() -> None:
     ops_results = time_plans(
         {name: registry[name][0](spark, SF_DIR) for name in OPS_QUERIES if name in registry}
     )
-    baseline_results = time_plans(synthetic_baseline_plans(spark))
+    # more repeats on the baseline mirrors: they are the sub-200-ms numbers
+    # the 2× gate reads, and this container's scheduling jitter is ±25 ms —
+    # min-of-7 is the steady state %%timeit would report
+    baseline_results = time_plans(
+        synthetic_baseline_plans(spark), repeat=max(REPEAT, 7)
+    )
     results.update(baseline_results)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)

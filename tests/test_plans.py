@@ -52,6 +52,37 @@ def test_broadcast_spine(grouped_plan):
     assert "BroadcastNestedLoopJoin" in grouped_plan or "BroadcastHashJoin" in grouped_plan
 
 
+def test_ungrouped_union_fill_single_exchange(lineitem):
+    """The ungrouped dense fill is union-with-zero-spine BEFORE the single
+    aggregation: exactly one shuffle Exchange, no join, and no
+    BroadcastExchange of a computed aggregate (which would cost an extra
+    job per execution)."""
+    r = histogram(lineitem, "l_quantity", Regular(10, 1.0, 51.0))
+    p = plan_of(r.df)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "BroadcastExchange" not in p
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2
+    assert "Union" in p
+
+
+def test_histogram_columns_plan(lineitem):
+    """histogram_columns: per-column branches fused into ONE aggregation —
+    a single shuffle exchange, no join, and each branch's scan pruned to
+    its own column."""
+    from xarray_histogram_spark import histogram_columns
+
+    r = histogram_columns(
+        lineitem, ["l_discount", "l_tax"], Regular(11, 0.0, 0.11)
+    )
+    p = plan_of(r.df)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "Join" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    pruned = [s for s in schemas if s in ("l_discount:double", "l_tax:double")]
+    assert len(pruned) == 2, schemas
+
+
 def test_filter_pushdown(lineitem):
     """A pre-filtered histogram pushes the predicate into the parquet scan."""
     df = lineitem.where(F.col("l_returnflag") == "A")

@@ -27,6 +27,7 @@ from .plans.histogram import (
     categories_from_data,
     histogram,
     histogram2d,
+    histogram_columns,
     histogramdd,
     quantile_edges,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "FLOW_STR",
     "histogram",
     "histogram2d",
+    "histogram_columns",
     "histogramdd",
     "HistogramResult",
     "quantile_edges",

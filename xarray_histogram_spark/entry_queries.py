@@ -208,6 +208,25 @@ _hist_query("hist_int64_storage", "lineitem", ["l_quantity"],
             [Regular(10, 1.0, 51.0)], storage="int64")
 
 
+def _hist_columns_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one histogram per column over a shared axis — the reference's
+    # along-dim histogram of a (k × N) array (core.py:271-276) in wide form
+    from .plans.histogram import histogram_columns
+
+    return histogram_columns(
+        t(spark, sf_dir, "lineitem"), ["l_discount", "l_tax"],
+        Regular(11, 0.0, 0.11),
+    ).df
+
+
+register(
+    "hist_columns", _hist_columns_fn,
+    orc.histogram_columns_oracle_sql(
+        "lineitem", ["l_discount", "l_tax"], Regular(11, 0.0, 0.11),
+    ),
+)
+
+
 def _fill_path_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Arrow/numpy vectorised fill (plans.fast_fill) — bit-exact with the
     # column path, so it shares the same generated oracle

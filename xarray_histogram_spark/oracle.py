@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from .binspec import BinSpec, flit
+from .binspec import BinSpec, flit, slit
 from .plans.histogram import id_col, label_col, value_col_name
 
 _LABEL_SQL_TYPE = {"double": "DOUBLE", "bigint": "BIGINT", "string": "VARCHAR"}
@@ -226,6 +226,93 @@ def histogram_oracle_sql(
         vexpr = "__val"
     final = f"SELECT {', '.join(out_cols)}, {vexpr} AS {vname} FROM filled"
     return "WITH " + ", ".join(ctes) + " " + final
+
+
+def histogram_columns_oracle_sql(
+    table: str,
+    cols: Sequence[str],
+    spec: BinSpec,
+    *,
+    weights: Optional[str] = None,
+    density: bool = False,
+    flow: bool = False,
+    storage: str = "double",
+    weight_scale: Optional[int] = 6,
+    dim_name: str = "series",
+    var_name: str = "value",
+) -> str:
+    """DuckDB mirror of ``plans.histogram.histogram_columns``: one
+    histogram per column over a shared axis — a UNION ALL of per-column
+    bucketize branches, one GROUP BY, dense spine per column."""
+    cols = list(cols)
+    lo, hi = spec.keep_range(flow)
+    bin_id = id_col(var_name)
+
+    if weights is not None:
+        wsel = f", {weights} AS __w"
+        if weight_scale is not None:
+            divisor = float(10**weight_scale)
+            val = (
+                f"CAST(SUM(CAST(ROUND(CAST(__w AS DOUBLE) * "
+                f"{flit(divisor)}) AS BIGINT)) AS BIGINT)"
+            )
+            int_mode = True
+        else:
+            val = "SUM(CAST(__w AS DOUBLE))"
+            int_mode, divisor = False, 1.0
+    else:
+        val = "CAST(COUNT(*) AS BIGINT)"
+        wsel = ""
+        int_mode, divisor = True, 1.0
+    zero = "CAST(0 AS BIGINT)" if int_mode else "CAST(0.0 AS DOUBLE)"
+
+    branches = []
+    for i, c in enumerate(cols):
+        inner = (
+            f"SELECT {i} AS __d, {spec.raw_id_sql(c)} AS {bin_id}{wsel} "
+            f"FROM {table}"
+        )
+        branches.append(
+            f"SELECT * FROM ({inner}) AS b{i} "
+            f"WHERE {bin_id} BETWEEN {lo} AND {hi}"
+        )
+    base = " UNION ALL ".join(branches)
+    agg = (
+        f"SELECT __d, {bin_id}, {val} AS __val FROM base "
+        f"GROUP BY __d, {bin_id}"
+    )
+    dim_rows = ", ".join(f"({i}, {slit(c)})" for i, c in enumerate(cols))
+    dense = (
+        f"SELECT * FROM (VALUES {dim_rows}) AS dd(__d, __dim) "
+        f"CROSS JOIN {_spine_values(var_name, spec, flow)}"
+    )
+    filled = (
+        f"SELECT d.__dim AS {dim_name}, d.{bin_id} AS {bin_id}, "
+        f"d.{label_col(var_name)} AS {label_col(var_name)}, "
+        f"COALESCE(a.__val, {zero}) AS __val, "
+        f"d.__{var_name}_width AS __{var_name}_width, "
+        f"d.__{var_name}_center AS __{var_name}_center, "
+        f"d.__{var_name}_is_flow AS __{var_name}_is_flow "
+        f"FROM dense d LEFT JOIN agg a "
+        f"ON d.__d = a.__d AND d.{bin_id} = a.{bin_id}"
+    )
+    vname = value_col_name([var_name], density)
+    if density:
+        vexpr = density_sql_expr([var_name], [dim_name], int_mode, divisor)
+    elif int_mode and weights is None and storage == "int64":
+        vexpr = "__val"
+    elif int_mode:
+        vexpr = "CAST(__val AS DOUBLE)"
+        if divisor != 1.0:
+            vexpr = f"{vexpr} / {flit(divisor)}"
+    else:
+        vexpr = "__val"
+    return (
+        f"WITH base AS ({base}), agg AS ({agg}), dense AS ({dense}), "
+        f"filled AS ({filled}) "
+        f"SELECT {dim_name}, {bin_id}, {label_col(var_name)}, "
+        f"{vexpr} AS {vname} FROM filled"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -126,6 +126,21 @@ def resolve_specs(
     return specs
 
 
+def spark_lit(v, typ: str) -> str:
+    """Spark-SQL literal with exact repr round-trip (doubles go through a
+    VARCHAR cast so the parsed value is bit-identical to the Python float)."""
+    if typ == "double":
+        x = float(v)
+        if math.isinf(x):
+            return f"CAST('{'Infinity' if x > 0 else '-Infinity'}' AS DOUBLE)"
+        return f"CAST('{x!r}' AS DOUBLE)"
+    if typ == "bigint":
+        return f"CAST({int(v)} AS BIGINT)"
+    if typ == "boolean":
+        return "true" if v else "false"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def spine_df(spark: SparkSession, var: str, spec: BinSpec, flow: bool) -> DataFrame:
     """Tiny per-axis bin table: (id, label, width, center, is_flow) — the
     analog of the reference's bin coordinate (core.py:524-587), broadcast
@@ -135,16 +150,6 @@ def spine_df(spark: SparkSession, var: str, spec: BinSpec, flow: bool) -> DataFr
     → LocalRelation after constant folding): a ``createDataFrame`` here would
     round-trip through a Python RDD and cost seconds of Python-worker
     startup per query, serially, for a few dozen constant rows."""
-    def spark_lit(v, typ: str) -> str:
-        if typ == "double":
-            x = float(v)
-            if math.isinf(x):
-                return f"CAST('{'Infinity' if x > 0 else '-Infinity'}' AS DOUBLE)"
-            return f"CAST('{x!r}' AS DOUBLE)"
-        if typ == "bigint":
-            return f"CAST({int(v)} AS BIGINT)"
-        return "'" + str(v).replace("'", "''") + "'"
-
     rows = ", ".join(
         "named_struct("
         f"'{id_col(var)}', CAST({b.id} AS INT), "
@@ -157,6 +162,55 @@ def spine_df(spark: SparkSession, var: str, spec: BinSpec, flow: bool) -> DataFr
     # one selectExpr round trip instead of hundreds of py4j lit() calls —
     # plan-construction latency is real overhead at interactive scale
     return spark.range(1).selectExpr(f"inline(array({rows}))")
+
+
+def _axis_id_range(spec: BinSpec, flow: bool) -> tuple[int, int]:
+    """Contiguous [lo, hi] id range of the emitted bins (every BinSpec
+    family emits consecutive ids: underflow −1, core 0..n−1, overflow n)."""
+    bins = spec.bins(flow)
+    ids = [b.id for b in bins]
+    lo = ids[0]
+    if ids != list(range(lo, lo + len(ids))):  # pragma: no cover
+        raise AssertionError(f"non-contiguous bin ids: {ids}")
+    return lo, ids[-1]
+
+
+def spine_ids_zero(
+    spark: SparkSession, cols: Sequence[str], specs: Sequence[BinSpec],
+    flow: bool, zero_sql: str, val_name: str = "__v",
+) -> DataFrame:
+    """Cross-product of per-axis bin ids with a typed zero value — the
+    union branch that densifies the aggregation (every bin appears in some
+    group even if no data row hits it).  Pure literal `sequence`/`explode`
+    plan: a few hundred driver-local rows, no job, no broadcast."""
+    df = spark.range(1)
+    for c, s in zip(cols, specs):
+        lo, hi = _axis_id_range(s, flow)
+        df = df.selectExpr("*", f"explode(sequence({lo}, {hi})) AS __seq_{c}")
+    return df.selectExpr(
+        *[f"CAST(__seq_{c} AS INT) AS {id_col(c)}" for c in cols],
+        f"{zero_sql} AS {val_name}",
+    )
+
+
+def axis_meta_exprs(var: str, spec: BinSpec, flow: bool) -> list[str]:
+    """Post-aggregation label/width/center/is_flow columns as literal-array
+    lookups on the bin id — O(1) per OUTPUT row (the aggregate is
+    bin-bounded), replacing the reference's dense coordinate arrays
+    (core.py:524-587) without any join."""
+    bins = spec.bins(flow)
+    lo, _ = _axis_id_range(spec, flow)
+    idx = f"({id_col(var)} + {1 - lo})"
+    labels = ", ".join(spark_lit(b.label, spec.label_type) for b in bins)
+    widths = ", ".join(spark_lit(b.width, "double") for b in bins)
+    centers = ", ".join(spark_lit(b.center, "double") for b in bins)
+    flows = ", ".join(spark_lit(b.is_flow, "boolean") for b in bins)
+    return [
+        f"element_at(array({labels}), {idx}) AS {label_col(var)}",
+        f"element_at(array({widths}), {idx}) AS __{var}_width",
+        f"element_at(array({centers}), {idx}) AS __{var}_center",
+        f"element_at(array({flows}), {idx}) AS __{var}_is_flow",
+    ]
 
 
 def histogramdd(
@@ -209,7 +263,6 @@ def histogramdd(
         raise ValueError("storage must be 'double'/'unlimited' or 'int64'/'atomicint64'")
     spark = df.sparkSession
     specs = resolve_specs(df, cols, bins, ranges)
-    dtypes = dict(df.dtypes)
     schema = {f.name: f.dataType for f in df.schema.fields}
     for c, s in zip(cols, specs):
         if c not in schema:
@@ -231,36 +284,52 @@ def histogramdd(
         ]
     src = df.where(reduce(lambda a, b: a & b, preds)) if preds else df
 
-    # bucketize: raw bin ids, codegen'd expressions
-    proj = [F.col(g) for g in group_by]
-    for c, s in zip(cols, specs):
-        proj.append(s.raw_id_col(F.col(c)).alias(id_col(c)))
-    if weights is not None:
-        proj.append(F.col(weights).alias("__w"))
-    base = src.select(*proj)
-
-    # aggregate: Catalyst plans partial (map-side) + final HashAggregate.
-    # int_mode: __val is an exact int64 (count, or scaled-int weighted sum) —
-    # order-independent, the oracle-deterministic representation.
+    # bucketize: raw bin ids, codegen'd expressions.
+    # int_mode: the per-row value is an exact int64 (1, or a scaled-int
+    # weight) and the aggregate is an integer sum — order-independent, the
+    # oracle-deterministic representation.
     if weights is not None:
         if weight_scale is not None:
             divisor = float(10**weight_scale)
-            val = F.sum(
-                F.round(F.col("__w").cast("double") * F.lit(divisor)).cast("bigint")
+            vsrc = F.round(F.col(weights).cast("double") * F.lit(divisor)).cast(
+                "bigint"
             )
             int_mode = True
         else:
-            val = F.sum(F.col("__w").cast("double"))
+            vsrc = F.col(weights).cast("double")
             int_mode, divisor = False, 1.0
     else:
-        val = F.count(F.lit(1))
+        vsrc = F.lit(1).cast("bigint")
         int_mode, divisor = True, 1.0
+
+    proj = [F.col(g) for g in group_by]
+    for c, s in zip(cols, specs):
+        proj.append(s.raw_id_col(F.col(c)).alias(id_col(c)))
+    proj.append(vsrc.alias("__v"))
+    base = src.select(*proj)
+
     keys = group_by + [id_col(c) for c in cols]
-    agg = base.groupBy(*keys).agg(val.alias("__val"))
+    zero_sql = "CAST(0 AS BIGINT)" if int_mode else "CAST(0.0 AS DOUBLE)"
+    if not group_by:
+        # dense fill by construction: union the zero-valued bin spine with
+        # the data rows BEFORE the aggregation — ONE partial+final
+        # HashAggregate then emits every spine bin.  No join, no broadcast
+        # of a computed aggregate (a broadcast subtree costs an extra job
+        # per execution), one exchange of ≤ extent rows.
+        base = base.unionByName(
+            spine_ids_zero(spark, cols, specs, flow, zero_sql)
+        )
+        dense = True
+    else:
+        dense = False
+    zero = F.expr(zero_sql)
+    agg = base.groupBy(*keys).agg(
+        F.coalesce(F.sum("__v"), zero).alias("__val")
+    )
     return finish_from_agg(
         agg, cols, specs, group_by=group_by, flow=flow, density=density,
         storage=storage, int_mode=int_mode, divisor=divisor,
-        weighted=weights is not None,
+        weighted=weights is not None, dense=dense,
     )
 
 
@@ -276,34 +345,38 @@ def finish_from_agg(
     int_mode: bool,
     divisor: float,
     weighted: bool,
+    dense: bool = False,
 ) -> HistogramResult:
     """Shared finish stage: sparse (group, bin-ids, __val) aggregate →
     dense labelled result.  Used by both the pure-Column path and the
     Arrow/numpy fill path (plans.fast_fill) — identical output.
 
-    Dense output: bin spine (broadcast, tiny) × observed group keys.
-    - Ungrouped: spine LEFT JOIN aggregate with the (≤ extent rows)
-      aggregate broadcast — a BroadcastHashJoin, O(1) per spine cell.
-      (A map-pack + ``element_at`` expansion is a LINEAR scan of the map
-      per cell — Spark maps are unsorted arrays — which is O(extent²)
-      total: ~270 ms extra on a 100×100 2-D spine.)
+    Dense output:
+    - Ungrouped: if the caller pre-densified (``dense=True`` — the spine
+      zeros were unioned in before the aggregation), the aggregate is
+      already one row per spine bin; otherwise union a zero spine here and
+      re-aggregate (≤ 2·extent rows — the Arrow-fill path).  Either way the
+      bin labels/widths/centers attach as O(1) literal-array lookups on the
+      id, so NO join and NO broadcast of a computed aggregate appears in
+      the ungrouped plan at all.
     - Grouped: pack each group's sparse bins into a map and expand against
-      the broadcast spine — ONE scan of the input and no self-join (a
-      groups-distinct + join-back plan scans and aggregates the raw data
-      twice; at 100 TB the scan dominates, so this halves the query).  The
-      map is keyed by a FLAT int bin id (``Σ (id_i+1)·stride_i``), not a
-      struct: the unavoidable linear map probe then does cheap long
-      compares instead of struct compares."""
+      the broadcast literal spine — ONE scan of the input and no self-join
+      (a groups-distinct + join-back plan scans and aggregates the raw
+      data twice; at 100 TB the scan dominates, so this halves the query).
+      The map is keyed by a FLAT int bin id (``Σ (id_i+1)·stride_i``), not
+      a struct: the unavoidable linear map probe then does cheap long
+      compares instead of struct compares.  (The spine is a literal
+      relation — broadcasting it is driver-local, not a job.)"""
     cols = list(cols)
     specs = list(specs)
     group_by = list(group_by)
     spark = agg.sparkSession
-    spine = reduce(
-        lambda a, b: a.crossJoin(b),
-        [spine_df(spark, c, s, flow) for c, s in zip(cols, specs)],
-    )
     zero = F.lit(0).cast("bigint") if int_mode else F.lit(0.0)
     if group_by:
+        spine = reduce(
+            lambda a, b: a.crossJoin(b),
+            [spine_df(spark, c, s, flow) for c, s in zip(cols, specs)],
+        )
         # flat composite id: raw ids live in [-1, n_i], so offset by +1 and
         # stride by (n_i + 2); injective, identical arithmetic on both the
         # aggregate and the spine side
@@ -327,46 +400,45 @@ def finish_from_agg(
                 )
             ).alias("__m")
         )
-        dense = packed.crossJoin(F.broadcast(spine))
+        expanded = packed.crossJoin(F.broadcast(spine))
         val = F.coalesce(F.element_at(F.col("__m"), flat_key()), zero)
-    else:
-        dense = spine.join(
-            F.broadcast(agg), [id_col(c) for c in cols], "left"
+        filled = expanded.select(
+            *group_by,
+            *[F.col(id_col(c)) for c in cols],
+            *[F.col(label_col(c)) for c in cols],
+            val.alias("__val"),
+            *[F.col(f"__{c}_width") for c in cols],
+            *[F.col(f"__{c}_center") for c in cols],
+            *[F.col(f"__{c}_is_flow") for c in cols],
         )
-        val = F.coalesce(F.col("__val"), zero)
-    filled = dense.select(
-        *group_by,
-        *[F.col(id_col(c)) for c in cols],
-        *[F.col(label_col(c)) for c in cols],
-        val.alias("__val"),
-        *[F.col(f"__{c}_width") for c in cols],
-        *[F.col(f"__{c}_center") for c in cols],
-        *[F.col(f"__{c}_is_flow") for c in cols],
-    )
-
-    vname = value_col_name(cols, density)
-    if density:
-        vis = _density_expr(cols, group_by, int_mode, divisor)
-    elif int_mode and not weighted and storage == "int64":
-        vis = F.col("__val")
-    elif int_mode:
-        vis = F.col("__val").cast("double")
-        if divisor != 1.0:
-            vis = vis / F.lit(divisor)
     else:
-        vis = F.col("__val")
-    out = filled.withColumn(vname, vis)
+        ids = [id_col(c) for c in cols]
+        if dense:
+            dense_agg = agg
+        else:
+            zero_sql = "CAST(0 AS BIGINT)" if int_mode else "CAST(0.0 AS DOUBLE)"
+            u = agg.select(*ids, "__val").unionByName(
+                spine_ids_zero(
+                    spark, cols, specs, flow, zero_sql, val_name="__val"
+                )
+            )
+            dense_agg = u.groupBy(*ids).agg(
+                F.coalesce(F.sum("__val"), F.expr(zero_sql)).alias("__val")
+            )
+        # column order: ids, labels, __val, widths, centers, is_flow
+        per_axis = [axis_meta_exprs(c, s, flow) for c, s in zip(cols, specs)]
+        filled = dense_agg.selectExpr(
+            *ids,
+            *[a[0] for a in per_axis],
+            "__val",
+            *[a[1] for a in per_axis],
+            *[a[2] for a in per_axis],
+            *[a[3] for a in per_axis],
+        )
 
-    return HistogramResult(
-        _df=out,
-        variables=cols,
-        specs={c: s for c, s in zip(cols, specs)},
-        group_by=group_by,
-        value_col=vname,
-        density=density,
-        flow=flow,
-        int_mode=int_mode,
-        divisor=divisor,
+    return _finish_value_col(
+        filled, cols, specs, group_by=group_by, flow=flow, density=density,
+        storage=storage, int_mode=int_mode, divisor=divisor, weighted=weighted,
     )
 
 
@@ -402,6 +474,176 @@ def _density_expr(
         raw = F.col("__val")
     total_nz = F.nullif(total_d, F.lit(0.0))
     return F.when(any_flow, raw / total_nz).otherwise(raw / area / total_nz)
+
+
+def histogram_columns(
+    df: DataFrame,
+    cols: Sequence[str],
+    bins: Union[int, BinSpec] = 10,
+    *,
+    range=None,
+    weights: Optional[str] = None,
+    density: bool = False,
+    flow: bool = False,
+    storage: str = "double",
+    weight_scale: Optional[int] = 6,
+    dim_name: str = "series",
+    var_name: str = "value",
+) -> HistogramResult:
+    """One histogram PER COLUMN of a wide DataFrame, sharing one axis —
+    the reference's along-dim histogram of a (k × N) array
+    (core.py:271-276: ``dims=['x']`` retains the other dim as a loop/
+    coordinate dim; a wide Spark table with k value columns IS that array).
+
+    Scale design: each union branch scans only its own column (columnar
+    pruning — k branches over the same table read exactly the bytes of the
+    k columns once), bin ids and the column index fuse into the grouping
+    key of ONE partial+final HashAggregate, and the zero spine
+    (k × extent rows) unions in before the aggregation, so the plan has a
+    single exchange of ≤ k·extent rows and no join — the same shape as the
+    ungrouped 1-D histogram.  ``weights`` (optional) is a shared per-row
+    weight column, the analog of a broadcastable weight array.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("need at least one column")
+    storage = {"unlimited": "double", "atomicint64": "int64"}.get(
+        storage.lower(), storage.lower()
+    )
+    spark = df.sparkSession
+    if isinstance(bins, BinSpec):
+        spec = bins
+    else:
+        if not isinstance(bins, int):
+            raise TypeError(f"bins must be an int or BinSpec, got {type(bins)}")
+        lo = hi = None
+        if range is not None:
+            lo, hi = range
+        if lo is None or hi is None:
+            # ONE shared min/max job across all columns (the reference's
+            # along-dim axis is shared by every slice)
+            row = df.agg(
+                F.least(*[F.min(F.col(c).cast("double")) for c in cols])
+                if len(cols) > 1
+                else F.min(F.col(cols[0]).cast("double")),
+                F.greatest(*[F.max(F.col(c).cast("double")) for c in cols])
+                if len(cols) > 1
+                else F.max(F.col(cols[0]).cast("double")),
+            ).first()
+            lo = lo if lo is not None else row[0]
+            hi = hi if hi is not None else row[1]
+        if lo is None or hi is None:
+            raise ValueError("could not infer a shared range (all-null columns?)")
+        spec = Regular(bins, float(lo), float(hi))
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        if c not in schema:
+            raise ValueError(f"column {c!r} not in DataFrame")
+        spec.validate_dtype(schema[c], c)
+
+    if weights is not None:
+        if weight_scale is not None:
+            divisor = float(10**weight_scale)
+            def vsrc():
+                return F.round(
+                    F.col(weights).cast("double") * F.lit(divisor)
+                ).cast("bigint")
+            int_mode = True
+        else:
+            def vsrc():
+                return F.col(weights).cast("double")
+            int_mode, divisor = False, 1.0
+    else:
+        def vsrc():
+            return F.lit(1).cast("bigint")
+        int_mode, divisor = True, 1.0
+    zero_sql = "CAST(0 AS BIGINT)" if int_mode else "CAST(0.0 AS DOUBLE)"
+
+    bin_id = id_col(var_name)
+    branches = []
+    for i, c in enumerate(cols):
+        pred = spec.keep_pred_col(F.col(c), flow)
+        src = df.where(pred) if pred is not None else df
+        branches.append(
+            src.select(
+                F.lit(i).cast("int").alias("__d"),
+                spec.raw_id_col(F.col(c)).alias(bin_id),
+                vsrc().alias("__v"),
+            )
+        )
+    lo_id, hi_id = _axis_id_range(spec, flow)
+    k = len(cols)
+    spine = (
+        spark.range(1)
+        .selectExpr(
+            f"explode(sequence(0, {k - 1})) AS __dseq",
+            # placeholder select to chain the second explode below
+        )
+        .selectExpr("CAST(__dseq AS INT) AS __d",
+                    f"explode(sequence({lo_id}, {hi_id})) AS __bseq")
+        .selectExpr("__d", f"CAST(__bseq AS INT) AS {bin_id}",
+                    f"{zero_sql} AS __v")
+    )
+    u = reduce(lambda a, b: a.unionByName(b), branches + [spine])
+    agg = u.groupBy("__d", bin_id).agg(
+        F.coalesce(F.sum("__v"), F.expr(zero_sql)).alias("__val")
+    )
+    dim_labels = ", ".join(spark_lit(c, "string") for c in cols)
+    per_axis = axis_meta_exprs(var_name, spec, flow)
+    filled = agg.selectExpr(
+        f"element_at(array({dim_labels}), __d + 1) AS {dim_name}",
+        bin_id,
+        per_axis[0],
+        "__val",
+        per_axis[1],
+        per_axis[2],
+        per_axis[3],
+    )
+    return _finish_value_col(
+        filled, [var_name], [spec], group_by=[dim_name], flow=flow,
+        density=density, storage=storage, int_mode=int_mode, divisor=divisor,
+        weighted=weights is not None,
+    )
+
+
+def _finish_value_col(
+    filled: DataFrame,
+    cols: list[str],
+    specs: list[BinSpec],
+    *,
+    group_by: list[str],
+    flow: bool,
+    density: bool,
+    storage: str,
+    int_mode: bool,
+    divisor: float,
+    weighted: bool,
+) -> HistogramResult:
+    """Shared tail: dense labelled rows with ``__val`` → display value
+    column + HistogramResult wrapper."""
+    vname = value_col_name(cols, density)
+    if density:
+        vis = _density_expr(cols, group_by, int_mode, divisor)
+    elif int_mode and not weighted and storage == "int64":
+        vis = F.col("__val")
+    elif int_mode:
+        vis = F.col("__val").cast("double")
+        if divisor != 1.0:
+            vis = vis / F.lit(divisor)
+    else:
+        vis = F.col("__val")
+    out = filled.withColumn(vname, vis)
+    return HistogramResult(
+        _df=out,
+        variables=cols,
+        specs={c: s for c, s in zip(cols, specs)},
+        group_by=group_by,
+        value_col=vname,
+        density=density,
+        flow=flow,
+        int_mode=int_mode,
+        divisor=divisor,
+    )
 
 
 def quantile_edges(
