@@ -18,9 +18,11 @@ SPEC = Regular(10, 0.0, 500.0)
 
 @pytest.fixture(scope="module")
 def events_ts(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+    # parquet timestamp[us] reads as TIMESTAMP_NTZ; with UTC session tz the
+    # cast to TIMESTAMP is the identity on epoch micros
+    return ev.withColumn("ts", F.col("ts").cast("timestamp")).select(
         "ts", "event_type", "value"
     )
 

@@ -604,15 +604,21 @@ register(
 
 # ---------------------------------------------------------------------------
 # events: time-bucketed histograms (batch analog of the streaming operator;
-# the events table stores TIMESTAMP(NANOS) which Spark reads as long via the
-# legacy conf — bucketing is exact integer division on both engines)
+# the events table stores parquet timestamp[us], which Spark reads as
+# TIMESTAMP_NTZ — with the session tz pinned to UTC, `cast(ts as timestamp)`
+# is the identity on epoch micros, so unix_micros(ts) == DuckDB epoch_us(ts)
+# and bucketing is exact integer division on both engines)
 # ---------------------------------------------------------------------------
 
 
+def _utc_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return t(spark, sf_dir, "events").withColumn(
-        "hour_bucket", F.expr("ts div 3600000000000")
+    return _utc_ts(spark, t(spark, sf_dir, "events")).withColumn(
+        "hour_bucket", F.expr("unix_micros(ts) div 3600000000")
     )
 
 
@@ -632,11 +638,8 @@ register(
 def _session_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.histogram_stream import session_histogram
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = t(spark, sf_dir, "events").select(
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        "event_type",
-        "value",
+    ev = _utc_ts(spark, t(spark, sf_dir, "events")).select(
+        "ts", "event_type", "value"
     )
     return session_histogram(
         ev, "value", _EV_SPEC, "ts", gap="30 minutes", group_by=["event_type"]
@@ -902,12 +905,7 @@ def _streaming_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.histogram_stream import streaming_histogram
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    conv = (
-        t(spark, sf_dir, "events")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("ts", "value")
-    )
+    conv = _utc_ts(spark, t(spark, sf_dir, "events")).select("ts", "value")
     src = tempfile.mkdtemp(prefix="xhs_stream_q_")
     conv.write.mode("overwrite").parquet(src)
     sdf = spark.readStream.schema(conv.schema).parquet(src)
@@ -959,12 +957,7 @@ def _sliding_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands in duration/slide = 2 windows."""
     from .streaming.histogram_stream import streaming_histogram
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    conv = (
-        t(spark, sf_dir, "events")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("ts", "value")
-    )
+    conv = _utc_ts(spark, t(spark, sf_dir, "events")).select("ts", "value")
     out = streaming_histogram(
         conv, "value", _ST_SPEC, "ts", window_duration="2 days", slide="1 day"
     )
@@ -1034,7 +1027,6 @@ def _streaming_stateful_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.stateful import latest_snapshot, stateful_cumulative_histogram
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     data = t(spark, sf_dir, "events").select("event_type", "value")
     src = tempfile.mkdtemp(prefix="xhs_stateful_src_")
     ckpt = tempfile.mkdtemp(prefix="xhs_stateful_ckpt_")
