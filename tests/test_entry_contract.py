@@ -24,12 +24,10 @@ def test_oracle_cover():
     qs = entry_mod.queries()
     os_ = entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
-    # every query has an oracle except the explicitly non-deterministic
-    # fast path (raw double sums — order-dependent, rows-only check)
+    # every query has an oracle (the weighted fast path uses an
+    # integer-valued weight so its raw double sums are exact)
     missing = set(qs) - set(os_)
-    assert missing == {"hist_weighted_fastpath"}, (
-        f"unexpected queries without oracle: {missing}"
-    )
+    assert missing == set(), f"queries without oracle: {missing}"
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
