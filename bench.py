@@ -144,7 +144,12 @@ def main() -> None:
     # one-time array/axis setup), warm codegen, then time executions;
     # the three phases run separately so cache pressure from the synthetic
     # 1e7-row workloads cannot pollute the sf-suite timings
-    results = time_plans({name: registry[name][0](spark, SF_DIR) for name in names})
+    # min-of-5 on the sub-second suite queries: container scheduling jitter
+    # is ±25-100 ms per run, larger than real engine deltas at this scale
+    results = time_plans(
+        {name: registry[name][0](spark, SF_DIR) for name in names},
+        repeat=max(REPEAT, 5),
+    )
     total = round(sum(results.values()), 4)  # sf-suite only
     ops_results = time_plans(
         {name: registry[name][0](spark, SF_DIR) for name in OPS_QUERIES if name in registry}

@@ -156,3 +156,30 @@ def test_registry_wide_no_python_eval(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         checked += 1
     assert checked >= 55
+
+
+def test_quantile_edges_no_global_sort(spark, sf_dir):
+    """The exact quantile-edge path must be distributed: the ranking window
+    is partitioned by bucket — no single-partition exchange, no global
+    sort anywhere in the plan it executes."""
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    x = li.where(F.col("l_extendedprice").isNotNull()).select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    bucket = F.least(F.floor((F.col("x") - 900.0) / 104100.0 * 256.0).cast("int"),
+                     F.lit(255))
+    bx = x.select(bucket.alias("b"), "x")
+    ranked = bx.select(
+        "x", (F.row_number().over(Window.partitionBy("b").orderBy("x")) - 1).alias("rn")
+    )
+    p = plan_of(ranked)
+    assert "Exchange SinglePartition" not in p
+    assert "hashpartitioning" in p
+
+    from xarray_histogram_spark.plans.histogram import quantile_edges
+
+    edges = quantile_edges(li, "l_extendedprice", 8)
+    assert len(edges) == 9
+    assert edges == sorted(edges)

@@ -302,30 +302,87 @@ def histogramdd(
         vsrc = F.lit(1).cast("bigint")
         int_mode, divisor = True, 1.0
 
-    proj = [F.col(g) for g in group_by]
-    for c, s in zip(cols, specs):
-        proj.append(s.raw_id_col(F.col(c)).alias(id_col(c)))
-    proj.append(vsrc.alias("__v"))
-    base = src.select(*proj)
+    # per-axis bin-id expressions; when the axis's keep filter is applied
+    # (flow off, pred pushed to the scan) the kept-fast variant drops the
+    # NULL/NaN/flow CASE wrapper — identical ids, bare arithmetic per row
+    kept_ok = not (preserve_groups and group_by) and not flow
+    id_exprs = [
+        s.raw_id_col_kept(F.col(c))
+        if kept_ok and s.keep_pred_col(F.col(c), flow) is not None
+        else s.raw_id_col(F.col(c))
+        for c, s in zip(cols, specs)
+    ]
 
     keys = group_by + [id_col(c) for c in cols]
     zero_sql = "CAST(0 AS BIGINT)" if int_mode else "CAST(0.0 AS DOUBLE)"
+    multi = len(cols) > 1
+    if multi:
+        # flatten the k bin ids into ONE bigint grouping key
+        # (Σ (id_i+1)·stride_i — injective, ids live in [-1, n_i]): the
+        # hash-aggregate hashes/compares a single long instead of k ints
+        # and the shuffle rows are one 8-byte slot narrower per extra
+        # axis; the ids are recovered post-agg (≤ extent rows) by
+        # div/mod, so the output is bit-identical
+        strides = [1] * len(specs)
+        for i in range(len(specs) - 2, -1, -1):
+            strides[i] = strides[i + 1] * (specs[i + 1].n + 2)
+        fk = reduce(
+            lambda a, b: a + b,
+            [
+                (e.cast("bigint") + F.lit(1)) * F.lit(st)
+                for e, st in zip(id_exprs, strides)
+            ],
+        )
+        base = src.select(
+            *[F.col(g) for g in group_by], fk.alias("__fk"), vsrc.alias("__v")
+        )
+        agg_keys = group_by + ["__fk"]
+    else:
+        base = src.select(
+            *[F.col(g) for g in group_by],
+            id_exprs[0].alias(id_col(cols[0])),
+            vsrc.alias("__v"),
+        )
+        agg_keys = keys
     if not group_by:
         # dense fill by construction: union the zero-valued bin spine with
         # the data rows BEFORE the aggregation — ONE partial+final
         # HashAggregate then emits every spine bin.  No join, no broadcast
         # of a computed aggregate (a broadcast subtree costs an extra job
         # per execution), one exchange of ≤ extent rows.
-        base = base.unionByName(
-            spine_ids_zero(spark, cols, specs, flow, zero_sql)
-        )
+        spine0 = spine_ids_zero(spark, cols, specs, flow, zero_sql)
+        if multi:
+            spine0 = spine0.select(
+                reduce(
+                    lambda a, b: a + b,
+                    [
+                        (F.col(id_col(c)).cast("bigint") + F.lit(1)) * F.lit(st)
+                        for c, st in zip(cols, strides)
+                    ],
+                ).alias("__fk"),
+                F.col("__v"),
+            )
+        base = base.unionByName(spine0)
         dense = True
     else:
         dense = False
     zero = F.expr(zero_sql)
-    agg = base.groupBy(*keys).agg(
+    agg = base.groupBy(*agg_keys).agg(
         F.coalesce(F.sum("__v"), zero).alias("__val")
     )
+    if multi:
+        # recover the per-axis ids from the flat key (post-agg: ≤ extent
+        # rows, O(1) integer div/mod per row)
+        agg = agg.select(
+            *group_by,
+            *[
+                F.expr(
+                    f"CAST((__fk div {st}) % {s.n + 2} - 1 AS INT)"
+                ).alias(id_col(c))
+                for c, s, st in zip(cols, specs, strides)
+            ],
+            "__val",
+        )
     return finish_from_agg(
         agg, cols, specs, group_by=group_by, flow=flow, density=density,
         storage=storage, int_mode=int_mode, divisor=divisor,
@@ -560,14 +617,25 @@ def histogram_columns(
     zero_sql = "CAST(0 AS BIGINT)" if int_mode else "CAST(0.0 AS DOUBLE)"
 
     bin_id = id_col(var_name)
+    # flat (column-index, bin) grouping key: __d·(n+2) + id + 1 — one
+    # bigint to hash/compare/shuffle instead of two ints; recovered by
+    # div/mod post-agg (≤ k·extent rows).  Branches whose keep filter is
+    # applied use the kept-fast bucketize (no NULL/NaN/flow wrapper).
+    width = spec.n + 2
     branches = []
     for i, c in enumerate(cols):
         pred = spec.keep_pred_col(F.col(c), flow)
         src = df.where(pred) if pred is not None else df
+        idc = (
+            spec.raw_id_col_kept(F.col(c))
+            if pred is not None and not flow
+            else spec.raw_id_col(F.col(c))
+        )
         branches.append(
             src.select(
-                F.lit(i).cast("int").alias("__d"),
-                spec.raw_id_col(F.col(c)).alias(bin_id),
+                (
+                    (idc.cast("bigint") + F.lit(1)) + F.lit(i * width)
+                ).alias("__fk"),
                 vsrc().alias("__v"),
             )
         )
@@ -579,14 +647,19 @@ def histogram_columns(
             f"explode(sequence(0, {k - 1})) AS __dseq",
             # placeholder select to chain the second explode below
         )
-        .selectExpr("CAST(__dseq AS INT) AS __d",
-                    f"explode(sequence({lo_id}, {hi_id})) AS __bseq")
-        .selectExpr("__d", f"CAST(__bseq AS INT) AS {bin_id}",
-                    f"{zero_sql} AS __v")
+        .selectExpr("__dseq", f"explode(sequence({lo_id}, {hi_id})) AS __bseq")
+        .selectExpr(
+            f"CAST(__dseq * {width} + __bseq + 1 AS BIGINT) AS __fk",
+            f"{zero_sql} AS __v",
+        )
     )
     u = reduce(lambda a, b: a.unionByName(b), branches + [spine])
-    agg = u.groupBy("__d", bin_id).agg(
+    agg = u.groupBy("__fk").agg(
         F.coalesce(F.sum("__v"), F.expr(zero_sql)).alias("__val")
+    ).select(
+        F.expr(f"CAST(__fk div {width} AS INT)").alias("__d"),
+        F.expr(f"CAST(__fk % {width} - 1 AS INT)").alias(bin_id),
+        "__val",
     )
     dim_labels = ", ".join(spark_lit(c, "string") for c in cols)
     per_axis = axis_meta_exprs(var_name, spec, flow)
@@ -655,10 +728,24 @@ def quantile_edges(
     Duplicate edges from skewed data are deduplicated (fewer, still
     strictly-increasing edges).
 
-    The exact path global-sorts (one ranking pass) — the inherent cost of
-    exact quantiles.  ``approx=True`` uses ``approxQuantile`` (Greenwald-
-    Khanna sketch, no global sort — the 100 TB path) at the price of
-    oracle-exactness.
+    The exact path is a DISTRIBUTED two-pass rank — no global sort, no
+    single-partition exchange:
+
+    1. bucket every value by a deterministic linear split of [min, max]
+       (NaN → last bucket, matching NULLS-LAST/NaN-greatest sort order),
+       count per bucket (map-side combined, ≤B rows shuffled), prefix-sum
+       the offsets on the driver (≤B ints);
+    2. rank within each bucket (``row_number`` partitioned BY BUCKET —
+       a parallel hash-partitioned window, each task sorts only its
+       buckets) and add the bucket's offset → exact global rank; filter
+       to the target ranks.
+
+    Equal values share a bucket (the bucket is a pure function of the
+    value), so the recovered edge doubles are identical to a global
+    sort's.  Data skew concentrates work in few buckets in the worst
+    case; ``approx=True`` uses ``approxQuantile`` (Greenwald-Khanna
+    sketch, one pass, fully skew-proof — the preferred 100 TB path) at
+    the price of oracle-exactness.
     """
     if n < 1:
         raise ValueError("need n >= 1 bins")
@@ -675,14 +762,49 @@ def quantile_edges(
                 else f"cannot infer quantile bins of empty column {col!r}"
             )
         return edges
-    c = x.count()
+    row = x.agg(
+        F.count("x"), F.min("x"), F.max("x")
+    ).first()
+    c, lo, hi = row[0], row[1], row[2]
     if c == 0:
         raise ValueError(f"cannot infer quantile bins of empty column {col!r}")
+    if lo == hi:
+        raise ValueError(
+            f"column {col!r} has a single distinct value "
+            f"({lo!r}); equal-mass binning needs spread — "
+            "use an Integer/Category axis instead"
+        )
     targets = sorted({((c - 1) * i) // n for i in range(n + 1)})
+    B = 256
+    bucket = F.when(F.isnan(F.col("x")), F.lit(B - 1)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("x") - F.lit(float(lo)))
+                / F.lit(float(hi) - float(lo))
+                * F.lit(float(B))
+            ).cast("int"),
+            F.lit(B - 1),
+        )
+    )
+    bx = x.select(bucket.alias("b"), "x")
+    counts = {r["b"]: r["cnt"] for r in
+              bx.groupBy("b").agg(F.count("x").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for b in range(B):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
     from pyspark.sql.window import Window as _W
 
-    ranked = x.select("x", (F.row_number().over(_W.orderBy("x")) - 1).alias("rn"))
-    rows = ranked.where(F.col("rn").isin(targets)).collect()
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(v) for b in sorted(counts) for v in (b, offsets[b])]
+        ),
+        F.col("b"),
+    )
+    rn = (
+        F.row_number().over(_W.partitionBy("b").orderBy("x")) - 1 + off
+    ).alias("rn")
+    rows = bx.select("x", rn).where(F.col("rn").isin(targets)).collect()
     edges = sorted({r["x"] for r in rows})
     if len(edges) < 2:
         raise ValueError(
