@@ -125,3 +125,20 @@ def test_areas_outer_product():
     )
     # widths a: [.5,.5]; b: [1,2] → areas row-major: [.5, 1, .5, 1]
     assert r.areas() == [0.5, 1.0, 0.5, 1.0]
+
+
+def test_integer_bool_labels():
+    """Reference bool-axis labeling (core.py:536-543): flow-off Integer(0,2)
+    with bool_labels emits boolean False/True labels and no flow bins."""
+    from xarray_histogram_spark.binspec import Integer
+
+    s = Integer(0, 2, bool_labels=True)
+    assert s.label_type == "boolean"
+    assert not s.underflow and not s.overflow
+    assert [b.label for b in s.bins(False)] == [False, True]
+    assert s.label_sql_lit(True) == "TRUE"
+    rt = Integer.from_dict(s.to_dict())
+    assert rt == s
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        Integer(0, 3, bool_labels=True)

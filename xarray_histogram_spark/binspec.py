@@ -189,6 +189,8 @@ class BinSpec:
             return flit(label)
         if self.label_type == "bigint":
             return str(int(label))
+        if self.label_type == "boolean":
+            return "TRUE" if label else "FALSE"
         return slit(str(label))
 
     def label_lit(self, label: Any) -> Column:
@@ -198,6 +200,8 @@ class BinSpec:
             return F.lit(float(label)).cast("double")
         if self.label_type == "bigint":
             return F.lit(int(label)).cast("bigint")
+        if self.label_type == "boolean":
+            return F.lit(bool(label))
         return F.lit(str(label))
 
     # ---- (de)serialization for sidecar metadata ----
@@ -627,17 +631,31 @@ class Variable(BinSpec):
 class Integer(BinSpec):
     """One bin per integer in [lo, hi). Accepts integral/boolean columns only
     (the reference's "uib" dtype gate, core.py:535-537). Flow labels are
-    int64 min/max (NetCDF-able encoding, core.py:545-552)."""
+    int64 min/max (NetCDF-able encoding, core.py:545-552).
+
+    ``bool_labels=True`` (requires lo=0, hi=2) emits BOOLEAN ``False``/
+    ``True`` bin labels instead of int64 0/1 — the reference's bool-axis
+    labeling (core.py:542-543).  Flow is disabled (booleans cover the
+    axis; NULLs drop, as the reference's NaN semantics do).
+    ``histogramdd`` applies this automatically to flow-off Integer(0, 2)
+    axes over boolean-typed columns."""
 
     lo: int
     hi: int
     underflow: bool = True
     overflow: bool = True
+    bool_labels: bool = False
     label_type: str = field(default="bigint", init=False)
 
     def __post_init__(self) -> None:
         if self.hi <= self.lo:
             raise ValueError("Integer: need hi > lo")
+        if self.bool_labels:
+            if (self.lo, self.hi) != (0, 2):
+                raise ValueError("bool_labels requires Integer(0, 2)")
+            object.__setattr__(self, "underflow", False)
+            object.__setattr__(self, "overflow", False)
+            object.__setattr__(self, "label_type", "boolean")
 
     @property
     def n(self) -> int:
@@ -648,7 +666,8 @@ class Integer(BinSpec):
 
     def core_bins(self) -> list[Bin]:
         return [
-            Bin(i, self.lo + i, float(self.lo + i), float(self.lo + i + 1),
+            Bin(i, bool(i) if self.bool_labels else self.lo + i,
+                float(self.lo + i), float(self.lo + i + 1),
                 self.lo + i + 0.5, 1.0, False)
             for i in range(self.n)
         ]
@@ -701,6 +720,7 @@ class Integer(BinSpec):
             "hi": self.hi,
             "underflow": self.underflow,
             "overflow": self.overflow,
+            "bool_labels": self.bool_labels,
         }
 
 

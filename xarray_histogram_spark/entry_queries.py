@@ -63,7 +63,7 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 _DRIVER_VERIFIED = frozenset({
     "alg_apply_func_log", "alg_bin_coordinates", "alg_normalize_after",
     "alg_rebin", "alg_remove_flow", "alg_scale", "hist_2d",
-    "hist_3d_grouped", "hist_bool_axis", "hist_columns",
+    "hist_3d_grouped", "hist_columns",
     "hist_cube_multires", "hist_density", "hist_density_flow",
     "hist_fill_arrow_path", "hist_group_month", "hist_grouped",
     "hist_int64_storage", "hist_intcategory", "hist_integer_axis",
@@ -751,10 +751,13 @@ def _bool_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register(
+    # boolean column on a flow-off Integer(0,2) axis: the engine emits the
+    # reference's False/True bin labels (core.py:542-543) — the oracle spine
+    # is boolean-typed too, so the label dtype itself is hash-gated
     "hist_bool_axis", _bool_fn,
     orc.histogram_oracle_sql(
-        "(SELECT CAST(l_quantity > 25.0 AS BIGINT) AS is_bulk FROM lineitem) tb",
-        ["is_bulk"], [Integer(0, 2)],
+        "(SELECT l_quantity > 25.0 AS is_bulk FROM lineitem) tb",
+        ["is_bulk"], [Integer(0, 2, bool_labels=True)],
     ),
 )
 

@@ -34,6 +34,7 @@ Scale notes (designed for ~100 TB inputs, 1000 executors):
 from __future__ import annotations
 
 import math
+from dataclasses import replace as dc_replace
 from functools import reduce
 from typing import Optional, Sequence, Union
 
@@ -268,6 +269,20 @@ def histogramdd(
         if c not in schema:
             raise ValueError(f"column {c!r} not in DataFrame")
         s.validate_dtype(schema[c], c)
+    # reference bool-axis labeling (core.py:542-543): a flow-off Integer(0,2)
+    # axis over a boolean column emits False/True labels, not int64 0/1
+    specs = [
+        dc_replace(s, bool_labels=True)
+        if (
+            not flow
+            and isinstance(s, Integer)
+            and not s.bool_labels
+            and (s.lo, s.hi) == (0, 2)
+            and isinstance(schema[c], T.BooleanType)
+        )
+        else s
+        for c, s in zip(cols, specs)
+    ]
 
     # keep filter FIRST, on the raw values (keep_pred_col): pushed into the
     # scan, and the bucketize CASE below is then evaluated exactly once per
