@@ -136,8 +136,8 @@ def test_registry_wide_no_python_eval(spark, sf_dir):
 
     from xarray_histogram_spark import entry_queries as eq
 
-    allowed_python = {"mm_decode_meta", "hist_fill_arrow_path",
-                      "streaming_stateful_hist"}
+    allowed_python = {"mm_decode_meta", "mm_decode_image",
+                      "hist_fill_arrow_path", "streaming_stateful_hist"}
     expensive_build = {"hist_range_infer", "hist_quantile_bins",
                        "sim_ann_indexed", "dedup_components",
                        "streaming_window_hist"}

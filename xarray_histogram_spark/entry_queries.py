@@ -524,6 +524,29 @@ register(
 )
 
 
+def _mm_image_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL byte-level image decode: deterministic 5x3 24-bit BMPs are
+    # synthesised per doc_id (pixel byte i = (doc_id*31 + i) % 256) and
+    # parsed back by the pure-Python BMP decoder — width/height/px_sum/
+    # topleft_r all come from decoded bytes (header, stride padding,
+    # bottom-up rows, BGR swizzle), which the oracle recomputes in closed
+    # form
+    docs = t_wide(spark, sf_dir, "documents")
+    return mm.decode_image(mm.synth_bmp_media(docs, "doc_id"))
+
+
+register(
+    "mm_decode_image", _mm_image_fn,
+    "WITH px AS (SELECT doc_id, SUM((doc_id*31 + r.i) % 256) AS s "
+    "FROM documents CROSS JOIN range(0, 45) r(i) GROUP BY doc_id) "
+    "SELECT CAST(d.doc_id AS BIGINT) AS media_id, 'bmp' AS format, "
+    "CAST(5 AS INT) AS width, CAST(3 AS INT) AS height, "
+    "CAST(px.s AS BIGINT) AS px_sum, "
+    "CAST((d.doc_id*31) % 256 AS INT) AS topleft_r "
+    "FROM documents d JOIN px ON px.doc_id = d.doc_id",
+)
+
+
 def _merge_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # histogram addition (boost `+` / xarray arithmetic): shard histograms
     # merge exactly into the whole — oracle is simply the full histogram
