@@ -25,20 +25,35 @@ MAX_LINES = 70
 # query -> (claims to grep for, commentary)
 SELECTION: dict[str, tuple[list[str], str]] = {
     "hist_regular_1d": (
-        ["partial_count", "HashAggregate", "BroadcastExchange",
-         "PushedFilters: \\[IsNotNull", "BroadcastHashJoin LeftOuter"],
+        ["partial_sum", "HashAggregate", "Union",
+         "PushedFilters: \\[IsNotNull"],
         "The whole histogram dataflow: the parquet scan reads ONLY the "
         "bucketized column (`ReadSchema`) and the keep filter is a plain "
         "range predicate on the RAW value, so it pushes into the scan "
-        "(`PushedFilters`) and the bucketize CASE is evaluated once per row; "
-        "bucketize is codegen'd floor arithmetic projected right after the "
-        "scan, partial HashAggregate combines map-side (the analog of the "
-        "reference's per-chunk boost fill), one shuffle on the bin id (tiny: "
-        "≤ n_bins × partitions rows), final HashAggregate. Dense zero-fill "
-        "is the literal bin spine (`Generate inline(...)`) LEFT "
-        "BroadcastHashJoin-ed to the aggregate + `coalesce(0)` — O(1) per "
-        "bin, no second scan. At 100 TB only the scan grows; everything "
-        "after the first exchange is bin-bounded.",
+        "(`PushedFilters`); because the filter guarantees in-range rows, the "
+        "bucketize is the KEPT-fast form — bare `least(floor(...))` "
+        "arithmetic with no NULL/NaN/flow CASE wrapper, codegen'd right "
+        "after the scan. Partial HashAggregate combines map-side (the "
+        "analog of the reference's per-chunk boost fill), one shuffle on "
+        "the bin id (tiny: ≤ n_bins × partitions rows), final "
+        "HashAggregate. Dense zero-fill is BY CONSTRUCTION: a literal "
+        "zero-valued bin spine (`Generate explode(sequence(...))`) unions "
+        "in BEFORE the aggregation, so the single partial+final aggregate "
+        "emits every bin — no join, no broadcast of a computed aggregate, "
+        "no second scan. Bin labels/widths/centers attach post-agg as "
+        "literal-array lookups on the id. At 100 TB only the scan grows; "
+        "everything after the first exchange is bin-bounded.",
+    ),
+    "hist_2d": (
+        ["HashAggregate", "Union", "CASE WHEN"],
+        "Multi-axis histogram: the two bin ids fuse into ONE flat bigint "
+        "grouping key (Σ (id_i+1)·stride_i — injective) so the aggregate "
+        "hashes/compares a single long and the shuffle rows stay one "
+        "8-byte slot per extra axis narrower; per-axis ids are recovered "
+        "post-agg by div/mod on ≤ extent rows. The Variable axis compiles "
+        "to a codegen'd nested-CASE binary search (the `F.aggregate` edge "
+        "fold runs in the higher-order-function interpreter — measured ~2× "
+        "slower even for 3 edges).",
     ),
     "hist_weighted_grouped_density": (
         ["HashAggregate", "Window"],
@@ -48,11 +63,14 @@ SELECTION: dict[str, tuple[list[str], str]] = {
         "exactly one.",
     ),
     "hist_3d_grouped": (
-        ["HashAggregate"],
-        "3-variable histogram: bucketize compiles three Column expressions in "
-        "one projection; grouping keys are (group, bin_x, bin_y, bin_z). "
-        "Output cardinality = groups × extents product — the dense spine is "
-        "built from the aggregated side, never by re-scanning raw data.",
+        ["HashAggregate", "ObjectHashAggregate"],
+        "3-variable grouped histogram: the three bucketize expressions fuse "
+        "into one flat bigint key in a single projection; the first "
+        "aggregate groups on (group, flat_id). The dense finish packs each "
+        "group's sparse bins into a map (ObjectHashAggregate over "
+        "collect_list) and expands it against the broadcast literal spine — "
+        "ONE scan of the input, no self-join, output cardinality = groups × "
+        "extents product.",
     ),
     "stat_median_2d": (
         ["Window"],
@@ -125,11 +143,12 @@ def main() -> None:
         "What to look for throughout: `WholeStageCodegen` spans covering the "
         "bucketize projections (no `BatchEvalPython`/`ArrowEvalPython` in any "
         "histogram data path), partial+final `HashAggregate` pairs around a "
-        "single exchange, every spine/probe join on a `BroadcastExchange` "
-        "(ungrouped dense fill = spine LEFT BroadcastHashJoin aggregate; "
-        "grouped = per-group packed map broadcast-crossed with the spine), "
-        "and parquet `ReadSchema` pruned to the referenced columns plus "
-        "`PushedFilters` carrying the raw-value keep range.",
+        "single exchange, ungrouped dense fill as a pre-aggregation UNION "
+        "with the literal zero spine (one exchange, no join), grouped dense "
+        "fill as a per-group packed map broadcast-crossed with the spine, "
+        "multi-axis grouping on one flat bigint key, and parquet "
+        "`ReadSchema` pruned to the referenced columns plus `PushedFilters` "
+        "carrying the raw-value keep range.",
         "",
     ]
 
@@ -146,10 +165,10 @@ def main() -> None:
             from xarray_histogram_spark.binspec import Regular
             from pyspark.sql import functions as F
 
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             ev = (
                 spark.read.parquet(f"{SF_DIR}/events.parquet")
-                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                .withColumn("ts", F.col("ts").cast("timestamp"))
                 .select("ts", "value")
             )
             df = streaming_histogram(
