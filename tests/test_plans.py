@@ -48,8 +48,24 @@ def test_no_python_in_data_path(grouped_plan):
     assert "applySchemaToPythonRDD" not in grouped_plan  # literal spine, no RDD
 
 
-def test_broadcast_spine(grouped_plan):
-    assert "BroadcastNestedLoopJoin" in grouped_plan or "BroadcastHashJoin" in grouped_plan
+def test_grouped_inline_spine(grouped_plan):
+    """Small spines expand each group's packed map via inline(array(...)) —
+    a Generate in the same stage, no join node and no broadcast-exchange
+    job per execution.  (Spines wider than 1024 bins fall back to a
+    broadcast literal-relation crossJoin.)"""
+    assert "Generate" in grouped_plan
+    assert "BroadcastExchange" not in grouped_plan
+    assert "Join" not in grouped_plan
+
+
+def test_grouped_wide_spine_broadcast(lineitem):
+    """>1024-bin grouped spine: broadcast literal-relation expand."""
+    r = histogram(
+        lineitem, "l_quantity", Regular(1200, 1.0, 51.0),
+        group_by=["l_returnflag"],
+    )
+    p = plan_of(r.df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
 
 
 def test_ungrouped_union_fill_single_exchange(lineitem):

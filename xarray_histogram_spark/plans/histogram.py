@@ -445,10 +445,6 @@ def finish_from_agg(
     spark = agg.sparkSession
     zero = F.lit(0).cast("bigint") if int_mode else F.lit(0.0)
     if group_by:
-        spine = reduce(
-            lambda a, b: a.crossJoin(b),
-            [spine_df(spark, c, s, flow) for c, s in zip(cols, specs)],
-        )
         # flat composite id: raw ids live in [-1, n_i], so offset by +1 and
         # stride by (n_i + 2); injective, identical arithmetic on both the
         # aggregate and the spine side
@@ -472,16 +468,61 @@ def finish_from_agg(
                 )
             ).alias("__m")
         )
-        expanded = packed.crossJoin(F.broadcast(spine))
-        val = F.coalesce(F.element_at(F.col("__m"), flat_key()), zero)
-        filled = expanded.select(
+        out_cols = [
             *group_by,
             *[F.col(id_col(c)) for c in cols],
             *[F.col(label_col(c)) for c in cols],
-            val.alias("__val"),
+            None,  # placeholder for __val position
             *[F.col(f"__{c}_width") for c in cols],
             *[F.col(f"__{c}_center") for c in cols],
             *[F.col(f"__{c}_is_flow") for c in cols],
+        ]
+        extent_total = 1
+        for s in specs:
+            extent_total *= len(s.bins(flow))
+        if extent_total <= 1024:
+            # expand each group's packed map against an INLINE literal
+            # spine (`inline(array(named_struct(...)))`): extent rows per
+            # group generated in the same stage — no join node and no
+            # broadcast-exchange job per execution
+            import itertools
+
+            entries = []
+            for combo in itertools.product(
+                *[s.bins(flow) for s in specs]
+            ):
+                k = sum((b.id + 1) * st for b, st in zip(combo, strides))
+                fields = [f"'__k', CAST({k} AS BIGINT)"]
+                for c, s, b in zip(cols, specs, combo):
+                    fields.append(f"'{id_col(c)}', CAST({b.id} AS INT)")
+                    fields.append(
+                        f"'{label_col(c)}', {spark_lit(b.label, s.label_type)}"
+                    )
+                    fields.append(f"'__{c}_width', {spark_lit(b.width, 'double')}")
+                    fields.append(
+                        f"'__{c}_center', {spark_lit(b.center, 'double')}"
+                    )
+                    fields.append(
+                        f"'__{c}_is_flow', {'true' if b.is_flow else 'false'}"
+                    )
+                entries.append("named_struct(" + ", ".join(fields) + ")")
+            expanded = packed.selectExpr(
+                "*", f"inline(array({', '.join(entries)}))"
+            )
+            val = F.coalesce(F.element_at(F.col("__m"), F.col("__k")), zero)
+        else:
+            # very wide spines: broadcast the literal spine relation and
+            # cross-expand (driver-local literal, no job for the build side)
+            spine = reduce(
+                lambda a, b: a.crossJoin(b),
+                [spine_df(spark, c, s, flow) for c, s in zip(cols, specs)],
+            )
+            expanded = packed.crossJoin(F.broadcast(spine))
+            val = F.coalesce(F.element_at(F.col("__m"), flat_key()), zero)
+        filled = expanded.select(
+            *[c for c in out_cols[: len(group_by) + 2 * len(cols)]],
+            val.alias("__val"),
+            *[c for c in out_cols[len(group_by) + 2 * len(cols) + 1 :]],
         )
     else:
         ids = [id_col(c) for c in cols]
