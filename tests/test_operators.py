@@ -220,3 +220,47 @@ def test_decode_image_and_resize(spark, docs):
     for r in resized:
         assert (r["format"], r["width"], r["height"]) == ("bmp", 2, 2)
         assert r["topleft_r"] == (r["media_id"] * 31) % 256
+
+
+def test_sampling_deterministic_and_rate(spark, docs):
+    from xarray_histogram_spark.operators import sampling as sp
+
+    n = docs.count()
+    kept = sp.deterministic_sample(docs, "doc_id", 0.25)
+    k1 = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    k2 = {r["doc_id"] for r in
+          sp.deterministic_sample(docs.repartition(7), "doc_id", 0.25)
+          .select("doc_id").collect()}
+    assert k1 == k2  # partitioning-independent
+    assert 0.15 * n < len(k1) < 0.35 * n  # rate is approximately honoured
+    # nested property: a 0.1 sample is a subset of the 0.25 sample
+    k3 = {r["doc_id"] for r in
+          sp.deterministic_sample(docs, "doc_id", 0.1).select("doc_id").collect()}
+    assert k3 <= k1
+    # salted sample differs
+    k4 = {r["doc_id"] for r in
+          sp.deterministic_sample(docs, "doc_id", 0.25, salt="v2")
+          .select("doc_id").collect()}
+    assert k4 != k1
+
+
+def test_assign_splits_disjoint_exhaustive(spark, docs):
+    from xarray_histogram_spark.operators import sampling as sp
+
+    out = sp.assign_splits(docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n  # exhaustive
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 0.7 * n
+
+
+def test_topk_per_group_bound(spark, docs):
+    from xarray_histogram_spark.operators import sampling as sp
+
+    out = sp.topk_per_group(
+        docs.select("doc_id", "lang"), ["lang"], "doc_id", 5
+    )
+    per = out.groupBy("lang").count().collect()
+    assert all(r["count"] <= 5 for r in per)
+    assert out.where(F.col("rk") > 5).count() == 0

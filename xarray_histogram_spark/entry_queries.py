@@ -546,6 +546,61 @@ register(
     "FROM documents d JOIN px ON px.doc_id = d.doc_id",
 )
 
+from .operators import sampling as sp  # noqa: E402
+
+
+register(
+    # reproducible Bernoulli subsample: keep iff md5-hex draw < rate — a
+    # pure pushable filter, independent of partitioning/row order
+    "sample_deterministic",
+    lambda spark, sf_dir: sp.deterministic_sample(
+        t(spark, sf_dir, "documents"), "doc_id", 0.25
+    ).select("doc_id", "lang", "source", "n_chars"),
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE "
+    + sp.deterministic_sample_sql("doc_id", 0.25),
+)
+
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+register(
+    # disjoint exhaustive train/val/test assignment (projection, no
+    # shuffle, stable under reruns and incremental appends)
+    "sample_split",
+    lambda spark, sf_dir: sp.assign_splits(
+        t(spark, sf_dir, "documents"), "doc_id", _SPLITS
+    ).select("doc_id", "lang", "split"),
+    "SELECT doc_id, lang, "
+    + sp.assign_splits_sql("doc_id", _SPLITS)
+    + " AS split FROM documents",
+)
+
+_STRATA_RATES = {"en": 0.2, "de": 0.6, "fr": 0.6}
+
+register(
+    # language rebalancing: downsample the dominant stratum, keep the tail
+    "sample_stratified",
+    lambda spark, sf_dir: sp.stratified_sample(
+        t(spark, sf_dir, "documents"), "lang", "doc_id",
+        _STRATA_RATES, default_rate=1.0,
+    ).select("doc_id", "lang"),
+    "SELECT doc_id, lang FROM documents WHERE "
+    + sp.stratified_sample_sql("lang", "doc_id", _STRATA_RATES, default_rate=1.0),
+)
+
+register(
+    # exactly-k-per-group deterministic subsample (one hash-partitioned
+    # window; (draw, key) order is total, so ranks are reproducible)
+    "sample_topk_group",
+    lambda spark, sf_dir: sp.topk_per_group(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "source"),
+        ["lang", "source"], "doc_id", 3,
+    ),
+    sp.topk_per_group_sql(
+        "documents", ["doc_id", "lang", "source"], ["lang", "source"],
+        "doc_id", 3,
+    ),
+)
+
 
 def _merge_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # histogram addition (boost `+` / xarray arithmetic): shard histograms

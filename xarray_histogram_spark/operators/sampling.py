@@ -1,0 +1,203 @@
+"""Deterministic sampling / dataset splitting for training-data curation.
+
+A 100 TB corpus is curated by *reproducible* subsetting: the sampling
+decision for a row must be a pure function of a stable key — never of
+partitioning, row order, or an RNG stream — so reruns, incremental loads
+and audits all agree row-for-row.  (``df.sample()`` is seed-stable only
+for a fixed partitioning, which no 100 TB pipeline has.)
+
+Mechanism: a row's uniform draw is the first 8 hex chars of
+``md5(salt || key)``, compared LEXICOGRAPHICALLY against a literal hex
+threshold ``floor(rate·16⁸)``.  Pure Column ops (md5/substring/string
+compare — codegen'd, zero Python), mirrored bit-identically in DuckDB:
+md5 is the one hash both engines share, and hex-string comparison avoids
+any hex→int conversion (DuckDB has no ``conv``).  Granularity is 16⁻⁸
+(≈6e-10) per the 32-bit slice.
+
+Operators:
+- ``deterministic_sample`` — Bernoulli keep at ``rate``; a pure pushable
+  filter: no shuffle, composes with any downstream plan.
+- ``assign_splits`` — train/val/test assignment from cumulative
+  thresholds; a projection (no shuffle), disjoint and exhaustive.
+- ``stratified_sample`` — per-stratum rates (e.g. downsample dominant
+  languages); filter with a literal CASE threshold per stratum.
+- ``topk_per_group`` — exactly-k per group via ``row_number`` over
+  (hash, key) inside each group partition: a single hash-partitioned
+  window, skew-bounded by group size.
+
+Each has an `_sql` twin for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SPACE = 16**8
+
+
+def _hex_threshold(rate: float) -> str:
+    """8-char lowercase hex literal of floor(rate·16⁸), clamped to [0, 16⁸)."""
+    t = int(rate * _SPACE)
+    t = max(0, min(t, _SPACE - 1))
+    return format(t, "08x")
+
+
+def draw_hex(key: Column, salt: str = "") -> Column:
+    """The row's uniform draw: first 8 hex chars of md5(salt || key)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), key.cast("string")).cast("binary")), 1, 8
+    )
+
+
+def draw_hex_sql(key_expr: str, salt: str = "") -> str:
+    return f"substring(md5('{salt}' || CAST({key_expr} AS VARCHAR)), 1, 8)"
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep each row iff draw(key) < rate — reproducible Bernoulli sample,
+    independent of partitioning/order; rate ≥ 1 keeps everything."""
+    if rate >= 1.0:
+        return df
+    if rate <= 0.0:
+        return df.where(F.lit(False))
+    return df.where(
+        draw_hex(F.col(key_col), salt) < F.lit(_hex_threshold(rate))
+    )
+
+
+def deterministic_sample_sql(key_expr: str, rate: float, salt: str = "") -> str:
+    """WHERE-clause predicate mirroring ``deterministic_sample``."""
+    if rate >= 1.0:
+        return "TRUE"
+    if rate <= 0.0:
+        return "FALSE"
+    return f"{draw_hex_sql(key_expr, salt)} < '{_hex_threshold(rate)}'"
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    fractions: Sequence[Tuple[str, float]],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Disjoint, exhaustive dataset splits (e.g. [("train", .8),
+    ("val", .1), ("test", .1)]) from cumulative thresholds on the same
+    draw; the LAST split absorbs rounding remainder.  A projection — no
+    shuffle, stable across reruns and incremental appends."""
+    fractions = list(fractions)
+    if len(fractions) < 2:
+        raise ValueError("need at least two splits")
+    d = draw_hex(F.col(key_col), salt)
+    acc = 0.0
+    expr = None
+    for name, frac in fractions[:-1]:
+        acc += frac
+        cond = d < F.lit(_hex_threshold(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(fractions[-1][0]))
+    return df.withColumn(split_col, expr)
+
+
+def assign_splits_sql(
+    key_expr: str, fractions: Sequence[Tuple[str, float]], salt: str = ""
+) -> str:
+    """CASE expression mirroring ``assign_splits``."""
+    fractions = list(fractions)
+    d = draw_hex_sql(key_expr, salt)
+    acc, parts = 0.0, []
+    for name, frac in fractions[:-1]:
+        acc += frac
+        parts.append(f"WHEN {d} < '{_hex_threshold(acc)}' THEN '{name}'")
+    return f"CASE {' '.join(parts)} ELSE '{fractions[-1][0]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: Dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (the language/source-rebalancing
+    primitive: downsample dominant strata, keep the tail).  A literal CASE
+    threshold per stratum — still a pure pushable filter, no shuffle."""
+    d = draw_hex(F.col(key_col), salt)
+    thr = None
+    for stratum, rate in sorted(rates.items()):
+        t = F.lit("g" if rate >= 1.0 else _hex_threshold(rate))
+        cond = F.col(strata_col).eqNullSafe(F.lit(stratum))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = thr.otherwise(
+        F.lit("g" if default_rate >= 1.0 else _hex_threshold(default_rate))
+    )
+    # "g" > every hex char, so it means keep-all
+    return df.where(d < thr)
+
+
+def stratified_sample_sql(
+    strata_expr: str,
+    key_expr: str,
+    rates: Dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> str:
+    d = draw_hex_sql(key_expr, salt)
+    parts = []
+    for stratum, rate in sorted(rates.items()):
+        t = "g" if rate >= 1.0 else _hex_threshold(rate)
+        parts.append(
+            f"WHEN {strata_expr} IS NOT DISTINCT FROM '{stratum}' THEN '{t}'"
+        )
+    dflt = "g" if default_rate >= 1.0 else _hex_threshold(default_rate)
+    return f"{d} < CASE {' '.join(parts)} ELSE '{dflt}' END"
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: List[str],
+    key_col: str,
+    k: int,
+    salt: str = "",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic subsample: rank rows inside each
+    group by (draw, key) — the key tiebreak makes the order total — and
+    keep rank ≤ k.  One hash-partitioned window (shuffle on the group
+    key); at 100 TB memory per task is bounded by group size, and a hot
+    group degrades to a single sorted partition, not a global sort."""
+    if k < 1:
+        raise ValueError("need k >= 1")
+    w = Window.partitionBy(*group_cols).orderBy(
+        draw_hex(F.col(key_col), salt), F.col(key_col)
+    )
+    return df.withColumn(rank_col, F.row_number().over(w)).where(
+        F.col(rank_col) <= F.lit(k)
+    )
+
+
+def topk_per_group_sql(
+    table: str,
+    select_cols: Sequence[str],
+    group_cols: Sequence[str],
+    key_expr: str,
+    k: int,
+    salt: str = "",
+    rank_col: str = "rk",
+) -> str:
+    d = draw_hex_sql(key_expr, salt)
+    cols = ", ".join(select_cols)
+    part = ", ".join(group_cols)
+    return (
+        f"SELECT {cols}, CAST(rk AS INT) AS {rank_col} FROM ("
+        f"SELECT {cols}, row_number() OVER ("
+        f"PARTITION BY {part} ORDER BY {d}, {key_expr}) AS rk "
+        f"FROM {table}) t WHERE rk <= {k}"
+    )
