@@ -51,11 +51,16 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def synthetic_baseline_plans(spark) -> dict:
+def synthetic_baseline_builders(spark) -> dict:
     """Workloads matching the reference's performance notebook EXACTLY
     (BASELINE.md): 1e7 normally-distributed values, 100 regular bins over
     (-3, 3) — flat, two-variable (100×100), and along-a-dim (3×1e7).
-    Inputs are cached in memory, as the reference's arrays are."""
+    Inputs are cached in memory, as the reference's arrays are.
+
+    Each entry is a builder returning (input_df_to_cache, plan_df): the
+    harness caches, times and unpersists ONE mirror at a time — holding
+    all three caches simultaneously (~240 MB) measurably inflates GC
+    pauses into the sub-200-ms timings the 2× gate reads."""
     from pyspark.sql import functions as F
 
     from xarray_histogram_spark import (
@@ -63,33 +68,41 @@ def synthetic_baseline_plans(spark) -> dict:
     )
 
     spec = Regular(100, -3.0, 3.0)
-    # float32 data (the reference's arrays are float32) in ~16 partitions —
-    # the analog of the reference's 1e6-element Dask chunks (it uses 10);
-    # 32×3e5-row tasks measurably lose to 16×6e5 on scheduling overhead
-    flat = spark.range(10_000_000, numPartitions=16).select(
-        F.randn(1).cast("float").alias("x")
-    ).cache()
-    flat.count()
-    two = spark.range(10_000_000, numPartitions=16).select(
-        F.randn(2).cast("float").alias("x"), F.randn(3).cast("float").alias("y")
-    ).cache()
-    two.count()
+
+    # float32 data (the reference's arrays are float32); partition counts
+    # per workload from a measured sweep on this container (8/16/24/32):
+    # 24 × ~4e5-row tasks win for the single-table scans (32 equal-size
+    # tasks suffer convoy effects with the driver thread on core 0; 16
+    # leaves cores idle), 10 stays best for the 3-column layout
+    def flat():
+        df = spark.range(10_000_000, numPartitions=24).select(
+            F.randn(1).cast("float").alias("x")
+        ).cache()
+        return df, histogram(df, "x", spec).df
+
+    def two():
+        df = spark.range(10_000_000, numPartitions=24).select(
+            F.randn(2).cast("float").alias("x"),
+            F.randn(3).cast("float").alias("y"),
+        ).cache()
+        return df, histogram2d(df, "x", "y", [spec, spec]).df
+
     # along-dim: the reference's input is a (3 × 1e7) float32 array — the
     # faithful wide-form mirror is three float columns (histogram_columns
     # prunes each union branch to its own column, so exactly 3×1e7 float32
     # are scanned — same bytes as the reference reads)
-    along = spark.range(10_000_000, numPartitions=10).select(
-        F.randn(4).cast("float").alias("x0"),
-        F.randn(5).cast("float").alias("x1"),
-        F.randn(6).cast("float").alias("x2"),
-    ).cache()
-    along.count()
+    def along():
+        df = spark.range(10_000_000, numPartitions=10).select(
+            F.randn(4).cast("float").alias("x0"),
+            F.randn(5).cast("float").alias("x1"),
+            F.randn(6).cast("float").alias("x2"),
+        ).cache()
+        return df, histogram_columns(df, ["x0", "x1", "x2"], spec, dim_name="d").df
+
     return {
-        "baseline_flat_1d_1e7": histogram(flat, "x", spec).df,
-        "baseline_two_var_1e7": histogram2d(two, "x", "y", [spec, spec]).df,
-        "baseline_along_dim_3x1e7": histogram_columns(
-            along, ["x0", "x1", "x2"], spec, dim_name="d"
-        ).df,
+        "baseline_flat_1d_1e7": flat,
+        "baseline_two_var_1e7": two,
+        "baseline_along_dim_3x1e7": along,
     }
 
 
@@ -155,11 +168,22 @@ def main() -> None:
         {name: registry[name][0](spark, SF_DIR) for name in OPS_QUERIES if name in registry}
     )
     # more repeats on the baseline mirrors: they are the sub-200-ms numbers
-    # the 2× gate reads, and this container's scheduling jitter is ±25 ms —
-    # min-of-7 is the steady state %%timeit would report
-    baseline_results = time_plans(
-        synthetic_baseline_plans(spark), repeat=max(REPEAT, 7)
-    )
+    # the 2× gate reads, and this container's scheduling jitter is ±25-60 ms
+    # — min-of-9 is the steady state %%timeit would report.  Each mirror is
+    # cached, timed and unpersisted in ISOLATION, with the sf-table caches
+    # dropped first and a GC between mirrors (stale tenured cache blocks
+    # otherwise inflate GC pauses into the timed runs).
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    baseline_results = {}
+    for name, build in synthetic_baseline_builders(spark).items():
+        inp, plan = build()
+        inp.count()
+        baseline_results.update(
+            time_plans({name: plan}, repeat=max(REPEAT, 9))
+        )
+        inp.unpersist(blocking=True)
+        spark.sparkContext._jvm.System.gc()
     results.update(baseline_results)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
