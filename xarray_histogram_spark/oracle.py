@@ -27,6 +27,19 @@ from typing import Optional, Sequence
 from .binspec import BinSpec, flit, slit
 from .plans.histogram import id_col, label_col, value_col_name
 
+
+def scaled_weight_sql(expr: str, divisor: float) -> str:
+    """Half-away-from-zero int64 quantization of ``expr·divisor`` via
+    sign-aware FLOOR — the exact IEEE mirror of the engine's
+    ``scaled_weight_col`` (plain ROUND would round DuckDB's binary value
+    while Spark's F.round rounds the decimal string: subtly different on
+    adversarial doubles)."""
+    x = f"(CAST({expr} AS DOUBLE) * {flit(divisor)})"
+    return (
+        f"CAST(CASE WHEN {x} >= 0 THEN FLOOR({x} + 0.5) "
+        f"ELSE -FLOOR(-{x} + 0.5) END AS BIGINT)"
+    )
+
 _LABEL_SQL_TYPE = {"double": "DOUBLE", "bigint": "BIGINT", "string": "VARCHAR"}
 
 
@@ -95,8 +108,7 @@ def histogram_oracle_ctes(
         if weight_scale is not None:
             divisor = float(10**weight_scale)
             val = (
-                f"CAST(SUM(CAST(ROUND(CAST(__w AS DOUBLE) * {flit(divisor)}) "
-                f"AS BIGINT)) AS BIGINT)"
+                f"CAST(SUM({scaled_weight_sql('__w', divisor)}) AS BIGINT)"
             )
             int_mode = True
         else:
@@ -253,8 +265,7 @@ def histogram_columns_oracle_sql(
         if weight_scale is not None:
             divisor = float(10**weight_scale)
             val = (
-                f"CAST(SUM(CAST(ROUND(CAST(__w AS DOUBLE) * "
-                f"{flit(divisor)}) AS BIGINT)) AS BIGINT)"
+                f"CAST(SUM({scaled_weight_sql('__w', divisor)}) AS BIGINT)"
             )
             int_mode = True
         else:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..binspec import BinSpec
-from .histogram import id_col
+from .histogram import id_col, scaled_weight_col
 
 
 def _group_sets(group_by: list[str], cube: bool) -> list[list[str]]:
@@ -68,7 +68,7 @@ def rollup_histogram(
     elif weight_scale is not None:
         s = float(10**weight_scale)
         val = (
-            F.sum(F.round(F.col("__w").cast("double") * F.lit(s)).cast("bigint"))
+            F.sum(scaled_weight_col(F.col("__w"), s))
             .cast("double") / F.lit(s)
         )
     else:
@@ -135,7 +135,7 @@ def rollup_histogramdd(
     elif weight_scale is not None:
         s = float(10**weight_scale)
         val = (
-            F.sum(F.round(F.col("__w").cast("double") * F.lit(s)).cast("bigint"))
+            F.sum(scaled_weight_col(F.col("__w"), s))
             .cast("double") / F.lit(s)
         )
     else:
@@ -186,8 +186,9 @@ def rollup_histogramdd_sql(
         val = "CAST(COUNT(*) AS BIGINT)"
     elif weight_scale is not None:
         sc = flit(float(10**weight_scale))
+        from ..oracle import scaled_weight_sql
         val = (
-            f"CAST(SUM(CAST(ROUND(CAST(__w AS DOUBLE) * {sc}) AS BIGINT)) "
+            f"CAST(SUM({scaled_weight_sql('__w', float(10**weight_scale))}) "
             f"AS DOUBLE) / {sc}"
         )
     else:
@@ -230,8 +231,9 @@ def rollup_histogram_sql(
         val = "CAST(COUNT(*) AS BIGINT)"
     elif weight_scale is not None:
         s = flit(float(10**weight_scale))
+        from ..oracle import scaled_weight_sql
         val = (
-            f"CAST(SUM(CAST(ROUND(CAST(__w AS DOUBLE) * {s}) AS BIGINT)) "
+            f"CAST(SUM({scaled_weight_sql('__w', float(10**weight_scale))}) "
             f"AS DOUBLE) / {s}"
         )
     else:

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..binspec import BinSpec
-from ..plans.histogram import id_col, label_col, spine_df
+from ..plans.histogram import id_col, label_col, scaled_weight_col, spine_df
 
 
 def streaming_histogram(
@@ -73,9 +73,7 @@ def streaming_histogram(
         if weight_scale is not None:
             val = (
                 F.sum(
-                    F.round(
-                        F.col("__wt").cast("double") * F.lit(float(10**weight_scale))
-                    ).cast("bigint")
+                    scaled_weight_col(F.col("__wt"), float(10**weight_scale))
                 ).cast("double")
                 / F.lit(float(10**weight_scale))
             )
