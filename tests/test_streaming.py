@@ -299,3 +299,47 @@ def test_write_stream_histogram_sink(spark, events_ts):
     # dense per window: every bin id present
     one = [k for k in gp if k[0] == min(emitted_windows)]
     assert len({k[2] for k in one}) == SPEC.n
+
+
+def test_streaming_drop_duplicates_within_watermark(spark, events_ts):
+    """Pass-through first-arrival dedup: one survivor per fingerprint; with
+    duplicates split across micro-batches the cross-batch state must drop
+    the replay."""
+    import tempfile
+
+    from xarray_histogram_spark.streaming.dedup_stream import (
+        streaming_drop_duplicates,
+    )
+
+    base = events_ts.select("ts", F.col("event_type").alias("text")).limit(200)
+    src = tempfile.mkdtemp(prefix="xhs_ddw_src_")
+    # two identical files -> every row is duplicated across micro-batches
+    base.coalesce(1).write.mode("overwrite").parquet(src + "/a")
+    one = spark.read.parquet(src + "/a")
+    one.write.mode("overwrite").parquet(src + "/b")
+    merged = src + "/in"
+    spark.read.parquet(src + "/a").unionByName(
+        spark.read.parquet(src + "/b")
+    ).write.mode("overwrite").parquet(merged)
+    sdf = (
+        spark.readStream.schema(one.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+    )
+    out = streaming_drop_duplicates(sdf, "text", "ts", watermark="10 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("xhs_ddw_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM xhs_ddw_test").collect()
+    n_distinct = one.select("text").distinct().count()
+    assert len(got) == n_distinct
+    # batch fallback agrees on the survivor count
+    batch = streaming_drop_duplicates(
+        spark.read.parquet(merged), "text", "ts"
+    ).count()
+    assert batch == n_distinct

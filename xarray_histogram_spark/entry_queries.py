@@ -1150,6 +1150,52 @@ register(
 )
 
 
+def _streaming_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming dedup state: documents (+ planted duplicates under
+    shifted ids) replayed as 3 micro-batches; the converged fingerprint
+    state (count + min-id keeper, both arrival-order independent) must
+    hash-equal the batch oracle."""
+    import tempfile
+    import uuid
+
+    from .streaming.dedup_stream import streaming_dedup_state
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    data = docs.unionByName(dups)
+    src = tempfile.mkdtemp(prefix="xhs_dedup_src_")
+    data.repartition(3).write.mode("overwrite").parquet(src)
+    sdf = (
+        spark.readStream.schema(data.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_dedup_state(sdf, "text", "doc_id")
+    name = "xhs_dedupstate_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+register(
+    "streaming_dedup_state",
+    _streaming_dedup_fn,
+    "SELECT md5(text) AS fp, COUNT(*) AS n_dups, "
+    "CAST(MIN(doc_id) AS BIGINT) AS keep_id FROM "
+    "(SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 10000000 AS doc_id, text FROM documents "
+    "WHERE doc_id % 5 = 0) u GROUP BY md5(text)",
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped weighted histogram — the minimum end-to-end slice of SURVEY §7
     plus grouping and weights."""
