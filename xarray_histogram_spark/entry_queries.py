@@ -60,19 +60,23 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # round-3 head holds the six fixed events/streaming queries, the newly
 # oracle'd weighted fastpath, new queries, and the stats/dedup/sim/text
 # entries last verified in round 1 — guarding those against regressions.
+# (Queries whose plan or expressions changed in round 3 — the flat-key
+# multi-axis agg, kept-fast bucketize, binary-search Variable axes, floor
+# weight quantization, distributed quantile edges — are EXCLUDED from this
+# set even though round 2 verified them, so the round-3 driver re-verifies
+# them under the new engine.)
 _DRIVER_VERIFIED = frozenset({
     "alg_apply_func_log", "alg_bin_coordinates", "alg_normalize_after",
-    "alg_rebin", "alg_remove_flow", "alg_scale", "hist_2d",
-    "hist_3d_grouped", "hist_columns",
+    "alg_rebin", "alg_remove_flow", "alg_scale",
     "hist_cube_multires", "hist_density", "hist_density_flow",
-    "hist_fill_arrow_path", "hist_group_month", "hist_grouped",
+    "hist_fill_arrow_path", "hist_group_month",
     "hist_int64_storage", "hist_intcategory", "hist_integer_axis",
-    "hist_join_align_2var", "hist_join_revenue", "hist_log_axis",
-    "hist_merge_shards", "hist_quantile_bins", "hist_range_infer",
+    "hist_join_align_2var", "hist_log_axis",
+    "hist_merge_shards", "hist_range_infer",
     "hist_regular_1d", "hist_regular_flow", "hist_rollup_2d",
-    "hist_rollup_multires", "hist_rollup_weighted", "hist_sqrt_axis",
-    "hist_strcategory", "hist_variable_axis", "hist_variable_binary",
-    "hist_weighted", "hist_weighted_grouped_density", "mm_decode_meta",
+    "hist_rollup_multires", "hist_sqrt_axis",
+    "hist_strcategory", "hist_variable_binary",
+    "mm_decode_meta",
     "stat_mean", "stat_moment3", "stat_std", "stat_var",
     "streaming_stateful_hist", "text_fingerprint",
 })
