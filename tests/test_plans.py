@@ -121,15 +121,16 @@ def test_column_pruning(lineitem):
 
 
 def test_dedup_no_cartesian(spark, sf_dir):
-    """LSH candidate generation must be an equi-join on band keys — never a
-    cartesian/nested-loop pair expansion."""
+    """LSH candidate generation: bucket-grouped pair expansion — ONE scan of
+    the signature subtree (no self-join at all, so no join node of any
+    kind), one shuffle on the band keys, in-bucket ordered-pair explode."""
     from xarray_histogram_spark.operators.dedup import lsh_candidate_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     p = plan_of(lsh_candidate_pairs(docs, "text", "doc_id"))
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
-    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
 
 
 def test_ann_no_corpus_scan_join(spark, sf_dir):

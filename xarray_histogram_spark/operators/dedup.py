@@ -131,7 +131,17 @@ def lsh_candidate_pairs(
     df: DataFrame, text_col: str, id_col: str, k: int = 8
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band; returns
-    (id_a, id_b, n_bands) with id_a < id_b."""
+    (id_a, id_b, n_bands) with id_a < id_b.
+
+    Shape: (band, key) buckets are grouped (ONE shuffle of 4 rows/doc,
+    map-side combined) and each bucket's sorted id list expands to its
+    ordered pairs in-place — the signature subtree is evaluated ONCE.
+    A self-join formulation would evaluate the md5 signature fold twice
+    (Spark does not share duplicate subtrees) and shuffle both sides.
+    Bucket pair expansion is m(m-1)/2 per bucket — the same output
+    cardinality the join produces; LSH buckets are small by construction
+    (near-dup groups), which is what makes candidate generation tractable
+    at all."""
     sigs = minhash_signatures(df, text_col, id_col, k)
     bands = F.array(
         *[
@@ -140,19 +150,30 @@ def lsh_candidate_pairs(
         ]
     )
     b = sigs.select(F.col(id_col), F.posexplode(bands).alias("bi", "bk"))
-    l, r = b.alias("l"), b.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.bi") == F.col("r.bi"))
-            & (F.col("l.bk") == F.col("r.bk"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+    buckets = (
+        b.groupBy("bi", "bk")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
     )
+    # ordered pairs of a sorted list: element i with every later element
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda bb: F.struct(
+                            a.alias("id_a"), bb.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    ).agg(F.count(F.lit(1)).alias("n_bands"))
 
 
 def lsh_candidate_pairs_sql(
