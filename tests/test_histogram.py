@@ -361,3 +361,18 @@ def test_preserve_groups_all_nan_slice(spark):
                    preserve_groups=True).df.collect()
     bover = [r for r in fl if r["g"] == "b" and r["x_bin"] == 4]
     assert bover and bover[0]["x_histogram"] == 2.0
+
+
+def test_quantile_edges_nan_tolerant(spark):
+    """NaN values rank last (NaN bucket) and must not poison the bucket
+    split bounds; edges come from the finite values."""
+    import math
+
+    from xarray_histogram_spark.plans.histogram import quantile_edges
+
+    vals = [float(v) for v in range(100)] + [float("nan")] * 5
+    df = spark.createDataFrame([(v,) for v in vals], "x: double")
+    edges = quantile_edges(df, "x", 4)
+    assert all(not math.isnan(e) for e in edges)
+    assert edges[0] == 0.0
+    assert len(edges) == 5

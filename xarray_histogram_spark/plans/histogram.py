@@ -21,7 +21,8 @@ Scale notes (designed for ~100 TB inputs, 1000 executors):
 - Determinism of weighted sums: double addition is not associative, so a
   distributed sum is partitioning-dependent and can never hash-match an
   oracle bit-for-bit.  With ``weight_scale=s`` (default 6) weights are
-  quantised to ``round(w * 10^s)`` int64 and summed as integers — exact,
+  quantised to int64 (half-away-from-zero via sign-aware floor — see
+  ``scaled_weight_col``) and summed as integers — exact,
   order-independent, identical in Spark and DuckDB (int64→double casts are
   hardware-rounded identically; DuckDB's DECIMAL→DOUBLE cast is NOT
   correctly rounded, which rules the DECIMAL route out).  The quantisation
@@ -800,8 +801,8 @@ def quantile_edges(
     single-partition exchange:
 
     1. bucket every value by a deterministic linear split of [min, max]
-       (NaN → last bucket, matching NULLS-LAST/NaN-greatest sort order),
-       count per bucket (map-side combined, ≤B rows shuffled), prefix-sum
+       (NULL/NaN are excluded up front — np.nanquantile semantics; a NaN
+       edge could not feed a Variable axis anyway), count per bucket (map-side combined, ≤B rows shuffled), prefix-sum
        the offsets on the driver (≤B ints);
     2. rank within each bucket (``row_number`` partitioned BY BUCKET —
        a parallel hash-partitioned window, each task sorts only its
@@ -817,9 +818,10 @@ def quantile_edges(
     """
     if n < 1:
         raise ValueError("need n >= 1 bins")
-    x = df.where(F.col(col).isNotNull()).select(
-        F.col(col).cast("double").alias("x")
-    )
+    # NULL and NaN are excluded from the ranking (np.nanquantile semantics):
+    # a NaN edge would break the strictly-increasing Variable axis anyway
+    xc = F.col(col).cast("double")
+    x = df.where(xc.isNotNull() & ~F.isnan(xc)).select(xc.alias("x"))
     if approx:
         qs = [i / n for i in range(n + 1)]
         edges = sorted(set(x.stat.approxQuantile("x", qs, 1e-4)))
@@ -830,9 +832,7 @@ def quantile_edges(
                 else f"cannot infer quantile bins of empty column {col!r}"
             )
         return edges
-    row = x.agg(
-        F.count("x"), F.min("x"), F.max("x")
-    ).first()
+    row = x.agg(F.count("x"), F.min("x"), F.max("x")).first()
     c, lo, hi = row[0], row[1], row[2]
     if c == 0:
         raise ValueError(f"cannot infer quantile bins of empty column {col!r}")
@@ -844,15 +844,13 @@ def quantile_edges(
         )
     targets = sorted({((c - 1) * i) // n for i in range(n + 1)})
     B = 256
-    bucket = F.when(F.isnan(F.col("x")), F.lit(B - 1)).otherwise(
-        F.least(
-            F.floor(
-                (F.col("x") - F.lit(float(lo)))
-                / F.lit(float(hi) - float(lo))
-                * F.lit(float(B))
-            ).cast("int"),
-            F.lit(B - 1),
-        )
+    bucket = F.least(
+        F.floor(
+            (F.col("x") - F.lit(float(lo)))
+            / F.lit(float(hi) - float(lo))
+            * F.lit(float(B))
+        ).cast("int"),
+        F.lit(B - 1),
     )
     bx = x.select(bucket.alias("b"), "x")
     counts = {r["b"]: r["cnt"] for r in
