@@ -84,3 +84,15 @@ def test_spec_validation_errors():
         IntCategory(())
     with pytest.raises(ValueError):
         IntCategory((1, 1))
+
+def test_infeasible_extent_raises(spark, lineitem):
+    from xarray_histogram_spark import Regular, histogramdd
+
+    big = Regular(2**12, 0.0, 1.0)
+    with pytest.raises(ValueError, match="infeasible"):
+        histogramdd(
+            lineitem.selectExpr(
+                "l_discount AS a", "l_tax AS b", "l_quantity AS c"
+            ),
+            ["a", "b", "c"], [big, big, big],
+        )

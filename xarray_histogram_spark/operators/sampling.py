@@ -153,8 +153,9 @@ def stratified_sample_sql(
     parts = []
     for stratum, rate in sorted(rates.items()):
         t = "g" if rate >= 1.0 else _hex_threshold(rate)
+        lit = str(stratum).replace("'", "''")
         parts.append(
-            f"WHEN {strata_expr} IS NOT DISTINCT FROM '{stratum}' THEN '{t}'"
+            f"WHEN {strata_expr} IS NOT DISTINCT FROM '{lit}' THEN '{t}'"
         )
     dflt = "g" if default_rate >= 1.0 else _hex_threshold(default_rate)
     return f"{d} < CASE {' '.join(parts)} ELSE '{dflt}' END"

@@ -345,6 +345,18 @@ def histogramdd(
 
     keys = group_by + [id_col(c) for c in cols]
     zero_sql = "CAST(0 AS BIGINT)" if int_mode else "CAST(0.0 AS DOUBLE)"
+    # the OUTPUT is dense (Π(n_i+2) cells per group) — reject extents no
+    # engine could materialize rather than failing opaquely downstream;
+    # this also guarantees the flat bigint key below cannot overflow
+    total_space = 1
+    for s in specs:
+        total_space *= s.n + 2
+    if total_space > 2**31:
+        raise ValueError(
+            f"dense histogram extent ({total_space} cells per group) is "
+            "infeasible to materialize; reduce bin counts or histogram "
+            "fewer variables together"
+        )
     multi = len(cols) > 1
     if multi:
         # flatten the k bin ids into ONE bigint grouping key
@@ -370,7 +382,7 @@ def histogramdd(
     else:
         base = src.select(
             *[F.col(g) for g in group_by],
-            id_exprs[0].alias(id_col(cols[0])),
+            *[e.alias(id_col(c)) for c, e in zip(cols, id_exprs)],
             vsrc.alias("__v"),
         )
         agg_keys = keys
