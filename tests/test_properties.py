@@ -188,3 +188,42 @@ def _float_grid(lo, hi):
 def test_keep_pred_equals_id_filter(spark, spec, typ, values, flow):
     by_id, by_pred = _kept_sets(spark, spec, values, typ, flow)
     assert by_id == by_pred
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
+        min_size=1, max_size=40,
+    )
+)
+def test_scaled_weight_col_matches_numpy_formula(spark, ws):
+    """The engine's int64 weight quantization must equal the numpy fill
+    path's half-away-from-zero formula bit-for-bit (the cross-engine
+    determinism contract), including exact .5 ties."""
+    import numpy as np
+
+    from xarray_histogram_spark.plans.histogram import scaled_weight_col
+
+    ws = ws + [0.5e-6, -0.5e-6, 2.5e-6, -2.5e-6]  # exact ties at scale 1e6
+    df = spark.createDataFrame([(float(w),) for w in ws], "w: double")
+    got = [
+        r[0]
+        for r in df.select(scaled_weight_col(F.col("w"), 1e6)).collect()
+    ]
+    x = np.array(ws, dtype=np.float64) * 1e6
+    want = np.where(x >= 0, np.floor(x + 0.5), -np.floor(-x + 0.5)).astype(np.int64)
+    assert got == want.tolist()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.floats(min_value=0.0, max_value=1.0))
+def test_hex_threshold_monotone(rate):
+    """Sampling thresholds are monotone in the rate and 8 lowercase hex
+    chars — the lexicographic comparison contract."""
+    from xarray_histogram_spark.operators.sampling import _hex_threshold
+
+    t = _hex_threshold(rate)
+    assert len(t) == 8 and all(c in "0123456789abcdef" for c in t)
+    if rate < 1.0:
+        assert _hex_threshold(rate / 2) <= t
