@@ -252,3 +252,34 @@ def test_dense_pivot_null_group_key(spark, lineitem):
     assert np.nansum(null_slice) > 0
     total = h.df.agg(F.sum("l_quantity_histogram")).collect()[0][0]
     assert np.nansum(vals) == total
+
+
+def test_io_roundtrip_bool_labels(spark, lineitem):
+    """Boolean-label axes survive persistence: spec sidecar round-trips
+    bool_labels and the reloaded label column stays BOOLEAN."""
+    from pyspark.sql import functions as F
+
+    from xarray_histogram_spark import Integer, histogramdd
+
+    d = lineitem.withColumn("is_bulk", F.col("l_quantity") > F.lit(25.0))
+    h = histogramdd(d, ["is_bulk"], [Integer(0, 2)])
+    assert h.specs["is_bulk"].bool_labels
+    path = tempfile.mkdtemp(prefix="xhs_io_bool_") + "/hist"
+    write_result(h, path)
+    h2 = read_result(spark, path)
+    assert h2.specs == h.specs
+    assert dict(h2.df.dtypes)["is_bulk_bins"] == "boolean"
+    assert sorted(r["is_bulk_bins"] for r in h2.df.collect()) == [False, True]
+
+
+def test_exports_bool_labels(spark, lineitem):
+    from pyspark.sql import functions as F
+
+    from xarray_histogram_spark import Integer, histogramdd
+
+    d = lineitem.withColumn("is_bulk", F.col("l_quantity") > F.lit(25.0))
+    h = histogramdd(d, ["is_bulk"], [Integer(0, 2)])
+    pdf = h.to_pandas()
+    assert list(pdf.index) == [False, True]
+    arr = h.to_numpy()
+    assert arr.shape == (2,)
