@@ -119,7 +119,7 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("xhs-bench")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", os.environ.get("BENCH_SHUFFLE", "8"))
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.sql.inMemoryColumnarStorage.batchSize", "131072")
@@ -199,7 +199,9 @@ def main() -> None:
         "rows_per_sec_1d": round(n_rows / results["hist_regular_1d"])
         if results.get("hist_regular_1d")
         else None,
-        "config": {"cpus": CPUS, "aqe": False, "shuffle_partitions": 8, "repeat": REPEAT},
+        "config": {"cpus": CPUS, "aqe": False,
+                   "shuffle_partitions": int(os.environ.get("BENCH_SHUFFLE", "8")),
+                   "repeat": REPEAT},
     }
     print(json.dumps(out))
 
