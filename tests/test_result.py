@@ -283,3 +283,41 @@ def test_exports_bool_labels(spark, lineitem):
     assert list(pdf.index) == [False, True]
     arr = h.to_numpy()
     assert arr.shape == (2,)
+
+
+def test_project_equals_direct(spark, lineitem):
+    """flow=True projection == direct histogram of the kept variable; the
+    grouped/flow=False projection preserves total mass."""
+    from xarray_histogram_spark import histogramdd
+
+    h2 = histogramdd(
+        lineitem, ["l_quantity", "l_discount"],
+        [Regular(10, 1.0, 51.0), Regular(5, 0.0, 0.11)], flow=True,
+    )
+    p = h2.project("l_quantity")
+    direct = histogramdd(lineitem, ["l_quantity"], [Regular(10, 1.0, 51.0)],
+                         flow=True)
+    a = _pdf(p.df, ["l_quantity_bin"])
+    b = _pdf(direct.df, ["l_quantity_bin"])
+    assert a.equals(b[a.columns])
+    # grouped projection: mass per group is preserved
+    g = histogramdd(
+        lineitem, ["l_quantity", "l_discount"],
+        [Regular(10, 1.0, 51.0), Regular(5, 0.0, 0.11)],
+        group_by=["l_returnflag"],
+    )
+    gp = g.project("l_quantity")
+    tot2 = {r["l_returnflag"]: r["s"] for r in
+            g.df.groupBy("l_returnflag").agg(
+                F.sum("l_quantity_l_discount_histogram").alias("s")).collect()}
+    tot1 = {r["l_returnflag"]: r["s"] for r in
+            gp.df.groupBy("l_returnflag").agg(
+                F.sum("l_quantity_histogram").alias("s")).collect()}
+    assert tot1 == tot2
+    # projecting everything away / unknown vars / density are errors
+    with pytest.raises(ValueError):
+        h2.project([])
+    with pytest.raises(ValueError):
+        h2.project("nope")
+    with pytest.raises(ValueError):
+        h2.normalize().project("l_quantity")

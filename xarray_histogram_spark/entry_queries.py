@@ -984,6 +984,26 @@ register(
 )
 
 
+def _project_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # boost Histogram.project: marginalize the 2-axis flow=True histogram
+    # onto its first axis — with flow on, no rows were filtered, so the
+    # projection must exactly equal a direct 1-D flow=True histogram (the
+    # oracle), including the flow bins
+    h = histogramdd(
+        t(spark, sf_dir, "lineitem"), ["l_quantity", "l_discount"],
+        [Regular(10, 1.0, 51.0), Regular(5, 0.0, 0.11)], flow=True,
+    )
+    return h.project("l_quantity").df
+
+
+register(
+    "alg_project", _project_fn,
+    orc.histogram_oracle_sql(
+        "lineitem", ["l_quantity"], [Regular(10, 1.0, 51.0)], flow=True,
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # streaming: a REAL Structured Streaming execution (file source → watermarked
 # windowed histogram → memory sink, availableNow) whose final state must

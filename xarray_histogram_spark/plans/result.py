@@ -244,6 +244,60 @@ class HistogramResult:
             weighted=(self.divisor != 1.0) or not self.int_mode,
         )
 
+    # ---- projection (boost Histogram.project / summing out dims) ----
+    def project(self, variables) -> "HistogramResult":
+        """Marginalize onto ``variables``: sum the other axes out — boost's
+        ``Histogram.project`` / the reference's xarray ``sum`` over bin
+        dims.  Runs on the aggregated result only (raw data never re-read):
+        drop the projected-out id columns, re-sum, shared dense finish.
+
+        Whatever bins the result HOLDS for the dropped axes collapse into
+        the sums: with ``flow=True`` that is the axes' full content (boost
+        semantics — the projection equals a direct histogram of the kept
+        variables); with ``flow=False`` the dropped axes' keep filters
+        remain baked into the data, so the projection equals a histogram of
+        the kept variables over rows passing ALL original keep filters.
+        Project the histogram, then normalize — a pdf cannot be summed."""
+        if isinstance(variables, str):
+            variables = [variables]
+        want = set(variables)
+        unknown = want - set(self.variables)
+        if unknown:
+            raise ValueError(f"unknown variable(s) {sorted(unknown)}")
+        if self.density:
+            raise ValueError("project the histogram, then normalize")
+        keep = [v for v in self.variables if v in want]
+        if len(keep) == len(self.variables):
+            return self
+        if not keep:
+            raise ValueError("project needs at least one kept variable")
+        from .histogram import finish_from_agg
+
+        agg = (
+            self._df.select(
+                *self.group_by, *[f"{v}_bin" for v in keep], F.col("__val")
+            )
+            .groupBy(*self.group_by, *[f"{v}_bin" for v in keep])
+            .agg(F.sum("__val").alias("__val"))
+        )
+        storage = (
+            "int64"
+            if dict(self._df.dtypes).get(self.value_col) == "bigint"
+            else "double"
+        )
+        return finish_from_agg(
+            agg,
+            keep,
+            [self.specs[v] for v in keep],
+            group_by=self.group_by,
+            flow=self.flow,
+            density=False,
+            storage=storage,
+            int_mode=self.int_mode,
+            divisor=self.divisor,
+            weighted=(self.divisor != 1.0) or not self.int_mode,
+        )
+
     # ---- histogram addition (xarray DataArray arithmetic / boost `+`) ----
     def merge(self, *others: "HistogramResult") -> "HistogramResult":
         """Sum histograms with identical schema (specs, grouping, flow) —
