@@ -1004,6 +1004,49 @@ register(
 )
 
 
+def _binned_stat_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scipy binned_statistic analog: per-price-bin count/sum/mean/min/max of
+    # quantity — dense, empty bins NULL (count 0); exact-int sums so mean is
+    # one double division of two exact ints on both engines
+    from .plans.binned import binned_statistic
+
+    return binned_statistic(
+        t(spark, sf_dir, "lineitem"), "l_extendedprice",
+        Regular(12, 900.0, 105000.0), "l_quantity",
+        ("count", "sum", "mean", "min", "max"),
+    )
+
+
+def _binned_stat_grouped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.binned import binned_statistic
+
+    return binned_statistic(
+        t(spark, sf_dir, "lineitem"), "l_extendedprice",
+        Regular(8, 900.0, 105000.0), "l_quantity",
+        ("count", "mean"), group_by=["l_returnflag"],
+    )
+
+
+def _binned_stat_sql(grouped: bool) -> str:
+    from .plans.binned import binned_statistic_sql
+
+    if grouped:
+        return binned_statistic_sql(
+            "lineitem", "l_extendedprice", Regular(8, 900.0, 105000.0),
+            "l_quantity", ("count", "mean"), group_by=["l_returnflag"],
+        )
+    return binned_statistic_sql(
+        "lineitem", "l_extendedprice", Regular(12, 900.0, 105000.0),
+        "l_quantity", ("count", "sum", "mean", "min", "max"),
+    )
+
+
+register("binned_stat_profile", _binned_stat_fn, _binned_stat_sql(False))
+register(
+    "binned_stat_grouped", _binned_stat_grouped_fn, _binned_stat_sql(True)
+)
+
+
 # ---------------------------------------------------------------------------
 # streaming: a REAL Structured Streaming execution (file source → watermarked
 # windowed histogram → memory sink, availableNow) whose final state must

@@ -1,0 +1,197 @@
+"""Binned statistics: per-bin aggregates of a SECOND column — the
+``scipy.stats.binned_statistic`` analog the histogram family is usually
+asked for next (profile plots, calibration curves, per-bucket QC).
+
+Not in the reference (its accessor derives statistics OF the histogram
+itself — ``plans/stats.py`` covers that); this is the complementary
+operator: bucketize x with any ``BinSpec``, then aggregate ``value`` per
+bin.  Same scale shape as a histogram — scan + codegen bucketize, ONE
+partial+final HashAggregate, dense labelled finish from a literal spine —
+so everything in SCALE.md's contraction analysis applies unchanged.
+
+Determinism (oracle-gated): ``count`` is an int64 count; ``sum`` and
+``mean`` run on the exact-int64 quantization of ``value·10^scale``
+(``scaled_weight_col`` — identical IEEE ops in DuckDB), so sums are
+order-independent and ``mean`` is one double division of two exact ints;
+``min``/``max`` are order-independent by definition.  Empty bins are NULL
+for sum/mean/min/max and 0 for count (matching scipy, whose empty-bin
+statistic is NaN).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..binspec import BinSpec
+from .histogram import (
+    axis_meta_exprs,
+    id_col,
+    label_col,
+    scaled_weight_col,
+    spine_ids_zero,
+)
+
+STATS = ("count", "sum", "mean", "min", "max")
+
+
+def binned_statistic(
+    df: DataFrame,
+    x: str,
+    spec: BinSpec,
+    value: str,
+    stats: Sequence[str] = ("count", "sum", "mean"),
+    *,
+    group_by: Sequence[str] = (),
+    flow: bool = False,
+    weight_scale: Optional[int] = 6,
+) -> DataFrame:
+    """Dense per-bin statistics of ``value`` bucketized by ``x``.
+
+    Returns (group_by…, ``<x>_bin``, ``<x>_bins``, ``<stat>_<value>``…).
+    Ungrouped output is DENSE (every spine bin, empty bins NULL with
+    count 0); grouped output is sparse over observed (group, bin) pairs.
+    """
+    stats = list(stats)
+    bad = [s for s in stats if s not in STATS]
+    if bad:
+        raise ValueError(f"unknown stats {bad}; choose from {STATS}")
+    group_by = list(group_by)
+    pred = spec.keep_pred_col(F.col(x), flow)
+    src = df.where(pred) if pred is not None else df
+    idc = (
+        spec.raw_id_col_kept(F.col(x))
+        if pred is not None and not flow
+        else spec.raw_id_col(F.col(x))
+    )
+    v = F.col(value).cast("double")
+    if weight_scale is not None:
+        divisor = float(10**weight_scale)
+        vsum = scaled_weight_col(F.col(value), divisor)
+    else:
+        divisor = 1.0
+        vsum = v
+    base = src.select(
+        *[F.col(g) for g in group_by],
+        idc.alias(id_col(x)),
+        vsum.alias("__s"),
+        v.alias("__v"),
+    )
+    aggs = [
+        F.count(F.col("__v")).alias("__n"),
+        F.sum("__s").alias("__sum"),
+        F.min("__v").alias("__min"),
+        F.max("__v").alias("__max"),
+    ]
+    agg = base.groupBy(*group_by, id_col(x)).agg(*aggs)
+    if not group_by:
+        # dense by construction: zero-count spine rows union in BEFORE a
+        # trivial re-aggregation (same one-exchange shape as the histogram)
+        spine0 = spine_ids_zero(
+            agg.sparkSession, [x], [spec], flow, "CAST(0 AS BIGINT)",
+            val_name="__n",
+        ).select(
+            id_col(x), F.col("__n"),
+            F.lit(None).cast("bigint").alias("__sum"),
+            F.lit(None).cast("double").alias("__min"),
+            F.lit(None).cast("double").alias("__max"),
+        )
+        agg = (
+            agg.unionByName(spine0)
+            .groupBy(id_col(x))
+            .agg(
+                F.sum("__n").alias("__n"),
+                F.sum("__sum").alias("__sum"),
+                F.min("__min").alias("__min"),
+                F.max("__max").alias("__max"),
+            )
+        )
+    sum_d = F.col("__sum").cast("double") / F.lit(divisor)
+    out_cols = {
+        "count": F.col("__n").alias(f"count_{value}"),
+        "sum": sum_d.alias(f"sum_{value}"),
+        "mean": (
+            F.col("__sum").cast("double")
+            / F.col("__n").cast("double")
+            / F.lit(divisor)
+        ).alias(f"mean_{value}"),
+        "min": F.col("__min").alias(f"min_{value}"),
+        "max": F.col("__max").alias(f"max_{value}"),
+    }
+    meta = axis_meta_exprs(x, spec, flow)
+    return agg.selectExpr(
+        *group_by, id_col(x), meta[0], "*"
+    ).select(
+        *group_by,
+        id_col(x),
+        label_col(x),
+        *[out_cols[s] for s in stats],
+    )
+
+
+def binned_statistic_sql(
+    table: str,
+    x: str,
+    spec: BinSpec,
+    value: str,
+    stats: Sequence[str] = ("count", "sum", "mean"),
+    *,
+    group_by: Sequence[str] = (),
+    flow: bool = False,
+    weight_scale: Optional[int] = 6,
+) -> str:
+    """DuckDB mirror of ``binned_statistic`` (same quantized sums, same
+    NULL-for-empty semantics)."""
+    from ..oracle import _spine_values, scaled_weight_sql
+
+    group_by = list(group_by)
+    bid = spec.raw_id_sql(x)
+    lo, hi = spec.keep_range(flow)
+    if weight_scale is not None:
+        divisor = float(10**weight_scale)
+        ssum = f"SUM({scaled_weight_sql(value, divisor)})"
+        sum_out = f"CAST({ssum} AS DOUBLE) / {divisor}"
+        mean_out = f"CAST({ssum} AS DOUBLE) / CAST(COUNT({value}) AS DOUBLE) / {divisor}"
+    else:
+        sum_out = f"SUM(CAST({value} AS DOUBLE))"
+        mean_out = f"AVG(CAST({value} AS DOUBLE))"
+    outs = {
+        "count": "CAST(COUNT(*) AS BIGINT)",
+        "sum": sum_out,
+        "mean": mean_out,
+        "min": f"MIN(CAST({value} AS DOUBLE))",
+        "max": f"MAX(CAST({value} AS DOUBLE))",
+    }
+    gsel = "".join(f"{g}, " for g in group_by)
+    aggsel = ", ".join(f"{outs[s]} AS {s}_{value}" for s in stats)
+    binned = (
+        f"SELECT {gsel}{bid} AS b, {aggsel} FROM {table} "
+        f"WHERE {bid} BETWEEN {lo} AND {hi} "
+        f"GROUP BY {gsel}{bid}"
+    )
+    sel_stats = ", ".join(
+        f"COALESCE(binned.{s}_{value}, 0) AS {s}_{value}"
+        if s == "count"
+        else f"binned.{s}_{value} AS {s}_{value}"
+        for s in stats
+    )
+    spine = _spine_values(x, spec, flow)
+    if group_by:
+        # grouped output is SPARSE (observed (group, bin) rows), matching
+        # the engine side; the spine join only attaches labels
+        plain = ", ".join(f"binned.{s}_{value} AS {s}_{value}" for s in stats)
+        return (
+            f"WITH binned AS ({binned}) "
+            f"SELECT {', '.join('binned.' + g for g in group_by)}, "
+            f"sp_{x}.{id_col(x)} AS {id_col(x)}, "
+            f"sp_{x}.{label_col(x)} AS {label_col(x)}, {plain} "
+            f"FROM binned JOIN {spine} ON binned.b = sp_{x}.{id_col(x)}"
+        )
+    return (
+        f"WITH binned AS ({binned}) "
+        f"SELECT sp_{x}.{id_col(x)} AS {id_col(x)}, "
+        f"sp_{x}.{label_col(x)} AS {label_col(x)}, {sel_stats} "
+        f"FROM {spine} LEFT JOIN binned ON binned.b = sp_{x}.{id_col(x)}"
+    )
