@@ -31,9 +31,20 @@ from .plans.histogram import (
     histogramdd,
     quantile_edges,
 )
+from .plans.binned import binned_statistic
 from .plans.result import HistogramResult
 from .plans.rollup import rollup_histogram
 from .sources.io import read_result, write_result
+from .operators.sampling import (
+    assign_splits,
+    deterministic_sample,
+    stratified_sample,
+    topk_per_group,
+)
+from .streaming.dedup_stream import (
+    streaming_dedup_state,
+    streaming_drop_duplicates,
+)
 from .streaming.histogram_stream import (
     session_histogram,
     streaming_histogram,
@@ -64,6 +75,13 @@ __all__ = [
     "streaming_histogram",
     "session_histogram",
     "write_stream_histogram",
+    "binned_statistic",
+    "deterministic_sample",
+    "assign_splits",
+    "stratified_sample",
+    "topk_per_group",
+    "streaming_dedup_state",
+    "streaming_drop_duplicates",
 ]
 
 __version__ = "0.1.0"
