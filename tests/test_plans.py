@@ -200,3 +200,28 @@ def test_quantile_edges_no_global_sort(spark, sf_dir):
     edges = quantile_edges(li, "l_extendedprice", 8)
     assert len(edges) == 9
     assert edges == sorted(edges)
+
+
+def test_binned_statistic_plan_and_raw_path(spark, lineitem):
+    """Binned statistics share the histogram's contraction shape: one
+    partial+final aggregate around one exchange, no joins; the raw-double
+    path (weight_scale=None) type-aligns the spine union."""
+    from xarray_histogram_spark import Regular, binned_statistic
+
+    spec = Regular(6, 1.0, 51.0)
+    df = binned_statistic(
+        lineitem, "l_quantity", spec, "l_extendedprice",
+        ("count", "sum", "mean", "min", "max"), weight_scale=None,
+    )
+    p = plan_of(df)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2
+    assert "Join" not in p
+    rows = {r["l_quantity_bin"]: r for r in df.collect()}
+    assert len(rows) == 6
+    assert all(r["count_l_extendedprice"] > 0 for r in rows.values())
+    assert all(
+        r["min_l_extendedprice"] <= r["mean_l_extendedprice"]
+        <= r["max_l_extendedprice"]
+        for r in rows.values()
+    )

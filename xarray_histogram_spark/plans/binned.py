@@ -79,6 +79,19 @@ def binned_statistic(
         vsum.alias("__s"),
         v.alias("__v"),
     )
+    if not group_by:
+        # dense by construction: NULL-valued spine rows union in BEFORE the
+        # single aggregation (count/sum/min/max all ignore NULLs, so a
+        # spine row contributes count 0 and nothing else) — the same
+        # one-exchange shape as the histogram
+        null_s = (
+            "CAST(NULL AS BIGINT)" if weight_scale is not None
+            else "CAST(NULL AS DOUBLE)"
+        )
+        spine0 = spine_ids_zero(
+            base.sparkSession, [x], [spec], flow, null_s, val_name="__s",
+        ).withColumn("__v", F.lit(None).cast("double"))
+        base = base.unionByName(spine0)
     aggs = [
         F.count(F.col("__v")).alias("__n"),
         F.sum("__s").alias("__sum"),
@@ -86,28 +99,6 @@ def binned_statistic(
         F.max("__v").alias("__max"),
     ]
     agg = base.groupBy(*group_by, id_col(x)).agg(*aggs)
-    if not group_by:
-        # dense by construction: zero-count spine rows union in BEFORE a
-        # trivial re-aggregation (same one-exchange shape as the histogram)
-        spine0 = spine_ids_zero(
-            agg.sparkSession, [x], [spec], flow, "CAST(0 AS BIGINT)",
-            val_name="__n",
-        ).select(
-            id_col(x), F.col("__n"),
-            F.lit(None).cast("bigint").alias("__sum"),
-            F.lit(None).cast("double").alias("__min"),
-            F.lit(None).cast("double").alias("__max"),
-        )
-        agg = (
-            agg.unionByName(spine0)
-            .groupBy(id_col(x))
-            .agg(
-                F.sum("__n").alias("__n"),
-                F.sum("__sum").alias("__sum"),
-                F.min("__min").alias("__min"),
-                F.max("__max").alias("__max"),
-            )
-        )
     sum_d = F.col("__sum").cast("double") / F.lit(divisor)
     out_cols = {
         "count": F.col("__n").alias(f"count_{value}"),
