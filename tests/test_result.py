@@ -321,3 +321,22 @@ def test_project_equals_direct(spark, lineitem):
         h2.project("nope")
     with pytest.raises(ValueError):
         h2.normalize().project("l_quantity")
+
+
+def test_slice_bins(spark, lineitem):
+    """UHI crop: kept mass matches the original bins; accessor algebra
+    (edges/median) still works on the sliced result."""
+    h = histogram(lineitem, "l_quantity", Regular(10, 1.0, 51.0))
+    s = h.slice_bins(2, 7)
+    orig = {r["l_quantity_bin"]: r["l_quantity_histogram"]
+            for r in h.df.collect()}
+    got = {r["l_quantity_bin"]: r["l_quantity_histogram"]
+           for r in s.df.collect()}
+    assert len(got) == 5
+    assert all(got[i] == orig[i + 2] for i in range(5))
+    assert s.specs["l_quantity"].edges() == [11.0, 16.0, 21.0, 26.0, 31.0, 36.0]
+    assert s.median().count() == 1
+    with pytest.raises(ValueError):
+        h.slice_bins(7, 7)
+    with pytest.raises(ValueError):
+        h.normalize().slice_bins(0, 5)

@@ -1047,6 +1047,26 @@ register(
 )
 
 
+def _slice_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # boost UHI h[2:7]: bins 2..6 of a 10-bin Regular axis — equal to a
+    # direct histogram over the sliced value range with the SAME edge
+    # doubles (Variable over the original edges, ids re-based), which is
+    # exactly what the oracle computes
+    h = histogramdd(
+        t(spark, sf_dir, "lineitem"), ["l_quantity"], [Regular(10, 1.0, 51.0)]
+    )
+    return h.slice_bins(2, 7).df
+
+
+register(
+    "alg_slice_bins", _slice_fn,
+    orc.histogram_oracle_sql(
+        "lineitem", ["l_quantity"],
+        [Variable(tuple(Regular(10, 1.0, 51.0).edges()[2:8]))],
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # streaming: a REAL Structured Streaming execution (file source → watermarked
 # windowed histogram → memory sink, availableNow) whose final state must

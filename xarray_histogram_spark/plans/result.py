@@ -244,6 +244,37 @@ class HistogramResult:
             weighted=(self.divisor != 1.0) or not self.int_mode,
         )
 
+    # ---- bin-range slicing (boost UHI h[a:b]) ----
+    def slice_bins(
+        self, lo: int, hi: int, variable: Optional[str] = None
+    ) -> "HistogramResult":
+        """Keep core bins ``lo <= id < hi`` of one interval axis — boost's
+        UHI slice ``h[lo:hi]`` without flow accumulation: out-of-slice
+        bins are DROPPED (UHI's default crop).  Metadata-only + a filter
+        on the aggregated result: the new axis is a ``Variable`` over the
+        original edge doubles (exact labels), ids remapped to 0-based.
+        Flow bins are dropped (they are outside any core slice)."""
+        from ..binspec import Regular as _Reg, Variable as _Var
+        from .histogram import id_col as _id
+
+        v = self._one_var(variable)
+        if self.density:
+            raise ValueError("slice the histogram, then normalize")
+        s = self.specs[v]
+        if not isinstance(s, (_Reg, _Var)):
+            raise TypeError("slice_bins needs an interval axis")
+        if not (0 <= lo < hi <= s.n):
+            raise ValueError(f"need 0 <= lo < hi <= {s.n}")
+        edges = s.edges()
+        new_spec = _Var(tuple(edges[lo : hi + 1]))
+        kept = self._df.where(
+            F.col(_id(v)).between(F.lit(lo), F.lit(hi - 1))
+        )
+        out = kept.withColumn(_id(v), (F.col(_id(v)) - F.lit(lo)).cast("int"))
+        specs = dict(self.specs)
+        specs[v] = new_spec
+        return replace(self, _df=out, specs=specs, flow=False)
+
     # ---- projection (boost Histogram.project / summing out dims) ----
     def project(self, variables) -> "HistogramResult":
         """Marginalize onto ``variables``: sum the other axes out — boost's
