@@ -132,6 +132,11 @@ def main() -> None:
     registry = eq.registry()
     names = [n for n in HEADLINE if n in registry]
 
+    # medians recorded alongside the mins for dispersion transparency (the
+    # container is co-tenant; median-min gaps of 30-80 ms are scheduler
+    # noise, and publishing both makes that visible in the record)
+    medians: dict = {}
+
     def time_plans(plans: dict, repeat: int = REPEAT) -> dict:
         for df in plans.values():  # warm codegen
             run_query(df)
@@ -145,6 +150,7 @@ def main() -> None:
             # min-of-N: the steady-state time (timeit practice — scheduling
             # noise only ever adds)
             out[name] = round(min(times), 4)
+            medians[name] = round(sorted(times)[len(times) // 2], 4)
         return out
 
     # PHASE 1 — sf-suite on in-memory tables: the reference's baselines time
@@ -199,6 +205,7 @@ def main() -> None:
         "rows_per_sec_1d": round(n_rows / results["hist_regular_1d"])
         if results.get("hist_regular_1d")
         else None,
+        "queries_median": medians,
         "config": {"cpus": CPUS, "aqe": False,
                    "shuffle_partitions": int(os.environ.get("BENCH_SHUFFLE", "8")),
                    "repeat": REPEAT},

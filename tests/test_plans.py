@@ -83,9 +83,9 @@ def test_ungrouped_union_fill_single_exchange(lineitem):
 
 
 def test_histogram_columns_plan(lineitem):
-    """histogram_columns: per-column branches fused into ONE aggregation —
-    a single shuffle exchange, no join, and each branch's scan pruned to
-    its own column."""
+    """histogram_columns: ONE scan of exactly the k columns, the generated
+    (column, value) rows fused into ONE aggregation — a single shuffle
+    exchange, no join, no per-column re-scan."""
     from xarray_histogram_spark import histogram_columns
 
     r = histogram_columns(
@@ -95,8 +95,8 @@ def test_histogram_columns_plan(lineitem):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "Join" not in p
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
-    pruned = [s for s in schemas if s in ("l_discount:double", "l_tax:double")]
-    assert len(pruned) == 2, schemas
+    pruned = [s for s in schemas if s == "l_discount:double,l_tax:double"]
+    assert len(pruned) == 1, schemas
 
 
 def test_filter_pushdown(lineitem):
@@ -153,7 +153,7 @@ def test_registry_wide_no_python_eval(spark, sf_dir):
 
     from xarray_histogram_spark import entry_queries as eq
 
-    allowed_python = {"mm_decode_meta", "mm_decode_image",
+    allowed_python = {"mm_decode_meta", "mm_decode_image", "mm_sample_frames",
                       "hist_fill_arrow_path", "streaming_stateful_hist"}
     expensive_build = {"hist_range_infer", "hist_quantile_bins",
                        "sim_ann_indexed", "dedup_components",
@@ -225,3 +225,51 @@ def test_binned_statistic_plan_and_raw_path(spark, lineitem):
         <= r["max_l_extendedprice"]
         for r in rows.values()
     )
+
+
+def test_mirror_plan_regression_flat_1d(lineitem):
+    """Plan-shape gate for the ungrouped 1-D mirror path: exactly ONE
+    shuffle exchange (partial+final HashAggregate around it), no join, no
+    broadcast, and the post-shuffle tail coalesced to a single task
+    (small-extent fast path).  A regression that adds a second exchange or
+    a join to this path must fail here before it reaches a benchmark."""
+    r = histogram(lineitem, "l_extendedprice", Regular(100, 900.0, 105000.0))
+    p = plan_of(r.df)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:3000]
+    assert "BroadcastExchange" not in p
+    assert "Join" not in p
+    assert re.search(r"\(\d+\) Coalesce", p)
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2
+
+
+def test_mirror_plan_regression_histogram_columns(lineitem):
+    """Plan-shape gate for the along-dim mirror path (histogram_columns):
+    ONE scan, ONE exchange, no join/broadcast, no Python eval, coalesced
+    post-shuffle tail."""
+    from xarray_histogram_spark import histogram_columns
+
+    r = histogram_columns(
+        lineitem, ["l_quantity", "l_discount", "l_tax"], Regular(100, 0.0, 51.0)
+    )
+    p = plan_of(r.df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:3000]
+    assert "BroadcastExchange" not in p
+    assert "Join" not in p
+    assert re.search(r"\(\d+\) Coalesce", p)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_stats_consume_sparse_aggregate(lineitem):
+    """Statistics read the sparse pre-dense aggregate: a grouped median's
+    plan must NOT contain the dense-fill stages (no pack-map
+    ObjectHashAggregate, no Generate of the literal spine) — one bucketize
+    aggregation plus the window/final reduction only."""
+    r = histogram(
+        lineitem, "l_quantity", Regular(25, 1.0, 51.0),
+        group_by=["l_returnflag"],
+    )
+    p = plan_of(r.median())
+    assert "ObjectHashAggregate" not in p
+    assert "Generate" not in p
+    assert "Join" not in p

@@ -227,3 +227,32 @@ def test_hex_threshold_monotone(rate):
     assert len(t) == 8 and all(c in "0123456789abcdef" for c in t)
     if rate < 1.0:
         assert _hex_threshold(rate / 2) <= t
+
+
+def test_quantile_edges_exact_skewed_vs_sorted_oracle(spark):
+    """The distributed exact-rank quantile path must survive adversarial
+    skew: 99% of rows share one value (one bucket holds nearly everything)
+    plus a spread tail.  The recovered edge doubles must be IDENTICAL to a
+    driver-side full-sort oracle's — same rank arithmetic
+    (edge_i = sorted[(count-1)·i // n]), same dedup."""
+    from xarray_histogram_spark.plans.histogram import quantile_edges
+
+    rng = np.random.default_rng(7)
+    heavy = np.full(99_000, 42.5)
+    tail = rng.uniform(0.0, 1000.0, size=1_000)
+    vals = np.concatenate([heavy, tail])
+    rng.shuffle(vals)
+    df = spark.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    ).repartition(8)
+
+    for n in (4, 10):
+        got = quantile_edges(df, "x", n)
+        s = np.sort(vals.astype(np.float64))
+        c = len(s)
+        targets = sorted({((c - 1) * i) // n for i in range(n + 1)})
+        want = sorted({float(s[t]) for t in targets})
+        assert got == want, (n, got, want)
+    # the heavy value must collapse duplicate edges (fewer, increasing)
+    e = quantile_edges(df, "x", 10)
+    assert e == sorted(set(e)) and len(e) >= 2

@@ -54,31 +54,32 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
     _REGISTRY[name] = (fn, sql)
 
 
-# Queries the round-2 driver verified (hash-green rows in
-# CORRECTNESS_r02.json).  The driver checks the first ~50 registry entries
-# per round, so queries WITHOUT a fresh driver row are ordered first: the
-# round-3 head holds the six fixed events/streaming queries, the newly
-# oracle'd weighted fastpath, new queries, and the stats/dedup/sim/text
-# entries last verified in round 1 — guarding those against regressions.
-# (Queries whose plan or expressions changed in round 3 — the flat-key
-# multi-axis agg, kept-fast bucketize, binary-search Variable axes, floor
-# weight quantization, distributed quantile edges — are EXCLUDED from this
-# set even though round 2 verified them, so the round-3 driver re-verifies
-# them under the new engine.)
+# Queries the round-3 driver hash-verified (CORRECTNESS_r03.json).  The
+# driver checks the first ~50 registry entries per round, so the round-4
+# head holds (a) the 32 entries whose freshest driver row is round 2 —
+# the oldest-verified family (hist_regular_1d, hist_density, alg_*,
+# stat_var/std/moment3, merge/rollup, …) — and (b) every query whose plan
+# changed in round 4 (all stat_* via the sparse-aggregate statistics path,
+# hist_columns via the single-scan posexplode rewrite, mm_sample_frames
+# new), EXCLUDED from this set even where round 3 verified them, so the
+# driver re-verifies them under the new engine.  r03-verified unchanged
+# queries sit at the tail (their plans and expressions are untouched).
 _DRIVER_VERIFIED = frozenset({
-    "alg_apply_func_log", "alg_bin_coordinates", "alg_normalize_after",
-    "alg_rebin", "alg_remove_flow", "alg_scale",
-    "hist_cube_multires", "hist_density", "hist_density_flow",
-    "hist_fill_arrow_path", "hist_group_month",
-    "hist_int64_storage", "hist_intcategory", "hist_integer_axis",
-    "hist_join_align_2var", "hist_log_axis",
-    "hist_merge_shards", "hist_range_infer",
-    "hist_regular_1d", "hist_regular_flow", "hist_rollup_2d",
-    "hist_rollup_multires", "hist_sqrt_axis",
-    "hist_strcategory", "hist_variable_binary",
-    "mm_decode_meta",
-    "stat_mean", "stat_moment3", "stat_std", "stat_var",
-    "streaming_stateful_hist", "text_fingerprint",
+    "alg_project", "alg_slice_bins", "binned_stat_grouped",
+    "binned_stat_profile", "dedup_components", "dedup_embed_components",
+    "dedup_embed_pairs", "dedup_exact", "dedup_jaccard",
+    "dedup_minhash_pairs", "dedup_near_keep", "dedup_simhash",
+    "events_hourly_hist", "events_props_json_hist", "events_session_hist",
+    "events_sliding_hist", "events_type_value_hist",
+    "hist_bool_axis", "hist_join_revenue", "hist_quantile_bins",
+    "hist_rollup_weighted", "hist_variable_axis",
+    "hist_weighted_fastpath",
+    "mm_decode_image",
+    "sample_deterministic", "sample_split", "sample_stratified",
+    "sample_topk_group",
+    "sim_ann_indexed", "sim_ann_topk", "sim_cosine_topk", "sim_ivf_topk",
+    "streaming_dedup_state", "streaming_window_hist",
+    "text_langid", "text_quality", "text_token_count",
 })
 
 
@@ -548,6 +549,33 @@ register(
     "CAST(px.s AS BIGINT) AS px_sum, "
     "CAST((d.doc_id*31) % 256 AS INT) AS topleft_r "
     "FROM documents d JOIN px ON px.doc_id = d.doc_id",
+)
+
+
+def _mm_frames_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # real frame sampling: 6 concatenated P6 frames (4×3, raster byte i of
+    # frame f of video k = (k·31 + f·7 + i) % 256) generated in the
+    # executors, then every 2nd frame parsed back out of the container by
+    # walking the P6 headers — width/height/px_sum/first_byte all come
+    # from decoded raster bytes, which the oracle recomputes in closed form
+    docs = t_wide(spark, sf_dir, "documents")
+    return mm.sample_frames(
+        mm.synth_video_media(docs, "doc_id", n_frames=6, width=4, height=3),
+        every_n=2,
+    )
+
+
+register(
+    "mm_sample_frames", _mm_frames_fn,
+    "WITH fr AS (SELECT f FROM range(0, 6) t(f) WHERE f % 2 = 0), "
+    "px AS (SELECT d.doc_id, fr.f, "
+    "SUM((d.doc_id*31 + fr.f*7 + r.i) % 256) AS s "
+    "FROM documents d CROSS JOIN fr CROSS JOIN range(0, 36) r(i) "
+    "GROUP BY d.doc_id, fr.f) "
+    "SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(f AS INT) AS frame_idx, "
+    "CAST(4 AS INT) AS width, CAST(3 AS INT) AS height, "
+    "CAST(s AS BIGINT) AS px_sum, "
+    "CAST((doc_id*31 + f*7) % 256 AS INT) AS first_byte FROM px",
 )
 
 from .operators import sampling as sp  # noqa: E402

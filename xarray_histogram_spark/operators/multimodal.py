@@ -9,9 +9,11 @@ pure-Python raster codecs for the two formats that need no codec library:
 uncompressed 24-bit BMP (little-endian headers, bottom-up rows, BGR pixel
 order, 4-byte row stride) and binary PPM ``P6`` — enough to exercise true
 byte-level decoding (header parse, stride/padding, row flip, channel
-swizzle) end-to-end in the executor.  Compressed formats (JPEG/PNG/video)
-would slot into the same kernels but need codec libraries absent from this
-container: ``sample_frames`` remains a documented stub.
+swizzle) end-to-end in the executor.  ``sample_frames`` walks an
+uncompressed concatenated-P6 video container frame by frame (the raw
+YUV/Y4M stream shape).  Compressed formats (JPEG/PNG/MP4) would slot into
+the same kernels + schemas but need codec libraries absent from this
+container.
 
 Scale notes: media bytes stay in executor-local Arrow batches end-to-end
 (never collected); per-batch row counts are bounded by
@@ -315,11 +317,106 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(kernel, MEDIA_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
-    """STUB: video frame sampling kernel."""
+def synth_video_media(df: DataFrame, id_col: str, n_frames: int = 6,
+                      width: int = 4, height: int = 3) -> DataFrame:
+    """Deterministic "video" generator: ``n_frames`` concatenated binary-PPM
+    (P6) frames in one payload — an uncompressed multi-frame container (the
+    same shape as raw YUV/Y4M streams) that the frame sampler must walk by
+    parsing each frame header.  Raster byte ``i`` of frame ``f`` of video
+    ``k`` is ``(k·31 + f·7 + i) % 256`` — a closed form an SQL oracle can
+    recompute, so the sampling kernel is hash-checkable end to end."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError("video codecs unavailable in this environment")
-        yield  # pragma: no cover
+        nb = width * height * 3
+        hdr = f"P6\n{width} {height}\n255\n".encode()
+        for pdf in batches:
+            payloads = []
+            for k in pdf["media_id"]:
+                base = int(k) * 31
+                chunks = []
+                for f in range(n_frames):
+                    raster = bytes(
+                        (base + f * 7 + i) % 256 for i in range(nb)
+                    )
+                    chunks.append(hdr + raster)
+                payloads.append(b"".join(chunks))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "video/x-ppm-stream",
+                    "payload": payloads,
+                }
+            )
 
-    return media.mapInPandas(kernel, MEDIA_SCHEMA)
+    return df.select(F.col(id_col).cast("bigint").alias("media_id")).mapInPandas(
+        kernel, MEDIA_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("first_byte", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame sampling over concatenated-P6 video payloads
+    (Arrow-batched ``mapInPandas``): walk the container frame by frame —
+    parse each P6 header (magic, dims, maxval, comments), slice its raster,
+    advance — and emit every ``every_n``-th frame as a row
+    (media_id, frame_idx, width, height, px_sum, first_byte), all derived
+    from the decoded raster bytes.  Non-P6 payloads yield no rows (sniffed,
+    not trusted).  Compressed containers (MP4/WebM) would slot into this
+    same kernel + schema but need codec libraries absent here."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "frame_idx", "width", "height",
+                    "px_sum", "first_byte")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                bb = bytes(payload)
+                pos, idx = 0, 0
+                while bb[pos : pos + 2] == b"P6":
+                    fields, p = [], pos + 2
+                    while len(fields) < 3:
+                        while p < len(bb) and bb[p : p + 1].isspace():
+                            p += 1
+                        if bb[p : p + 1] == b"#":
+                            while bb[p : p + 1] not in (b"\n", b""):
+                                p += 1
+                            continue
+                        start = p
+                        while p < len(bb) and not bb[p : p + 1].isspace():
+                            p += 1
+                        fields.append(int(bb[start:p]))
+                    p += 1  # single whitespace after maxval
+                    w, h, maxval = fields
+                    if maxval > 255:
+                        raise NotImplementedError("16-bit PPM not supported")
+                    raster = bb[p : p + w * h * 3]
+                    if len(raster) < w * h * 3:
+                        break  # truncated trailing frame: stop, don't lie
+                    if idx % every_n == 0:
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["px_sum"].append(sum(raster))
+                        out["first_byte"].append(raster[0])
+                    pos, idx = p + w * h * 3, idx + 1
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="object") for k, v in out.items()}
+            )
+
+    return media.mapInPandas(kernel, FRAME_SCHEMA)

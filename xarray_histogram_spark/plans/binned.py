@@ -15,7 +15,9 @@ Determinism (oracle-gated): ``count`` is an int64 count; ``sum`` and
 order-independent and ``mean`` is one double division of two exact ints;
 ``min``/``max`` are order-independent by definition.  Empty bins are NULL
 for sum/mean/min/max and 0 for count (matching scipy, whose empty-bin
-statistic is NaN).
+statistic is NaN).  ``count`` counts NON-NULL values of the value column
+(engine and SQL mirror both use COUNT(value)); scipy has no NULL concept
+to disagree with — NaN inputs poison its sums instead of being dropped.
 """
 
 from __future__ import annotations
@@ -149,7 +151,13 @@ def binned_statistic_sql(
         sum_out = f"SUM(CAST({value} AS DOUBLE))"
         mean_out = f"AVG(CAST({value} AS DOUBLE))"
     outs = {
-        "count": "CAST(COUNT(*) AS BIGINT)",
+        # COUNT(value), not COUNT(*): the engine counts non-NULL values
+        # (F.count('__v') — required for the NULL-spine dense union), so a
+        # NULL in the value column is excluded from count on BOTH sides.
+        # scipy's binned_statistic has no NULLs to disagree about (NaN
+        # inputs poison its sums instead); the NULL-excluding count is the
+        # documented semantics here.
+        "count": f"CAST(COUNT({value}) AS BIGINT)",
         "sum": sum_out,
         "mean": mean_out,
         "min": f"MIN(CAST({value} AS DOUBLE))",

@@ -565,6 +565,18 @@ def finish_from_agg(
             dense_agg = u.groupBy(*ids).agg(
                 F.coalesce(F.sum("__val"), F.expr(zero_sql)).alias("__val")
             )
+        # small ungrouped aggregates: run the whole post-shuffle stage (final
+        # HashAggregate + meta projection, ≤ extent rows) as ONE task instead
+        # of spark.sql.shuffle.partitions near-empty tasks — pure physical
+        # change (the hash compare sorts rows).  The final stage then reads
+        # every map task's partial rows (#map_tasks × extent) in one task:
+        # bounded and cheap up to very large clusters, and each saved task
+        # dispatch is won back on every execution.
+        extent_total = 1
+        for s in specs:
+            extent_total *= len(s.bins(flow))
+        if extent_total <= 4096:
+            dense_agg = dense_agg.coalesce(1)
         # column order: ids, labels, __val, widths, centers, is_flow
         per_axis = [axis_meta_exprs(c, s, flow) for c, s in zip(cols, specs)]
         filled = dense_agg.selectExpr(
@@ -579,6 +591,7 @@ def finish_from_agg(
     return _finish_value_col(
         filled, cols, specs, group_by=group_by, flow=flow, density=density,
         storage=storage, int_mode=int_mode, divisor=divisor, weighted=weighted,
+        sparse=agg,
     )
 
 
@@ -635,14 +648,17 @@ def histogram_columns(
     (core.py:271-276: ``dims=['x']`` retains the other dim as a loop/
     coordinate dim; a wide Spark table with k value columns IS that array).
 
-    Scale design: each union branch scans only its own column (columnar
-    pruning — k branches over the same table read exactly the bytes of the
-    k columns once), bin ids and the column index fuse into the grouping
-    key of ONE partial+final HashAggregate, and the zero spine
-    (k × extent rows) unions in before the aggregation, so the plan has a
-    single exchange of ≤ k·extent rows and no join — the same shape as the
-    ungrouped 1-D histogram.  ``weights`` (optional) is a shared per-row
-    weight column, the analog of a broadcastable weight array.
+    Scale design: ONE scan of the k columns — each row's k values explode
+    into (column-index, value) pairs via ``posexplode`` (a codegen'd
+    generator, no Python), ONE shared keep filter + bucketize expression
+    evaluates per generated value, the column index and bin id fuse into a
+    single bigint grouping key, and the zero spine (k × extent rows) unions
+    in before the aggregation — a single partial+final HashAggregate, a
+    single exchange of ≤ k·extent rows, no join.  (A k-branch union over
+    the same table reads the same bytes but schedules k× the scan tasks
+    and plans k bucketize subtrees; measured ~1.5× slower at 3×1e7 rows.)
+    ``weights`` (optional) is a shared per-row weight column, the analog
+    of a broadcastable weight array.
     """
     cols = list(cols)
     if not cols:
@@ -700,26 +716,39 @@ def histogram_columns(
     bin_id = id_col(var_name)
     # flat (column-index, bin) grouping key: __d·(n+2) + id + 1 — one
     # bigint to hash/compare/shuffle instead of two ints; recovered by
-    # div/mod post-agg (≤ k·extent rows).  Branches whose keep filter is
-    # applied use the kept-fast bucketize (no NULL/NaN/flow wrapper).
+    # div/mod post-agg (≤ k·extent rows).
     width = spec.n + 2
-    branches = []
-    for i, c in enumerate(cols):
-        pred = spec.keep_pred_col(F.col(c), flow)
-        src = df.where(pred) if pred is not None else df
-        idc = (
-            spec.raw_id_col_kept(F.col(c))
-            if pred is not None and not flow
-            else spec.raw_id_col(F.col(c))
-        )
-        branches.append(
-            src.select(
-                (
-                    (idc.cast("bigint") + F.lit(1)) + F.lit(i * width)
-                ).alias("__fk"),
-                vsrc().alias("__v"),
-            )
-        )
+    # one generated (pos, value) row per (input row, column): the array
+    # elements share one Spark type — the exact type every raw_id_col
+    # variant casts its input to first, so pre-casting is a no-op in the
+    # id arithmetic and the ids match a per-column evaluation bit-for-bit
+    from ..binspec import Integer as _Int, IntCategory as _IC, StrCategory as _SC
+    if isinstance(spec, (_Int, _IC)):
+        elem_t = "bigint"
+    elif isinstance(spec, _SC):
+        elem_t = "string"
+    else:
+        elem_t = "double"
+    arr = F.array(*[F.col(c).cast(elem_t) for c in cols])
+    extra = [F.col(weights)] if weights is not None else []
+    gen = df.select(
+        *extra, F.posexplode(arr).alias("__d", "__x")
+    )
+    pred = spec.keep_pred_col(F.col("__x"), flow)
+    if pred is not None:
+        gen = gen.where(pred)
+    idc = (
+        spec.raw_id_col_kept(F.col("__x"))
+        if pred is not None and not flow
+        else spec.raw_id_col(F.col("__x"))
+    )
+    data = gen.select(
+        (
+            F.col("__d").cast("bigint") * F.lit(width)
+            + idc.cast("bigint") + F.lit(1)
+        ).alias("__fk"),
+        vsrc().alias("__v"),
+    )
     lo_id, hi_id = _axis_id_range(spec, flow)
     k = len(cols)
     spine = (
@@ -734,10 +763,15 @@ def histogram_columns(
             f"{zero_sql} AS __v",
         )
     )
-    u = reduce(lambda a, b: a.unionByName(b), branches + [spine])
+    u = data.unionByName(spine)
     agg = u.groupBy("__fk").agg(
         F.coalesce(F.sum("__v"), F.expr(zero_sql)).alias("__val")
-    ).select(
+    )
+    if k * (spec.n + 2) <= 4096:
+        # one post-shuffle task for the whole ≤ k·extent-row tail (see
+        # finish_from_agg): fewer task dispatches per execution, same rows
+        agg = agg.coalesce(1)
+    agg = agg.select(
         F.expr(f"CAST(__fk div {width} AS INT)").alias("__d"),
         F.expr(f"CAST(__fk % {width} - 1 AS INT)").alias(bin_id),
         "__val",
@@ -772,6 +806,7 @@ def _finish_value_col(
     int_mode: bool,
     divisor: float,
     weighted: bool,
+    sparse: Optional[DataFrame] = None,
 ) -> HistogramResult:
     """Shared tail: dense labelled rows with ``__val`` → display value
     column + HistogramResult wrapper."""
@@ -797,6 +832,7 @@ def _finish_value_col(
         flow=flow,
         int_mode=int_mode,
         divisor=divisor,
+        _sparse=sparse,
     )
 
 
@@ -873,14 +909,24 @@ def quantile_edges(
         acc += counts.get(b, 0)
     from pyspark.sql.window import Window as _W
 
+    # keys and offsets both explicitly bigint: a Python-int F.lit flips from
+    # IntegerType to LongType at 2^31, and create_map rejects mixed value
+    # types — exactly the >2^31-row scale this path targets.  row_number is
+    # 32-bit-bounded PER BUCKET only (B=256 buckets), so the global rank is
+    # computed in int64.
     off = F.element_at(
         F.create_map(
-            *[F.lit(v) for b in sorted(counts) for v in (b, offsets[b])]
+            *[
+                F.lit(v).cast("bigint")
+                for b in sorted(counts)
+                for v in (b, offsets[b])
+            ]
         ),
-        F.col("b"),
+        F.col("b").cast("bigint"),
     )
     rn = (
-        F.row_number().over(_W.partitionBy("b").orderBy("x")) - 1 + off
+        F.row_number().over(_W.partitionBy("b").orderBy("x")).cast("bigint")
+        - 1 + off
     ).alias("rn")
     rows = bx.select("x", rn).where(F.col("rn").isin(targets)).collect()
     edges = sorted({r["x"] for r in rows})

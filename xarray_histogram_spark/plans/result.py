@@ -42,6 +42,14 @@ class HistogramResult:
     # sum) with a display divisor, or raw double (int_mode=False)
     int_mode: bool = True
     divisor: float = 1.0
+    # the sparse pre-dense aggregate (group keys + bin ids + __val) the dense
+    # _df was finished from, when available.  Statistics consume it directly:
+    # zero-mass bins contribute exactly nothing to every statistic (integer
+    # cumulative sums are unchanged; a 0·x term cannot change an IEEE fold),
+    # so stats can skip the dense-fill stages (grouped pack-map + spine
+    # expansion) entirely.  Invalidated (None) by transforms that change the
+    # data rows (slice_bins, merge); metadata-only transforms keep it.
+    _sparse: Optional[DataFrame] = None
 
     # ---- public DataFrame (internal metadata columns dropped) ----
     @property
@@ -249,11 +257,16 @@ class HistogramResult:
         self, lo: int, hi: int, variable: Optional[str] = None
     ) -> "HistogramResult":
         """Keep core bins ``lo <= id < hi`` of one interval axis — boost's
-        UHI slice ``h[lo:hi]`` without flow accumulation: out-of-slice
-        bins are DROPPED (UHI's default crop).  Metadata-only + a filter
-        on the aggregated result: the new axis is a ``Variable`` over the
-        original edge doubles (exact labels), ids remapped to 0-based.
-        Flow bins are dropped (they are outside any core slice)."""
+        UHI slice with CROP semantics (``h[bh.loc(a):bh.loc(b):bh.crop]``):
+        out-of-slice content is DROPPED, not accumulated into flow.  (The
+        boost-histogram DEFAULT slice ``h[a:b]`` accumulates cropped
+        content into the flow bins instead — not what this implements.)
+        Metadata-only + a filter on the aggregated result: the new axis is
+        a ``Variable`` over the original edge doubles (exact labels), ids
+        remapped to 0-based.  The result is flow-free, so flow rows of
+        EVERY axis are dropped (the sliced axis's flow bins are outside
+        any core slice; the other axes' flow rows would otherwise survive
+        into a flow=False result and break dense export/re-finish)."""
         from ..binspec import Regular as _Reg, Variable as _Var
         from .histogram import id_col as _id
 
@@ -270,10 +283,17 @@ class HistogramResult:
         kept = self._df.where(
             F.col(_id(v)).between(F.lit(lo), F.lit(hi - 1))
         )
+        for other in self.variables:
+            if other != v and self.flow:
+                kept = kept.where(
+                    F.col(_id(other)).between(
+                        F.lit(0), F.lit(self.specs[other].n - 1)
+                    )
+                )
         out = kept.withColumn(_id(v), (F.col(_id(v)) - F.lit(lo)).cast("int"))
         specs = dict(self.specs)
         specs[v] = new_spec
-        return replace(self, _df=out, specs=specs, flow=False)
+        return replace(self, _df=out, specs=specs, flow=False, _sparse=None)
 
     # ---- projection (boost Histogram.project / summing out dims) ----
     def project(self, variables) -> "HistogramResult":
@@ -363,7 +383,7 @@ class HistogramResult:
                 if self.divisor != 1.0:
                     vis = vis / F.lit(self.divisor)
         out = summed.withColumn(self.value_col, vis)
-        return replace(self, _df=out)
+        return replace(self, _df=out, _sparse=None)
 
     def __add__(self, other: "HistogramResult") -> "HistogramResult":
         return self.merge(other)

@@ -31,20 +31,34 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..binspec import IntCategory, StrCategory
-from .histogram import id_col, label_col
+from .histogram import axis_meta_exprs, id_col, label_col
 from .result import HistogramResult
 
 
 def _prep(result: HistogramResult, variable: Optional[str]):
-    """Strip flow rows (all variables), resolve target var + partition keys."""
+    """Strip flow rows (all variables), resolve target var + partition keys.
+
+    When the result still carries its sparse pre-dense aggregate
+    (``_sparse``: group keys + bin ids + ``__val``), the statistic reads
+    THAT instead of the densely-filled ``_df``: zero-mass bins contribute
+    exactly nothing to any statistic here (integer cumulative/total sums
+    are unchanged; a ``0·x`` term cannot change an IEEE fold), so the
+    dense-fill stages — the grouped pack-map aggregation + spine expansion
+    — drop out of the statistic's plan entirely.  The target variable's
+    label/width/center attach as O(1) literal-array lookups on the bin id
+    (same doubles the dense path carries, from the same BinSpec)."""
     v = result._one_var(variable)
     spec = result.specs[v]
     if isinstance(spec, (IntCategory, StrCategory)):
         raise ValueError(f"statistics need an interval axis, {v!r} is categorical")
-    df = result._df
+    df = result._sparse if result._sparse is not None else result._df
+    # core-bin filter FIRST (accessor.py:415-417 flow strip); on the sparse
+    # path it also guards the literal-array meta lookup below
     for c in result.variables:
         n = result.specs[c].n
         df = df.where(F.col(id_col(c)).between(F.lit(0), F.lit(n - 1)))
+    if result._sparse is not None:
+        df = df.selectExpr("*", *axis_meta_exprs(v, spec, False))
     part = result.group_by + [id_col(c) for c in result.variables if c != v]
     return v, part, df
 
