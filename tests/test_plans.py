@@ -83,9 +83,9 @@ def test_ungrouped_union_fill_single_exchange(lineitem):
 
 
 def test_histogram_columns_plan(lineitem):
-    """histogram_columns: ONE scan of exactly the k columns, the generated
-    (column, value) rows fused into ONE aggregation — a single shuffle
-    exchange, no join, no per-column re-scan."""
+    """histogram_columns (k ≤ 16 branch shape): k column-pruned scans —
+    each branch reads ONLY its own column — fused into ONE aggregation: a
+    single shuffle exchange, no join."""
     from xarray_histogram_spark import histogram_columns
 
     r = histogram_columns(
@@ -95,8 +95,28 @@ def test_histogram_columns_plan(lineitem):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "Join" not in p
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
-    pruned = [s for s in schemas if s == "l_discount:double,l_tax:double"]
-    assert len(pruned) == 1, schemas
+    assert sorted(s for s in schemas if s.startswith("l_")) == [
+        "l_discount:double", "l_tax:double",
+    ], schemas
+
+
+def test_histogram_columns_wide_generator_plan(lineitem):
+    """histogram_columns (k > 16 generator shape): ONE scan of all k
+    columns + a codegen'd Generate, still a single exchange and no join —
+    the wide-table path must not fall back to k plan subtrees."""
+    from xarray_histogram_spark import histogram_columns
+
+    wide = lineitem.select(
+        *[(F.col("l_quantity") + F.lit(float(i))).alias(f"q{i}")
+          for i in range(17)]
+    )
+    r = histogram_columns(wide, [f"q{i}" for i in range(17)],
+                          Regular(10, 0.0, 70.0))
+    p = plan_of(r.df)
+    assert "Generate" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "Join" not in p
 
 
 def test_filter_pushdown(lineitem):
@@ -243,16 +263,19 @@ def test_mirror_plan_regression_flat_1d(lineitem):
 
 
 def test_mirror_plan_regression_histogram_columns(lineitem):
-    """Plan-shape gate for the along-dim mirror path (histogram_columns):
-    ONE scan, ONE exchange, no join/broadcast, no Python eval, coalesced
-    post-shuffle tail."""
+    """Plan-shape gate for the along-dim mirror path (histogram_columns,
+    k=3 branch shape): k single-column-pruned scans, ONE exchange, no
+    join/broadcast, no Python eval, coalesced post-shuffle tail."""
     from xarray_histogram_spark import histogram_columns
 
     r = histogram_columns(
         lineitem, ["l_quantity", "l_discount", "l_tax"], Regular(100, 0.0, 51.0)
     )
     p = plan_of(r.df)
-    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert sorted(s for s in schemas if s.startswith("l_")) == [
+        "l_discount:double", "l_quantity:double", "l_tax:double",
+    ], schemas
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:3000]
     assert "BroadcastExchange" not in p
     assert "Join" not in p

@@ -33,6 +33,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# The mapInPandas closures below reference this module's codec helpers.
+# cloudpickle serialises library functions BY REFERENCE (module + name), so
+# a bare cluster would need the package shipped via --py-files before any
+# decode runs.  Registering the module for by-value pickling embeds the
+# (small, dependency-free) kernels in the serialized task instead — the
+# operators run on executors that have never seen the package.
+try:  # pragma: no cover - depends on pyspark vendoring
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
