@@ -1,0 +1,86 @@
+"""Binned-statistic semantics tests, including NULL values in the value
+column — the case the sf tables never exercise (lineitem has no NULLs):
+``count`` must be the NULL-excluding COUNT(value) on BOTH engine and
+oracle sides, and NULL values must drop out of sum/mean/min/max without
+poisoning the bin."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_histogram_spark import Regular, binned_statistic
+from xarray_histogram_spark.plans.binned import binned_statistic_sql
+
+from .util import duck, assert_matches_sql
+
+
+@pytest.fixture(scope="module")
+def nulled(spark, sf_dir):
+    """lineitem with l_discount NULLed on ~1/7 of rows, persisted so the
+    SAME bytes back both the Spark scan and the DuckDB oracle view."""
+    out = os.path.join(tempfile.mkdtemp(prefix="xhs_nulls_"), "li_nulls.parquet")
+    (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            "l_orderkey", "l_quantity",
+            F.when(F.col("l_orderkey") % 7 != 0, F.col("l_discount"))
+            .alias("l_discount"),
+            "l_returnflag",
+        )
+        .coalesce(1)
+        .write.mode("overwrite").parquet(out)
+    )
+    con = duck(sf_dir)
+    con.execute(
+        f"CREATE OR REPLACE VIEW li_nulls AS SELECT * FROM read_parquet('{out}/*.parquet')"
+    )
+    return spark.read.parquet(out), con
+
+
+def test_count_excludes_null_values(nulled):
+    df, con = nulled
+    spec = Regular(10, 1.0, 51.0)
+    got = binned_statistic(df, "l_quantity", spec, "l_discount",
+                           stats=("count", "sum", "mean", "min", "max"))
+    sql = binned_statistic_sql("li_nulls", "l_quantity", spec, "l_discount",
+                               stats=("count", "sum", "mean", "min", "max"))
+    assert_matches_sql(got, sql, con)
+    # count is strictly below the row count of the bin (NULLs excluded)
+    rows = {r["l_quantity_bin"]: r["count_l_discount"] for r in got.collect()}
+    hist = {
+        r["b"]: r["n"]
+        for r in df.where(F.col("l_quantity").between(1.0, 51.0))
+        .groupBy(F.floor((F.col("l_quantity") - 1.0) / 5.0).cast("int").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert any(rows[b] < hist[b] for b in rows if b in hist)
+
+
+def test_grouped_nulls_match_oracle(nulled):
+    df, con = nulled
+    spec = Regular(5, 1.0, 51.0)
+    got = binned_statistic(df, "l_quantity", spec, "l_discount",
+                           stats=("count", "mean"), group_by=["l_returnflag"])
+    sql = binned_statistic_sql("li_nulls", "l_quantity", spec, "l_discount",
+                               stats=("count", "mean"),
+                               group_by=["l_returnflag"])
+    assert_matches_sql(got, sql, con)
+
+
+def test_all_null_bin_is_empty_semantics(spark):
+    """A bin whose every value is NULL: count 0, sum/mean NULL — same as
+    an empty bin (scipy's NaN analog)."""
+    rows = [(float(i % 10) + 0.5, None if i % 10 == 3 else float(i))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, v double")
+    got = {
+        r["x_bin"]: (r["count_v"], r["sum_v"], r["mean_v"])
+        for r in binned_statistic(
+            df, "x", Regular(10, 0.0, 10.0), "v",
+            stats=("count", "sum", "mean"),
+        ).collect()
+    }
+    assert got[3] == (0, None, None)
+    assert got[4][0] == 10

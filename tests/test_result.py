@@ -340,3 +340,31 @@ def test_slice_bins(spark, lineitem):
         h.slice_bins(7, 7)
     with pytest.raises(ValueError):
         h.normalize().slice_bins(0, 5)
+
+
+def test_slice_bins_multi_axis_flow(spark, lineitem):
+    """Slicing one axis of a flow=True 2-D histogram drops the OTHER
+    axis's flow rows too (the result declares flow=False, so surviving
+    underflow/overflow rows would break dense export and re-finishing):
+    every remaining id is a core id, to_numpy works, and the kept mass
+    equals the original core∩slice block."""
+    h = histogram2d(
+        lineitem, "l_quantity", "l_discount",
+        [Regular(10, 5.0, 45.0), Regular(5, 0.0, 0.08)], flow=True,
+    )
+    s = h.slice_bins(2, 7, "l_quantity")
+    rows = s.df.collect()
+    assert all(0 <= r["l_discount_bin"] <= 4 for r in rows)
+    assert all(0 <= r["l_quantity_bin"] <= 4 for r in rows)
+    # dense export of the sliced result works (would KeyError on flow ids)
+    arr = s.to_numpy()
+    assert arr.shape == (5, 5)
+    orig = {(r["l_quantity_bin"], r["l_discount_bin"]): r[h.value_col]
+            for r in h.df.collect()}
+    got = {(r["l_quantity_bin"], r["l_discount_bin"]): r[s.value_col]
+           for r in rows}
+    assert got == {
+        (i - 2, j): orig[(i, j)] for i in range(2, 7) for j in range(5)
+    }
+    # projecting the sliced result still works (re-finish path)
+    assert s.project("l_discount").df.count() == 5
