@@ -25,7 +25,7 @@ MAX_LINES = 70
 # query -> (claims to grep for, commentary)
 SELECTION: dict[str, tuple[list[str], str]] = {
     "hist_regular_1d": (
-        ["partial_sum", "HashAggregate", "Union",
+        ["partial_count", "HashAggregate", "Union",
          "PushedFilters: \\[IsNotNull"],
         "The whole histogram dataflow: the parquet scan reads ONLY the "
         "bucketized column (`ReadSchema`) and the keep filter is a plain "
@@ -33,16 +33,20 @@ SELECTION: dict[str, tuple[list[str], str]] = {
         "(`PushedFilters`); because the filter guarantees in-range rows, the "
         "bucketize is the KEPT-fast form — bare `least(floor(...))` "
         "arithmetic with no NULL/NaN/flow CASE wrapper, codegen'd right "
-        "after the scan. Partial HashAggregate combines map-side (the "
-        "analog of the reference's per-chunk boost fill), one shuffle on "
-        "the bin id (tiny: ≤ n_bins × partitions rows), final "
-        "HashAggregate. Dense zero-fill is BY CONSTRUCTION: a literal "
-        "zero-valued bin spine (`Generate explode(sequence(...))`) unions "
-        "in BEFORE the aggregation, so the single partial+final aggregate "
-        "emits every bin — no join, no broadcast of a computed aggregate, "
-        "no second scan. Bin labels/widths/centers attach post-agg as "
-        "literal-array lookups on the id. At 100 TB only the scan grows; "
-        "everything after the first exchange is bin-bounded.",
+        "after the scan. Unweighted histograms carry NO value column: the "
+        "aggregate is COUNT(*) (partial count combines map-side — the "
+        "analog of the reference's per-chunk boost fill) and the shuffle "
+        "rows are the bare key, one shuffle on the bin id (tiny: ≤ n_bins "
+        "× partitions rows), final HashAggregate. Dense zero-fill is BY "
+        "CONSTRUCTION: a literal bin spine (`Generate "
+        "explode(sequence(...))`) unions in BEFORE the aggregation — every "
+        "bin receives exactly one spine row, corrected by the `count(1) - "
+        "1` in the final projection — so the single partial+final "
+        "aggregate emits every bin with no join, no broadcast of a "
+        "computed aggregate, no second scan. Bin labels/widths/centers "
+        "attach post-agg as literal-array lookups on the id; the "
+        "post-shuffle tail runs as ONE coalesced task. At 100 TB only the "
+        "scan grows; everything after the first exchange is bin-bounded.",
     ),
     "hist_2d": (
         ["HashAggregate", "Union", "CASE WHEN"],
@@ -81,11 +85,15 @@ SELECTION: dict[str, tuple[list[str], str]] = {
         "raw row count.",
     ),
     "dedup_minhash_pairs": (
-        ["HashAggregate", "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
-        "MinHash+LSH near-dedup: signatures are a single-pass per-row "
-        "aggregate (no shingle explode shuffle); candidate pairs come from a "
-        "self-join on LSH band keys only — uniform hash keys, so the join is "
-        "skew-resistant and touches collision buckets, not the corpus "
+        ["ObjectHashAggregate", "Generate", "collect_list"],
+        "MinHash+LSH near-dedup: signatures are a single-pass per-row fold "
+        "(no shingle explode shuffle); candidate pairs come from ONE "
+        "band-key shuffle — each LSH bucket's doc ids are collected "
+        "(ObjectHashAggregate over collect_list, bucket populations are "
+        "hash-ball-sized) and expanded in-bucket into sorted pairs by a "
+        "codegen'd Generate. No self-join anywhere: the signature computes "
+        "once, the shuffle carries one row per (band, doc), and the pair "
+        "expansion touches collision buckets only, never the corpus "
         "cross-product.",
     ),
     "sim_ann_topk": (
