@@ -264,3 +264,35 @@ def test_topk_per_group_bound(spark, docs):
     per = out.groupBy("lang").count().collect()
     assert all(r["count"] <= 5 for r in per)
     assert out.where(F.col("rk") > 5).count() == 0
+
+
+def test_top_terms_semantics(spark):
+    """Hand-checkable TF-IDF top-terms: 'cat' appears only in doc 1 (rare,
+    high idf beats the ubiquitous 'the' despite lower tf); ties break on
+    the term string; k truncates; min_df prunes singletons."""
+    from xarray_histogram_spark.operators.text import top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the cat cat sat"),
+            (2, "the the dog sat sat"),
+            (3, "the bird"),
+        ],
+        "doc_id long, text string",
+    )
+    out = top_terms(docs, "text", "doc_id", k=2)
+    rows = {
+        r["doc_id"]: r
+        for r in out.where(F.col("doc_id") == 1).orderBy(
+            F.col("score").desc()).collect()
+    }
+    top1 = out.where(F.col("doc_id") == 1).orderBy(
+        F.col("score").desc(), "term").first()
+    # doc 1: cat tf=2 df=1 → idf=(3-1+.5)/1.5 ; the tf=3 df=3 → idf=.5/3.5
+    assert top1["term"] == "cat"
+    assert top1["score"] == 2.0 * ((3.0 - 1.0 + 0.5) / 1.5)
+    assert out.groupBy("doc_id").count().agg(F.max("count")).first()[0] <= 2
+    # min_df=2 drops every term that appears in only one document
+    pruned = top_terms(docs, "text", "doc_id", k=5, min_df=2)
+    kept = {r["term"] for r in pruned.collect()}
+    assert kept == {"the", "sat"}

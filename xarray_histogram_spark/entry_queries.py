@@ -521,6 +521,13 @@ register(
     tx.fingerprint_sql("documents", "text", "doc_id"),
 )
 register(
+    "text_top_terms",
+    lambda spark, sf_dir: tx.top_terms(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id", k=3, min_df=2
+    ),
+    tx.top_terms_sql("documents", "text", "doc_id", k=3, min_df=2),
+)
+register(
     "mm_decode_meta",
     lambda spark, sf_dir: mm.decode_meta(
         mm.as_media(t_wide(spark, sf_dir, "documents"), "doc_id", "text", "text/plain")

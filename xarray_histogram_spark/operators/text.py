@@ -163,3 +163,90 @@ def fingerprint_sql(table: str, text_col: str, id_col: str, k: int = 8) -> str:
         f"list_min(list_transform({sh}, s -> md5(s))) AS fp_shingle "
         f"FROM {table}"
     )
+
+
+def top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_df: int = 1,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """TF-IDF-style top-``k`` terms per document (BM25's rational idf).
+
+    score = tf · (N − df + 0.5)/(df + 0.5), where tf is the in-document
+    term count, df the number of documents containing the term, N the
+    corpus size.  The rational idf is BM25's (Robertson-Spärck Jones)
+    numerator/denominator WITHOUT the log: the log is monotone, so per-
+    document rankings are identical, and the rational form is exact IEEE
+    arithmetic — bit-reproducible across engines (a libm ``ln`` is not).
+    Ties break on the term string so the emitted rows are deterministic.
+
+    Plan shape (designed for a 100 TB corpus):
+    1. tokenize + explode (codegen'd generator, map-only);
+    2. tf: groupBy(doc, term) — THE big shuffle, map-side combined, rows
+       out ≤ distinct (doc, term) pairs;
+    3. df: groupBy(term) over the tf output (already aggregated — the raw
+       corpus is NOT rescanned), map-side combined; ``min_df`` prunes the
+       long rare-term tail right here, before the join;
+    4. tf ⋈ df on term: plain equi-join, left AQE pick broadcast when the
+       pruned vocabulary is small; term keys are near-uniform after
+       aggregation, no skew handling needed;
+    5. top-k: row_number window partitioned by document — one final
+       shuffle of aggregated rows.
+
+    ``n_docs``: corpus size N; by default ONE count job runs eagerly at
+    plan-build time (same pattern as histogram range inference).
+    """
+    text = F.col(text_col)
+    if n_docs is None:
+        n_docs = df.count()
+    toks = df.select(
+        F.col(id_col), F.explode(_tok(text)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("df_t") >= F.lit(min_df))
+    n = F.lit(float(n_docs))
+    score = tf["tf"].cast("double") * (
+        (n - F.col("df_t").cast("double") + F.lit(0.5))
+        / (F.col("df_t").cast("double") + F.lit(0.5))
+    )
+    from pyspark.sql.window import Window
+
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col), F.col("term"), F.col("tf"), score.alias("score")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.lit(k))
+        .drop("rn")
+    )
+
+
+def top_terms_sql(
+    table: str, text_col: str, id_col: str, k: int = 5, min_df: int = 1
+) -> str:
+    """DuckDB mirror of ``top_terms`` (same rational idf, same tie-break)."""
+    toks = H.tokens_sql(text_col)
+    return (
+        f"WITH toks AS (SELECT {id_col}, unnest({toks}) AS term FROM {table}), "
+        f"tf AS (SELECT {id_col}, term, CAST(COUNT(*) AS BIGINT) AS tf "
+        f"FROM toks GROUP BY {id_col}, term), "
+        f"dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term "
+        f"HAVING COUNT(*) >= {min_df}), "
+        f"n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM {table}) "
+        f"SELECT {id_col}, term, tf, score FROM ("
+        f"SELECT tf.{id_col}, tf.term, tf.tf, "
+        f"CAST(tf.tf AS DOUBLE) * ((n.n_docs - CAST(dfreq.df_t AS DOUBLE) + {flit(0.5)}) "
+        f"/ (CAST(dfreq.df_t AS DOUBLE) + {flit(0.5)})) AS score, "
+        f"row_number() OVER (PARTITION BY tf.{id_col} "
+        f"ORDER BY score DESC, tf.term) AS rn "
+        f"FROM tf JOIN dfreq USING (term) CROSS JOIN n) "
+        f"WHERE rn <= {k}"
+    )
