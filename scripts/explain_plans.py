@@ -44,9 +44,9 @@ SELECTION: dict[str, tuple[list[str], str]] = {
         "1` in the final projection — so the single partial+final "
         "aggregate emits every bin with no join, no broadcast of a "
         "computed aggregate, no second scan. Bin labels/widths/centers "
-        "attach post-agg as literal-array lookups on the id; the "
-        "post-shuffle tail runs as ONE coalesced task. At 100 TB only the "
-        "scan grows; everything after the first exchange is bin-bounded.",
+        "attach post-agg as literal-array lookups on the id. At 100 TB "
+        "only the scan grows; everything after the first exchange is "
+        "bin-bounded.",
     ),
     "hist_2d": (
         ["HashAggregate", "Union", "CASE WHEN"],

@@ -258,7 +258,7 @@ def test_mirror_plan_regression_flat_1d(lineitem):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:3000]
     assert "BroadcastExchange" not in p
     assert "Join" not in p
-    assert re.search(r"\(\d+\) Coalesce", p)
+    assert "Coalesce" not in p  # rejected: measured neutral-to-slower
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2
 
 
@@ -279,7 +279,7 @@ def test_mirror_plan_regression_histogram_columns(lineitem):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:3000]
     assert "BroadcastExchange" not in p
     assert "Join" not in p
-    assert re.search(r"\(\d+\) Coalesce", p)
+    assert "Coalesce" not in p  # rejected: measured ~20 ms slower here
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 

@@ -580,18 +580,12 @@ def finish_from_agg(
             dense_agg = u.groupBy(*ids).agg(
                 F.coalesce(F.sum("__val"), F.expr(zero_sql)).alias("__val")
             )
-        # small ungrouped aggregates: run the whole post-shuffle stage (final
-        # HashAggregate + meta projection, ≤ extent rows) as ONE task instead
-        # of spark.sql.shuffle.partitions near-empty tasks — pure physical
-        # change (the hash compare sorts rows).  The final stage then reads
-        # every map task's partial rows (#map_tasks × extent) in one task:
-        # bounded and cheap up to very large clusters, and each saved task
-        # dispatch is won back on every execution.
-        extent_total = 1
-        for s in specs:
-            extent_total *= len(s.bins(flow))
-        if extent_total <= 4096:
-            dense_agg = dense_agg.coalesce(1)
+        # NOTE on a rejected "optimization": coalescing this post-shuffle
+        # tail to one task (fewer near-empty task dispatches) measured
+        # neutral on the 1-D mirror and consistently ~20 ms SLOWER on the
+        # along-dim mirror across interleaved A/B runs — the extra plan
+        # node buys nothing locally and single-threads the (remote at real
+        # scale) shuffle fetch, so the tail keeps shuffle.partitions tasks.
         # column order: ids, labels, __val, widths, centers, is_flow
         per_axis = [axis_meta_exprs(c, s, flow) for c, s in zip(cols, specs)]
         filled = dense_agg.selectExpr(
@@ -820,10 +814,6 @@ def histogram_columns(
         agg = u.groupBy("__fk").agg(
             F.coalesce(F.sum("__v"), F.expr(zero_sql)).alias("__val")
         )
-    if k * (spec.n + 2) <= 4096:
-        # one post-shuffle task for the whole ≤ k·extent-row tail (see
-        # finish_from_agg): fewer task dispatches per execution, same rows
-        agg = agg.coalesce(1)
     agg = agg.select(
         F.expr(f"CAST(__fk div {width} AS INT)").alias("__d"),
         F.expr(f"CAST(__fk % {width} - 1 AS INT)").alias(bin_id),
