@@ -296,3 +296,32 @@ def test_top_terms_semantics(spark):
     pruned = top_terms(docs, "text", "doc_id", k=5, min_df=2)
     kept = {r["term"] for r in pruned.collect()}
     assert kept == {"the", "sat"}
+
+
+def test_lsh_max_bucket_guard(spark):
+    """max_bucket drops degenerate LSH buckets before quadratic pair
+    expansion: a corpus of identical texts (every doc in one bucket per
+    band) yields zero candidate pairs under a cap below the corpus size,
+    and the full m(m-1)/2 without it."""
+    from xarray_histogram_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate page text repeated") for i in range(20)],
+        "doc_id long, text string",
+    )
+    uncapped = lsh_candidate_pairs(docs, "text", "doc_id")
+    assert uncapped.count() == 20 * 19 // 2
+    capped = lsh_candidate_pairs(docs, "text", "doc_id", max_bucket=10)
+    assert capped.count() == 0
+
+
+def test_embed_max_bucket_guard(spark, sf_dir):
+    """embed_dup_pairs max_bucket: capping at 1 vector per bucket kills
+    every pair; a loose cap reproduces the uncapped output."""
+    from xarray_histogram_spark.operators.similarity import embed_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    loose = embed_dup_pairs(emb, threshold=0.5, max_bucket=10**9)
+    base = embed_dup_pairs(emb, threshold=0.5)
+    assert loose.count() == base.count()
+    assert embed_dup_pairs(emb, threshold=0.5, max_bucket=1).count() == 0

@@ -128,7 +128,8 @@ def minhash_signatures_sql(table: str, text_col: str, id_col: str, k: int = 8) -
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, text_col: str, id_col: str, k: int = 8
+    df: DataFrame, text_col: str, id_col: str, k: int = 8,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band; returns
     (id_a, id_b, n_bands) with id_a < id_b.
@@ -141,7 +142,18 @@ def lsh_candidate_pairs(
     Bucket pair expansion is m(m-1)/2 per bucket — the same output
     cardinality the join produces; LSH buckets are small by construction
     (near-dup groups), which is what makes candidate generation tractable
-    at all."""
+    at all.
+
+    ``max_bucket``: drop buckets larger than this many documents before
+    pair expansion — the standard LSH guard at corpus scale.  A
+    degenerate key (empty strings, boilerplate pages, templated spam)
+    can collect millions of documents whose m²/2 pairs would dominate
+    the whole job; such a bucket is an (almost-)exact-duplicate GROUP,
+    better handled as one unit by ``exact_dedup`` / the connected
+    component it forms than by enumerating every pair.  ``None`` (the
+    default) expands everything — right for bounded corpora and for the
+    oracle gate; at 100 TB set a cap (e.g. 10_000: ≤5·10⁷ pairs per
+    degenerate key, a bounded task)."""
     sigs = minhash_signatures(df, text_col, id_col, k)
     bands = F.array(
         *[
@@ -155,6 +167,8 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ids") <= F.lit(int(max_bucket)))
     # ordered pairs of a sorted list: element i with every later element
     pairs = buckets.select(
         F.explode(

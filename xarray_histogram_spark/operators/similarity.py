@@ -407,10 +407,24 @@ def embed_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes=PLANES,
+    max_bucket=None,
 ) -> DataFrame:
     """Near-duplicate embedding pairs: same LSH bucket AND cosine ≥ threshold,
-    (id_a < id_b)."""
+    (id_a < id_b).
+
+    ``max_bucket``: skip buckets holding more than this many vectors (the
+    same quadratic-blowup guard as ``lsh_candidate_pairs``): a degenerate
+    bucket — zero vectors, one dominant embedding cluster — would expand
+    m²/2 pairs.  The allowed-bucket list is an aggregate over at most
+    2^|planes| keys, so it broadcasts; ``None`` expands everything."""
     b = with_lsh_bucket(df, vec_col, planes)
+    if max_bucket is not None:
+        ok = (
+            b.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= F.lit(int(max_bucket)))
+            .select("bucket")
+        )
+        b = b.join(F.broadcast(ok), "bucket")
     l = b.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
     )
