@@ -325,3 +325,30 @@ def test_embed_max_bucket_guard(spark, sf_dir):
     base = embed_dup_pairs(emb, threshold=0.5)
     assert loose.count() == base.count()
     assert embed_dup_pairs(emb, threshold=0.5, max_bucket=1).count() == 0
+
+
+def test_curate_documents_semantics(spark):
+    """Curation pipeline: exact-duplicate texts collapse to the lowest id,
+    the quality gate and language filter drop rows, splits are exhaustive
+    and deterministic across reruns."""
+    from xarray_histogram_spark.operators.curate import curate_documents
+
+    docs = spark.createDataFrame(
+        [
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (7, "the quick brown fox jumps over the lazy dog"),  # dup of 3
+            (1, "der hund und die katze sind nicht da"),
+            (9, "!!! ??? ***"),  # low quality
+        ],
+        "doc_id long, text string",
+    )
+    out = curate_documents(docs, "text", "doc_id").collect()
+    ids = {r["doc_id"] for r in out}
+    assert 7 not in ids and 3 in ids  # dup keeps lowest id
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    again = curate_documents(docs, "text", "doc_id").collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+    en_only = curate_documents(docs, "text", "doc_id", langs=("en",)).collect()
+    assert {r["doc_id"] for r in en_only} == {3}
+    hq = curate_documents(docs, "text", "doc_id", quality_min=0.3).collect()
+    assert 9 not in {r["doc_id"] for r in hq}

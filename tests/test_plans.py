@@ -296,3 +296,19 @@ def test_stats_consume_sparse_aggregate(lineitem):
     assert "ObjectHashAggregate" not in p
     assert "Generate" not in p
     assert "Join" not in p
+
+
+def test_curate_single_shuffle(spark, sf_dir):
+    """The composed curation pipeline is ONE scan + ONE hash exchange (the
+    dedup-keep window on the text fingerprint); features, filters and the
+    split assignment all fuse into projections — no join, no Python."""
+    from xarray_histogram_spark.operators.curate import curate_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(curate_documents(
+        docs, "text", "doc_id", quality_min=0.2, langs=("en",),
+    ))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -35,6 +35,7 @@ from .plans.binned import binned_statistic
 from .plans.result import HistogramResult
 from .plans.rollup import rollup_histogram
 from .sources.io import read_result, write_result
+from .operators.curate import curate_documents
 from .operators.sampling import (
     assign_splits,
     deterministic_sample,
@@ -53,6 +54,7 @@ from .streaming.histogram_stream import (
 
 __all__ = [
     "Bin",
+    "curate_documents",
     "BinSpec",
     "Regular",
     "Variable",

@@ -527,6 +527,29 @@ register(
     ),
     tx.top_terms_sql("documents", "text", "doc_id", k=3, min_df=2),
 )
+
+
+def _curate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the composed curation pipeline: dedup-keep → features → filters →
+    # split, ONE scan + ONE shuffle (operators/curate.py)
+    from .operators.curate import curate_documents
+
+    return curate_documents(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id",
+        quality_min=0.2, langs=("en", "und"), salt="curate",
+    )
+
+
+from .operators.curate import curate_documents_sql as _curate_sql
+
+register(
+    "pipeline_curate",
+    _curate_fn,
+    _curate_sql(
+        "documents", "text", "doc_id",
+        quality_min=0.2, langs=("en", "und"), salt="curate",
+    ),
+)
 register(
     "mm_decode_meta",
     lambda spark, sf_dir: mm.decode_meta(

@@ -1,0 +1,131 @@
+"""End-to-end document curation: the composed training-data pipeline the
+individual operators exist for — exact-dedup keep → text features
+(quality / language / token counts) → threshold filters → deterministic
+split assignment — as ONE Spark plan.
+
+Scale shape (the point of composing in-engine instead of materializing
+stages): the whole pipeline is a single scan with exactly ONE shuffle —
+the ``row_number`` window on the text fingerprint that implements
+"keep the first occurrence of each distinct text" (an aggregate+join
+formulation would shuffle twice and rescan).  Every feature column is
+row-level Column arithmetic fused into the same projection, the quality/
+language filters cut rows before the (pure-projection, shuffle-free)
+split assignment, and nothing Python-side touches the data path.  At
+100 TB the one shuffle carries (fingerprint, id) pairs — the dedup cost
+floor — and everything else is map work.
+
+Determinism: md5 fingerprints, the deterministic language argmax, exact
+double arithmetic for quality, and the md5-draw split thresholds are all
+bit-identical in DuckDB, so the full pipeline is oracle-gated end to end
+(the oracle composes the per-operator SQL mirrors as CTEs — same values,
+engine keeps the fused one-pass plan)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..binspec import flit, slit
+from ..functions import hashing as H
+from .sampling import assign_splits_sql, draw_hex, _hex_threshold
+from .text import (
+    lang_id_sql,
+    lang_pred_col,
+    quality_cols,
+    quality_score_sql,
+    token_count_cols,
+    token_count_sql,
+)
+
+DEFAULT_SPLITS: Tuple[Tuple[str, float], ...] = (
+    ("train", 0.9), ("val", 0.05), ("test", 0.05),
+)
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    quality_min: Optional[float] = None,
+    langs: Optional[Sequence[str]] = None,
+    splits: Sequence[Tuple[str, float]] = DEFAULT_SPLITS,
+    salt: str = "",
+) -> DataFrame:
+    """Curated corpus rows: (id, lang_pred, quality features…, token
+    counts…, split), exact-duplicate texts collapsed to their lowest-id
+    occurrence, optionally filtered to ``quality >= quality_min`` and
+    ``lang_pred ∈ langs``."""
+    fp = H.md5_hex(F.col(text_col))
+    w = Window.partitionBy(fp).orderBy(F.col(id_col))
+    kept = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    out = kept.select(
+        F.col(id_col),
+        lang_pred_col(text_col),
+        *quality_cols(text_col),
+        *token_count_cols(text_col),
+    )
+    if quality_min is not None:
+        out = out.where(F.col("quality") >= F.lit(float(quality_min)))
+    if langs is not None:
+        out = out.where(F.col("lang_pred").isin(*langs))
+    splits = list(splits)
+    if splits:
+        d = draw_hex(F.col(id_col), salt)
+        acc, expr = 0.0, None
+        for name, frac in splits[:-1]:
+            acc += frac
+            cond = d < F.lit(_hex_threshold(acc))
+            expr = (
+                F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name))
+            )
+        expr = expr.otherwise(F.lit(splits[-1][0]))
+        out = out.withColumn("split", expr)
+    return out
+
+
+def curate_documents_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    *,
+    quality_min: Optional[float] = None,
+    langs: Optional[Sequence[str]] = None,
+    splits: Sequence[Tuple[str, float]] = DEFAULT_SPLITS,
+    salt: str = "",
+) -> str:
+    """DuckDB mirror: per-operator SQL mirrors composed as CTEs over the
+    dedup-kept rows (different plan, identical values)."""
+    kept = (
+        f"SELECT * FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {H.md5_hex_sql(text_col)} ORDER BY {id_col}) AS __rn "
+        f"FROM {table}) kr WHERE __rn = 1"
+    )
+    preds = []
+    if quality_min is not None:
+        preds.append(f"q.quality >= {flit(float(quality_min))}")
+    if langs is not None:
+        preds.append(
+            "l.lang_pred IN (" + ", ".join(slit(x) for x in langs) + ")"
+        )
+    where = f"WHERE {' AND '.join(preds)} " if preds else ""
+    split_sel = ""
+    if list(splits):
+        split_sel = f", {assign_splits_sql(f'q.{id_col}', splits, salt)} AS split"
+    return (
+        f"WITH kept AS ({kept}), "
+        f"q AS ({quality_score_sql('kept', text_col, id_col)}), "
+        f"l AS ({lang_id_sql('kept', text_col, id_col)}), "
+        f"t AS ({token_count_sql('kept', text_col, id_col)}) "
+        f"SELECT q.{id_col}, l.lang_pred, q.mean_tok_len, q.alpha_ratio, "
+        f"q.stop_ratio, q.quality, t.n_tokens, t.n_pieces, t.n_subwords, "
+        f"t.n_chars{split_sel} "
+        f"FROM q JOIN l USING ({id_col}) JOIN t USING ({id_col}) {where}"
+    )

@@ -32,23 +32,28 @@ def _tok(text: Column) -> Column:
 BPE_PIECE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+"
 
 
-def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Whitespace tokens, BPE-ish pre-tokenizer pieces (regex runs — the
-    GPT-2 pre-tokenization shape), a ceil(chars/4) subword-count proxy, and
-    raw characters."""
+def token_count_cols(text_col: str) -> list:
+    """The token-count Column expressions (shared by ``token_count`` and
+    the one-pass curation pipeline)."""
     toks = _tok(F.col(text_col))
     n_tok = F.size(toks)
     n_pieces = F.regexp_count(F.col(text_col), F.lit(BPE_PIECE_RE))
     n_sub = F.ceil(F.length(F.col(text_col)).cast("double") / F.lit(4.0)).cast(
         "bigint"
     )
-    return df.select(
-        F.col(id_col),
+    return [
         n_tok.cast("bigint").alias("n_tokens"),
         n_pieces.cast("bigint").alias("n_pieces"),
         n_sub.alias("n_subwords"),
         F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
-    )
+    ]
+
+
+def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace tokens, BPE-ish pre-tokenizer pieces (regex runs — the
+    GPT-2 pre-tokenization shape), a ceil(chars/4) subword-count proxy, and
+    raw characters."""
+    return df.select(F.col(id_col), *token_count_cols(text_col))
 
 
 def token_count_sql(table: str, text_col: str, id_col: str) -> str:
@@ -72,10 +77,9 @@ def _stop_hits_sql(toks: str, words) -> str:
     return f"len(list_filter({toks}, t -> t IN ({lst})))"
 
 
-def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Heuristic quality features + combined score:
-    mean token length, alpha ratio, stopword ratio, score = their product
-    blend.  Pure row-level double arithmetic (deterministic)."""
+def quality_cols(text_col: str) -> list:
+    """The quality-feature Column expressions (shared by ``quality_score``
+    and the one-pass curation pipeline)."""
     text = F.col(text_col)
     toks = _tok(text)
     n_tok = F.size(toks).cast("double")
@@ -88,13 +92,19 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     score = alpha_ratio * F.lit(0.5) + stop_ratio * F.lit(0.3) + F.when(
         (mean_tok_len >= F.lit(3.0)) & (mean_tok_len <= F.lit(10.0)), F.lit(0.2)
     ).otherwise(F.lit(0.0))
-    return df.select(
-        F.col(id_col),
+    return [
         mean_tok_len.alias("mean_tok_len"),
         alpha_ratio.alias("alpha_ratio"),
         stop_ratio.alias("stop_ratio"),
         score.alias("quality"),
-    )
+    ]
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality features + combined score:
+    mean token length, alpha ratio, stopword ratio, score = their product
+    blend.  Pure row-level double arithmetic (deterministic)."""
+    return df.select(F.col(id_col), *quality_cols(text_col))
 
 
 def quality_score_sql(table: str, text_col: str, id_col: str) -> str:
@@ -117,9 +127,9 @@ def quality_score_sql(table: str, text_col: str, id_col: str) -> str:
     )
 
 
-def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """n-gram/stopword-heuristic language ID: argmax of per-language stopword
-    hit counts (ties broken by LANGS order), 'und' when no hits."""
+def lang_pred_col(text_col: str) -> Column:
+    """The language-ID Column expression (shared by ``lang_id`` and the
+    one-pass curation pipeline)."""
     toks = _tok(F.col(text_col))
     hits = {lang: _stop_hits(toks, ws) for lang, ws in STOPWORDS.items()}
     # deterministic argmax: fold in declared order, strict > keeps earlier lang
@@ -128,7 +138,13 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     for lang in LANGS:
         best = F.when(hits[lang] > best_n, F.lit(lang)).otherwise(best)
         best_n = F.when(hits[lang] > best_n, hits[lang]).otherwise(best_n)
-    return df.select(F.col(id_col), best.alias("lang_pred"))
+    return best.alias("lang_pred")
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """n-gram/stopword-heuristic language ID: argmax of per-language stopword
+    hit counts (ties broken by LANGS order), 'und' when no hits."""
+    return df.select(F.col(id_col), lang_pred_col(text_col))
 
 
 def lang_id_sql(table: str, text_col: str, id_col: str) -> str:
