@@ -376,3 +376,31 @@ def test_quantile_edges_nan_tolerant(spark):
     assert all(not math.isnan(e) for e in edges)
     assert edges[0] == 0.0
     assert len(edges) == 5
+
+
+def test_histogram_columns_wide_generator_values(spark, lineitem):
+    """The k>16 posexplode shape must produce the same histograms as
+    per-column histogram() calls (the k≤16 branch shape is compared to the
+    oracle elsewhere; this pins the generator shape to the same values)."""
+    from pyspark.sql import functions as F
+
+    from xarray_histogram_spark import histogram_columns
+
+    k = 17
+    wide = lineitem.select(
+        *[(F.col("l_quantity") + F.lit(float(i))).alias(f"q{i}")
+          for i in range(k)]
+    )
+    spec = Regular(10, 0.0, 70.0)
+    r = histogram_columns(wide, [f"q{i}" for i in range(k)], spec,
+                          dim_name="series")
+    got = {
+        (row["series"], row["value_bin"]): row[r.value_col]
+        for row in r.df.collect()
+    }
+    assert len(got) == k * 10
+    for i in (0, 7, 16):
+        h = histogram(wide, f"q{i}", spec)
+        exp = {row[f"q{i}_bin"]: row[h.value_col] for row in h.df.collect()}
+        for b, v in exp.items():
+            assert got[(f"q{i}", b)] == v
