@@ -96,3 +96,28 @@ def test_infeasible_extent_raises(spark, lineitem):
             ),
             ["a", "b", "c"], [big, big, big],
         )
+
+
+def test_top_terms_validation(spark):
+    from xarray_histogram_spark.operators.text import top_terms
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k >= 1"):
+        top_terms(docs, "text", "doc_id", k=0)
+    with pytest.raises(ValueError, match="min_df >= 1"):
+        top_terms(docs, "text", "doc_id", min_df=0)
+
+
+def test_curate_split_validation(spark):
+    from xarray_histogram_spark.operators.curate import curate_documents
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match=">= 2 splits"):
+        curate_documents(docs, "text", "doc_id", splits=[("train", 1.0)])
+    with pytest.raises(ValueError, match="sum to"):
+        curate_documents(
+            docs, "text", "doc_id", splits=[("a", 0.5), ("b", 0.2)]
+        )
+    # splits=() disables split assignment entirely
+    cols = curate_documents(docs, "text", "doc_id", splits=()).columns
+    assert "split" not in cols

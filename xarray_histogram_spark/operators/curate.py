@@ -59,6 +59,15 @@ def curate_documents(
     counts…, split), exact-duplicate texts collapsed to their lowest-id
     occurrence, optionally filtered to ``quality >= quality_min`` and
     ``lang_pred ∈ langs``."""
+    splits = list(splits)
+    if splits:
+        if len(splits) < 2:
+            raise ValueError("curate_documents: need >= 2 splits (or ())")
+        total = sum(f for _, f in splits)
+        if not (0.999 <= total <= 1.001):
+            raise ValueError(
+                f"curate_documents: split fractions sum to {total}, expected 1"
+            )
     fp = H.md5_hex(F.col(text_col))
     w = Window.partitionBy(fp).orderBy(F.col(id_col))
     kept = (
@@ -75,7 +84,6 @@ def curate_documents(
         out = out.where(F.col("quality") >= F.lit(float(quality_min)))
     if langs is not None:
         out = out.where(F.col("lang_pred").isin(*langs))
-    splits = list(splits)
     if splits:
         d = draw_hex(F.col(id_col), salt)
         acc, expr = 0.0, None

@@ -215,6 +215,10 @@ def top_terms(
     ``n_docs``: corpus size N; by default ONE count job runs eagerly at
     plan-build time (same pattern as histogram range inference).
     """
+    if k < 1:
+        raise ValueError("top_terms: need k >= 1")
+    if min_df < 1:
+        raise ValueError("top_terms: need min_df >= 1")
     text = F.col(text_col)
     if n_docs is None:
         n_docs = df.count()
