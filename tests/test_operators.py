@@ -352,3 +352,28 @@ def test_curate_documents_semantics(spark):
     assert {r["doc_id"] for r in en_only} == {3}
     hq = curate_documents(docs, "text", "doc_id", quality_min=0.3).collect()
     assert 9 not in {r["doc_id"] for r in hq}
+
+
+def test_ngram_contamination_semantics(spark):
+    """A corpus doc containing a benchmark passage is flagged with the
+    passage's shingle count; clean docs are absent; min_hits thresholds."""
+    from xarray_histogram_spark.operators.dedup import ngram_contamination
+
+    leak = "the secret benchmark passage nobody should train on"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"some training text ... {leak} ... more text"),
+            (2, "completely unrelated content with its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    out = {r["doc_id"]: r["n_hits"]
+           for r in ngram_contamination(corpus, bench, "text", "doc_id",
+                                        k=12, min_hits=5).collect()}
+    assert 1 in out and 2 not in out
+    # the leaked passage contributes its full distinct-shingle set
+    assert out[1] >= len(leak) - 11
+    strict = ngram_contamination(corpus, bench, "text", "doc_id",
+                                 k=12, min_hits=10**6)
+    assert strict.count() == 0

@@ -450,6 +450,28 @@ register(
     lambda spark, sf_dir: dd.simhash(t_wide(spark, sf_dir, "documents"), "text", "doc_id"),
     dd.simhash_sql("documents", "text", "doc_id"),
 )
+
+
+def _contamination_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # decontamination primitive: docs from other sources sharing ≥40
+    # distinct 12-gram shingles with the src14 "benchmark" slice
+    docs = t_wide(spark, sf_dir, "documents")
+    return dd.ngram_contamination(
+        docs.where(F.col("source") != "src14"),
+        docs.where(F.col("source") == "src14"),
+        "text", "doc_id", k=12, min_hits=40,
+    )
+
+
+register(
+    "dedup_contamination",
+    _contamination_fn,
+    dd.ngram_contamination_sql(
+        "(SELECT * FROM documents WHERE source <> 'src14')",
+        "(SELECT * FROM documents WHERE source = 'src14')",
+        "text", "doc_id", k=12, min_hits=40,
+    ),
+)
 register(
     "dedup_embed_pairs",
     lambda spark, sf_dir: sim.embed_dup_pairs(t(spark, sf_dir, "embeddings")),

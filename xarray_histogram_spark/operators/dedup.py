@@ -482,3 +482,68 @@ def simhash_sql(table: str, text_col: str, id_col: str) -> str:
         f"(SELECT {id_col}, {', '.join(aggs)} FROM toks GROUP BY {id_col}) "
         f"SELECT {id_col}, CAST({terms} AS BIGINT) AS simhash FROM scored"
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (cross-corpus n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 12,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Corpus documents sharing char n-grams with ANY benchmark document —
+    the training-data decontamination primitive (flag or strip training
+    docs that leak evaluation content).  Returns (id, n_hits) where
+    ``n_hits`` counts the doc's DISTINCT shingles that appear anywhere in
+    the benchmark; rows with ``n_hits >= min_hits`` only.
+
+    Scale shape: the benchmark's distinct shingle set is aggregated once
+    and BROADCAST (benchmarks are small by definition — a few thousand
+    eval documents; the hint makes the join a map-side hash probe, no
+    corpus shuffle for the join itself).  The corpus side explodes to
+    distinct (doc, shingle) pairs — the one input-proportional shuffle —
+    then the matched pairs aggregate per doc (map-side combined,
+    output ≤ flagged docs).  With a very large benchmark drop the
+    broadcast hint and Spark plans a shuffle join on uniform shingle
+    keys."""
+    sh_c = (
+        corpus.select(
+            F.col(id_col), F.explode(H.shingles(F.col(text_col), k)).alias("sh")
+        ).distinct()
+    )
+    sh_b = benchmark.select(
+        F.explode(H.shingles(F.col(text_col), k)).alias("sh")
+    ).distinct()
+    return (
+        sh_c.join(F.broadcast(sh_b), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .where(F.col("n_hits") >= F.lit(int(min_hits)))
+    )
+
+
+def ngram_contamination_sql(
+    corpus_sql: str,
+    benchmark_sql: str,
+    text_col: str,
+    id_col: str,
+    k: int = 12,
+    min_hits: int = 1,
+) -> str:
+    """DuckDB mirror; ``corpus_sql``/``benchmark_sql`` are table names or
+    parenthesized subqueries."""
+    sh = H.shingles_sql(text_col, k)
+    return (
+        f"WITH shc AS (SELECT DISTINCT {id_col}, sh FROM "
+        f"(SELECT {id_col}, unnest({sh}) AS sh FROM {corpus_sql}) c), "
+        f"shb AS (SELECT DISTINCT sh FROM "
+        f"(SELECT unnest({sh}) AS sh FROM {benchmark_sql}) b) "
+        f"SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_hits "
+        f"FROM shc JOIN shb USING (sh) GROUP BY {id_col} "
+        f"HAVING COUNT(*) >= {min_hits}"
+    )
