@@ -404,3 +404,24 @@ def test_histogram_columns_wide_generator_values(spark, lineitem):
         exp = {row[f"q{i}_bin"]: row[h.value_col] for row in h.df.collect()}
         for b, v in exp.items():
             assert got[(f"q{i}", b)] == v
+
+
+def test_histogram_columns_weighted_branch_values(spark, lineitem):
+    """Weighted histogram_columns (k≤16 branch shape) must equal per-column
+    weighted histogram() results — pins the shared-weight branch plan."""
+    from xarray_histogram_spark import histogram_columns
+
+    spec = Regular(8, 0.0, 0.09)
+    r = histogram_columns(
+        lineitem, ["l_discount", "l_tax"], spec,
+        weights="l_quantity", dim_name="series",
+    )
+    got = {
+        (row["series"], row["value_bin"]): row[r.value_col]
+        for row in r.df.collect()
+    }
+    assert len(got) == 2 * 8
+    for c in ("l_discount", "l_tax"):
+        h = histogram(lineitem, c, spec, weights="l_quantity")
+        for row in h.df.collect():
+            assert got[(c, row[f"{c}_bin"])] == row[h.value_col]
