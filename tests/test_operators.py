@@ -377,3 +377,26 @@ def test_ngram_contamination_semantics(spark):
     strict = ngram_contamination(corpus, bench, "text", "doc_id",
                                  k=12, min_hits=10**6)
     assert strict.count() == 0
+
+
+def test_repetition_stats_semantics(spark):
+    """Repetition signals: a fully repeated doc scores low distinct ratios
+    and high line-dup; a unique-token doc scores 1.0 / 0.0; empty → NULLs."""
+    from xarray_histogram_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "each word here differs"),
+            (3, "line one\nline one\nline two"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs, "text", "doc_id").collect()}
+    assert out[1]["token_distinct_ratio"] == 0.25
+    assert out[2]["token_distinct_ratio"] == 1.0
+    assert out[2]["line_dup_ratio"] == 0.0
+    assert out[3]["line_dup_ratio"] == pytest.approx(1.0 - 2.0 / 3.0)
+    assert out[4]["token_distinct_ratio"] is None
+    assert out[1]["shingle3_distinct_ratio"] < out[2]["shingle3_distinct_ratio"]

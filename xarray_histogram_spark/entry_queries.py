@@ -543,6 +543,13 @@ register(
     tx.fingerprint_sql("documents", "text", "doc_id"),
 )
 register(
+    "text_repetition",
+    lambda spark, sf_dir: tx.repetition_stats(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id"
+    ),
+    tx.repetition_stats_sql("documents", "text", "doc_id"),
+)
+register(
     "text_top_terms",
     lambda spark, sf_dir: tx.top_terms(
         t_wide(spark, sf_dir, "documents"), "text", "doc_id", k=3, min_df=2

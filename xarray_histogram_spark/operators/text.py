@@ -270,3 +270,69 @@ def top_terms_sql(
         f"FROM tf JOIN dfreq USING (term) CROSS JOIN n) "
         f"WHERE rn <= {k}"
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Repetition signals for quality filtering (the Gopher-rules family):
+
+    - ``token_distinct_ratio``: |distinct tokens| / |tokens| — low values
+      mean token-level repetition (keyword stuffing, boilerplate loops);
+    - ``line_dup_ratio``: 1 − |distinct lines| / |lines| — duplicated-line
+      share (templated pages, chat logs);
+    - ``shingle3_distinct_ratio``: |distinct char 3-grams| / |3-grams| —
+      character-level repetition robust to tokenization.
+
+    Pure per-row Column arithmetic (array_distinct / array ops), no
+    shuffle; ratios are single IEEE divisions of exact integer counts, so
+    the DuckDB mirror hash-matches bit-for-bit.  NULL when the text has
+    no tokens/lines (empty input carries no signal)."""
+    text = F.col(text_col)
+    toks = _tok(text)
+    n_tok = F.size(toks).cast("double")
+    tok_ratio = F.size(F.array_distinct(toks)).cast("double") / F.nullif(
+        n_tok, F.lit(0.0)
+    )
+    lines = F.filter(F.split(text, "\n"), lambda l: l != "")
+    n_lines = F.size(lines).cast("double")
+    line_dup = F.lit(1.0) - F.size(F.array_distinct(lines)).cast(
+        "double"
+    ) / F.nullif(n_lines, F.lit(0.0))
+    sh = H.shingles(F.lower(text), 3)
+    n_sh = F.size(sh).cast("double")
+    sh_ratio = F.size(F.array_distinct(sh)).cast("double") / F.nullif(
+        n_sh, F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        tok_ratio.alias("token_distinct_ratio"),
+        line_dup.alias("line_dup_ratio"),
+        sh_ratio.alias("shingle3_distinct_ratio"),
+    )
+
+
+def repetition_stats_sql(table: str, text_col: str, id_col: str) -> str:
+    toks = H.tokens_sql(text_col)
+    n_tok = f"CAST(len({toks}) AS DOUBLE)"
+    tok_ratio = (
+        f"CAST(len(list_distinct({toks})) AS DOUBLE) / "
+        f"NULLIF({n_tok}, {flit(0.0)})"
+    )
+    lines = (
+        f"list_filter(regexp_split_to_array({text_col}, '\\n'), l -> l != '')"
+    )
+    n_lines = f"CAST(len({lines}) AS DOUBLE)"
+    line_dup = (
+        f"{flit(1.0)} - CAST(len(list_distinct({lines})) AS DOUBLE) / "
+        f"NULLIF({n_lines}, {flit(0.0)})"
+    )
+    sh = H.shingles_sql(f"lower({text_col})", 3)
+    n_sh = f"CAST(len({sh}) AS DOUBLE)"
+    sh_ratio = (
+        f"CAST(len(list_distinct({sh})) AS DOUBLE) / "
+        f"NULLIF({n_sh}, {flit(0.0)})"
+    )
+    return (
+        f"SELECT {id_col}, {tok_ratio} AS token_distinct_ratio, "
+        f"{line_dup} AS line_dup_ratio, "
+        f"{sh_ratio} AS shingle3_distinct_ratio FROM {table}"
+    )
