@@ -123,3 +123,29 @@ def test_ppf_q_range(hist_q):
         hist_q.ppf(0.0)
     with pytest.raises(ValueError):
         hist_q.ppf(1.5)
+
+
+def test_stats_invariant_under_normalize_and_follow_scale(spark, lineitem):
+    """Statistics read the raw internal mass (__val), so they are invariant
+    under normalize() (scipy rv_histogram semantics — normalization cancels
+    in every mass ratio, even on uneven Variable widths) and follow a
+    coordinate scale().  Guards the sparse-aggregate fast path against
+    staleness when result-algebra ops wrap the result."""
+    from xarray_histogram_spark import Variable as _Var
+
+    spec = _Var((1.0, 5.0, 20.0, 51.0))  # uneven widths — the risky case
+    h = histogram(lineitem, "l_quantity", spec, group_by=["l_returnflag"])
+    raw_med = sorted((r["l_returnflag"], r["l_quantity_median"])
+                     for r in h.median().collect())
+    norm_med = sorted((r["l_returnflag"], r["l_quantity_median"])
+                      for r in h.normalize().median().collect())
+    assert raw_med == norm_med
+    raw_mean = sorted((r["l_returnflag"], r["l_quantity_mean"])
+                      for r in h.mean().collect())
+    norm_mean = sorted((r["l_returnflag"], r["l_quantity_mean"])
+                       for r in h.normalize().mean().collect())
+    assert raw_mean == norm_mean
+    sc_mean = sorted((r["l_returnflag"], r["l_quantity_mean"])
+                     for r in h.scale(2.0).mean().collect())
+    assert all(abs(a[1] * 2.0 - b[1]) < 1e-9
+               for a, b in zip(raw_mean, sc_mean))
