@@ -400,3 +400,34 @@ def test_repetition_stats_semantics(spark):
     assert out[3]["line_dup_ratio"] == pytest.approx(1.0 - 2.0 / 3.0)
     assert out[4]["token_distinct_ratio"] is None
     assert out[1]["shingle3_distinct_ratio"] < out[2]["shingle3_distinct_ratio"]
+
+
+def test_remove_repeated_lines_semantics(spark):
+    """C4-style corpus-wide line filter: boilerplate lines occurring in
+    more than max_occurrences places are dropped from EVERY document;
+    surviving lines keep their original order (byte-exact reassembly,
+    empty lines preserved); untouched docs round-trip."""
+    from xarray_histogram_spark.operators.text import remove_repeated_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\ncookie banner\nunique line a"),
+            (2, "cookie banner\nunique line b"),
+            (3, "cookie banner\nkeep me too\n\nafter empty"),
+            (4, "all unique here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in remove_repeated_lines(docs, "text", "doc_id", 1).collect()}
+    assert out[1]["text_clean"] == "keep me\nunique line a"
+    assert out[2]["text_clean"] == "unique line b"
+    assert out[3]["text_clean"] == "keep me too\n\nafter empty"
+    assert out[4]["text_clean"] == "all unique here"
+    assert [out[k]["n_lines_removed"] for k in (1, 2, 3, 4)] == [1, 1, 1, 0]
+    # higher cap keeps everything
+    loose = {r["doc_id"]: r["n_lines_removed"]
+             for r in remove_repeated_lines(docs, "text", "doc_id", 3).collect()}
+    assert set(loose.values()) == {0}
+    with pytest.raises(NotImplementedError):
+        remove_repeated_lines(docs, "text", "doc_id", 1, keep_first=True)

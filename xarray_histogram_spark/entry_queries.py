@@ -543,6 +543,13 @@ register(
     tx.fingerprint_sql("documents", "text", "doc_id"),
 )
 register(
+    "text_line_dedup",
+    lambda spark, sf_dir: tx.remove_repeated_lines(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id", 1
+    ),
+    tx.remove_repeated_lines_sql("documents", "text", "doc_id", 1),
+)
+register(
     "text_repetition",
     lambda spark, sf_dir: tx.repetition_stats(
         t_wide(spark, sf_dir, "documents"), "text", "doc_id"

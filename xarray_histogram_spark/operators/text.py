@@ -336,3 +336,89 @@ def repetition_stats_sql(table: str, text_col: str, id_col: str) -> str:
         f"{line_dup} AS line_dup_ratio, "
         f"{sh_ratio} AS shingle3_distinct_ratio FROM {table}"
     )
+
+
+def remove_repeated_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_occurrences: int = 1,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Corpus-wide repeated-line removal (the C4/RefinedWeb boilerplate
+    filter): drop every line occurring in more than ``max_occurrences``
+    documents-lines across the WHOLE corpus (navigation chrome, cookie
+    banners, templated footers), reassembling each document's remaining
+    lines in order.  Returns (id, text_clean, n_lines_removed).
+
+    Scale shape: one line explode (generator), ONE map-combined count
+    aggregate per distinct line — grouping is skew-safe even for a line
+    repeated 10⁸ times (partial aggregation collapses it per task; a
+    window-over-line formulation would instead hash all copies to one
+    partition) — a join against the BROADCAST offending-line set (bounded
+    by lines violating the cap, i.e. the boilerplate vocabulary), and one
+    groupBy(doc) to reassemble.  Reassembly sorts each doc's surviving
+    (index, line) structs — array_sort on the leading int — so the output
+    text is byte-identical to splicing the original.
+
+    ``keep_first`` is not implemented corpus-wide (it would need a global
+    order); the filter drops ALL copies of an offending line, matching C4.
+    """
+    if keep_first:
+        raise NotImplementedError(
+            "keep_first needs a corpus-global order; C4 semantics drop all "
+            "copies of an offending line"
+        )
+    parts = F.split(F.col(text_col), "\n")
+    lines = df.select(
+        F.col(id_col), F.posexplode(parts).alias("__i", "__line")
+    )
+    bad = (
+        lines.groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > F.lit(int(max_occurrences)))
+        .select("__line", F.lit(True).alias("__bad"))
+    )
+    flagged = lines.join(F.broadcast(bad), "__line", "left")
+    kept_arr = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("__bad").isNull(),
+                F.struct(F.col("__i").alias("i"), F.col("__line").alias("line")),
+            )
+        )
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n", F.transform(kept_arr, lambda s: s["line"])
+            ).alias("text_clean"),
+            F.sum(
+                F.when(F.col("__bad").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_lines_removed"),
+        )
+    )
+
+
+def remove_repeated_lines_sql(
+    table: str, text_col: str, id_col: str, max_occurrences: int = 1
+) -> str:
+    """DuckDB mirror of ``remove_repeated_lines``."""
+    return (
+        f"WITH parts AS (SELECT {id_col}, "
+        f"regexp_split_to_array({text_col}, '\\n') AS ls FROM {table}), "
+        f"flat AS (SELECT {id_col}, s['i'] AS i, s['line'] AS line FROM "
+        f"(SELECT {id_col}, unnest(list_transform("
+        f"generate_series(1, len(ls)), i -> {{'i': i, 'line': ls[i]}})) AS s "
+        f"FROM parts) u), "
+        f"bad AS (SELECT line FROM flat GROUP BY line "
+        f"HAVING COUNT(*) > {int(max_occurrences)}) "
+        f"SELECT f.{id_col}, "
+        f"COALESCE(string_agg(f.line, chr(10) ORDER BY f.i) "
+        f"FILTER (WHERE b.line IS NULL), '') AS text_clean, "
+        f"CAST(COUNT(*) FILTER (WHERE b.line IS NOT NULL) AS BIGINT) "
+        f"AS n_lines_removed "
+        f"FROM flat f LEFT JOIN bad b ON f.line = b.line "
+        f"GROUP BY f.{id_col}"
+    )
