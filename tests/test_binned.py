@@ -84,3 +84,39 @@ def test_all_null_bin_is_empty_semantics(spark):
     }
     assert got[3] == (0, None, None)
     assert got[4][0] == 10
+
+
+def test_weight_storage_histogram_boost_semantics(spark, sf_dir):
+    """Boost Weight() storage parity: value = Σw, variance = Σw² per bin
+    (the accumulator storage the reference documents as unsupported,
+    core.py:87-90).  Checked against direct per-bin aggregation."""
+    from xarray_histogram_spark import Regular
+    from xarray_histogram_spark.plans.binned import weight_storage_histogram
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spec = Regular(10, 1.0, 51.0)
+    got = {
+        r["l_quantity_bin"]: (r["value"], r["variance"])
+        for r in weight_storage_histogram(
+            li, "l_quantity", spec, "l_discount"
+        ).collect()
+    }
+    exp = {
+        r["b"]: (r["sw"], r["sw2"])
+        for r in li.where(F.col("l_quantity").between(1.0, 51.0))
+        .select(
+            F.floor((F.col("l_quantity") - 1.0) / 5.0).cast("int").alias("b"),
+            F.round(F.col("l_discount") * 1e6).cast("bigint").alias("q"),
+        )
+        .groupBy("b")
+        .agg(
+            (F.sum("q").cast("double") / 1e6).alias("sw"),
+            (F.sum(F.col("q") * F.col("q")).cast("double") / 1e6 / 1e6)
+            .alias("sw2"),
+        )
+        .collect()
+    }
+    assert set(got) == set(range(10))
+    for b, (sw, sw2) in exp.items():
+        assert got[b][0] == pytest.approx(sw, rel=1e-12)
+        assert got[b][1] == pytest.approx(sw2, rel=1e-12)

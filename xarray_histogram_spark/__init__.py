@@ -31,7 +31,7 @@ from .plans.histogram import (
     histogramdd,
     quantile_edges,
 )
-from .plans.binned import binned_statistic
+from .plans.binned import binned_statistic, weight_storage_histogram
 from .plans.result import HistogramResult
 from .plans.rollup import rollup_histogram
 from .sources.io import read_result, write_result
@@ -55,6 +55,7 @@ from .streaming.histogram_stream import (
 __all__ = [
     "Bin",
     "curate_documents",
+    "weight_storage_histogram",
     "BinSpec",
     "Regular",
     "Variable",

@@ -1141,6 +1141,28 @@ register(
 )
 
 
+def _weight_storage_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # boost Weight() storage — per-bin (Σw, Σw²); the reference documents
+    # accumulator storages as unsupported (core.py:87-90)
+    from .plans.binned import weight_storage_histogram
+
+    return weight_storage_histogram(
+        t(spark, sf_dir, "lineitem"), "l_quantity",
+        Regular(10, 1.0, 51.0), "l_discount",
+    )
+
+
+def _weight_storage_sql() -> str:
+    from .plans.binned import weight_storage_histogram_sql
+
+    return weight_storage_histogram_sql(
+        "lineitem", "l_quantity", Regular(10, 1.0, 51.0), "l_discount",
+    )
+
+
+register("hist_weight_storage", _weight_storage_fn, _weight_storage_sql())
+
+
 def _slice_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boost UHI h[2:7]: bins 2..6 of a 10-bin Regular axis — equal to a
     # direct histogram over the sliced value range with the SAME edge

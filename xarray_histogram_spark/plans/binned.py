@@ -36,7 +36,7 @@ from .histogram import (
     spine_ids_zero,
 )
 
-STATS = ("count", "sum", "mean", "min", "max")
+STATS = ("count", "sum", "mean", "min", "max", "sum_sq")
 
 
 def binned_statistic(
@@ -75,10 +75,16 @@ def binned_statistic(
     else:
         divisor = 1.0
         vsum = v
+    # sum of squares: in quantized mode q² is an EXACT integer product of
+    # the quantized weight with itself (Σq² deterministic; value = Σq²/10^2s;
+    # overflow bound (|w|·10^s)²·rows < 2⁶³ — reduce weight_scale for large
+    # weights); raw mode sums v·v doubles (fast, order-sensitive)
+    vsq = (vsum * vsum) if weight_scale is not None else (v * v)
     base = src.select(
         *[F.col(g) for g in group_by],
         idc.alias(id_col(x)),
         vsum.alias("__s"),
+        vsq.alias("__s2"),
         v.alias("__v"),
     )
     if not group_by:
@@ -92,11 +98,15 @@ def binned_statistic(
         )
         spine0 = spine_ids_zero(
             base.sparkSession, [x], [spec], flow, null_s, val_name="__s",
+        ).withColumn(
+            "__s2",
+            F.lit(None).cast("bigint" if weight_scale is not None else "double"),
         ).withColumn("__v", F.lit(None).cast("double"))
         base = base.unionByName(spine0)
     aggs = [
         F.count(F.col("__v")).alias("__n"),
         F.sum("__s").alias("__sum"),
+        F.sum("__s2").alias("__sum_sq"),
         F.min("__v").alias("__min"),
         F.max("__v").alias("__max"),
     ]
@@ -112,6 +122,9 @@ def binned_statistic(
         ).alias(f"mean_{value}"),
         "min": F.col("__min").alias(f"min_{value}"),
         "max": F.col("__max").alias(f"max_{value}"),
+        "sum_sq": (
+            F.col("__sum_sq").cast("double") / F.lit(divisor) / F.lit(divisor)
+        ).alias(f"sum_sq_{value}"),
     }
     meta = axis_meta_exprs(x, spec, flow)
     return agg.selectExpr(
@@ -144,12 +157,17 @@ def binned_statistic_sql(
     lo, hi = spec.keep_range(flow)
     if weight_scale is not None:
         divisor = float(10**weight_scale)
-        ssum = f"SUM({scaled_weight_sql(value, divisor)})"
+        sw = scaled_weight_sql(value, divisor)
+        ssum = f"SUM({sw})"
         sum_out = f"CAST({ssum} AS DOUBLE) / {divisor}"
         mean_out = f"CAST({ssum} AS DOUBLE) / CAST(COUNT({value}) AS DOUBLE) / {divisor}"
+        sum_sq_out = (
+            f"CAST(SUM({sw} * {sw}) AS DOUBLE) / {divisor} / {divisor}"
+        )
     else:
         sum_out = f"SUM(CAST({value} AS DOUBLE))"
         mean_out = f"AVG(CAST({value} AS DOUBLE))"
+        sum_sq_out = f"SUM(CAST({value} AS DOUBLE) * CAST({value} AS DOUBLE))"
     outs = {
         # COUNT(value), not COUNT(*): the engine counts non-NULL values
         # (F.count('__v') — required for the NULL-spine dense union), so a
@@ -162,6 +180,7 @@ def binned_statistic_sql(
         "mean": mean_out,
         "min": f"MIN(CAST({value} AS DOUBLE))",
         "max": f"MAX(CAST({value} AS DOUBLE))",
+        "sum_sq": sum_sq_out,
     }
     gsel = "".join(f"{g}, " for g in group_by)
     aggsel = ", ".join(f"{outs[s]} AS {s}_{value}" for s in stats)
@@ -193,4 +212,59 @@ def binned_statistic_sql(
         f"SELECT sp_{x}.{id_col(x)} AS {id_col(x)}, "
         f"sp_{x}.{label_col(x)} AS {label_col(x)}, {sel_stats} "
         f"FROM {spine} LEFT JOIN binned ON binned.b = sp_{x}.{id_col(x)}"
+    )
+
+
+def weight_storage_histogram(
+    df: DataFrame,
+    x: str,
+    spec: BinSpec,
+    weights: str,
+    *,
+    group_by: Sequence[str] = (),
+    flow: bool = False,
+    weight_scale: Optional[int] = 6,
+) -> DataFrame:
+    """Boost ``Weight()`` accumulator storage: per-bin (value, variance) =
+    (Σw, Σw²) — the error-bar-carrying weighted histogram the reference
+    explicitly documents as UNSUPPORTED ("accumulator storage … are not
+    supported", core.py:87-90,158-161).  Spark has no such restriction:
+    both accumulators are sums, so the plan is the exact histogram shape —
+    one scan, one partial+final aggregate — with two aggregate columns.
+
+    Σw² runs on the squared quantized weight (an exact int64 product →
+    order-independent, oracle-matchable); overflow bound
+    ``(|w|·10^s)²·rows < 2⁶³`` — pass a smaller ``weight_scale`` for
+    large-magnitude weights, or ``None`` for raw double sums.
+
+    Returns (group_by…, ``<x>_bin``, ``<x>_bins``, value, variance).
+    """
+    out = binned_statistic(
+        df, x, spec, weights, stats=("sum", "sum_sq"),
+        group_by=group_by, flow=flow, weight_scale=weight_scale,
+    )
+    return out.withColumnRenamed(f"sum_{weights}", "value").withColumnRenamed(
+        f"sum_sq_{weights}", "variance"
+    )
+
+
+def weight_storage_histogram_sql(
+    table: str,
+    x: str,
+    spec: BinSpec,
+    weights: str,
+    *,
+    group_by: Sequence[str] = (),
+    flow: bool = False,
+    weight_scale: Optional[int] = 6,
+) -> str:
+    inner = binned_statistic_sql(
+        table, x, spec, weights, stats=("sum", "sum_sq"),
+        group_by=group_by, flow=flow, weight_scale=weight_scale,
+    )
+    gsel = "".join(f"{g}, " for g in group_by)
+    return (
+        f"SELECT {gsel}{id_col(x)}, {label_col(x)}, "
+        f"sum_{weights} AS value, sum_sq_{weights} AS variance "
+        f"FROM ({inner}) ws"
     )
