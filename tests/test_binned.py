@@ -120,3 +120,23 @@ def test_weight_storage_histogram_boost_semantics(spark, sf_dir):
     for b, (sw, sw2) in exp.items():
         assert got[b][0] == pytest.approx(sw, rel=1e-12)
         assert got[b][1] == pytest.approx(sw2, rel=1e-12)
+
+
+def test_mean_storage_histogram_boost_semantics(spark, sf_dir):
+    """Boost Mean() storage parity: per-bin count, mean and UNBIASED
+    sample variance of the sampled quantity, computed from exact quantized
+    sums; a single-sample bin yields NULL variance."""
+    from xarray_histogram_spark import Regular
+    from xarray_histogram_spark.plans.binned import mean_storage_histogram
+
+    rows = [(0.5, 10.0), (0.5, 14.0), (1.5, 7.0)]
+    df = spark.createDataFrame(rows, "x double, v double")
+    out = {
+        r["x_bin"]: (r["count"], r["mean"], r["variance"])
+        for r in mean_storage_histogram(
+            df, "x", Regular(3, 0.0, 3.0), "v"
+        ).collect()
+    }
+    assert out[0] == (2, 12.0, 8.0)       # var([10,14]) unbiased = 8
+    assert out[1] == (1, 7.0, None)       # single sample → NULL variance
+    assert out[2] == (0, None, None)      # empty bin

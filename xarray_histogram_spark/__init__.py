@@ -31,7 +31,11 @@ from .plans.histogram import (
     histogramdd,
     quantile_edges,
 )
-from .plans.binned import binned_statistic, weight_storage_histogram
+from .plans.binned import (
+    binned_statistic,
+    mean_storage_histogram,
+    weight_storage_histogram,
+)
 from .plans.result import HistogramResult
 from .plans.rollup import rollup_histogram
 from .sources.io import read_result, write_result
@@ -55,6 +59,7 @@ from .streaming.histogram_stream import (
 __all__ = [
     "Bin",
     "curate_documents",
+    "mean_storage_histogram",
     "weight_storage_histogram",
     "BinSpec",
     "Regular",

@@ -1163,6 +1163,28 @@ def _weight_storage_sql() -> str:
 register("hist_weight_storage", _weight_storage_fn, _weight_storage_sql())
 
 
+def _mean_storage_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # boost Mean() storage — per-bin (count, mean, sample variance)
+    from .plans.binned import mean_storage_histogram
+
+    return mean_storage_histogram(
+        t(spark, sf_dir, "lineitem"), "l_quantity",
+        Regular(10, 1.0, 51.0), "l_extendedprice", weight_scale=2,
+    )
+
+
+def _mean_storage_sql() -> str:
+    from .plans.binned import mean_storage_histogram_sql
+
+    return mean_storage_histogram_sql(
+        "lineitem", "l_quantity", Regular(10, 1.0, 51.0), "l_extendedprice",
+        weight_scale=2,
+    )
+
+
+register("hist_mean_storage", _mean_storage_fn, _mean_storage_sql())
+
+
 def _slice_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boost UHI h[2:7]: bins 2..6 of a 10-bin Regular axis — equal to a
     # direct histogram over the sliced value range with the SAME edge

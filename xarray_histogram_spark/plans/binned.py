@@ -36,7 +36,7 @@ from .histogram import (
     spine_ids_zero,
 )
 
-STATS = ("count", "sum", "mean", "min", "max", "sum_sq")
+STATS = ("count", "sum", "mean", "min", "max", "sum_sq", "sample_var")
 
 
 def binned_statistic(
@@ -125,6 +125,19 @@ def binned_statistic(
         "sum_sq": (
             F.col("__sum_sq").cast("double") / F.lit(divisor) / F.lit(divisor)
         ).alias(f"sum_sq_{value}"),
+        # unbiased per-bin sample variance from the exact sums: the
+        # expression order below is mirrored CHARACTER-FOR-CHARACTER in the
+        # SQL so the doubles hash-match
+        "sample_var": F.when(
+            F.col("__n") >= F.lit(2),
+            (
+                F.col("__sum_sq").cast("double") / F.lit(divisor) / F.lit(divisor)
+                - (F.col("__sum").cast("double") / F.lit(divisor))
+                * (F.col("__sum").cast("double") / F.lit(divisor))
+                / F.col("__n").cast("double")
+            )
+            / (F.col("__n").cast("double") - F.lit(1.0)),
+        ).alias(f"sample_var_{value}"),
     }
     meta = axis_meta_exprs(x, spec, flow)
     return agg.selectExpr(
@@ -164,10 +177,23 @@ def binned_statistic_sql(
         sum_sq_out = (
             f"CAST(SUM({sw} * {sw}) AS DOUBLE) / {divisor} / {divisor}"
         )
+        n_d = f"CAST(COUNT({value}) AS DOUBLE)"
+        svar_out = (
+            f"CASE WHEN COUNT({value}) >= 2 THEN "
+            f"({sum_sq_out} - (CAST(SUM({sw}) AS DOUBLE) / {divisor}) * "
+            f"(CAST(SUM({sw}) AS DOUBLE) / {divisor}) / {n_d}) / ({n_d} - 1.0) "
+            f"END"
+        )
     else:
         sum_out = f"SUM(CAST({value} AS DOUBLE))"
         mean_out = f"AVG(CAST({value} AS DOUBLE))"
         sum_sq_out = f"SUM(CAST({value} AS DOUBLE) * CAST({value} AS DOUBLE))"
+        n_d = f"CAST(COUNT({value}) AS DOUBLE)"
+        svar_out = (
+            f"CASE WHEN COUNT({value}) >= 2 THEN "
+            f"({sum_sq_out} - {sum_out} * {sum_out} / {n_d}) / ({n_d} - 1.0) "
+            f"END"
+        )
     outs = {
         # COUNT(value), not COUNT(*): the engine counts non-NULL values
         # (F.count('__v') — required for the NULL-spine dense union), so a
@@ -181,6 +207,7 @@ def binned_statistic_sql(
         "min": f"MIN(CAST({value} AS DOUBLE))",
         "max": f"MAX(CAST({value} AS DOUBLE))",
         "sum_sq": sum_sq_out,
+        "sample_var": svar_out,
     }
     gsel = "".join(f"{g}, " for g in group_by)
     aggsel = ", ".join(f"{outs[s]} AS {s}_{value}" for s in stats)
@@ -267,4 +294,56 @@ def weight_storage_histogram_sql(
         f"SELECT {gsel}{id_col(x)}, {label_col(x)}, "
         f"sum_{weights} AS value, sum_sq_{weights} AS variance "
         f"FROM ({inner}) ws"
+    )
+
+
+def mean_storage_histogram(
+    df: DataFrame,
+    x: str,
+    spec: BinSpec,
+    value: str,
+    *,
+    group_by: Sequence[str] = (),
+    flow: bool = False,
+    weight_scale: Optional[int] = 6,
+) -> DataFrame:
+    """Boost ``Mean()`` accumulator storage — the profile histogram: per
+    bin, the count, mean and (unbiased) sample variance of a sampled
+    quantity.  Like ``Weight()``, an accumulator storage the reference
+    documents as unsupported; every accumulator here is a sum over exact
+    quantized ints, so the plan keeps the one-scan one-aggregate
+    histogram shape and stays oracle-deterministic.
+
+    Returns (group_by…, ``<x>_bin``, ``<x>_bins``, count, mean, variance).
+    """
+    out = binned_statistic(
+        df, x, spec, value, stats=("count", "mean", "sample_var"),
+        group_by=group_by, flow=flow, weight_scale=weight_scale,
+    )
+    return (
+        out.withColumnRenamed(f"count_{value}", "count")
+        .withColumnRenamed(f"mean_{value}", "mean")
+        .withColumnRenamed(f"sample_var_{value}", "variance")
+    )
+
+
+def mean_storage_histogram_sql(
+    table: str,
+    x: str,
+    spec: BinSpec,
+    value: str,
+    *,
+    group_by: Sequence[str] = (),
+    flow: bool = False,
+    weight_scale: Optional[int] = 6,
+) -> str:
+    inner = binned_statistic_sql(
+        table, x, spec, value, stats=("count", "mean", "sample_var"),
+        group_by=group_by, flow=flow, weight_scale=weight_scale,
+    )
+    gsel = "".join(f"{g}, " for g in group_by)
+    return (
+        f'SELECT {gsel}{id_col(x)}, {label_col(x)}, '
+        f'count_{value} AS "count", mean_{value} AS mean, '
+        f"sample_var_{value} AS variance FROM ({inner}) ms"
     )
