@@ -83,11 +83,26 @@ _DRIVER_VERIFIED = frozenset({
 })
 
 
+# Queries REGISTERED IN ROUND 4 — never in any driver CORRECTNESS record;
+# they lead the registry so the driver's ~50-query window is guaranteed to
+# reach them regardless of where they appear in this file.
+_NEW_THIS_ROUND = (
+    "dedup_contamination", "text_line_dedup", "text_repetition",
+    "text_top_terms", "pipeline_curate", "mm_sample_frames",
+    "hist_weight_storage", "hist_mean_storage",
+)
+
+
 def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
     items = list(_REGISTRY.items())
-    head = [(n, v) for n, v in items if n not in _DRIVER_VERIFIED]
+    fresh = [(n, _REGISTRY[n]) for n in _NEW_THIS_ROUND if n in _REGISTRY]
+    seen = set(_NEW_THIS_ROUND)
+    head = [
+        (n, v) for n, v in items
+        if n not in _DRIVER_VERIFIED and n not in seen
+    ]
     tail = [(n, v) for n, v in items if n in _DRIVER_VERIFIED]
-    return dict(head + tail)
+    return dict(fresh + head + tail)
 
 
 def _hist_query(
