@@ -135,3 +135,43 @@ def test_fuzzed_stats_match_oracle(spark, sf_dir, seed):
         group_by=group_by, weights=weights, **skw,
     )
     assert_matches_sql(sdf, sql, duck(sf_dir))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzzed_binned_statistic_matches_oracle(spark, sf_dir, seed):
+    """Randomized binned-statistic configs (axis × stats × grouping ×
+    flow × scale) through engine and DuckDB mirror, compared exactly —
+    includes the round-4 sum_sq / sample_var accumulator stats."""
+    from xarray_histogram_spark.plans.binned import (
+        STATS, binned_statistic, binned_statistic_sql,
+    )
+
+    rng = random.Random(20260814 + seed)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    con = duck(sf_dir)
+    if rng.random() < 0.5:
+        lo = rng.uniform(1.0, 10.0)
+        spec = Regular(rng.randint(3, 12), lo, lo + rng.uniform(20.0, 45.0))
+    else:
+        cuts = sorted({round(rng.uniform(1.0, 50.0), 2) for _ in range(4)})
+        if len(cuts) < 2:
+            cuts = [1.0, 25.0, 50.0]
+        spec = Variable(tuple(cuts))
+    x = "l_quantity"
+    value = rng.choice(["l_discount", "l_tax", "l_extendedprice"])
+    # keep the exact-int square inside int64: big-magnitude values use a
+    # smaller quantization scale (documented overflow bound)
+    scale = 2 if value == "l_extendedprice" else rng.choice([4, 6])
+    k = rng.randint(1, len(STATS))
+    stats = tuple(rng.sample(list(STATS), k))
+    group_by = ["l_returnflag"] if rng.random() < 0.4 else []
+    flow = rng.random() < 0.3
+    got = binned_statistic(
+        li, x, spec, value, stats, group_by=group_by, flow=flow,
+        weight_scale=scale,
+    )
+    sql = binned_statistic_sql(
+        "lineitem", x, spec, value, stats, group_by=group_by, flow=flow,
+        weight_scale=scale,
+    )
+    assert_matches_sql(got, sql, con)
