@@ -140,3 +140,24 @@ def test_mean_storage_histogram_boost_semantics(spark, sf_dir):
     assert out[0] == (2, 12.0, 8.0)       # var([10,14]) unbiased = 8
     assert out[1] == (1, 7.0, None)       # single sample → NULL variance
     assert out[2] == (0, None, None)      # empty bin
+
+
+def test_sum_sq_overflow_guard_and_variance_clamp(spark):
+    """Requesting squared-quantized stats with a scale that could overflow
+    int64 fails fast with advice; a constant-valued bin clamps its sample
+    variance at exactly 0 (never a tiny negative)."""
+    from xarray_histogram_spark.plans.binned import binned_statistic
+
+    big = spark.createDataFrame(
+        [(1.0, 5.0e9)] * 10, "x double, v double"
+    )
+    with pytest.raises(ValueError, match="smaller .*weight_scale|weight_scale"):
+        binned_statistic(big, "x", Regular(2, 0.0, 2.0), "v",
+                         stats=("sample_var",), weight_scale=6)
+    const = spark.createDataFrame(
+        [(0.5, 12.34567891)] * 50, "x double, v double"
+    )
+    out = binned_statistic(const, "x", Regular(1, 0.0, 1.0), "v",
+                           stats=("sample_var",), weight_scale=6)
+    var = out.collect()[0]["sample_var_v"]
+    assert var == 0.0

@@ -431,3 +431,36 @@ def test_remove_repeated_lines_semantics(spark):
     assert set(loose.values()) == {0}
     with pytest.raises(NotImplementedError):
         remove_repeated_lines(docs, "text", "doc_id", 1, keep_first=True)
+
+
+def test_sample_frames_malformed_payloads(spark):
+    """Untrusted corpus bytes must not kill the stage: garbled headers,
+    zero dims, 16-bit maxval and truncated frames stop the per-payload
+    walk at the last clean frame; valid frames before the corruption are
+    still emitted."""
+    import struct
+
+    from xarray_histogram_spark.operators.multimodal import sample_frames
+
+    def frame(w, h, px):
+        return b"P6\n%d %d\n255\n" % (w, h) + bytes([px]) * (w * h * 3)
+
+    rows = [
+        (1, "video/p6", frame(2, 2, 7) + frame(2, 2, 9)),          # clean
+        (2, "video/p6", b"P6"),                                     # truncated header
+        (3, "video/p6", b"P6\nxy z\n255\n"),                        # garbled digits
+        (4, "video/p6", b"P6\n0 0\n255\n"),                         # zero dims
+        (5, "video/p6", b"P6\n1 1\n65535\n" + b"\x00" * 6),        # 16-bit
+        (6, "video/p6", frame(1, 1, 3) + frame(4, 4, 1)[:10]),      # clean + truncated
+        (7, "image/bmp", b"BM\x00\x00"),                            # non-P6
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    got = sample_frames(media).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {1, 6}
+    assert [r["frame_idx"] for r in sorted(by_id[1], key=lambda r: r["frame_idx"])] == [0, 1]
+    assert len(by_id[6]) == 1 and by_id[6][0]["px_sum"] == 9

@@ -149,3 +149,18 @@ def test_stats_invariant_under_normalize_and_follow_scale(spark, lineitem):
                      for r in h.scale(2.0).mean().collect())
     assert all(abs(a[1] * 2.0 - b[1]) < 1e-9
                for a, b in zip(raw_mean, sc_mean))
+
+
+def test_stats_keep_all_flow_groups(spark):
+    """A flow=True group whose every row lands in flow bins must still get
+    a (NULL-statistic) row — the dense result carries its zero-mass core
+    bins, and the sparse fast path must not be used in flow mode (it would
+    drop the group entirely)."""
+    rows = [("A", 100.0), ("A", -5.0), ("B", 0.5), ("B", 0.7)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    h = histogram(df, "x", Regular(4, 0.0, 1.0), group_by=["g"], flow=True)
+    med = {r["g"]: r["x_median"] for r in h.median().collect()}
+    assert set(med) == {"A", "B"}
+    assert med["A"] is None and med["B"] is not None
+    mean = {r["g"]: r["x_mean"] for r in h.mean().collect()}
+    assert set(mean) == {"A", "B"} and mean["A"] is None

@@ -1184,7 +1184,7 @@ def _mean_storage_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return mean_storage_histogram(
         t(spark, sf_dir, "lineitem"), "l_quantity",
-        Regular(10, 1.0, 51.0), "l_extendedprice", weight_scale=2,
+        Regular(10, 1.0, 51.0), "l_extendedprice", weight_scale=1,
     )
 
 
@@ -1193,7 +1193,7 @@ def _mean_storage_sql() -> str:
 
     return mean_storage_histogram_sql(
         "lineitem", "l_quantity", Regular(10, 1.0, 51.0), "l_extendedprice",
-        weight_scale=2,
+        weight_scale=1,
     )
 
 

@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 from ..binspec import flit, slit
 from ..functions import hashing as H
-from .sampling import assign_splits_sql, draw_hex, _hex_threshold
+from .sampling import assign_splits, assign_splits_sql
 from .text import (
     lang_id_sql,
     lang_pred_col,
@@ -85,17 +85,7 @@ def curate_documents(
     if langs is not None:
         out = out.where(F.col("lang_pred").isin(*langs))
     if splits:
-        d = draw_hex(F.col(id_col), salt)
-        acc, expr = 0.0, None
-        for name, frac in splits[:-1]:
-            acc += frac
-            cond = d < F.lit(_hex_threshold(acc))
-            expr = (
-                F.when(cond, F.lit(name)) if expr is None
-                else expr.when(cond, F.lit(name))
-            )
-        expr = expr.otherwise(F.lit(splits[-1][0]))
-        out = out.withColumn("split", expr)
+        out = assign_splits(out, id_col, splits, salt=salt)
     return out
 
 

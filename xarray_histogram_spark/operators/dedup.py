@@ -23,6 +23,8 @@ deterministic hashing substrate as the histogram oracle gate.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

@@ -386,11 +386,45 @@ def sample_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
     parse each P6 header (magic, dims, maxval, comments), slice its raster,
     advance — and emit every ``every_n``-th frame as a row
     (media_id, frame_idx, width, height, px_sum, first_byte), all derived
-    from the decoded raster bytes.  Non-P6 payloads yield no rows (sniffed,
-    not trusted).  Compressed containers (MP4/WebM) would slot into this
-    same kernel + schema but need codec libraries absent here."""
+    from the decoded raster bytes.  Payloads are UNTRUSTED corpus bytes:
+    non-P6 payloads yield no rows, and a malformed container (garbled
+    header digits, non-positive or 16-bit dims, truncation mid-frame)
+    stops the walk at the last cleanly parsed frame instead of failing
+    the task — one corrupt document must not kill a corpus-scale stage.
+    Compressed containers (MP4/WebM) would slot into this same kernel +
+    schema but need codec libraries absent here."""
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
+
+    def walk(bb: bytes):
+        """Yield (idx, w, h, raster) per cleanly parsed frame; stop on the
+        first malformed/truncated/unsupported frame."""
+        pos, idx = 0, 0
+        while bb[pos : pos + 2] == b"P6":
+            fields, p = [], pos + 2
+            try:
+                while len(fields) < 3:
+                    while p < len(bb) and bb[p : p + 1].isspace():
+                        p += 1
+                    if bb[p : p + 1] == b"#":
+                        while bb[p : p + 1] not in (b"\n", b""):
+                            p += 1
+                        continue
+                    start = p
+                    while p < len(bb) and not bb[p : p + 1].isspace():
+                        p += 1
+                    fields.append(int(bb[start:p]))
+            except ValueError:
+                return  # garbled header digits / truncated header
+            p += 1  # single whitespace after maxval
+            w, h, maxval = fields
+            if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+                return  # degenerate dims or 16-bit PPM: unsupported, skip
+            raster = bb[p : p + w * h * 3]
+            if len(raster) < w * h * 3:
+                return  # truncated trailing frame: stop, don't lie
+            yield idx, w, h, raster
+            pos, idx = p + w * h * 3, idx + 1
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -400,28 +434,7 @@ def sample_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                bb = bytes(payload)
-                pos, idx = 0, 0
-                while bb[pos : pos + 2] == b"P6":
-                    fields, p = [], pos + 2
-                    while len(fields) < 3:
-                        while p < len(bb) and bb[p : p + 1].isspace():
-                            p += 1
-                        if bb[p : p + 1] == b"#":
-                            while bb[p : p + 1] not in (b"\n", b""):
-                                p += 1
-                            continue
-                        start = p
-                        while p < len(bb) and not bb[p : p + 1].isspace():
-                            p += 1
-                        fields.append(int(bb[start:p]))
-                    p += 1  # single whitespace after maxval
-                    w, h, maxval = fields
-                    if maxval > 255:
-                        raise NotImplementedError("16-bit PPM not supported")
-                    raster = bb[p : p + w * h * 3]
-                    if len(raster) < w * h * 3:
-                        break  # truncated trailing frame: stop, don't lie
+                for idx, w, h, raster in walk(bytes(payload)):
                     if idx % every_n == 0:
                         out["media_id"].append(mid)
                         out["frame_idx"].append(idx)
@@ -429,7 +442,6 @@ def sample_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
                         out["height"].append(h)
                         out["px_sum"].append(sum(raster))
                         out["first_byte"].append(raster[0])
-                    pos, idx = p + w * h * 3, idx + 1
             yield pd.DataFrame(
                 {k: pd.Series(v, dtype="object") for k, v in out.items()}
             )

@@ -80,6 +80,25 @@ def binned_statistic(
     # overflow bound (|w|·10^s)²·rows < 2⁶³ — reduce weight_scale for large
     # weights); raw mode sums v·v doubles (fast, order-sensitive)
     vsq = (vsum * vsum) if weight_scale is not None else (v * v)
+    if weight_scale is not None and ({"sum_sq", "sample_var"} & set(stats)):
+        # Σq² must stay inside int64 (Spark would WRAP silently while the
+        # DuckDB oracle raises — silent corruption either way).  One eager
+        # bound job, the same pattern as histogram range inference:
+        # worst case Σq² ≤ n·q_max², q_max ≤ |v|_max·10^s + 0.5.
+        row = src.agg(
+            F.count(F.col(value)).alias("n"),
+            F.max(F.abs(F.col(value).cast("double"))).alias("m"),
+        ).first()
+        if row["n"] and row["m"] is not None:
+            q_max = abs(row["m"]) * divisor + 0.5
+            if q_max * q_max * row["n"] >= float(2**63):
+                raise ValueError(
+                    f"sum of squared quantized values can overflow int64: "
+                    f"max|{value}|={row['m']!r} at weight_scale="
+                    f"{weight_scale} over {row['n']} rows; pass a smaller "
+                    f"weight_scale (or weight_scale=None for raw double "
+                    f"sums)"
+                )
     base = src.select(
         *[F.col(g) for g in group_by],
         idc.alias(id_col(x)),
@@ -128,15 +147,21 @@ def binned_statistic(
         # unbiased per-bin sample variance from the exact sums: the
         # expression order below is mirrored CHARACTER-FOR-CHARACTER in the
         # SQL so the doubles hash-match
+        # clamped at 0: for a near-constant bin the two ~equal large
+        # doubles' rounding difference can exceed the tiny true variance
+        # and go (harmlessly but confusingly) negative
         "sample_var": F.when(
             F.col("__n") >= F.lit(2),
-            (
-                F.col("__sum_sq").cast("double") / F.lit(divisor) / F.lit(divisor)
-                - (F.col("__sum").cast("double") / F.lit(divisor))
-                * (F.col("__sum").cast("double") / F.lit(divisor))
-                / F.col("__n").cast("double")
-            )
-            / (F.col("__n").cast("double") - F.lit(1.0)),
+            F.greatest(
+                (
+                    F.col("__sum_sq").cast("double") / F.lit(divisor) / F.lit(divisor)
+                    - (F.col("__sum").cast("double") / F.lit(divisor))
+                    * (F.col("__sum").cast("double") / F.lit(divisor))
+                    / F.col("__n").cast("double")
+                )
+                / (F.col("__n").cast("double") - F.lit(1.0)),
+                F.lit(0.0),
+            ),
         ).alias(f"sample_var_{value}"),
     }
     meta = axis_meta_exprs(x, spec, flow)
@@ -179,10 +204,10 @@ def binned_statistic_sql(
         )
         n_d = f"CAST(COUNT({value}) AS DOUBLE)"
         svar_out = (
-            f"CASE WHEN COUNT({value}) >= 2 THEN "
+            f"CASE WHEN COUNT({value}) >= 2 THEN GREATEST("
             f"({sum_sq_out} - (CAST(SUM({sw}) AS DOUBLE) / {divisor}) * "
-            f"(CAST(SUM({sw}) AS DOUBLE) / {divisor}) / {n_d}) / ({n_d} - 1.0) "
-            f"END"
+            f"(CAST(SUM({sw}) AS DOUBLE) / {divisor}) / {n_d}) / ({n_d} - 1.0)"
+            f", 0.0) END"
         )
     else:
         sum_out = f"SUM(CAST({value} AS DOUBLE))"
@@ -190,9 +215,9 @@ def binned_statistic_sql(
         sum_sq_out = f"SUM(CAST({value} AS DOUBLE) * CAST({value} AS DOUBLE))"
         n_d = f"CAST(COUNT({value}) AS DOUBLE)"
         svar_out = (
-            f"CASE WHEN COUNT({value}) >= 2 THEN "
-            f"({sum_sq_out} - {sum_out} * {sum_out} / {n_d}) / ({n_d} - 1.0) "
-            f"END"
+            f"CASE WHEN COUNT({value}) >= 2 THEN GREATEST("
+            f"({sum_sq_out} - {sum_out} * {sum_out} / {n_d}) / ({n_d} - 1.0)"
+            f", 0.0) END"
         )
     outs = {
         # COUNT(value), not COUNT(*): the engine counts non-NULL values

@@ -444,6 +444,9 @@ def histogramdd(
         agg, cols, specs, group_by=group_by, flow=flow, density=density,
         storage=storage, int_mode=int_mode, divisor=divisor,
         weighted=weights is not None, dense=dense,
+        # preserve_groups aggregates flow ids so all-flow groups survive
+        # densely; the sparse fast path would drop them (see finish_from_agg)
+        sparse_ok=not (preserve_groups and group_by),
     )
 
 
@@ -460,10 +463,20 @@ def finish_from_agg(
     divisor: float,
     weighted: bool,
     dense: bool = False,
+    sparse_ok: bool = True,
 ) -> HistogramResult:
     """Shared finish stage: sparse (group, bin-ids, __val) aggregate →
     dense labelled result.  Used by both the pure-Column path and the
     Arrow/numpy fill path (plans.fast_fill) — identical output.
+
+    ``sparse_ok``: whether downstream statistics may read the sparse
+    aggregate directly instead of the dense result.  The fast path is
+    only attached when ``flow`` is off AND the caller did not aggregate
+    flow ids for group preservation: in either of those modes a group (or
+    the global row set) whose mass sits ENTIRELY in flow bins survives
+    into the dense output as zero-mass rows — the statistics then emit a
+    NULL-statistic row for it — but the core-bin filter on the sparse
+    aggregate would drop it with no row at all.
 
     Dense output:
     - Ungrouped: if the caller pre-densified (``dense=True`` — the spine
@@ -600,7 +613,7 @@ def finish_from_agg(
     return _finish_value_col(
         filled, cols, specs, group_by=group_by, flow=flow, density=density,
         storage=storage, int_mode=int_mode, divisor=divisor, weighted=weighted,
-        sparse=agg,
+        sparse=agg if (sparse_ok and not flow) else None,
     )
 
 
