@@ -59,11 +59,11 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # head holds (a) the 32 entries whose freshest driver row is round 2 —
 # the oldest-verified family (hist_regular_1d, hist_density, alg_*,
 # stat_var/std/moment3, merge/rollup, …) — and (b) every query whose plan
-# changed in round 4 (all stat_* via the sparse-aggregate statistics path,
-# hist_columns via the single-scan posexplode rewrite, mm_sample_frames
-# new), EXCLUDED from this set even where round 3 verified them, so the
-# driver re-verifies them under the new engine.  r03-verified unchanged
-# queries sit at the tail (their plans and expressions are untouched).
+# changed in round 4 (all stat_* via the sparse-aggregate statistics
+# path; every unweighted histogram via the COUNT(*) aggregate;
+# hist_columns via the column-pruned branch plan), EXCLUDED from this set
+# even where round 3 verified them, so the driver re-verifies them under
+# the new engine.  r03-verified unchanged queries sit at the tail.
 _DRIVER_VERIFIED = frozenset({
     "alg_project", "alg_slice_bins", "binned_stat_grouped",
     "binned_stat_profile", "dedup_components", "dedup_embed_components",
