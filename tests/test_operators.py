@@ -464,3 +464,44 @@ def test_sample_frames_malformed_payloads(spark):
     assert set(by_id) == {1, 6}
     assert [r["frame_idx"] for r in sorted(by_id[1], key=lambda r: r["frame_idx"])] == [0, 1]
     assert len(by_id[6]) == 1 and by_id[6][0]["px_sum"] == 9
+
+
+def test_line_operators_multiline_oracle(spark, tmp_path):
+    """The documents fixture is single-line text, so the driver gate never
+    exercises the newline-splitting mirrors on real line structure; pin
+    engine ≡ DuckDB on multi-line (and tab/empty-line) documents here."""
+    import duckdb
+
+    from xarray_histogram_spark.operators.text import (
+        remove_repeated_lines,
+        remove_repeated_lines_sql,
+        repetition_stats,
+        repetition_stats_sql,
+    )
+
+    from .util import assert_matches_sql
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\ncookie banner\nunique line a"),
+            (2, "cookie banner\nunique line b"),
+            (3, "cookie banner\nkeep me too\n\nafter empty"),
+            (4, "all unique here"),
+            (5, "tab\there\ncookie banner"),
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "ml.parquet")
+    docs.coalesce(1).write.parquet(out)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW mldocs AS SELECT * FROM read_parquet('{out}/*.parquet')"
+    )
+    assert_matches_sql(
+        remove_repeated_lines(spark.read.parquet(out), "text", "doc_id", 1),
+        remove_repeated_lines_sql("mldocs", "text", "doc_id", 1), con,
+    )
+    assert_matches_sql(
+        repetition_stats(spark.read.parquet(out), "text", "doc_id"),
+        repetition_stats_sql("mldocs", "text", "doc_id"), con,
+    )
