@@ -7,6 +7,7 @@ flow encodings (±inf / int64 min-max / "_flow_bin"), widths/centers."""
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from xarray_histogram_spark.binspec import (
     FLOW_STR,
@@ -142,3 +143,30 @@ def test_integer_bool_labels():
     import pytest as _pt
     with _pt.raises(ValueError):
         Integer(0, 3, bool_labels=True)
+
+
+def test_category_large_set_array_branch_matches_when_chain(spark):
+    """Category sets above the when-chain threshold compile to the
+    array_position form; both compilations must emit identical ids
+    (including NULL → overflow and miss → overflow)."""
+    import xarray_histogram_spark.binspec as bs
+
+    cats_i = tuple(range(0, 80, 2))          # 40 int categories
+    cats_s = tuple(f"c{i}" for i in range(40))
+    rows = [(i, f"c{i % 50}") for i in range(100)] + [(None, None)]
+    df = spark.createDataFrame(rows, "iv bigint, sv string")
+    for spec, col in (
+        (bs.IntCategory(cats_i), "iv"),
+        (bs.StrCategory(cats_s), "sv"),
+    ):
+        assert spec.n > bs._CAT_CASE_MAX
+        big = df.select(spec.raw_id_col(F.col(col)).alias("id")).collect()
+        # force the when-chain branch by lowering the threshold
+        orig = bs._CAT_CASE_MAX
+        bs._CAT_CASE_MAX = 10**9
+        try:
+            small = df.select(spec.raw_id_col(F.col(col)).alias("id")).collect()
+        finally:
+            bs._CAT_CASE_MAX = orig
+        assert [r["id"] for r in big] == [r["id"] for r in small]
+        assert all(0 <= r["id"] <= spec.n for r in big)
