@@ -343,3 +343,46 @@ def test_streaming_drop_duplicates_within_watermark(spark, events_ts):
         spark.read.parquet(merged), "text", "ts"
     ).count()
     assert batch == n_distinct
+
+
+def test_text_operators_run_in_streaming(spark, sf_dir, tmp_path):
+    """The text-curation projections (quality, lang-ID, token counts,
+    repetition) are stateless Column arithmetic, so they run UNCHANGED on
+    a stream — streamed per-doc results must equal the batch results.
+    (The window/aggregation stages of curate/dedup need the watermarked
+    streaming operators in streaming/ instead.)"""
+    from pyspark.sql import functions as F
+
+    from xarray_histogram_spark.operators.text import (
+        lang_pred_col, quality_cols, repetition_stats, token_count_cols,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+
+    def features(df):
+        return df.select(
+            "doc_id", lang_pred_col("text"), *quality_cols("text"),
+            *token_count_cols("text"),
+        )
+
+    sdf = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        features(sdf).writeStream.format("memory")
+        .queryName("stream_text_features").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("stream_text_features").orderBy("doc_id").collect()
+    exp = features(spark.read.parquet(src)).orderBy("doc_id").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    assert len(got) == 50
+    # repetition_stats streams too (pure projection module-level op)
+    q2 = (
+        repetition_stats(sdf, "text", "doc_id").writeStream.format("memory")
+        .queryName("stream_repetition").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    assert spark.table("stream_repetition").count() == 50
