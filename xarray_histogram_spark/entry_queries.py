@@ -89,7 +89,7 @@ _DRIVER_VERIFIED = frozenset({
 _NEW_THIS_ROUND = (
     "dedup_contamination", "text_line_dedup", "text_repetition",
     "text_top_terms", "pipeline_curate", "mm_sample_frames",
-    "hist_weight_storage", "hist_mean_storage",
+    "hist_weight_storage", "hist_mean_storage", "hist_columns_weighted",
 )
 
 
@@ -244,6 +244,26 @@ register(
     "hist_columns", _hist_columns_fn,
     orc.histogram_columns_oracle_sql(
         "lineitem", ["l_discount", "l_tax"], Regular(11, 0.0, 0.11),
+    ),
+)
+
+
+def _hist_columns_weighted_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shared per-row weight across the per-column branches (the reference's
+    # broadcastable weight array against a (k × N) input)
+    from .plans.histogram import histogram_columns
+
+    return histogram_columns(
+        t(spark, sf_dir, "lineitem"), ["l_discount", "l_tax"],
+        Regular(11, 0.0, 0.11), weights="l_quantity",
+    ).df
+
+
+register(
+    "hist_columns_weighted", _hist_columns_weighted_fn,
+    orc.histogram_columns_oracle_sql(
+        "lineitem", ["l_discount", "l_tax"], Regular(11, 0.0, 0.11),
+        weights="l_quantity",
     ),
 )
 
