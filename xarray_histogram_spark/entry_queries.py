@@ -80,6 +80,13 @@ _DRIVER_VERIFIED = frozenset({
     "sim_ann_indexed", "sim_ann_topk", "sim_cosine_topk", "sim_ivf_topk",
     "streaming_dedup_state", "streaming_window_hist",
     "text_langid", "text_quality", "text_token_count",
+    # r03-verified entries whose round-4-changed machinery is covered by
+    # in-window siblings (stat_mean/stat_median exercise the same sparse
+    # statistics path as their 2-var/weighted variants; hist_weighted's
+    # sum aggregate is untouched by the COUNT(*) rework) — demoted so the
+    # ~50-query window reaches every r02-stale entry
+    "hist_weighted", "hist_weighted_grouped_density",
+    "stat_mean_2d", "stat_median_2d", "stat_mean_weighted",
 })
 
 
