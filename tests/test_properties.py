@@ -256,3 +256,20 @@ def test_quantile_edges_exact_skewed_vs_sorted_oracle(spark):
     # the heavy value must collapse duplicate edges (fewer, increasing)
     e = quantile_edges(df, "x", 10)
     assert e == sorted(set(e)) and len(e) >= 2
+
+
+def test_curate_partitioning_independent(spark, sf_dir):
+    """The curation pipeline's output is a pure function of the data —
+    identical rows under different input partitionings (the md5 window
+    and split draws are value-deterministic, never order/partition
+    dependent)."""
+    from xarray_histogram_spark.operators.curate import curate_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = curate_documents(docs.repartition(3), "text", "doc_id",
+                         quality_min=0.2, salt="s")
+    b = curate_documents(docs.repartition(11), "text", "doc_id",
+                         quality_min=0.2, salt="s")
+    ra = sorted(map(str, a.collect()))
+    rb = sorted(map(str, b.collect()))
+    assert ra == rb and len(ra) > 0
