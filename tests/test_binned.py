@@ -161,3 +161,37 @@ def test_sum_sq_overflow_guard_and_variance_clamp(spark):
                            stats=("sample_var",), weight_scale=6)
     var = out.collect()[0]["sample_var_v"]
     assert var == 0.0
+
+
+def test_weight_storage_grouped(spark, sf_dir):
+    """Grouped Weight() storage: sparse (group, bin) rows whose value and
+    variance equal the per-(group, bin) direct aggregation."""
+    from xarray_histogram_spark import Regular
+    from xarray_histogram_spark.plans.binned import weight_storage_histogram
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = {
+        (r["l_returnflag"], r["l_quantity_bin"]): (r["value"], r["variance"])
+        for r in weight_storage_histogram(
+            li, "l_quantity", Regular(5, 1.0, 51.0), "l_discount",
+            group_by=["l_returnflag"],
+        ).collect()
+    }
+    exp = {
+        (r["g"], r["b"]): (r["sw"], r["sw2"])
+        for r in li.where(F.col("l_quantity").between(1.0, 51.0))
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.floor((F.col("l_quantity") - 1.0) / 10.0).cast("int").alias("b"),
+            F.round(F.col("l_discount") * 1e6).cast("bigint").alias("q"),
+        )
+        .groupBy("g", "b")
+        .agg(
+            (F.sum("q").cast("double") / 1e6).alias("sw"),
+            (F.sum(F.col("q") * F.col("q")).cast("double") / 1e6 / 1e6)
+            .alias("sw2"),
+        )
+        .collect()
+    }
+    assert out == {k: (pytest.approx(v[0]), pytest.approx(v[1]))
+                   for k, v in exp.items()}
