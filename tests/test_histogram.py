@@ -425,3 +425,19 @@ def test_histogram_columns_weighted_branch_values(spark, lineitem):
         h = histogram(lineitem, c, spec, weights="l_quantity")
         for row in h.df.collect():
             assert got[(c, row[f"{c}_bin"])] == row[h.value_col]
+
+
+def test_histogram_columns_result_statistics(spark, lineitem):
+    """The along-dim result is a full HistogramResult: per-series
+    statistics work, with the series dim acting as a group key, and agree
+    with the statistic of a standalone per-column histogram."""
+    from xarray_histogram_spark import histogram_columns
+
+    spec = Regular(11, 0.0, 0.11)
+    r = histogram_columns(lineitem, ["l_discount", "l_tax"], spec,
+                          dim_name="series")
+    med = {row["series"]: row["value_median"] for row in r.median().collect()}
+    assert set(med) == {"l_discount", "l_tax"}
+    solo = histogram(lineitem, "l_discount", spec)
+    expect = solo.median().first()["l_discount_median"]
+    assert med["l_discount"] == expect
