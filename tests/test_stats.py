@@ -164,3 +164,25 @@ def test_stats_keep_all_flow_groups(spark):
     assert med["A"] is None and med["B"] is not None
     mean = {r["g"]: r["x_mean"] for r in h.mean().collect()}
     assert set(mean) == {"A", "B"} and mean["A"] is None
+
+
+def test_stats_sparse_and_dense_paths_agree(spark, lineitem, tmp_path):
+    """A reloaded result has no sparse aggregate (_sparse=None → dense
+    statistics path); a fresh result uses the sparse fast path.  Every
+    statistic must be bit-identical across the two paths."""
+    from xarray_histogram_spark import read_result, write_result
+
+    h = histogram(lineitem, "l_quantity", Regular(12, 1.0, 51.0),
+                  group_by=["l_returnflag"])
+    assert h._sparse is not None
+    path = str(tmp_path / "h")
+    write_result(h, path)
+    r = read_result(spark, path)
+    assert r._sparse is None
+    for stat in ("median", "mean", "std"):
+        fresh = sorted(map(str, getattr(h, stat)().collect()))
+        reload = sorted(map(str, getattr(r, stat)().collect()))
+        assert fresh == reload, stat
+    fresh_ppf = sorted(map(str, h.ppf(0.9).collect()))
+    reload_ppf = sorted(map(str, r.ppf(0.9).collect()))
+    assert fresh_ppf == reload_ppf
