@@ -441,3 +441,33 @@ def test_histogram_columns_result_statistics(spark, lineitem):
     solo = histogram(lineitem, "l_discount", spec)
     expect = solo.median().first()["l_discount_median"]
     assert med["l_discount"] == expect
+
+
+def test_count_path_equals_unit_weight_sum_path(lineitem):
+    """The COUNT(*)−spine-correction plan (round-4 unweighted rework) must
+    equal a weighted histogram with unit weights, which exercises the
+    untouched SUM aggregation machinery — two independent plans, one
+    answer.  Covers ungrouped dense, grouped, and flow variants."""
+    from pyspark.sql import functions as F
+
+    du = lineitem.withColumn("one", F.lit(1.0))
+    spec = Regular(13, 1.0, 51.0)
+    for kw in (
+        {},
+        {"group_by": ["l_returnflag"]},
+        {"flow": True},
+    ):
+        a = histogram(lineitem, "l_quantity", spec, **kw)
+        b = histogram(du, "l_quantity", spec, weights="one",
+                      weight_scale=0, **kw)
+        ka = sorted(
+            tuple(r[c] for c in (*kw.get("group_by", []), "l_quantity_bin"))
+            + (r[a.value_col],)
+            for r in a.df.collect()
+        )
+        kb = sorted(
+            tuple(r[c] for c in (*kw.get("group_by", []), "l_quantity_bin"))
+            + (r[b.value_col],)
+            for r in b.df.collect()
+        )
+        assert ka == kb, kw
