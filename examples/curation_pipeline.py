@@ -1,0 +1,77 @@
+"""Executable training-data curation walkthrough over the documents table:
+the operator families a 100 TB text pipeline runs, end to end —
+
+  1. corpus-wide boilerplate-line removal      (remove_repeated_lines)
+  2. benchmark decontamination                 (ngram_contamination)
+  3. near-duplicate candidate generation       (MinHash + LSH, capped)
+  4. one-pass curation: dedup-keep → quality/
+     language/token features → filters → splits (curate_documents)
+  5. corpus term statistics                    (top_terms)
+
+Run:  python examples/curation_pipeline.py [sf_dir]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from xarray_histogram_spark import curate_documents
+from xarray_histogram_spark.operators.dedup import (
+    lsh_candidate_pairs, ngram_contamination,
+)
+from xarray_histogram_spark.operators.text import (
+    remove_repeated_lines, top_terms,
+)
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+docs = spark.read.parquet(f"{sf}/documents.parquet")
+n0 = docs.count()
+
+# 1. strip corpus-wide boilerplate lines (cap = 3 occurrences)
+cleaned = remove_repeated_lines(docs, "text", "doc_id", max_occurrences=3)
+n_removed = cleaned.agg(F.sum("n_lines_removed")).first()[0]
+
+# 2. flag docs leaking the held-out slice (src14 as the "benchmark")
+flagged = ngram_contamination(
+    docs.where(F.col("source") != "src14"),
+    docs.where(F.col("source") == "src14"),
+    "text", "doc_id", k=12, min_hits=40,
+)
+n_contaminated = flagged.count()
+
+# 3. near-dup candidates (degenerate buckets capped — the 100 TB guard)
+pairs = lsh_candidate_pairs(docs, "text", "doc_id", max_bucket=10_000)
+n_pairs = pairs.count()
+
+# 4. the one-scan one-shuffle curation plan
+curated = curate_documents(
+    docs, "text", "doc_id", quality_min=0.2, langs=("en", "und"),
+    salt="demo",
+)
+split_counts = {r["split"]: r["n"] for r in
+                curated.groupBy("split").agg(F.count("*").alias("n")).collect()}
+
+# 5. per-doc salient terms
+terms = top_terms(docs, "text", "doc_id", k=3, min_df=2)
+
+print(f"docs: {n0}")
+print(f"boilerplate lines removed corpus-wide: {n_removed}")
+print(f"docs overlapping the benchmark slice: {n_contaminated}")
+print(f"near-duplicate candidate pairs: {n_pairs}")
+print(f"curated split sizes: {split_counts}")
+print("sample top terms:")
+terms.orderBy("doc_id", F.col("score").desc()).show(6)
+assert sum(split_counts.values()) > 0 and n0 > 0
+print("curation pipeline walkthrough OK")
+spark.stop()
