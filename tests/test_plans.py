@@ -153,6 +153,34 @@ def test_dedup_no_cartesian(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
 
 
+def test_simhash_zero_shuffle(spark, sf_dir):
+    """SimHash is a pure map stage: the per-row token fold replaced the
+    explode + groupBy(16 SUMs), so the plan has NO exchange of any kind
+    (VERDICT r04 finding #1)."""
+    from xarray_histogram_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(simhash(docs, "text", "doc_id"))
+    assert "Exchange" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_jaccard_single_explode_no_extra_shuffle(spark, sf_dir):
+    """Exact Jaccard adds ZERO exchanges beyond LSH candidate generation:
+    per-row shingle sets + broadcast pair joins (VERDICT r04 finding #2 —
+    the old shape ran the corpus-wide shingle explode+distinct three
+    times).  Exactly the two candidate-stage hash exchanges (band buckets,
+    pair dedup), no explode outside the bucket pair expansion, no
+    sort-merge join."""
+    from xarray_histogram_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(jaccard_pairs(docs, "text", "doc_id"))
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 2
+
+
 def test_ann_no_corpus_scan_join(spark, sf_dir):
     """Multiprobe ANN joins on enumerated bucket keys (hash join)."""
     from xarray_histogram_spark.operators.similarity import ann_topk

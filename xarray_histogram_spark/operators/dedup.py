@@ -63,12 +63,6 @@ N_HASHES = 8
 N_BANDS = 4  # bands of 2 slices
 
 
-def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    return df.select(
-        F.col(id_col), F.explode(H.shingles(F.col(text_col), k)).alias("sh")
-    ).distinct()
-
-
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = 8
 ) -> DataFrame:
@@ -216,36 +210,61 @@ def lsh_candidate_pairs_sql(
 
 
 def jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, k: int = 8
+    df: DataFrame, text_col: str, id_col: str, k: int = 8,
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for every LSH candidate pair:
-    (id_a, id_b, jaccard)."""
+    (id_a, id_b, jaccard).
+
+    Shape (reworked round 5, VERDICT r04 finding #2): the former
+    formulation built a corpus-wide (id, shingle) explode + distinct
+    relation and fed it to THREE consumers (sizes, side a, side b) —
+    Spark does not share duplicate subtrees, so that shuffle ran three
+    times.  Now each document's shingle SET is one per-row
+    ``array_distinct`` array (zero shuffle, no explode), its size rides
+    in the same row, and the intersection is a per-pair-row
+    ``array_intersect`` after joining the candidate pairs to the two set
+    rows.  With the (output-bounded) pair list broadcast, the whole
+    Jaccard stage adds ZERO exchanges beyond ``lsh_candidate_pairs``'s
+    band shuffle: two broadcast joins over corpus map scans.
+
+    Null faithfulness: a null-text document's shingle array is ``[null]``
+    (size 1); the old equality join never matched null shingles, so the
+    a-side set is null-filtered before ``array_intersect`` (whose own
+    null-matching semantics must not leak in) — such pairs keep
+    jaccard = 0.0 exactly as before, and the DuckDB oracle mirror is
+    unchanged.
+
+    ``broadcast_pairs=False`` drops the broadcast hint for corpora whose
+    candidate set exceeds driver/broadcast memory and lets AQE pick the
+    join strategy (same opt-out pattern as ``ngram_contamination``)."""
     pairs = lsh_candidate_pairs(df, text_col, id_col, k).select("id_a", "id_b")
-    sh = _shingle_rows(df, text_col, id_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
-    inter = (
-        pairs.join(sh.alias("sa"), pairs["id_a"] == F.col(f"sa.{id_col}"))
-        .join(
-            sh.alias("sb"),
-            (pairs["id_b"] == F.col(f"sb.{id_col}"))
-            & (F.col("sa.sh") == F.col("sb.sh")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    if broadcast_pairs:
+        pairs = F.broadcast(pairs)
+    shset = F.array_distinct(H.shingles(F.col(text_col), k))
+    shs = df.select(
+        F.col(id_col).alias("_sid"),
+        shset.alias("shset"),
+        F.size(shset).alias("nsh"),
     )
-    out = (
-        inter.join(sizes.alias("za"), inter["id_a"] == F.col(f"za.{id_col}"))
-        .join(sizes.alias("zb"), inter["id_b"] == F.col(f"zb.{id_col}"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("za.nsh") + F.col("zb.nsh") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
+    joined = (
+        pairs.join(shs.alias("a"), pairs["id_a"] == F.col("a._sid"))
+        .join(shs.alias("b"), pairs["id_b"] == F.col("b._sid"))
+    )
+    inter = F.size(
+        F.array_intersect(
+            F.filter(F.col("a.shset"), lambda x: x.isNotNull()),
+            F.col("b.shset"),
         )
     )
-    return out
+    return joined.select(
+        "id_a",
+        "id_b",
+        (
+            inter.cast("double")
+            / (F.col("a.nsh") + F.col("b.nsh") - inter).cast("double")
+        ).alias("jaccard"),
+    )
 
 
 def jaccard_pairs_sql(table: str, text_col: str, id_col: str, k: int = 8) -> str:
@@ -444,24 +463,44 @@ SIMHASH_BITS = 16
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """16-bit SimHash over token md5 nibbles: (id, simhash BIGINT).
-    One groupBy with 16 conditional aggregates over exploded tokens — one
-    shuffle.  Documents with no tokens (empty/null text) produce no row."""
-    toks = df.select(
-        F.col(id_col), F.explode(H.tokens(F.col(text_col))).alias("tok")
+    """16-bit SimHash over token md5 nibbles: (id, simhash BIGINT),
+    computed **per row with zero shuffle** — one fold over the token
+    array accumulates the 16 bit-counters (±1 per token), then a sign
+    fold packs the bits.  Bit-identical to the former explode +
+    groupBy(16 SUMs) formulation (the same ±1 totals over the same token
+    multiset), so the DuckDB oracle mirror is unchanged.  Documents with
+    no tokens (empty/null text) produce no row, matching the grouped
+    form.  At corpus scale this makes SimHash a pure map stage — the old
+    shape shuffled every (id, token) row, an input-proportional exchange.
+
+    Single-aggregate shape for the same reason as ``minhash_signatures``:
+    Spark 4.1.2's analyzer mis-resolves lambda variables when several
+    output columns each nest higher-order functions (see NOTE there)."""
+    toks_arr = H.tokens(F.col(text_col))
+    h4_arr = F.transform(
+        toks_arr, lambda t: F.substring(F.md5(t.cast("binary")), 1, 4)
     )
-    h4 = F.substring(F.md5(F.col("tok").cast("binary")), 1, 4)
-    aggs = []
-    for b in range(SIMHASH_BITS):
-        v = H.nibble_val(F.substring(h4, 1 + b // 4, 1))
-        bit = F.shiftright(v, 3 - b % 4).bitwiseAND(F.lit(1))
-        aggs.append(
-            F.sum(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"s{b}")
-        )
-    scored = toks.groupBy(id_col).agg(*aggs)
+
+    def step(acc, c):
+        terms = []
+        for b in range(SIMHASH_BITS):
+            v = H.nibble_val(F.substring(c, 1 + b // 4, 1))
+            bit = F.shiftright(v, 3 - b % 4).bitwiseAND(F.lit(1))
+            terms.append(
+                F.element_at(acc, b + 1)
+                + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+            )
+        return F.array(*terms)
+
+    sig = F.aggregate(h4_arr, F.array_repeat(F.lit(0), SIMHASH_BITS), step)
+    scored = df.where(F.size(toks_arr) > 0).select(
+        F.col(id_col), sig.alias("_s")
+    )
     sim = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        term = F.when(
+            F.element_at(F.col("_s"), b + 1) > 0, F.lit(2**b)
+        ).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return scored.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
 
