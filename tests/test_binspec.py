@@ -59,6 +59,27 @@ def test_regular_validation():
         Regular(3, -1.0, 1.0, transform="log")
     with pytest.raises(ValueError):
         Regular(3, 0.0, 1.0, transform="exp")
+    with pytest.raises(ValueError):
+        Regular(3, 0.0, 1.0, transform="pow")  # power missing
+    with pytest.raises(ValueError):
+        Regular(3, 0.0, 1.0, transform="pow", power=-1.0)
+    with pytest.raises(ValueError):
+        Regular(3, -1.0, 1.0, transform="pow", power=2.0)
+    with pytest.raises(ValueError):
+        Regular(3, 0.0, 1.0, power=2.0)  # power without transform="pow"
+
+
+def test_regular_pow_edges():
+    """pow(p) edge spacing: y = x^p uniform => edges = (i/n · span_y)^(1/p);
+    p=2 on [0,16] gives sqrt-spaced edges, p=0.5 gives square-spaced."""
+    s = Regular(4, 0.0, 16.0, transform="pow", power=0.5)
+    assert s.edges() == [0.0, 1.0, 4.0, 9.0, 16.0]
+    s2 = Regular(2, 0.0, 4.0, transform="pow", power=2.0)
+    es = s2.edges()
+    assert es[0] == 0.0 and es[-1] == 4.0
+    assert es[1] == pytest.approx(math.sqrt(8.0))
+    d = s.to_dict()
+    assert BinSpec.from_dict(d) == s
 
 
 def test_variable_metadata():

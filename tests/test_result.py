@@ -96,6 +96,51 @@ def test_apply_func_isolation(spark, lineitem):
         h.normalize().normalize()
 
 
+def test_apply_func_kwargs_passthrough(spark, lineitem):
+    """Reference accessor.py:354-380: apply_func(func, variable, **kwargs)
+    forwards kwargs to the edge function."""
+    h = histogram(lineitem, "l_quantity", Regular(5, 1.0, 51.0))
+    g = h.apply_func(lambda e, scale, off: e * scale + off, scale=2.0, off=1.0)
+    assert g.specs["l_quantity"].edges() == [
+        e * 2.0 + 1.0 for e in h.specs["l_quantity"].edges()
+    ]
+
+
+def test_edges_flow_parity(spark, lineitem):
+    """Reference accessor.py:164-179 / core.py:594-611: edges(flow=True)
+    wraps the interior edges in the flow positions; flow=False strips
+    them; a no-flow histogram is unaffected by the parameter."""
+    h = histogram(lineitem, "l_quantity", Regular(5, 1.0, 51.0), flow=True)
+    interior = h.specs["l_quantity"].edges()
+    assert h.edges() == [float("-inf")] + interior + [float("inf")]
+    assert h.edges(flow=False) == interior
+    g = histogram(lineitem, "l_quantity", Regular(5, 1.0, 51.0))
+    assert g.edges() == g.edges(flow=False) == interior
+    # one-sided flow: only the existing side gets a flow position
+    s = histogram(
+        lineitem, "l_quantity", Regular(5, 1.0, 51.0, underflow=False),
+        flow=True,
+    )
+    assert s.edges() == interior + [float("inf")]
+
+
+def test_growth_axis_discovers_categories(spark, lineitem):
+    """Growth() resolves to the sorted observed category set
+    (discover-then-bin; reference core.py:266-269 rejects growth under
+    Dask — Spark is in the same lazy position)."""
+    from xarray_histogram_spark import Growth
+
+    h = histogram(lineitem, "l_returnflag", Growth())
+    got = set(h.specs["l_returnflag"].categories)
+    want = {
+        r[0]
+        for r in lineitem.select("l_returnflag").distinct().collect()
+        if r[0] is not None
+    }
+    assert got == want
+    assert list(h.specs["l_returnflag"].categories) == sorted(got)
+
+
 def test_remove_flow_resets_specs(spark, lineitem):
     h = histogram(lineitem, "l_quantity", Regular(6, 10.0, 40.0), flow=True)
     r = h.remove_flow()

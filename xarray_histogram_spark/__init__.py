@@ -12,6 +12,7 @@ multimodal plumbing) designed for 100 TB scale.
 """
 
 from .binspec import (
+    Growth,
     FLOW_STR,
     I64_MAX,
     I64_MIN,
@@ -67,6 +68,7 @@ __all__ = [
     "Integer",
     "IntCategory",
     "StrCategory",
+    "Growth",
     "I64_MIN",
     "I64_MAX",
     "FLOW_STR",

@@ -230,6 +230,21 @@ class BinSpec:
         return cls(**d)
 
 
+@dataclass(frozen=True)
+class Growth:
+    """Growth-axis marker — the reference's ``growth=True`` category axes
+    (accepted on its NumPy path, rejected under Dask, core.py:266-269:
+    lazy backends need the output schema before data flows).  Spark is in
+    the Dask position, so growth becomes discover-then-bin: passing
+    ``Growth()`` as a bin spec makes ``resolve_specs`` run ONE distinct
+    scan over the column (``categories_from_data``) and substitute a
+    sorted StrCategory/IntCategory over the observed values.  Same result
+    set as a grown axis, deterministic bin order, an explicit (bounded)
+    extra job rather than a hidden one."""
+
+    max_categories: int = 10_000
+
+
 def _numeric_ok(dt: T.DataType) -> bool:
     return isinstance(
         dt,
@@ -263,7 +278,8 @@ class Regular(BinSpec):
     headline performance advantage (docs/source/usage.rst:54-59) — here it is
     a codegen'd floor expression.
 
-    ``transform``: None | "log" | "sqrt".  Transformed axes keep O(1) lookup
+    ``transform``: None | "log" | "sqrt" | "pow" (with ``power=p``, p > 0 —
+    boost's Pow transform).  Transformed axes keep O(1) lookup
     by bucketing the transformed value against transformed bounds when
     ``exact=False``; with ``exact=True`` (the oracle-deterministic path) the
     precomputed edges are scanned with exact comparisons so Spark and DuckDB
@@ -277,6 +293,7 @@ class Regular(BinSpec):
     overflow: bool = True
     transform: Optional[str] = None
     exact: bool = False
+    power: Optional[float] = None
     label_type: str = field(default="double", init=False)
 
     def __post_init__(self) -> None:
@@ -284,12 +301,21 @@ class Regular(BinSpec):
             raise ValueError("Regular: nbins must be > 0")
         if not (self.hi > self.lo):
             raise ValueError("Regular: need hi > lo")
-        if self.transform not in (None, "log", "sqrt"):
+        if self.transform not in (None, "log", "sqrt", "pow"):
             raise ValueError(f"unknown transform {self.transform!r}")
         if self.transform == "log" and self.lo <= 0:
             raise ValueError("log transform needs lo > 0")
         if self.transform == "sqrt" and self.lo < 0:
             raise ValueError("sqrt transform needs lo >= 0")
+        if self.transform == "pow":
+            # boost's transform family third member (usage.rst:61-75 shows
+            # the mechanism); x^p is monotonic on [0, ∞) for p > 0 only
+            if self.power is None or not float(self.power) > 0:
+                raise ValueError("pow transform needs power > 0")
+            if self.lo < 0:
+                raise ValueError("pow transform needs lo >= 0")
+        elif self.power is not None:
+            raise ValueError("power is only valid with transform='pow'")
 
     @property
     def n(self) -> int:
@@ -300,6 +326,8 @@ class Regular(BinSpec):
             return math.log(v)
         if self.transform == "sqrt":
             return math.sqrt(v)
+        if self.transform == "pow":
+            return math.pow(v, float(self.power))
         return v
 
     def _tf_inv(self, v: float) -> float:
@@ -307,6 +335,8 @@ class Regular(BinSpec):
             return math.exp(v)
         if self.transform == "sqrt":
             return v * v
+        if self.transform == "pow":
+            return math.pow(v, 1.0 / float(self.power))
         return v
 
     def edges(self) -> list[float]:
@@ -349,6 +379,16 @@ class Regular(BinSpec):
             return c.cast("double"), float(self.lo), float(self.hi)
         if self.transform == "log":
             return F.log(c.cast("double")), math.log(self.lo), math.log(self.hi)
+        if self.transform == "pow":
+            # Math.pow is within-1-ulp, not correctly rounded — the fast
+            # path may differ from another engine near an edge; use
+            # exact=True (literal-edge scan) when oracle determinism matters
+            p = float(self.power)
+            return (
+                F.pow(c.cast("double"), F.lit(p)),
+                math.pow(self.lo, p),
+                math.pow(self.hi, p),
+            )
         # sqrt — IEEE correctly rounded, safe to mirror
         return F.sqrt(c.cast("double")), math.sqrt(self.lo), math.sqrt(self.hi)
 
@@ -397,7 +437,10 @@ class Regular(BinSpec):
             # keep set must be decided by the same comparisons (log(x) vs
             # log(lo)) — a value-space bound could disagree by a libm ulp.
             # NULL/NaN/out-of-domain transform results all fail the range.
-            y = (F.log if self.transform == "log" else F.sqrt)(c.cast("double"))
+            if self.transform == "pow":
+                y = F.pow(c.cast("double"), F.lit(float(self.power)))
+            else:
+                y = (F.log if self.transform == "log" else F.sqrt)(c.cast("double"))
             return (y >= F.lit(self._tf(self.lo))) & (y < F.lit(self._tf(self.hi)))
         # linear & exact edge-scan: endpoints are pinned to lo/hi, so
         # id ∈ [0, n-1] ⟺ lo <= x < hi; NULL and NaN both fail the range
@@ -412,6 +455,10 @@ class Regular(BinSpec):
             y, ylo, yhi = f"CAST({expr} AS DOUBLE)", float(self.lo), float(self.hi)
         elif self.transform == "log":
             y, ylo, yhi = f"ln(CAST({expr} AS DOUBLE))", math.log(self.lo), math.log(self.hi)
+        elif self.transform == "pow":
+            p = float(self.power)
+            y = f"pow(CAST({expr} AS DOUBLE), {flit(p)})"
+            ylo, yhi = math.pow(self.lo, p), math.pow(self.hi, p)
         else:
             y, ylo, yhi = f"sqrt(CAST({expr} AS DOUBLE))", math.sqrt(self.lo), math.sqrt(self.hi)
         span = yhi - ylo
@@ -436,6 +483,7 @@ class Regular(BinSpec):
             "overflow": self.overflow,
             "transform": self.transform,
             "exact": self.exact,
+            "power": self.power,
         }
 
 

@@ -92,7 +92,9 @@ _DRIVER_VERIFIED = frozenset({
 # Queries REGISTERED IN ROUND 5 — never in any driver CORRECTNESS record;
 # they lead the registry so the driver's ~50-query window is guaranteed to
 # reach them regardless of where they appear in this file.
-_NEW_THIS_ROUND: tuple[str, ...] = ()
+_NEW_THIS_ROUND: tuple[str, ...] = (
+    "hist_pow_axis", "hist_growth_categories",
+)
 
 
 def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
@@ -219,6 +221,32 @@ _hist_query("hist_strcategory", "lineitem", ["l_returnflag"],
             [StrCategory(("N", "R"))], flow=True)
 _hist_query("hist_log_axis", "orders", ["o_totalprice"],
             [Regular(12, 100.0, 600000.0, transform="log", exact=True)])
+# pow transform (boost's third transform family member); exact=True edge
+# scan so Spark and DuckDB cannot diverge by a Math.pow ulp
+_hist_query("hist_pow_axis", "lineitem", ["l_quantity"],
+            [Regular(12, 1.0, 51.0, transform="pow", power=2.0, exact=True)])
+
+
+# growth-axis emulation (binspec.Growth → discover-then-bin): the Spark
+# side discovers the categories with a distinct scan; the oracle pins the
+# same sorted category set explicitly, so the gate checks that discovery
+# found exactly the data's categories in the deterministic order.
+def _growth_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .binspec import Growth
+
+    return histogram(t(spark, sf_dir, "orders"), "o_orderpriority", Growth()).df
+
+
+register(
+    "hist_growth_categories",
+    _growth_fn,
+    orc.histogram_oracle_sql(
+        "orders", ["o_orderpriority"],
+        [StrCategory((
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+        ))],
+    ),
+)
 _hist_query("hist_2d", "lineitem", ["l_quantity", "l_discount"],
             [Regular(10, 1.0, 51.0), Variable((0.0, 0.03, 0.06, 0.11))])
 _hist_query(

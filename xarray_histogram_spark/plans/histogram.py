@@ -72,8 +72,10 @@ def resolve_specs(
     with ONE combined min/max job (core.py:467-513 semantics: inferred
     bounds are the raw min/max — boost half-open bins send the max value to
     overflow; that is reference behaviour, kept)."""
+    from ..binspec import Growth
+
     k = len(cols)
-    if isinstance(bins, (int, BinSpec)):
+    if isinstance(bins, (int, BinSpec, Growth)):
         bins_list: list = [bins] * k
     else:
         bins_list = list(bins)
@@ -88,6 +90,14 @@ def resolve_specs(
         ranges_list = list(ranges)
         if len(ranges_list) != k:
             raise ValueError(f"got {len(ranges_list)} ranges for {k} variables")
+
+    # growth axes: discover-then-bin (one distinct scan per growth axis;
+    # see binspec.Growth)
+    bins_list = [
+        categories_from_data(df, cols[i], b.max_categories)
+        if isinstance(b, Growth) else b
+        for i, b in enumerate(bins_list)
+    ]
 
     # figure out which bounds need inference; batch into one job
     need: list[tuple[int, bool, bool]] = []

@@ -72,11 +72,22 @@ class HistogramResult:
         v = self._one_var(variable)
         return self.specs[v].labels(flow=flow and self.flow)
 
-    def edges(self, variable: Optional[str] = None) -> list[float]:
+    def edges(self, variable: Optional[str] = None, flow: bool = True) -> list[float]:
+        """Edges including the rightmost; with ``flow=True`` (the reference's
+        default) the flow-bin positions wrap the interior edges exactly as
+        ``get_edges`` inserts the right edge before the overflow coordinate
+        (accessor.py:164-179, core.py:594-611): ±inf for Regular/Variable,
+        the int64 sentinels for Integer."""
         v = self._one_var(variable)
-        e = self.specs[v].edges()
+        s = self.specs[v]
+        e = s.edges()
         if e is None:
             raise ValueError(f"category axis {v!r} has no edges")
+        if flow and self.flow:
+            if s.underflow:
+                e = [s.flow_under_bin().label] + e
+            if s.overflow:
+                e = e + [s.flow_over_bin().label]
         return e
 
     def centers(self, variable: Optional[str] = None, flow: bool = True) -> list[float]:
@@ -148,18 +159,23 @@ class HistogramResult:
 
     # ---- coordinate transforms (accessor.py:355-395): metadata-only ----
     def apply_func(
-        self, func: Callable[[float], float], variable: Optional[str] = None
+        self,
+        func: Callable[..., float],
+        variable: Optional[str] = None,
+        **kwargs,
     ) -> "HistogramResult":
         """Relabel one variable's bin coordinate by applying ``func`` to its
         edges — equivalent to having histogrammed ``func(x)``.  Data columns
         are untouched; only the label column and the spec change.  ``func``
-        must be strictly increasing on the edge range."""
+        must be strictly increasing on the edge range.  Extra ``kwargs`` are
+        forwarded to ``func`` (reference accessor.py:354-380 signature:
+        ``apply_func(func, variable, **kwargs)``)."""
         v = self._one_var(variable)
         s = self.specs[v]
         old_edges = s.edges()
         if old_edges is None:
             raise ValueError("apply_func needs an interval axis (Regular/Variable)")
-        new_edges = [float(func(e)) for e in old_edges]
+        new_edges = [float(func(e, **kwargs)) for e in old_edges]
         if any(b <= a for a, b in zip(new_edges, new_edges[1:])):
             raise ValueError("func must be strictly increasing over the edges")
         new_spec = Variable(
