@@ -163,6 +163,66 @@ def test_sum_sq_overflow_guard_and_variance_clamp(spark):
     assert var == 0.0
 
 
+def test_no_squared_column_unless_requested(spark, sf_dir):
+    """A plain count/sum/mean call must not compute or shuffle the squared
+    column: no __s2 anywhere in its plan (ADVICE r04)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = binned_statistic(
+        li, "l_quantity", Regular(5, 1.0, 51.0), "l_discount"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plain.explain("formatted")
+    assert "__s2" not in buf.getvalue()
+    sq = binned_statistic(
+        li, "l_quantity", Regular(5, 1.0, 51.0), "l_discount",
+        stats=("count", "sum_sq"),
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sq.explain("formatted")
+    assert "__s2" in buf.getvalue()
+
+
+def test_sum_sq_bound_escape_hatch(spark):
+    """value_bound + n_rows skip the eager overflow job but still enforce
+    the bound in Python: safe numbers build the plan, absurd ones raise."""
+    df = spark.createDataFrame([(0.5, 2.0)] * 10, "x double, v double")
+    out = binned_statistic(
+        df, "x", Regular(1, 0.0, 1.0), "v", stats=("sample_var",),
+        weight_scale=6, value_bound=2.0, n_rows=10,
+    )
+    assert out.collect()[0]["sample_var_v"] == 0.0
+    with pytest.raises(ValueError, match="weight_scale"):
+        binned_statistic(
+            df, "x", Regular(1, 0.0, 1.0), "v", stats=("sample_var",),
+            weight_scale=6, value_bound=5.0e9, n_rows=10**6,
+        )
+
+
+def test_broadcast_optouts_match(spark, sf_dir):
+    """broadcast=False variants of remove_repeated_lines and
+    ngram_contamination produce identical rows (only the join strategy
+    changes)."""
+    from xarray_histogram_spark.operators.dedup import ngram_contamination
+    from xarray_histogram_spark.operators.text import remove_repeated_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 5 == 0).select("text")
+    a = ngram_contamination(docs, bench, "text", "doc_id").collect()
+    b = ngram_contamination(
+        docs, bench, "text", "doc_id", broadcast=False
+    ).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    c = remove_repeated_lines(docs, "text", "doc_id").collect()
+    d = remove_repeated_lines(docs, "text", "doc_id", broadcast=False).collect()
+    assert sorted(map(str, c)) == sorted(map(str, d))
+
+
 def test_weight_storage_grouped(spark, sf_dir):
     """Grouped Weight() storage: sparse (group, bin) rows whose value and
     variance equal the per-(group, bin) direct aggregation."""

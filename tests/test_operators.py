@@ -354,6 +354,34 @@ def test_curate_documents_semantics(spark):
     assert 9 not in {r["doc_id"] for r in hq}
 
 
+def test_curate_narrow_equals_wide(spark, docs):
+    """wide_rows=False (min-id keeper + semi-join) is row-identical to the
+    window form, under any input partitioning."""
+    from xarray_histogram_spark.operators.curate import curate_documents
+
+    kw = dict(quality_min=0.2, langs=("en", "und"), salt="curate")
+    wide = curate_documents(docs, "text", "doc_id", **kw).collect()
+    narrow = curate_documents(
+        docs.repartition(7), "text", "doc_id", wide_rows=False, **kw
+    ).collect()
+    assert sorted(map(str, wide)) == sorted(map(str, narrow))
+
+
+def test_components_reliable_checkpoint(spark, docs, tmp_path):
+    """checkpoint_dir switches min-label propagation to reliable
+    checkpoint() — same labels as the localCheckpoint default."""
+    a = dd.dedup_components(docs, "text", "doc_id").collect()
+    edges = (
+        dd.jaccard_pairs(docs, "text", "doc_id")
+        .where(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+    )
+    b = dd.components_from_edges(
+        docs, edges, "doc_id", checkpoint_dir=str(tmp_path / "ckpt")
+    ).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
 def test_ngram_contamination_semantics(spark):
     """A corpus doc containing a benchmark passage is flagged with the
     passage's shingle count; clean docs are absent; min_hits thresholds."""

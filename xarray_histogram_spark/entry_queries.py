@@ -93,7 +93,7 @@ _DRIVER_VERIFIED = frozenset({
 # they lead the registry so the driver's ~50-query window is guaranteed to
 # reach them regardless of where they appear in this file.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "hist_pow_axis", "hist_growth_categories",
+    "hist_pow_axis", "hist_growth_categories", "pipeline_curate_narrow",
 )
 
 
@@ -651,6 +651,29 @@ from .operators.curate import curate_documents_sql as _curate_sql
 register(
     "pipeline_curate",
     _curate_fn,
+    _curate_sql(
+        "documents", "text", "doc_id",
+        quality_min=0.2, langs=("en", "und"), salt="curate",
+    ),
+)
+
+
+def _curate_narrow_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # wide_rows=False: min(id)-per-fingerprint + semi-join — the narrow
+    # two-shuffle dedup shape for id-bucketed corpora; identical rows, so
+    # the SAME oracle as pipeline_curate gates it
+    from .operators.curate import curate_documents
+
+    return curate_documents(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id",
+        quality_min=0.2, langs=("en", "und"), salt="curate",
+        wide_rows=False,
+    )
+
+
+register(
+    "pipeline_curate_narrow",
+    _curate_narrow_fn,
     _curate_sql(
         "documents", "text", "doc_id",
         quality_min=0.2, langs=("en", "und"), salt="curate",

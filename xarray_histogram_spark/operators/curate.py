@@ -54,11 +54,24 @@ def curate_documents(
     langs: Optional[Sequence[str]] = None,
     splits: Sequence[Tuple[str, float]] = DEFAULT_SPLITS,
     salt: str = "",
+    wide_rows: bool = True,
 ) -> DataFrame:
     """Curated corpus rows: (id, lang_pred, quality features…, token
     counts…, split), exact-duplicate texts collapsed to their lowest-id
     occurrence, optionally filtered to ``quality >= quality_min`` and
-    ``lang_pred ∈ langs``."""
+    ``lang_pred ∈ langs``.
+
+    ``wide_rows`` picks the dedup shuffle shape (SCALE.md "Curation
+    pipeline"); both produce identical rows.  True (default): ONE
+    fingerprint ``row_number`` window — the full row rides one shuffle;
+    right when the text column dominates the row anyway.  False: the
+    narrow two-shuffle alternative — project to (fingerprint, id), take
+    ``min(id)`` per fingerprint (map-combined, narrow rows only), then
+    semi-join the keeper ids back.  The join-back exchanges the corpus
+    ON ITS ID, not the computed fingerprint — so with id-bucketed/sorted
+    storage (the realistic 100 TB layout) that exchange disappears into
+    a co-located join and the wide text column never moves at all,
+    which a window over a computed key can never exploit."""
     splits = list(splits)
     if splits:
         if len(splits) < 2:
@@ -69,11 +82,20 @@ def curate_documents(
                 f"curate_documents: split fractions sum to {total}, expected 1"
             )
     fp = H.md5_hex(F.col(text_col))
-    w = Window.partitionBy(fp).orderBy(F.col(id_col))
-    kept = (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-    )
+    if wide_rows:
+        w = Window.partitionBy(fp).orderBy(F.col(id_col))
+        kept = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+        )
+    else:
+        keepers = (
+            df.select(fp.alias("__fp"), F.col(id_col))
+            .groupBy("__fp")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        kept = df.join(keepers, id_col, "left_semi")
     out = kept.select(
         F.col(id_col),
         lang_pred_col(text_col),

@@ -317,18 +317,38 @@ def components_from_edges(
     edges: DataFrame,
     id_col: str,
     max_iter: int = 25,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Connected components over an explicit (id_a, id_b) edge set by
     iterative min-label propagation (see ``dedup_components`` for the
-    scale/determinism discussion).  Returns (id, component, keep)."""
-    sym = edges.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    scale/determinism discussion).  Returns (id, component, keep).
+
+    Lineage truncation per round: ``localCheckpoint`` by default —
+    executor-local blocks, fastest, fine on local mode and for short
+    jobs.  On a real cluster an executor loss would discard them
+    mid-iteration, so pass ``checkpoint_dir`` (HDFS/S3 path) to use
+    RELIABLE ``checkpoint()`` instead: each round's labels persist to
+    the fault-tolerant store and the job survives executor churn."""
+    spark = nodes.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(d: DataFrame) -> DataFrame:
+            return d.checkpoint(eager=True)
+    else:
+        def _ckpt(d: DataFrame) -> DataFrame:
+            return d.localCheckpoint(eager=True)
+
+    sym = _ckpt(
+        edges.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).unionByName(
+            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+    )
+    labels = _ckpt(
+        nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    )
     prev_sum = labels.agg(F.sum("label")).first()[0] or 0
     for _ in range(max_iter):
         nbr = (
@@ -344,8 +364,8 @@ def components_from_edges(
                     F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        labels = _ckpt(labels)
         cur_sum = labels.agg(F.sum("label")).first()[0] or 0
         if cur_sum == prev_sum:
             break
@@ -536,6 +556,7 @@ def ngram_contamination(
     id_col: str,
     k: int = 12,
     min_hits: int = 1,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Corpus documents sharing char n-grams with ANY benchmark document —
     the training-data decontamination primitive (flag or strip training
@@ -549,9 +570,9 @@ def ngram_contamination(
     corpus shuffle for the join itself).  The corpus side explodes to
     distinct (doc, shingle) pairs — the one input-proportional shuffle —
     then the matched pairs aggregate per doc (map-side combined,
-    output ≤ flagged docs).  With a very large benchmark drop the
-    broadcast hint and Spark plans a shuffle join on uniform shingle
-    keys."""
+    output ≤ flagged docs).  With a very large benchmark pass
+    ``broadcast=False`` to drop the hint — Spark then plans a shuffle
+    join on uniform shingle keys."""
     sh_c = (
         corpus.select(
             F.col(id_col), F.explode(H.shingles(F.col(text_col), k)).alias("sh")
@@ -561,7 +582,7 @@ def ngram_contamination(
         F.explode(H.shingles(F.col(text_col), k)).alias("sh")
     ).distinct()
     return (
-        sh_c.join(F.broadcast(sh_b), "sh")
+        sh_c.join(F.broadcast(sh_b) if broadcast else sh_b, "sh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .where(F.col("n_hits") >= F.lit(int(min_hits)))

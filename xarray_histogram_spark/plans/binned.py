@@ -49,13 +49,24 @@ def binned_statistic(
     group_by: Sequence[str] = (),
     flow: bool = False,
     weight_scale: Optional[int] = 6,
+    value_bound: Optional[float] = None,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Dense per-bin statistics of ``value`` bucketized by ``x``.
 
     Returns (group_by…, ``<x>_bin``, ``<x>_bins``, ``<stat>_<value>``…).
     Ungrouped output is DENSE (every spine bin, empty bins NULL with
     count 0); grouped output is sparse over observed (group, bin) pairs.
-    """
+
+    The squared column and its SUM exist only when ``sum_sq`` or
+    ``sample_var`` is requested — a plain count/sum/mean call pays no
+    per-row multiply and no extra shuffle slot.  When they ARE requested
+    under quantization, the int64-overflow guard runs one eager
+    count/max job; callers that already know their data can skip it by
+    passing BOTH ``value_bound`` (max ``|value|``) and ``n_rows`` (row
+    count upper bound) — the same explicit-knowledge escape hatch as
+    histogram range inference's explicit ranges.  The check then runs in
+    pure Python on those numbers."""
     stats = list(stats)
     bad = [s for s in stats if s not in STATS]
     if bad:
@@ -78,24 +89,30 @@ def binned_statistic(
     # sum of squares: in quantized mode q² is an EXACT integer product of
     # the quantized weight with itself (Σq² deterministic; value = Σq²/10^2s;
     # overflow bound (|w|·10^s)²·rows < 2⁶³ — reduce weight_scale for large
-    # weights); raw mode sums v·v doubles (fast, order-sensitive)
+    # weights); raw mode sums v·v doubles (fast, order-sensitive).
+    # Only materialized when a squared stat is requested.
+    need_sq = bool({"sum_sq", "sample_var"} & set(stats))
     vsq = (vsum * vsum) if weight_scale is not None else (v * v)
-    if weight_scale is not None and ({"sum_sq", "sample_var"} & set(stats)):
+    if weight_scale is not None and need_sq:
         # Σq² must stay inside int64 (Spark would WRAP silently while the
-        # DuckDB oracle raises — silent corruption either way).  One eager
-        # bound job, the same pattern as histogram range inference:
-        # worst case Σq² ≤ n·q_max², q_max ≤ |v|_max·10^s + 0.5.
-        row = src.agg(
-            F.count(F.col(value)).alias("n"),
-            F.max(F.abs(F.col(value).cast("double"))).alias("m"),
-        ).first()
-        if row["n"] and row["m"] is not None:
-            q_max = abs(row["m"]) * divisor + 0.5
-            if q_max * q_max * row["n"] >= float(2**63):
+        # DuckDB oracle raises — silent corruption either way).  Worst
+        # case Σq² ≤ n·q_max², q_max ≤ |v|_max·10^s + 0.5.  One eager
+        # bound job — unless the caller supplied both numbers.
+        if value_bound is not None and n_rows is not None:
+            n, m = int(n_rows), abs(float(value_bound))
+        else:
+            row = src.agg(
+                F.count(F.col(value)).alias("n"),
+                F.max(F.abs(F.col(value).cast("double"))).alias("m"),
+            ).first()
+            n, m = row["n"], row["m"]
+        if n and m is not None:
+            q_max = abs(m) * divisor + 0.5
+            if q_max * q_max * n >= float(2**63):
                 raise ValueError(
                     f"sum of squared quantized values can overflow int64: "
-                    f"max|{value}|={row['m']!r} at weight_scale="
-                    f"{weight_scale} over {row['n']} rows; pass a smaller "
+                    f"max|{value}|={m!r} at weight_scale="
+                    f"{weight_scale} over {n} rows; pass a smaller "
                     f"weight_scale (or weight_scale=None for raw double "
                     f"sums)"
                 )
@@ -103,7 +120,7 @@ def binned_statistic(
         *[F.col(g) for g in group_by],
         idc.alias(id_col(x)),
         vsum.alias("__s"),
-        vsq.alias("__s2"),
+        *([vsq.alias("__s2")] if need_sq else []),
         v.alias("__v"),
     )
     if not group_by:
@@ -117,15 +134,20 @@ def binned_statistic(
         )
         spine0 = spine_ids_zero(
             base.sparkSession, [x], [spec], flow, null_s, val_name="__s",
-        ).withColumn(
-            "__s2",
-            F.lit(None).cast("bigint" if weight_scale is not None else "double"),
-        ).withColumn("__v", F.lit(None).cast("double"))
+        )
+        if need_sq:
+            spine0 = spine0.withColumn(
+                "__s2",
+                F.lit(None).cast(
+                    "bigint" if weight_scale is not None else "double"
+                ),
+            )
+        spine0 = spine0.withColumn("__v", F.lit(None).cast("double"))
         base = base.unionByName(spine0)
     aggs = [
         F.count(F.col("__v")).alias("__n"),
         F.sum("__s").alias("__sum"),
-        F.sum("__s2").alias("__sum_sq"),
+        *([F.sum("__s2").alias("__sum_sq")] if need_sq else []),
         F.min("__v").alias("__min"),
         F.max("__v").alias("__max"),
     ]
