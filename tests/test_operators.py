@@ -354,6 +354,31 @@ def test_curate_documents_semantics(spark):
     assert 9 not in {r["doc_id"] for r in hq}
 
 
+def test_simhash_pairs_semantics(spark):
+    """Identical docs pair at hamming 0; a lightly-edited near-dup pairs
+    with a small positive hamming; unrelated docs don't pair at the
+    default threshold."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of 1
+            (3, base.replace("lazy", "sleepy", 2)),  # near-dup of 1
+            (4, "völlig anderes dokument über ganz andere themen " * 8),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_pairs(docs, "text", "doc_id", max_hamming=10).collect()
+    }
+    assert out[(1, 2)] == 0
+    assert (1, 4) not in out and (2, 4) not in out and (3, 4) not in out
+    # max_bucket drops the whole degenerate bucket
+    none = dd.simhash_pairs(docs, "text", "doc_id", max_bucket=1).collect()
+    assert none == []
+
+
 def test_curate_narrow_equals_wide(spark, docs):
     """wide_rows=False (min-id keeper + semi-join) is row-identical to the
     window form, under any input partitioning."""

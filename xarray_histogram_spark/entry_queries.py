@@ -94,6 +94,7 @@ _DRIVER_VERIFIED = frozenset({
 # reach them regardless of where they appear in this file.
 _NEW_THIS_ROUND: tuple[str, ...] = (
     "hist_pow_axis", "hist_growth_categories", "pipeline_curate_narrow",
+    "dedup_simhash_pairs",
 )
 
 
@@ -514,6 +515,16 @@ register(
     "dedup_simhash",
     lambda spark, sf_dir: dd.simhash(t_wide(spark, sf_dir, "documents"), "text", "doc_id"),
     dd.simhash_sql("documents", "text", "doc_id"),
+)
+register(
+    # banded Hamming candidates + exact bit_count(xor) filter — the
+    # SimHash analog of dedup_minhash_pairs (complete for hamming<=3 by
+    # pigeonhole over 4 bands)
+    "dedup_simhash_pairs",
+    lambda spark, sf_dir: dd.simhash_pairs(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    ),
+    dd.simhash_pairs_sql("documents", "text", "doc_id", max_hamming=3),
 )
 
 

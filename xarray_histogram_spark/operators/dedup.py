@@ -545,6 +545,178 @@ def simhash_sql(table: str, text_col: str, id_col: str) -> str:
     )
 
 
+SIMHASH64_BITS = 64
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over token md5 nibbles: (id, simhash64 BIGINT).
+    Same zero-shuffle per-row fold as ``simhash`` (16 md5 hex chars → 64
+    bit-counters → sign fold); bit 63 folds in as the int64 sign bit
+    (−2⁶³ term) so the packed value is an ordinary BIGINT in both
+    engines.  16 bits is plenty for scoring near-duplication of a known
+    pair, but PAIR GENERATION needs band buckets that partition the
+    corpus finely — 64 bits gives four 16-bit bands (bucket ≈ N/65536)
+    where 16 bits would give 4-bit bands (bucket ≈ N/16: a quadratic
+    pair explosion at corpus scale)."""
+    toks_arr = H.tokens(F.col(text_col))
+    h16_arr = F.transform(
+        toks_arr, lambda t: F.substring(F.md5(t.cast("binary")), 1, 16)
+    )
+
+    def step(acc, c):
+        terms = []
+        for b in range(SIMHASH64_BITS):
+            v = H.nibble_val(F.substring(c, 1 + b // 4, 1))
+            bit = F.shiftright(v, 3 - b % 4).bitwiseAND(F.lit(1))
+            terms.append(
+                F.element_at(acc, b + 1)
+                + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+            )
+        return F.array(*terms)
+
+    sig = F.aggregate(h16_arr, F.array_repeat(F.lit(0), SIMHASH64_BITS), step)
+    scored = df.where(F.size(toks_arr) > 0).select(
+        F.col(id_col), sig.alias("_s")
+    )
+    sim = None
+    for b in range(SIMHASH64_BITS):
+        pos = F.lit(-(2**63)) if b == 63 else F.lit(2**b)
+        term = F.when(F.element_at(F.col("_s"), b + 1) > 0, pos).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = term if sim is None else sim + term
+    return scored.select(F.col(id_col), sim.cast("bigint").alias("simhash64"))
+
+
+def simhash64_sql(table: str, text_col: str, id_col: str) -> str:
+    toks = (
+        f"SELECT {id_col}, unnest({H.tokens_sql(text_col)}) AS tok FROM {table}"
+    )
+    h16 = "substring(md5(tok), 1, 16)"
+    aggs = []
+    for b in range(SIMHASH64_BITS):
+        v = H.nibble_val_sql(f"substring({h16}, {1 + b // 4}, 1)")
+        bit = f"(({v} >> {3 - b % 4}) & 1)"
+        aggs.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{b}")
+    terms = " + ".join(
+        "CASE WHEN s63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        if b == 63
+        else f"CASE WHEN s{b} > 0 THEN CAST({2**b} AS BIGINT) "
+             f"ELSE CAST(0 AS BIGINT) END"
+        for b in range(SIMHASH64_BITS)
+    )
+    return (
+        f"WITH toks AS ({toks}), scored AS "
+        f"(SELECT {id_col}, {', '.join(aggs)} FROM toks GROUP BY {id_col}) "
+        f"SELECT {id_col}, CAST({terms} AS BIGINT) AS simhash64 FROM scored"
+    )
+
+
+SIMHASH_BANDS = 4  # 4 bands of 16 bits over the 64-bit signature
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: (id_a, id_b, hamming) for every pair whose
+    64-bit SimHashes differ in ≤ ``max_hamming`` bits.
+
+    Banded exactly like MinHash-LSH: the 64 bits split into 4 contiguous
+    16-bit bands; by pigeonhole any pair with Hamming distance ≤ 3 agrees
+    on at least one whole band, so same-(band, value) buckets are a
+    COMPLETE candidate set for the default threshold (for
+    ``max_hamming`` ≥ 4 it becomes the standard recall-tradeoff
+    heuristic).  Shape matches ``lsh_candidate_pairs``: per-row
+    zero-shuffle signatures, ONE band-key shuffle of 4 narrow rows/doc
+    (expected bucket ≈ N/65536 under the uniform md5 bits — 16-bit bands
+    are what keeps the m²/2 expansion linear-ish; 4-bit bands over the
+    16-bit signature would put N/16 of the corpus in every bucket),
+    in-bucket ordered-pair expansion (no self-join), then the exact
+    Hamming filter via ``bit_count(xor)`` on the signatures carried in
+    the bucket rows — no corpus re-join.  ``max_bucket`` caps degenerate
+    buckets (constant boilerplate produces identical simhashes) before
+    the expansion."""
+    sigs = simhash64(df, text_col, id_col)
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash64"), 16 * j).bitwiseAND(F.lit(65535))
+            for j in range(SIMHASH_BANDS)
+        ]
+    )
+    b = sigs.select(
+        F.col(id_col),
+        F.col("simhash64").alias("simhash"),
+        F.posexplode(bands).alias("bi", "bk"),
+    )
+    buckets = (
+        b.groupBy("bi", "bk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))
+            ).alias("members")
+        )
+        .where(F.size("members") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("members") <= F.lit(int(max_bucket)))
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                        lambda bb: F.struct(
+                            a["i"].alias("id_a"),
+                            bb["i"].alias("id_b"),
+                            a["s"].alias("sh_a"),
+                            bb["s"].alias("sh_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    ham = F.bit_count(
+        F.col("p.sh_a").bitwiseXOR(F.col("p.sh_b"))
+    ).cast("int")
+    return (
+        pairs.select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= F.lit(int(max_hamming)))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
+def simhash_pairs_sql(
+    table: str, text_col: str, id_col: str, max_hamming: int = 3
+) -> str:
+    sigs = simhash64_sql(table, text_col, id_col)
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, simhash64 AS simhash, {j} AS bi, "
+        f"(simhash64 >> {16 * j}) & 65535 AS bk FROM sigs"
+        for j in range(SIMHASH_BANDS)
+    )
+    return (
+        f"WITH sigs AS ({sigs}), bands AS ({band_rows}) "
+        f"SELECT id_a, id_b, MIN(hamming) AS hamming FROM ("
+        f"SELECT l.{id_col} AS id_a, r.{id_col} AS id_b, "
+        f"CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming "
+        f"FROM bands l JOIN bands r ON l.bi = r.bi AND l.bk = r.bk "
+        f"AND l.{id_col} < r.{id_col}) p "
+        f"WHERE hamming <= {int(max_hamming)} GROUP BY id_a, id_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (cross-corpus n-gram overlap)
 # ---------------------------------------------------------------------------
