@@ -354,6 +354,37 @@ def test_curate_documents_semantics(spark):
     assert 9 not in {r["doc_id"] for r in hq}
 
 
+def test_chunk_assignments_semantics(spark):
+    """Concat-and-chunk invariants: offsets tile each shard's stream with
+    no gaps, chunk indices are exact integer division of the token span,
+    empty docs land at their offset, and the assignment is
+    partitioning-independent."""
+    from xarray_histogram_spark.operators import sampling as sp
+
+    rows = [(i, "s" + str(i % 2), (i * 37) % 90) for i in range(40)]
+    rows.append((100, "s0", 0))  # empty doc
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = sp.chunk_assignments(df, "doc_id", "n_tokens", 64, "source").collect()
+    by_shard: dict = {}
+    for r in sorted(out, key=lambda r: (r["source"], r["doc_id"])):
+        pos = by_shard.setdefault(r["source"], 0)
+        assert r["tok_offset"] == pos  # no gaps, no overlap
+        by_shard[r["source"]] = pos + r["n_tokens"]
+        assert r["chunk_first"] == r["tok_offset"] // 64
+        last = (
+            (r["tok_offset"] + r["n_tokens"] - 1) // 64
+            if r["n_tokens"] > 0
+            else r["tok_offset"] // 64
+        )
+        assert r["chunk_last"] == last
+    out2 = sp.chunk_assignments(
+        df.repartition(7), "doc_id", "n_tokens", 64, "source"
+    ).collect()
+    assert sorted(map(str, out)) == sorted(map(str, out2))
+    with pytest.raises(ValueError):
+        sp.chunk_assignments(df, "doc_id", "n_tokens", 0, "source")
+
+
 def test_simhash_pairs_semantics(spark):
     """Identical docs pair at hamming 0; a lightly-edited near-dup pairs
     with a small positive hamming; unrelated docs don't pair at the

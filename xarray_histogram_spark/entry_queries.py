@@ -94,7 +94,7 @@ _DRIVER_VERIFIED = frozenset({
 # reach them regardless of where they appear in this file.
 _NEW_THIS_ROUND: tuple[str, ...] = (
     "hist_pow_axis", "hist_growth_categories", "pipeline_curate_narrow",
-    "dedup_simhash_pairs",
+    "dedup_simhash_pairs", "sample_pack_chunks",
 )
 
 
@@ -802,6 +802,31 @@ register(
         "doc_id", 3,
     ),
 )
+
+
+def _pack_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # concat-and-chunk packing bookkeeping over per-source token streams:
+    # one shard-partitioned window, exact int64 cumsum + integer DIV
+    from .operators.text import token_count_cols
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source", token_count_cols("text")[0])
+    return sp.chunk_assignments(base, "doc_id", "n_tokens", 256, "source")
+
+
+def _pack_sql() -> str:
+    from .functions import hashing as _H
+
+    tc = (
+        f"SELECT doc_id, source, "
+        f"CAST(len({_H.tokens_sql('text')}) AS BIGINT) AS n_tokens "
+        f"FROM documents"
+    )
+    body = sp.chunk_assignments_sql("tc", "doc_id", "n_tokens", 256, "source")
+    return f"WITH tc AS ({tc}) {body}"
+
+
+register("sample_pack_chunks", _pack_fn, _pack_sql())
 
 
 def _merge_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

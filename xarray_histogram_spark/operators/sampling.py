@@ -202,3 +202,83 @@ def topk_per_group_sql(
         f"PARTITION BY {part} ORDER BY {d}, {key_expr}) AS rk "
         f"FROM {table}) t WHERE rk <= {k}"
     )
+
+
+def chunk_assignments(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    context: int,
+    shard_col: str,
+) -> DataFrame:
+    """Concat-and-chunk packing bookkeeping — the GPT-style pretraining
+    layout: documents are concatenated in (shard, id) order and the token
+    stream is sliced into fixed ``context``-token windows.  Returns
+    (shard, id, n_tokens, ``tok_offset``, ``chunk_first``, ``chunk_last``):
+    the document's start offset in its shard's token stream and the first/
+    last chunk indices its tokens land in (an empty document "lands" in
+    the chunk at its offset).
+
+    Scale shape: ONE window shuffle partitioned by SHARD — chunk ids are
+    per-shard BY DESIGN, because a corpus-global chunk numbering needs a
+    corpus-global order (a single-partition window: the one shape that
+    can never scale).  Shards are whatever unit downstream training
+    shuffles anyway (source, file, date bucket); window partition size is
+    bounded by shard granularity.  All arithmetic is exact int64
+    (running SUM + integer DIV), so the assignment is bit-deterministic
+    and partitioning-independent — same rows on any cluster layout.
+    """
+    if context <= 0:
+        raise ValueError("context must be > 0")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    out = df.select(
+        F.col(shard_col),
+        F.col(id_col),
+        F.col(token_col).cast("bigint").alias(token_col),
+        (cum - F.col(token_col)).cast("bigint").alias("tok_offset"),
+    )
+    return out.select(
+        shard_col,
+        id_col,
+        token_col,
+        "tok_offset",
+        F.expr(f"tok_offset DIV {int(context)}").cast("bigint").alias("chunk_first"),
+        F.when(
+            F.col(token_col) > 0,
+            F.expr(f"(tok_offset + {token_col} - 1) DIV {int(context)}"),
+        )
+        .otherwise(F.expr(f"tok_offset DIV {int(context)}"))
+        .cast("bigint")
+        .alias("chunk_last"),
+    )
+
+
+def chunk_assignments_sql(
+    table: str,
+    id_col: str,
+    token_col: str,
+    context: int,
+    shard_col: str,
+) -> str:
+    """DuckDB mirror: same ROWS-framed running sum, same integer division
+    (DuckDB ``//`` on BIGINT ≡ Spark ``DIV`` for the non-negative values
+    here)."""
+    cum = (
+        f"SUM({token_col}) OVER (PARTITION BY {shard_col} ORDER BY {id_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        f"SELECT {shard_col}, {id_col}, CAST({token_col} AS BIGINT) AS {token_col}, "
+        f"CAST(tok_offset AS BIGINT) AS tok_offset, "
+        f"CAST(tok_offset // {int(context)} AS BIGINT) AS chunk_first, "
+        f"CAST(CASE WHEN {token_col} > 0 "
+        f"THEN (tok_offset + {token_col} - 1) // {int(context)} "
+        f"ELSE tok_offset // {int(context)} END AS BIGINT) AS chunk_last "
+        f"FROM (SELECT {shard_col}, {id_col}, {token_col}, "
+        f"{cum} - {token_col} AS tok_offset FROM {table}) t"
+    )
