@@ -598,24 +598,25 @@ register(
     lambda spark, sf_dir: sim.ivf_topk(t(spark, sf_dir, "embeddings"), query_id=0),
     sim.ivf_topk_sql("embeddings", query_id=0),
 )
-# token_count / quality_score / lang_id are cheap per-row projections —
-# t() not t_wide(): the round-robin repartition costs more than the extra
-# parallelism buys (VERDICT r04 finding #3; text_quality 0.094→0.170 s
-# when it rode the shuffle).  The hash-heavy kernels (shingling, md5
-# folds, rolling fingerprints, byte decoders) keep t_wide.
+# token_count / quality_score / lang_id keep t_wide: measured (round 5,
+# interleaved A/B on the 1-split sf0.1 scan) the repartition more than
+# pays for itself — quality_score min 133 ms wide vs 230 ms plain —
+# because these kernels tokenize (split + regex runs), which is NOT a
+# cheap projection.  The r04 text_quality regression that suggested
+# otherwise (0.094→0.170 s on unchanged plans) was container noise.
 register(
     "text_token_count",
-    lambda spark, sf_dir: tx.token_count(t(spark, sf_dir, "documents"), "text", "doc_id"),
+    lambda spark, sf_dir: tx.token_count(t_wide(spark, sf_dir, "documents"), "text", "doc_id"),
     tx.token_count_sql("documents", "text", "doc_id"),
 )
 register(
     "text_quality",
-    lambda spark, sf_dir: tx.quality_score(t(spark, sf_dir, "documents"), "text", "doc_id"),
+    lambda spark, sf_dir: tx.quality_score(t_wide(spark, sf_dir, "documents"), "text", "doc_id"),
     tx.quality_score_sql("documents", "text", "doc_id"),
 )
 register(
     "text_langid",
-    lambda spark, sf_dir: tx.lang_id(t(spark, sf_dir, "documents"), "text", "doc_id"),
+    lambda spark, sf_dir: tx.lang_id(t_wide(spark, sf_dir, "documents"), "text", "doc_id"),
     tx.lang_id_sql("documents", "text", "doc_id"),
 )
 register(
