@@ -29,6 +29,10 @@ def py_regular_id(spec: Regular, x):
         y, lo, hi = math.log(x), math.log(spec.lo), math.log(spec.hi)
     elif spec.transform == "sqrt":
         y, lo, hi = math.sqrt(x), math.sqrt(spec.lo), math.sqrt(spec.hi)
+    elif spec.transform == "pow":
+        p = float(spec.power)
+        y = math.pow(x, p)
+        lo, hi = math.pow(spec.lo, p), math.pow(spec.hi, p)
     else:
         y, lo, hi = x, float(spec.lo), float(spec.hi)
     if y < lo:
@@ -60,6 +64,31 @@ def test_regular_bucketize_property(spark, values):
     got = spark_ids(spark, spec, values)
     exp = [py_regular_id(spec, v) for v in values]
     assert got == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(min_value=0.0, max_value=30.0),
+            st.just(float("nan")),
+            st.just(float("inf")),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pow_bucketize_property(spark, values):
+    """Fast pow path vs the executable spec over the non-negative domain
+    (lo >= 0 is enforced for pow axes; negative inputs are out-of-domain
+    and engine-defined — fast follows pow(x, p) like boost, exact buckets
+    x against value-space edges)."""
+    for p in (0.5, 2.0):
+        spec = Regular(5, 0.0, 16.0, transform="pow", power=p)
+        got = spark_ids(spark, spec, values)
+        exp = [py_regular_id(spec, v) for v in values]
+        assert got == exp
 
 
 @settings(max_examples=10, deadline=None)
@@ -173,6 +202,10 @@ def _float_grid(lo, hi):
          _float_grid(1.0, 1000.0) + [-3.0, 0.5]),
         (Regular(4, 0.0, 16.0, transform="sqrt"), "double",
          _float_grid(0.0, 16.0) + [-4.0]),
+        (Regular(4, 0.0, 16.0, transform="pow", power=0.5), "double",
+         _float_grid(0.0, 16.0)),
+        (Regular(4, 1.0, 16.0, transform="pow", power=2.0, exact=True),
+         "double", _float_grid(1.0, 16.0)),
         (Variable((0.0, 0.5, 2.25, 7.0)), "double", _float_grid(0.0, 7.0)),
         (Variable((0.0, 0.5, 2.25, 7.0), binary=True), "double",
          _float_grid(0.0, 7.0)),
