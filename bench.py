@@ -135,8 +135,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    with open("/proc/loadavg") as f:
-        LOADAVG_START = float(f.read().split()[0])
+    def _loadavg1() -> float:
+        try:
+            return os.getloadavg()[0]
+        except OSError:  # platform without getloadavg
+            return -1.0
+
+    LOADAVG_START = _loadavg1()
 
     registry = eq.registry()
     names = [n for n in HEADLINE if n in registry]
@@ -208,9 +213,7 @@ def main() -> None:
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
 
-    def loadavg1() -> float:
-        with open("/proc/loadavg") as f:
-            return float(f.read().split()[0])
+    loadavg1 = _loadavg1
 
     def mirror_pass(make_plan, repeat: int) -> list:
         rdds = [
