@@ -7,6 +7,8 @@ the operator families a 100 TB text pipeline runs, end to end —
   4. one-pass curation: dedup-keep → quality/
      language/token features → filters → splits (curate_documents)
   5. corpus term statistics                    (top_terms)
+  6. SimHash near-dup pairs                    (simhash_pairs, 64-bit)
+  7. concat-and-chunk packing bookkeeping      (chunk_assignments)
 
 Run:  python examples/curation_pipeline.py [sf_dir]
 """
@@ -22,8 +24,10 @@ from xarray_histogram_spark import curate_documents
 from xarray_histogram_spark.operators.dedup import (
     lsh_candidate_pairs, ngram_contamination,
 )
+from xarray_histogram_spark.operators.sampling import chunk_assignments
+from xarray_histogram_spark.operators.dedup import simhash_pairs
 from xarray_histogram_spark.operators.text import (
-    remove_repeated_lines, top_terms,
+    remove_repeated_lines, token_count_cols, top_terms,
 )
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -65,11 +69,29 @@ split_counts = {r["split"]: r["n"] for r in
 # 5. per-doc salient terms
 terms = top_terms(docs, "text", "doc_id", k=3, min_df=2)
 
+# 6. SimHash near-dup pairs: 64-bit signatures, four 16-bit bands,
+# exact Hamming filter — the cheap complement to MinHash/Jaccard
+sh_pairs = simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+n_sh = sh_pairs.count()
+
+# 7. pack the curated corpus into fixed 256-token training chunks,
+# per-source streams (chunk ids are per-shard — no global sort)
+packed = chunk_assignments(
+    docs.select("doc_id", "source", token_count_cols("text")[0]),
+    "doc_id", "n_tokens", 256, "source",
+)
+n_chunks = (
+    packed.groupBy("source").agg(F.max("chunk_last").alias("m"))
+    .agg(F.sum(F.col("m") + 1)).first()[0]
+)
+
 print(f"docs: {n0}")
 print(f"boilerplate lines removed corpus-wide: {n_removed}")
 print(f"docs overlapping the benchmark slice: {n_contaminated}")
 print(f"near-duplicate candidate pairs: {n_pairs}")
 print(f"curated split sizes: {split_counts}")
+print(f"simhash near-dup pairs (hamming<=3): {n_sh}")
+print(f"training chunks at context=256: {n_chunks}")
 print("sample top terms:")
 terms.orderBy("doc_id", F.col("score").desc()).show(6)
 assert sum(split_counts.values()) > 0 and n0 > 0
