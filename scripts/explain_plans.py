@@ -96,6 +96,37 @@ SELECTION: dict[str, tuple[list[str], str]] = {
         "expansion touches collision buckets only, never the corpus "
         "cross-product.",
     ),
+    "dedup_simhash": (
+        ["aggregate\\(", "transform\\("],
+        "SimHash (round-5 shape): a pure map stage — the 16 bit-counters "
+        "fold per row over the token array (one `aggregate(transform(...))` "
+        "higher-order expression, the same single-aggregate shape as the "
+        "MinHash signature fold) and the sign fold packs the bits in the "
+        "same projection. NO exchange of any kind in the plan; at 100 TB "
+        "this is scan-bounded, embarrassingly parallel work.",
+    ),
+    "dedup_jaccard": (
+        ["BroadcastHashJoin", "array_intersect", "array_distinct"],
+        "Exact Jaccard on LSH candidates (round-5 shape): each document's "
+        "shingle SET is a per-row `array_distinct` array with its size in "
+        "the same row — no corpus-wide explode+distinct relation at all "
+        "(the old shape evaluated that shuffle three times: sizes, side a, "
+        "side b). The output-bounded candidate pairs broadcast; the two "
+        "joins probe map-side and the intersection is a per-pair-row "
+        "`array_intersect`. Exactly the TWO exchanges of candidate "
+        "generation survive (band buckets, pair dedup) — verification adds "
+        "zero.",
+    ),
+    "dedup_simhash_pairs": (
+        ["Generate", "bit_count", "collect_list"],
+        "SimHash near-dup pairs: 64-bit per-row signatures (zero shuffle), "
+        "four 16-bit band keys (bucket ≈ N/65536 under uniform md5 bits — "
+        "band width is what keeps the in-bucket m²/2 expansion linear-ish; "
+        "complete for hamming ≤ 3 by pigeonhole), in-bucket ordered-pair "
+        "expansion via Generate, exact `bit_count(xor)` filter on "
+        "signatures carried in the bucket rows. One narrow shuffle, no "
+        "join, no corpus re-scan.",
+    ),
     "sim_ann_topk": (
         ["BroadcastHashJoin"],
         "Multiprobe LSH ANN: the query's probe bucket ids are enumerated and "
