@@ -216,7 +216,8 @@ def test_registry_wide_no_python_eval(spark, sf_dir):
                       "hist_fill_arrow_path", "streaming_stateful_hist"}
     expensive_build = {"hist_range_infer", "hist_quantile_bins",
                        "sim_ann_indexed", "dedup_components",
-                       "streaming_window_hist", "hist_growth_categories"}
+                       "streaming_window_hist", "hist_growth_categories",
+                       "hist_growth_merge"}
     reg = eq.registry()
     checked = 0
     for name, (fn, _sql) in reg.items():

@@ -141,6 +141,29 @@ def test_growth_axis_discovers_categories(spark, lineitem):
     assert list(h.specs["l_returnflag"].categories) == sorted(got)
 
 
+def test_growth_constructor_spelling_merges(spark, lineitem):
+    """StrCategory(..., growth=True): declared categories keep their
+    positions, newly observed ones append sorted; growth=False on the
+    resolved spec."""
+    from xarray_histogram_spark import StrCategory
+
+    h = histogram(lineitem, "l_returnflag", StrCategory(("R",), growth=True))
+    s = h.specs["l_returnflag"]
+    assert not s.growth
+    assert s.categories[0] == "R"
+    observed = {
+        r[0]
+        for r in lineitem.select("l_returnflag").distinct().collect()
+        if r[0] is not None
+    }
+    assert list(s.categories) == ["R"] + sorted(observed - {"R"})
+    # counts equal the reordered plain-category histogram
+    direct = histogram(lineitem, "l_returnflag", StrCategory(s.categories))
+    assert sorted(map(str, h.df.drop("l_returnflag_bin").collect())) == sorted(
+        map(str, direct.df.drop("l_returnflag_bin").collect())
+    )
+
+
 def test_remove_flow_resets_specs(spark, lineitem):
     h = histogram(lineitem, "l_quantity", Regular(6, 10.0, 40.0), flow=True)
     r = h.remove_flow()

@@ -779,16 +779,27 @@ class Integer(BinSpec):
 @dataclass(frozen=True)
 class IntCategory(BinSpec):
     """Explicit unordered integer categories; misses land in the overflow bin.
-    Category axes have no underflow (boost semantics, core.py:554-568)."""
+    Category axes have no underflow (boost semantics, core.py:554-568).
+
+    ``growth=True`` is the reference's growing-category spelling
+    (``bh.axis.IntCategory([], growth=True)``; rejected under Dask,
+    core.py:266-269): the axis resolves at plan-build time via one
+    distinct scan, keeping the declared categories in place and
+    appending the newly observed ones in sorted order (boost appends in
+    APPEARANCE order — nondeterministic under distribution, so the
+    deterministic sorted order is the documented delta).  A growth axis
+    cannot compile directly — pass it through ``histogram()`` /
+    ``resolve_specs``."""
 
     categories: tuple
     overflow: bool = True
+    growth: bool = False
     underflow: bool = field(default=False, init=False)
     label_type: str = field(default="bigint", init=False)
 
     def __post_init__(self) -> None:
         cats = tuple(int(v) for v in self.categories)
-        if len(set(cats)) != len(cats) or not cats:
+        if len(set(cats)) != len(cats) or (not cats and not self.growth):
             raise ValueError("IntCategory: need non-empty unique categories")
         object.__setattr__(self, "categories", cats)
 
@@ -810,6 +821,11 @@ class IntCategory(BinSpec):
             raise TypeError(f"IntCategory axis needs an integral column, got {col}: {dt}")
 
     def raw_id_col(self, c: Column) -> Column:
+        if self.growth:
+            raise ValueError(
+                "unresolved growth axis — pass it through histogram()/"
+                "resolve_specs, which discovers the categories first"
+            )
         x = c.cast("bigint")
         if self.n <= _CAT_CASE_MAX:
             # small sets: a codegen'd when-chain of direct equality compares
@@ -860,6 +876,8 @@ class IntCategory(BinSpec):
         return F.array_contains(arr, c.cast("bigint"))
 
     def to_dict(self) -> dict:
+        if self.growth:
+            raise ValueError("serialize the RESOLVED axis, not the growth marker")
         return {"kind": "intcategory", "categories": list(self.categories),
                 "overflow": self.overflow}
 
@@ -867,16 +885,18 @@ class IntCategory(BinSpec):
 @dataclass(frozen=True)
 class StrCategory(BinSpec):
     """Explicit string categories; misses land in overflow, labelled
-    ``"_flow_bin"`` (core.py:570-575)."""
+    ``"_flow_bin"`` (core.py:570-575).  ``growth=True``: the reference's
+    growing-category spelling — see IntCategory."""
 
     categories: tuple
     overflow: bool = True
+    growth: bool = False
     underflow: bool = field(default=False, init=False)
     label_type: str = field(default="string", init=False)
 
     def __post_init__(self) -> None:
         cats = tuple(str(v) for v in self.categories)
-        if len(set(cats)) != len(cats) or not cats:
+        if len(set(cats)) != len(cats) or (not cats and not self.growth):
             raise ValueError("StrCategory: need non-empty unique categories")
         object.__setattr__(self, "categories", cats)
 
@@ -898,6 +918,11 @@ class StrCategory(BinSpec):
             raise TypeError(f"StrCategory axis needs a string column, got {col}: {dt}")
 
     def raw_id_col(self, c: Column) -> Column:
+        if self.growth:
+            raise ValueError(
+                "unresolved growth axis — pass it through histogram()/"
+                "resolve_specs, which discovers the categories first"
+            )
         if self.n <= _CAT_CASE_MAX:
             # direct-equality when-chain (see _CAT_CASE_MAX); a NULL value
             # makes every equality NULL → falls through to overflow
@@ -943,5 +968,7 @@ class StrCategory(BinSpec):
         return F.array_contains(arr, c)
 
     def to_dict(self) -> dict:
+        if self.growth:
+            raise ValueError("serialize the RESOLVED axis, not the growth marker")
         return {"kind": "strcategory", "categories": list(self.categories),
                 "overflow": self.overflow}

@@ -93,8 +93,8 @@ _DRIVER_VERIFIED = frozenset({
 # they lead the registry so the driver's ~50-query window is guaranteed to
 # reach them regardless of where they appear in this file.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "hist_pow_axis", "hist_growth_categories", "pipeline_curate_narrow",
-    "dedup_simhash_pairs", "sample_pack_chunks",
+    "hist_pow_axis", "hist_growth_categories", "hist_growth_merge",
+    "pipeline_curate_narrow", "dedup_simhash_pairs", "sample_pack_chunks",
 )
 
 
@@ -246,6 +246,24 @@ register(
         [StrCategory((
             "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
         ))],
+    ),
+)
+
+
+def _growth_merge_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference's constructor spelling: declared categories stay in
+    # place, newly observed ones append in sorted order
+    return histogram(
+        t(spark, sf_dir, "part"), "p_size", IntCategory((5, 1), growth=True)
+    ).df
+
+
+register(
+    "hist_growth_merge",
+    _growth_merge_fn,
+    orc.histogram_oracle_sql(
+        "part", ["p_size"],
+        [IntCategory((5, 1) + tuple(v for v in range(1, 51) if v not in (1, 5)))],
     ),
 )
 _hist_query("hist_2d", "lineitem", ["l_quantity", "l_discount"],

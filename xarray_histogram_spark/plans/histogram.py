@@ -92,12 +92,27 @@ def resolve_specs(
             raise ValueError(f"got {len(ranges_list)} ranges for {k} variables")
 
     # growth axes: discover-then-bin (one distinct scan per growth axis;
-    # see binspec.Growth)
-    bins_list = [
-        categories_from_data(df, cols[i], b.max_categories)
-        if isinstance(b, Growth) else b
-        for i, b in enumerate(bins_list)
-    ]
+    # see binspec.Growth).  The reference's constructor spelling
+    # (Int/StrCategory(..., growth=True)) resolves the same way, keeping
+    # the declared categories in place and appending newly observed ones
+    # in sorted order.
+    from dataclasses import replace as _dc_replace
+
+    from ..binspec import IntCategory as _IC, StrCategory as _SC
+
+    def _resolve_growth(i: int, b):
+        if isinstance(b, Growth):
+            return categories_from_data(df, cols[i], b.max_categories)
+        if isinstance(b, (_IC, _SC)) and b.growth:
+            disc = categories_from_data(df, cols[i])
+            have = set(b.categories)
+            merged = tuple(b.categories) + tuple(
+                v for v in disc.categories if v not in have
+            )
+            return _dc_replace(b, categories=merged, growth=False)
+        return b
+
+    bins_list = [_resolve_growth(i, b) for i, b in enumerate(bins_list)]
 
     # figure out which bounds need inference; batch into one job
     need: list[tuple[int, bool, bool]] = []
