@@ -354,6 +354,39 @@ def test_curate_documents_semantics(spark):
     assert 9 not in {r["doc_id"] for r in hq}
 
 
+def test_deterministic_take_semantics(spark, docs):
+    """Exactly n rows; a smaller take is a prefix (subset) of a larger one;
+    partitioning-independent."""
+    from xarray_histogram_spark.operators import sampling as sp
+
+    t200 = {r["doc_id"] for r in sp.deterministic_take(docs, "doc_id", 200).collect()}
+    t50 = {r["doc_id"] for r in sp.deterministic_take(docs, "doc_id", 50).collect()}
+    assert len(t200) == 200 and len(t50) == 50 and t50 <= t200
+    again = {
+        r["doc_id"]
+        for r in sp.deterministic_take(docs.repartition(9), "doc_id", 200).collect()
+    }
+    assert again == t200
+    with pytest.raises(ValueError):
+        sp.deterministic_take(docs, "doc_id", 0)
+
+
+def test_vocabulary_semantics(spark):
+    """Ranks follow (tf desc, term asc); min_df prunes; tf counts total
+    occurrences while df_t counts documents."""
+    docs = spark.createDataFrame(
+        [(1, "a a a b c"), (2, "a b b z"), (3, "a q")],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in tx.vocabulary(docs, "text", "doc_id", k=10).collect()}
+    assert out["a"]["tf"] == 5 and out["a"]["df_t"] == 3 and out["a"]["rank"] == 1
+    assert out["b"]["tf"] == 3 and out["b"]["df_t"] == 2 and out["b"]["rank"] == 2
+    assert out["c"]["rank"] == 3  # tf=1 ties break on the term string
+    pruned = {r["term"] for r in
+              tx.vocabulary(docs, "text", "doc_id", k=10, min_df=2).collect()}
+    assert pruned == {"a", "b"}
+
+
 def test_chunk_assignments_semantics(spark):
     """Concat-and-chunk invariants: offsets tile each shard's stream with
     no gaps, chunk indices are exact integer division of the token span,

@@ -95,6 +95,7 @@ _DRIVER_VERIFIED = frozenset({
 _NEW_THIS_ROUND: tuple[str, ...] = (
     "hist_pow_axis", "hist_growth_categories", "hist_growth_merge",
     "pipeline_curate_narrow", "dedup_simhash_pairs", "sample_pack_chunks",
+    "sample_take_n", "text_vocabulary",
 )
 
 
@@ -846,6 +847,27 @@ def _pack_sql() -> str:
 
 
 register("sample_pack_chunks", _pack_fn, _pack_sql())
+register(
+    # exactly-n global deterministic sample: per-partition top-n heaps
+    # (TakeOrderedAndProject), no global sort
+    "sample_take_n",
+    lambda spark, sf_dir: sp.deterministic_take(
+        t(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id", 200,
+        salt="take",
+    ),
+    sp.deterministic_take_sql(
+        "documents", ["doc_id", "lang"], "doc_id", 200, salt="take"
+    ),
+)
+register(
+    # corpus vocabulary: top-k terms by total count, tokenizer-training
+    # primitive; global top-k is heap-based, never a vocabulary sort
+    "text_vocabulary",
+    lambda spark, sf_dir: tx.vocabulary(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id", k=100, min_df=2
+    ),
+    tx.vocabulary_sql("documents", "text", "doc_id", k=100, min_df=2),
+)
 
 
 def _merge_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -282,3 +282,35 @@ def chunk_assignments_sql(
         f"FROM (SELECT {shard_col}, {id_col}, {token_col}, "
         f"{cum} - {token_col} AS tok_offset FROM {table}) t"
     )
+
+
+def deterministic_take(
+    df: DataFrame, key_col: str, n: int, salt: str = ""
+) -> DataFrame:
+    """Exactly-``n`` deterministic global sample: the ``n`` rows with the
+    smallest md5 draw (ties broken by key) — the fixed-size companion to
+    ``deterministic_sample``'s fixed-rate filter.  Reruns, incremental
+    loads and audits pick the same rows; adding new rows can only evict
+    the largest draws (bounded churn), unlike rate-based sampling whose
+    membership is stable but whose size drifts.
+
+    Scale shape: Spark plans ``orderBy(draw, key).limit(n)`` as
+    TakeOrderedAndProject — a per-partition top-``n`` heap with a
+    driver-side merge of ``partitions × n`` candidates.  No global sort,
+    no shuffle of the corpus; ``n`` must be driver-bounded (it is a
+    sample, not a split)."""
+    if n < 1:
+        raise ValueError("deterministic_take: need n >= 1")
+    d = draw_hex(F.col(key_col), salt)
+    return df.orderBy(d.asc(), F.col(key_col).asc()).limit(int(n))
+
+
+def deterministic_take_sql(
+    table: str, select_cols: Sequence[str], key_expr: str, n: int,
+    salt: str = "",
+) -> str:
+    d = draw_hex_sql(key_expr, salt)
+    cols = ", ".join(select_cols)
+    return (
+        f"SELECT {cols} FROM {table} ORDER BY {d}, {key_expr} LIMIT {int(n)}"
+    )

@@ -429,3 +429,64 @@ def remove_repeated_lines_sql(
         f"FROM flat f LEFT JOIN bad b ON f.line = b.line "
         f"GROUP BY f.{id_col}"
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 1000,
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: the top-``k`` terms by total occurrence count —
+    the tokenizer-training / frequency-cutoff primitive.  Returns
+    (term, tf, df_t, rank): total occurrences, document frequency, and
+    the 1-based rank under the deterministic (tf desc, term asc) order.
+
+    Plan shape at corpus scale: tokenize+explode (map-only generator) →
+    groupBy(doc, term) — THE input-proportional shuffle, map-side
+    combined, rows out ≤ distinct (doc, term) pairs → groupBy(term) over
+    that OUTPUT (sum + count — no distinct aggregate, no corpus rescan)
+    → ``min_df`` prune → global top-k via TakeOrderedAndProject
+    (per-partition heaps, driver merges k rows — output-bounded, never a
+    global sort of the vocabulary).  The rank column is a row_number
+    over the k already-taken rows (single partition of k rows — bounded
+    by construction)."""
+    if k < 1:
+        raise ValueError("vocabulary: need k >= 1")
+    if min_df < 1:
+        raise ValueError("vocabulary: need min_df >= 1")
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col), F.explode(_tok(F.col(text_col))).alias("term"))
+    per_doc = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = per_doc.groupBy("term").agg(
+        F.sum("c").cast("bigint").alias("tf"),
+        F.count(F.lit(1)).cast("bigint").alias("df_t"),
+    )
+    if min_df > 1:
+        vocab = vocab.where(F.col("df_t") >= F.lit(int(min_df)))
+    top = vocab.orderBy(F.col("tf").desc(), F.col("term")).limit(int(k))
+    w = Window.orderBy(F.col("tf").desc(), F.col("term"))
+    return top.select(
+        "term", "tf", "df_t", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
+def vocabulary_sql(
+    table: str, text_col: str, id_col: str, k: int = 1000, min_df: int = 1
+) -> str:
+    toks = (
+        f"SELECT {id_col}, unnest({H.tokens_sql(text_col)}) AS term FROM {table}"
+    )
+    having = f"HAVING COUNT(*) >= {int(min_df)} " if min_df > 1 else ""
+    return (
+        f"WITH toks AS ({toks}), "
+        f"pd AS (SELECT {id_col}, term, COUNT(*) AS c FROM toks "
+        f"GROUP BY {id_col}, term), "
+        f"vocab AS (SELECT term, CAST(SUM(c) AS BIGINT) AS tf, "
+        f"CAST(COUNT(*) AS BIGINT) AS df_t FROM pd GROUP BY term {having}) "
+        f"SELECT term, tf, df_t, CAST(row_number() OVER "
+        f"(ORDER BY tf DESC, term) AS INT) AS rank FROM vocab "
+        f"ORDER BY tf DESC, term LIMIT {int(k)}"
+    )
