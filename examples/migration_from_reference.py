@@ -93,7 +93,25 @@ assert n.is_normalized()
 sc = h.scale(2.0)
 assert sc.specs["temp"].edges()[0] == 0.0 and sc.specs["temp"].edges()[-1] == 60.0
 
-# ---- 9. boost extras the reference does NOT support ------------------------
+# ---- 9. signature parity details -------------------------------------------
+# edges(flow=True) wraps interior edges in the flow positions (the
+# accessor's documented default); apply_func forwards **kwargs:
+assert f.edges()[0] == float("-inf") and f.edges(flow=False)[0] == 10.0
+shifted = h.apply_func(lambda e, off: e + off, off=5.0)
+assert shifted.specs["temp"].edges()[0] == 5.0
+
+# ---- 10. transforms and growth axes -----------------------------------------
+# boost's transform family: log / sqrt / pow(p):
+hp = xhs.histogram(df, "temp",
+                   xhs.Regular(6, 0.0, 30.0, transform="pow", power=2.0))
+assert hp.df.count() == 6
+# growth axes (reference rejects them under dask — Spark is equally lazy,
+# so growth = discover-then-bin): either spelling works
+hg1 = xhs.histogram(dfg, "member", xhs.Growth())
+hg2 = xhs.histogram(dfg, "member", xhs.IntCategory((1,), growth=True))
+assert hg1.df.count() == 2 and hg2.df.count() == 2
+
+# ---- 11. boost extras the reference does NOT support ------------------------
 # accumulator storages ("accumulator storage … are not supported"):
 ws = xhs.weight_storage_histogram(dfw, "temp", xhs.Regular(6, 0.0, 30.0), "w",
                                   weight_scale=4)
@@ -101,7 +119,6 @@ assert {"value", "variance"} <= set(ws.columns)
 ms = xhs.mean_storage_histogram(dfw, "temp", xhs.Regular(6, 0.0, 30.0), "w",
                                 weight_scale=4)
 assert {"count", "mean", "variance"} <= set(ms.columns)
-# growth axes (reference rejects under dask): categories_from_data emulation,
 # merge (+), rebin, project, UHI slice — see README table.
 
 print("migration guide: all mappings verified OK")
