@@ -21,7 +21,7 @@ from .util import assert_matches_sql, duck
 
 
 def _random_config(rng: random.Random):
-    kind = rng.choice(["regular", "log", "sqrt", "variable", "vbinary",
+    kind = rng.choice(["regular", "log", "sqrt", "pow", "variable", "vbinary",
                        "integer", "intcat", "strcat"])
     if kind == "regular":
         lo = rng.uniform(0.0, 20.0)
@@ -32,6 +32,14 @@ def _random_config(rng: random.Random):
     elif kind == "sqrt":
         spec, col = Regular(rng.randint(3, 12), 0.0,
                             rng.uniform(40.0, 60.0), transform="sqrt"), "l_quantity"
+    elif kind == "pow":
+        # exact=True: the oracle-deterministic literal-edge path (Math.pow
+        # vs C pow may differ in the last ulp on the fast path)
+        lo = rng.uniform(0.0, 2.0)
+        spec, col = Regular(
+            rng.randint(3, 12), lo, lo + rng.uniform(40.0, 60.0),
+            transform="pow", power=rng.choice([0.5, 2.0, 3.0]), exact=True,
+        ), "l_quantity"
     elif kind in ("variable", "vbinary"):
         cuts = sorted({round(rng.uniform(1.0, 50.0), 3) for _ in range(rng.randint(3, 9))})
         if len(cuts) < 2:
