@@ -37,6 +37,11 @@ CASES = [
     dict(cols=["o_totalprice"],
          bins=[Regular(8, 100.0, 600000.0, transform="log", exact=True)],
          _table="orders"),
+    dict(cols=["l_quantity"],
+         bins=[Regular(12, 1.0, 51.0, transform="pow", power=2.0)]),
+    dict(cols=["l_quantity"],
+         bins=[Regular(12, 1.0, 51.0, transform="pow", power=0.5, exact=True)],
+         flow=True),
 ]
 
 
@@ -83,3 +88,26 @@ def test_fill_sqrt_negative_matches_column_path(spark, lineitem):
     # negatives exist, so overflow must be populated identically & nonzero
     over = {r["q_bin"]: r["q_histogram"] for r in a.df.collect()}[6]
     assert over > 0
+
+
+def test_fill_pow_negative_matches_column_path(spark, lineitem):
+    """x < 0 is out of the pow domain and must land in UNDERFLOW on both
+    paths and both parities of p — without the guard, even powers fold
+    pow(-3, 2) = 9 onto a positive core bin."""
+    from pyspark.sql import functions as F
+
+    df = lineitem.select((F.col("l_quantity") - 25.0).alias("q"))
+    for p in (2.0, 0.5):
+        spec = [Regular(6, 0.0, 26.0, transform="pow", power=p)]
+        a = histogramdd(df, ["q"], spec, flow=True)
+        b = histogramdd_fill(df, ["q"], spec, flow=True)
+        _cmp(a, b, ["q_bin"])
+        under = {r["q_bin"]: r["q_histogram"] for r in a.df.collect()}[-1]
+        assert under > 0
+        # and fast == exact on this integer-valued data
+        c = histogramdd(
+            df, ["q"],
+            [Regular(6, 0.0, 26.0, transform="pow", power=p, exact=True)],
+            flow=True,
+        )
+        _cmp(a, c, ["q_bin"])

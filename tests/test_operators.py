@@ -443,6 +443,21 @@ def test_simhash_pairs_semantics(spark):
     assert none == []
 
 
+def test_jaccard_null_text_pairs_dropped(spark):
+    """Two null-text docs share the all-'g' sentinel minhash signature and
+    become an LSH candidate pair, but their shingle intersection is empty
+    — the inner-join oracle emits no row for them, so neither must the
+    array_intersect form (neither as jaccard=0.0 nor, via null-matching
+    array_intersect semantics, as jaccard=1.0)."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "some real text content here")],
+        "doc_id long, text string",
+    )
+    assert dd.jaccard_pairs(docs, "text", "doc_id").collect() == []
+    kept = {r["doc_id"] for r in dd.near_dedup_keep(docs, "text", "doc_id").collect()}
+    assert kept == {1, 2, 3}
+
+
 def test_curate_narrow_equals_wide(spark, docs):
     """wide_rows=False (min-id keeper + semi-join) is row-identical to the
     window form, under any input partitioning."""

@@ -30,6 +30,8 @@ def py_regular_id(spec: Regular, x):
     elif spec.transform == "sqrt":
         y, lo, hi = math.sqrt(x), math.sqrt(spec.lo), math.sqrt(spec.hi)
     elif spec.transform == "pow":
+        if x < 0:
+            return -1  # out of the pow domain → underflow (= exact path)
         p = float(spec.power)
         y = math.pow(x, p)
         lo, hi = math.pow(spec.lo, p), math.pow(spec.hi, p)
@@ -70,9 +72,10 @@ def test_regular_bucketize_property(spark, values):
 @given(
     st.lists(
         st.one_of(
-            st.floats(min_value=0.0, max_value=30.0),
+            st.floats(min_value=-30.0, max_value=30.0),
             st.just(float("nan")),
             st.just(float("inf")),
+            st.just(float("-inf")),
             st.none(),
         ),
         min_size=1,
@@ -80,15 +83,25 @@ def test_regular_bucketize_property(spark, values):
     )
 )
 def test_pow_bucketize_property(spark, values):
-    """Fast pow path vs the executable spec over the non-negative domain
-    (lo >= 0 is enforced for pow axes; negative inputs are out-of-domain
-    and engine-defined — fast follows pow(x, p) like boost, exact buckets
-    x against value-space edges)."""
+    """Fast pow path vs the executable spec, INCLUDING negative inputs:
+    x < 0 is out of the pow domain (lo >= 0 enforced) and maps to
+    underflow on both the fast and exact paths — without the guard, even
+    powers would fold pow(-3, 2) = 9 onto a positive core bin."""
     for p in (0.5, 2.0):
         spec = Regular(5, 0.0, 16.0, transform="pow", power=p)
         got = spark_ids(spark, spec, values)
         exp = [py_regular_id(spec, v) for v in values]
         assert got == exp
+        # fast vs exact agreement on bin-interior values (integers sit far
+        # from the transform's irrational edges; AT an edge the two paths
+        # may legitimately differ by a Math.pow ulp — the documented
+        # reason exact=True exists)
+        exact = Regular(5, 0.0, 16.0, transform="pow", power=p, exact=True)
+        ints = [
+            float(round(v)) for v in values
+            if v is not None and not math.isnan(v) and not math.isinf(v)
+        ]
+        assert spark_ids(spark, exact, ints) == spark_ids(spark, spec, ints)
 
 
 @settings(max_examples=10, deadline=None)

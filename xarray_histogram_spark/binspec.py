@@ -406,8 +406,15 @@ class Regular(BinSpec):
         bad = x.isNull() | F.isnan(x)
         if self.transform == "log":
             bad = bad | (x <= F.lit(0.0))
+        out = F.when(bad, F.lit(self.n))
+        if self.transform == "pow":
+            # x < 0 is out of the pow domain (lo >= 0 enforced): underflow,
+            # matching the exact=True edge scan (x < edges[0]).  Without
+            # this, even powers fold negatives onto positive core bins
+            # (pow(-3, 2) = 9) and the two paths of the same spec disagree.
+            out = out.when(x < F.lit(0.0), F.lit(-1))
         return (
-            F.when(bad, F.lit(self.n))
+            out
             .when(y < F.lit(ylo), F.lit(-1))
             .when(y >= F.lit(yhi), F.lit(self.n))
             .otherwise(core)
@@ -438,9 +445,17 @@ class Regular(BinSpec):
             # log(lo)) — a value-space bound could disagree by a libm ulp.
             # NULL/NaN/out-of-domain transform results all fail the range.
             if self.transform == "pow":
-                y = F.pow(c.cast("double"), F.lit(float(self.power)))
-            else:
-                y = (F.log if self.transform == "log" else F.sqrt)(c.cast("double"))
+                # the x >= 0 domain term mirrors _linear_id_col's
+                # negative→underflow guard (underflow is outside keep range
+                # here)
+                x = c.cast("double")
+                y = F.pow(x, F.lit(float(self.power)))
+                return (
+                    (x >= F.lit(0.0))
+                    & (y >= F.lit(self._tf(self.lo)))
+                    & (y < F.lit(self._tf(self.hi)))
+                )
+            y = (F.log if self.transform == "log" else F.sqrt)(c.cast("double"))
             return (y >= F.lit(self._tf(self.lo))) & (y < F.lit(self._tf(self.hi)))
         # linear & exact edge-scan: endpoints are pinned to lo/hi, so
         # id ∈ [0, n-1] ⟺ lo <= x < hi; NULL and NaN both fail the range
@@ -466,8 +481,10 @@ class Regular(BinSpec):
         bad = f"{x} IS NULL OR isnan({x})"
         if self.transform == "log":
             bad += f" OR {x} <= 0.0"
+        neg = f"WHEN {x} < 0.0 THEN -1 " if self.transform == "pow" else ""
         return (
             f"CASE WHEN {bad} THEN {n} "
+            f"{neg}"
             f"WHEN {y} < {flit(ylo)} THEN -1 "
             f"WHEN {y} >= {flit(yhi)} THEN {n} "
             f"ELSE LEAST(CAST(FLOOR(({y} - {flit(ylo)}) * {flit(float(n))} / {flit(span)}) AS INT), {n - 1}) END"
@@ -794,6 +811,7 @@ class IntCategory(BinSpec):
     categories: tuple
     overflow: bool = True
     growth: bool = False
+    max_categories: Optional[int] = None
     underflow: bool = field(default=False, init=False)
     label_type: str = field(default="bigint", init=False)
 
@@ -801,6 +819,8 @@ class IntCategory(BinSpec):
         cats = tuple(int(v) for v in self.categories)
         if len(set(cats)) != len(cats) or (not cats and not self.growth):
             raise ValueError("IntCategory: need non-empty unique categories")
+        if self.max_categories is not None and not self.growth:
+            raise ValueError("max_categories is only valid with growth=True")
         object.__setattr__(self, "categories", cats)
 
     @property
@@ -891,6 +911,7 @@ class StrCategory(BinSpec):
     categories: tuple
     overflow: bool = True
     growth: bool = False
+    max_categories: Optional[int] = None
     underflow: bool = field(default=False, init=False)
     label_type: str = field(default="string", init=False)
 
@@ -898,6 +919,8 @@ class StrCategory(BinSpec):
         cats = tuple(str(v) for v in self.categories)
         if len(set(cats)) != len(cats) or (not cats and not self.growth):
             raise ValueError("StrCategory: need non-empty unique categories")
+        if self.max_categories is not None and not self.growth:
+            raise ValueError("max_categories is only valid with growth=True")
         object.__setattr__(self, "categories", cats)
 
     @property

@@ -123,6 +123,24 @@ def minhash_signatures_sql(table: str, text_col: str, id_col: str, k: int = 8) -
     return f"SELECT {id_col}, {aggs} FROM ({rows}) s GROUP BY {id_col}"
 
 
+def _ordered_pairs(arr, make) -> "F.Column":
+    """Expand a SORTED array column into its ordered pairs in place —
+    element i with every later element, ``make(a, b)`` building each pair
+    struct.  Shared by every bucketed candidate generator (MinHash-LSH,
+    SimHash bands): m(m−1)/2 rows per bucket, no self-join."""
+    return F.explode(
+        F.flatten(
+            F.transform(
+                arr,
+                lambda a, i: F.transform(
+                    F.slice(arr, i + 2, F.size(arr)),
+                    lambda b: make(a, b),
+                ),
+            )
+        )
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame, text_col: str, id_col: str, k: int = 8,
     max_bucket: Optional[int] = None,
@@ -165,20 +183,10 @@ def lsh_candidate_pairs(
     )
     if max_bucket is not None:
         buckets = buckets.where(F.size("ids") <= F.lit(int(max_bucket)))
-    # ordered pairs of a sorted list: element i with every later element
     pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda a, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda bb: F.struct(
-                            a.alias("id_a"), bb.alias("id_b")
-                        ),
-                    ),
-                )
-            )
+        _ordered_pairs(
+            F.col("ids"),
+            lambda a, bb: F.struct(a.alias("id_a"), bb.alias("id_b")),
         ).alias("p")
     )
     return pairs.groupBy(
@@ -228,12 +236,15 @@ def jaccard_pairs(
     Jaccard stage adds ZERO exchanges beyond ``lsh_candidate_pairs``'s
     band shuffle: two broadcast joins over corpus map scans.
 
-    Null faithfulness: a null-text document's shingle array is ``[null]``
-    (size 1); the old equality join never matched null shingles, so the
-    a-side set is null-filtered before ``array_intersect`` (whose own
-    null-matching semantics must not leak in) — such pairs keep
-    jaccard = 0.0 exactly as before, and the DuckDB oracle mirror is
-    unchanged.
+    Exactness vs the inner-join formulation (and the unchanged DuckDB
+    oracle): a candidate pair with an EMPTY shingle intersection produces
+    no row there — the inner join on ``sa.sh = sb.sh`` has nothing to
+    match — so this form filters ``intersection >= 1`` rather than
+    emitting jaccard = 0.0.  Null faithfulness: a null-text document's
+    shingle array is ``[null]`` (size 1) and the old join never matched
+    null shingles, so the a-side set is null-filtered before
+    ``array_intersect`` (whose own null-matching semantics must not leak
+    in) — a null-null candidate pair is dropped, not scored 1.0.
 
     ``broadcast_pairs=False`` drops the broadcast hint for corpora whose
     candidate set exceeds driver/broadcast memory and lets AQE pick the
@@ -257,13 +268,18 @@ def jaccard_pairs(
             F.col("b.shset"),
         )
     )
-    return joined.select(
-        "id_a",
-        "id_b",
-        (
-            inter.cast("double")
-            / (F.col("a.nsh") + F.col("b.nsh") - inter).cast("double")
-        ).alias("jaccard"),
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            inter.alias("__inter"),
+            (
+                inter.cast("double")
+                / (F.col("a.nsh") + F.col("b.nsh") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("__inter") >= 1)
+        .drop("__inter")
     )
 
 
@@ -328,9 +344,19 @@ def components_from_edges(
     jobs.  On a real cluster an executor loss would discard them
     mid-iteration, so pass ``checkpoint_dir`` (HDFS/S3 path) to use
     RELIABLE ``checkpoint()`` instead: each round's labels persist to
-    the fault-tolerant store and the job survives executor churn."""
+    the fault-tolerant store and the job survives executor churn.
+    ``setCheckpointDir`` is SparkContext-global; the propagation runs
+    eagerly inside this call, and any previously configured checkpoint
+    directory is restored on exit (best-effort — if none was set before,
+    the new one remains, as Spark has no unset)."""
     spark = nodes.sparkSession
+    prev_dir = None
     if checkpoint_dir is not None:
+        try:
+            opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+            prev_dir = opt.get() if opt.isDefined() else None
+        except Exception:  # noqa: BLE001 - py4j surface differences
+            prev_dir = None
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(d: DataFrame) -> DataFrame:
@@ -339,6 +365,20 @@ def components_from_edges(
         def _ckpt(d: DataFrame) -> DataFrame:
             return d.localCheckpoint(eager=True)
 
+    try:
+        return _components_loop(nodes, edges, id_col, max_iter, _ckpt)
+    finally:
+        if prev_dir is not None:
+            spark.sparkContext.setCheckpointDir(prev_dir)
+
+
+def _components_loop(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    max_iter: int,
+    _ckpt,
+) -> DataFrame:
     sym = _ckpt(
         edges.select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -480,30 +520,32 @@ def dedup_components_sql(
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 16
+SIMHASH64_BITS = 64
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """16-bit SimHash over token md5 nibbles: (id, simhash BIGINT),
-    computed **per row with zero shuffle** — one fold over the token
-    array accumulates the 16 bit-counters (±1 per token), then a sign
-    fold packs the bits.  Bit-identical to the former explode +
-    groupBy(16 SUMs) formulation (the same ±1 totals over the same token
-    multiset), so the DuckDB oracle mirror is unchanged.  Documents with
-    no tokens (empty/null text) produce no row, matching the grouped
-    form.  At corpus scale this makes SimHash a pure map stage — the old
-    shape shuffled every (id, token) row, an input-proportional exchange.
+def _simhash_df(
+    df: DataFrame, text_col: str, id_col: str, bits: int, out_name: str
+) -> DataFrame:
+    """Shared SimHash fold for any width that fits an int64: one per-row
+    ``aggregate`` over the token array accumulates ``bits`` ±1 counters
+    (md5 hex prefix of ``bits/4`` chars, one nibble per 4 bits), then a
+    sign fold packs them; for 64-bit signatures bit 63 folds in as the
+    int64 sign term (−2⁶³).  Zero shuffle; documents with no tokens
+    produce no row (matching the grouped formulation the 16-bit oracle
+    was originally checked against).
 
     Single-aggregate shape for the same reason as ``minhash_signatures``:
     Spark 4.1.2's analyzer mis-resolves lambda variables when several
     output columns each nest higher-order functions (see NOTE there)."""
+    hexlen = bits // 4
     toks_arr = H.tokens(F.col(text_col))
-    h4_arr = F.transform(
-        toks_arr, lambda t: F.substring(F.md5(t.cast("binary")), 1, 4)
+    h_arr = F.transform(
+        toks_arr, lambda t: F.substring(F.md5(t.cast("binary")), 1, hexlen)
     )
 
     def step(acc, c):
         terms = []
-        for b in range(SIMHASH_BITS):
+        for b in range(bits):
             v = H.nibble_val(F.substring(c, 1 + b // 4, 1))
             bit = F.shiftright(v, 3 - b % 4).bitwiseAND(F.lit(1))
             terms.append(
@@ -512,105 +554,71 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             )
         return F.array(*terms)
 
-    sig = F.aggregate(h4_arr, F.array_repeat(F.lit(0), SIMHASH_BITS), step)
+    sig = F.aggregate(h_arr, F.array_repeat(F.lit(0), bits), step)
     scored = df.where(F.size(toks_arr) > 0).select(
         F.col(id_col), sig.alias("_s")
     )
     sim = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(
-            F.element_at(F.col("_s"), b + 1) > 0, F.lit(2**b)
-        ).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return scored.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
-
-
-def simhash_sql(table: str, text_col: str, id_col: str) -> str:
-    toks = (
-        f"SELECT {id_col}, unnest({H.tokens_sql(text_col)}) AS tok FROM {table}"
-    )
-    h4 = "substring(md5(tok), 1, 4)"
-    aggs = []
-    for b in range(SIMHASH_BITS):
-        v = H.nibble_val_sql(f"substring({h4}, {1 + b // 4}, 1)")
-        bit = f"(({v} >> {3 - b % 4}) & 1)"
-        aggs.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{b}")
-    terms = " + ".join(
-        f"CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END" for b in range(SIMHASH_BITS)
-    )
-    return (
-        f"WITH toks AS ({toks}), scored AS "
-        f"(SELECT {id_col}, {', '.join(aggs)} FROM toks GROUP BY {id_col}) "
-        f"SELECT {id_col}, CAST({terms} AS BIGINT) AS simhash FROM scored"
-    )
-
-
-SIMHASH64_BITS = 64
-
-
-def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash over token md5 nibbles: (id, simhash64 BIGINT).
-    Same zero-shuffle per-row fold as ``simhash`` (16 md5 hex chars → 64
-    bit-counters → sign fold); bit 63 folds in as the int64 sign bit
-    (−2⁶³ term) so the packed value is an ordinary BIGINT in both
-    engines.  16 bits is plenty for scoring near-duplication of a known
-    pair, but PAIR GENERATION needs band buckets that partition the
-    corpus finely — 64 bits gives four 16-bit bands (bucket ≈ N/65536)
-    where 16 bits would give 4-bit bands (bucket ≈ N/16: a quadratic
-    pair explosion at corpus scale)."""
-    toks_arr = H.tokens(F.col(text_col))
-    h16_arr = F.transform(
-        toks_arr, lambda t: F.substring(F.md5(t.cast("binary")), 1, 16)
-    )
-
-    def step(acc, c):
-        terms = []
-        for b in range(SIMHASH64_BITS):
-            v = H.nibble_val(F.substring(c, 1 + b // 4, 1))
-            bit = F.shiftright(v, 3 - b % 4).bitwiseAND(F.lit(1))
-            terms.append(
-                F.element_at(acc, b + 1)
-                + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
-            )
-        return F.array(*terms)
-
-    sig = F.aggregate(h16_arr, F.array_repeat(F.lit(0), SIMHASH64_BITS), step)
-    scored = df.where(F.size(toks_arr) > 0).select(
-        F.col(id_col), sig.alias("_s")
-    )
-    sim = None
-    for b in range(SIMHASH64_BITS):
+    for b in range(bits):
         pos = F.lit(-(2**63)) if b == 63 else F.lit(2**b)
         term = F.when(F.element_at(F.col("_s"), b + 1) > 0, pos).otherwise(
-            F.lit(0).cast("bigint")
+            F.lit(0)
         )
         sim = term if sim is None else sim + term
-    return scored.select(F.col(id_col), sim.cast("bigint").alias("simhash64"))
+    return scored.select(F.col(id_col), sim.cast("bigint").alias(out_name))
 
 
-def simhash64_sql(table: str, text_col: str, id_col: str) -> str:
+def _simhash_sql(
+    table: str, text_col: str, id_col: str, bits: int, out_name: str
+) -> str:
+    hexlen = bits // 4
     toks = (
         f"SELECT {id_col}, unnest({H.tokens_sql(text_col)}) AS tok FROM {table}"
     )
-    h16 = "substring(md5(tok), 1, 16)"
+    h = f"substring(md5(tok), 1, {hexlen})"
     aggs = []
-    for b in range(SIMHASH64_BITS):
-        v = H.nibble_val_sql(f"substring({h16}, {1 + b // 4}, 1)")
+    for b in range(bits):
+        v = H.nibble_val_sql(f"substring({h}, {1 + b // 4}, 1)")
         bit = f"(({v} >> {3 - b % 4}) & 1)"
         aggs.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{b}")
     terms = " + ".join(
-        "CASE WHEN s63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) "
-        "ELSE CAST(0 AS BIGINT) END"
+        f"CASE WHEN s63 > 0 THEN CAST({-(2**63)} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
         if b == 63
         else f"CASE WHEN s{b} > 0 THEN CAST({2**b} AS BIGINT) "
              f"ELSE CAST(0 AS BIGINT) END"
-        for b in range(SIMHASH64_BITS)
+        for b in range(bits)
     )
     return (
         f"WITH toks AS ({toks}), scored AS "
         f"(SELECT {id_col}, {', '.join(aggs)} FROM toks GROUP BY {id_col}) "
-        f"SELECT {id_col}, CAST({terms} AS BIGINT) AS simhash64 FROM scored"
+        f"SELECT {id_col}, CAST({terms} AS BIGINT) AS {out_name} FROM scored"
     )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash over token md5 nibbles: (id, simhash BIGINT) — the
+    near-duplication SCORE for a known pair.  See ``_simhash_df`` for the
+    zero-shuffle fold; at corpus scale this is a pure map stage (the old
+    shape shuffled every (id, token) row)."""
+    return _simhash_df(df, text_col, id_col, SIMHASH_BITS, "simhash")
+
+
+def simhash_sql(table: str, text_col: str, id_col: str) -> str:
+    return _simhash_sql(table, text_col, id_col, SIMHASH_BITS, "simhash")
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash: (id, simhash64 BIGINT).  16 bits is plenty for
+    scoring a known pair, but PAIR GENERATION needs band buckets that
+    partition the corpus finely — 64 bits gives four 16-bit bands
+    (bucket ≈ N/65536) where 16 bits would give 4-bit bands
+    (bucket ≈ N/16: a quadratic pair explosion at corpus scale)."""
+    return _simhash_df(df, text_col, id_col, SIMHASH64_BITS, "simhash64")
+
+
+def simhash64_sql(table: str, text_col: str, id_col: str) -> str:
+    return _simhash_sql(table, text_col, id_col, SIMHASH64_BITS, "simhash64")
 
 
 SIMHASH_BANDS = 4  # 4 bands of 16 bits over the 64-bit signature
@@ -665,21 +673,14 @@ def simhash_pairs(
     if max_bucket is not None:
         buckets = buckets.where(F.size("members") <= F.lit(int(max_bucket)))
     pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("members"),
-                    lambda a, i: F.transform(
-                        F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
-                        lambda bb: F.struct(
-                            a["i"].alias("id_a"),
-                            bb["i"].alias("id_b"),
-                            a["s"].alias("sh_a"),
-                            bb["s"].alias("sh_b"),
-                        ),
-                    ),
-                )
-            )
+        _ordered_pairs(
+            F.col("members"),
+            lambda a, bb: F.struct(
+                a["i"].alias("id_a"),
+                bb["i"].alias("id_b"),
+                a["s"].alias("sh_a"),
+                bb["s"].alias("sh_b"),
+            ),
         ).alias("p")
     )
     ham = F.bit_count(

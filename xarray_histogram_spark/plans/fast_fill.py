@@ -69,6 +69,12 @@ def _spec_to_plain(spec: BinSpec) -> dict:
                     kind="linear", pre="sqrt",
                     ylo=math.sqrt(spec.lo), yhi=math.sqrt(spec.hi),
                 )
+            elif spec.transform == "pow":
+                p = float(spec.power)
+                d.update(
+                    kind="linear", pre="pow", p=p,
+                    ylo=math.pow(spec.lo, p), yhi=math.pow(spec.hi, p),
+                )
             else:
                 d.update(kind="linear", pre=None, ylo=float(spec.lo), yhi=float(spec.hi))
     elif isinstance(spec, Variable):
@@ -169,6 +175,12 @@ def histogramdd_fill(
                 # y >= yhi true → overflow; mirror that, don't let the NaN
                 # fall through numpy's always-False comparisons into mid
                 bad = bad | _np.isnan(y)
+            elif d["pre"] == "pow":
+                with _np.errstate(invalid="ignore"):
+                    y = _np.power(x, d["p"])
+                # x < 0 → underflow (the Column path's domain guard):
+                # -inf sends it through the y < ylo branch below
+                y = _np.where((~bad) & (x < 0.0), -_np.inf, y)
             else:
                 y = x
             ylo, yhi = d["ylo"], d["yhi"]

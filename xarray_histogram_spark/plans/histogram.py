@@ -104,12 +104,16 @@ def resolve_specs(
         if isinstance(b, Growth):
             return categories_from_data(df, cols[i], b.max_categories)
         if isinstance(b, (_IC, _SC)) and b.growth:
-            disc = categories_from_data(df, cols[i])
+            disc = categories_from_data(
+                df, cols[i], b.max_categories if b.max_categories else 10_000
+            )
             have = set(b.categories)
             merged = tuple(b.categories) + tuple(
                 v for v in disc.categories if v not in have
             )
-            return _dc_replace(b, categories=merged, growth=False)
+            return _dc_replace(
+                b, categories=merged, growth=False, max_categories=None
+            )
         return b
 
     bins_list = [_resolve_growth(i, b) for i, b in enumerate(bins_list)]
