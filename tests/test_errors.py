@@ -121,3 +121,12 @@ def test_curate_split_validation(spark):
     # splits=() disables split assignment entirely
     cols = curate_documents(docs, "text", "doc_id", splits=()).columns
     assert "split" not in cols
+
+
+def test_growth_on_fractional_column_raises(lineitem):
+    """Growth on a double column would silently truncate values into int
+    categories — must fail fast with direction instead."""
+    from xarray_histogram_spark import Growth, histogram
+
+    with pytest.raises(TypeError, match="string or integral"):
+        histogram(lineitem, "l_extendedprice", Growth())

@@ -1032,10 +1032,16 @@ def categories_from_data(
     deterministic schema before aggregation under distribution, so growth
     becomes discover-then-bin.  Returns a StrCategory/IntCategory over the
     observed values (sorted for a stable bin order)."""
-    from ..binspec import IntCategory, StrCategory
+    from ..binspec import IntCategory, StrCategory, _integral_ok
     from pyspark.sql import types as T
 
     dt = {f.name: f.dataType for f in df.schema.fields}[col]
+    if not isinstance(dt, T.StringType) and not _integral_ok(dt):
+        raise TypeError(
+            f"growth axis needs a string or integral column, got {col}: {dt} "
+            "(fractional values would be silently truncated into int "
+            "categories — use an interval axis for continuous data)"
+        )
     rows = (
         df.select(col).where(F.col(col).isNotNull()).distinct()
         .limit(max_categories + 1).collect()
