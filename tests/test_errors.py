@@ -130,3 +130,58 @@ def test_growth_on_fractional_column_raises(lineitem):
 
     with pytest.raises(TypeError, match="string or integral"):
         histogram(lineitem, "l_extendedprice", Growth())
+
+
+def test_similarity_guards(spark, sf_dir):
+    """Missing/duplicate query ids raise; mismatched embedding dimensions
+    raise at execution instead of silently returning empty results."""
+    from pyspark.sql import functions as F
+
+    from xarray_histogram_spark.operators.similarity import (
+        ann_topk, cosine_topk, ivf_topk, with_lsh_bucket,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="not found"):
+        cosine_topk(emb, query_id=10**9)
+    with pytest.raises(ValueError, match="not found"):
+        ann_topk(emb, query_id=10**9)
+    with pytest.raises(ValueError, match="not found"):
+        ivf_topk(emb, query_id=10**9)
+    dup = emb.unionByName(emb.limit(1))
+    qid = emb.select("vec_id").first()[0]
+    with pytest.raises(ValueError, match="not unique"):
+        cosine_topk(dup, query_id=qid)
+    # 3-dim embeddings vs 64-dim planes: loud failure, not bucket-0 soup
+    from pyspark.errors import SparkRuntimeException
+
+    bad = emb.withColumn("embedding", F.slice("embedding", 1, 3))
+    with pytest.raises(SparkRuntimeException, match="dimension mismatch"):
+        with_lsh_bucket(bad).select("bucket").collect()
+
+
+def test_write_result_append_rejected(spark, lineitem, tmp_path):
+    from xarray_histogram_spark import Regular, histogram
+    from xarray_histogram_spark.sources.io import write_result
+
+    h = histogram(lineitem, "l_quantity", Regular(5, 1.0, 51.0))
+    with pytest.raises(ValueError, match="append"):
+        write_result(h, str(tmp_path / "h"), mode="append")
+
+
+def test_cdf_nan_raises(lineitem):
+    from xarray_histogram_spark import Regular, histogram
+
+    h = histogram(lineitem, "l_quantity", Regular(5, 1.0, 51.0))
+    with pytest.raises(ValueError, match="NaN"):
+        h.cdf(float("nan"))
+
+
+def test_empty_variable_lists_raise(lineitem):
+    from xarray_histogram_spark import Regular, histogram
+
+    h = histogram(lineitem, "l_quantity", Regular(5, 1.0, 51.0), flow=True)
+    with pytest.raises(ValueError, match="no variables"):
+        h.remove_flow([])
+    with pytest.raises(ValueError, match="no variables"):
+        h.normalize([])

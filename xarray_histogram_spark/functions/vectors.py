@@ -24,10 +24,25 @@ def _fold(products: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
+    # Dimension guard: zip_with pads the shorter array with nulls, which
+    # would silently null the whole fold (and downstream: every LSH bucket
+    # 0, empty ANN results) — mismatched dimensions are data corruption
+    # and must raise, not degrade.  NULL embeddings keep their historical
+    # NULL-dot behavior.
     prods = F.zip_with(
         a, b, lambda x, y: x.cast("double") * y.cast("double")
     )
-    return _fold(prods)
+    ok = a.isNull() | b.isNull() | (F.size(a) == F.size(b))
+    return F.when(ok, _fold(prods)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("embedding dimension mismatch: "),
+                F.size(a).cast("string"),
+                F.lit(" vs "),
+                F.size(b).cast("string"),
+            )
+        )
+    )
 
 
 def dot_sql(a: str, b: str) -> str:

@@ -47,6 +47,19 @@ def _mask_score_terms(mask: int, n_planes: int) -> list[int]:
     return [j for j in range(n_planes) if mask >> j & 1]
 
 
+def _require_single_query(df: DataFrame, id_col: str, query_id: int) -> None:
+    """Fail fast when the query id is missing (an empty top-k would be
+    indistinguishable from 'no neighbours') or duplicated (every candidate
+    would be scored twice, displacing real neighbours).  One bounded
+    filtered-scan job — these are single-query lookups, the cost is the
+    point of comparison anyway.  Same contract as ann_topk_indexed."""
+    n = df.where(F.col(id_col) == query_id).limit(2).count()
+    if n == 0:
+        raise ValueError(f"query {id_col}={query_id} not found")
+    if n > 1:
+        raise ValueError(f"query {id_col}={query_id} is not unique")
+
+
 def cosine_topk(
     df: DataFrame,
     query_id: int,
@@ -55,6 +68,7 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine to the vector with ``query_id`` (excluded)."""
+    _require_single_query(df, id_col, query_id)
     q = df.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("__qv")
     )
@@ -113,6 +127,7 @@ def ann_topk(
     neighbours actually are.  The probe keys are computed from the single
     query row and equi-joined, so at scale this stays a broadcast hash join
     on the bucket key touching ``n_probes`` buckets, never a corpus scan."""
+    _require_single_query(df, id_col, query_id)
     n_pl = len(planes)
     b = with_lsh_bucket(df, vec_col, planes)
     q = b.where(F.col(id_col) == query_id).select(
@@ -310,6 +325,21 @@ def ivf_assign(
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .collect()
     )
+    if not cents:
+        raise ValueError(
+            f"ivf_assign: no centroid rows (no {id_col} divisible by "
+            f"{step}) — n_hint={n_hint} overestimates the corpus; pass a "
+            f"smaller n_hint or k_centroids"
+        )
+    if len(cents) > 4 * k_centroids:
+        # n_hint badly underestimates the corpus: the sample is
+        # n_actual/step centroids, unbounded by k_centroids — per-centroid
+        # literal structs would blow up the plan (and the driver collect)
+        raise ValueError(
+            f"ivf_assign: centroid sample has {len(cents)} rows for "
+            f"k_centroids={k_centroids} — n_hint={n_hint} underestimates "
+            f"the corpus; pass the actual row count"
+        )
     cents = sorted(((int(r["cid"]), [float(x) for x in r["cv"]]) for r in cents))
     v = F.col(vec_col)
     # linear-size argmin: array_max over (sim, -cid) structs — struct order
@@ -345,6 +375,7 @@ def ivf_topk(
     """IVF ANN search: probe the query's ``nprobe`` nearest inverted lists,
     exact cosine inside them.  At scale the assignment is precomputed/stored
     partitioned by cid, so a query reads nprobe partitions."""
+    _require_single_query(df, id_col, query_id)
     assigned = ivf_assign(df, id_col, vec_col, k_centroids, n_hint)
     step = _centroid_step(n_hint, k_centroids)
     cents = df.where((F.col(id_col) % step) == 0).select(
@@ -446,9 +477,18 @@ def embed_dup_pairs_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes=PLANES,
+    max_bucket=None,
 ) -> str:
+    """DuckDB mirror, including the ``max_bucket`` degenerate-bucket guard
+    so the guarded configuration is oracle-checkable too."""
     bucket = V.lsh_bucket_sql(vec_col, planes)
     cos = V.cosine_sql("va", "vb")
+    guard = ""
+    if max_bucket is not None:
+        guard = (
+            f"AND l.bucket IN (SELECT bucket FROM b GROUP BY bucket "
+            f"HAVING COUNT(*) <= {int(max_bucket)}) "
+        )
     return (
         f"WITH b AS (SELECT {id_col}, {vec_col} AS v, {bucket} AS bucket "
         f"FROM {table}) "
@@ -456,5 +496,6 @@ def embed_dup_pairs_sql(
         f"FROM (SELECT {id_col}, v AS va, bucket FROM b) l "
         f"JOIN (SELECT {id_col}, v AS vb, bucket FROM b) r "
         f"ON l.bucket = r.bucket AND l.{id_col} < r.{id_col} "
+        f"{guard}"
         f"WHERE {cos} >= {flit(threshold)}"
     )

@@ -119,6 +119,8 @@ class HistogramResult:
     # ---- flow removal (accessor.py:278-305) ----
     def remove_flow(self, variables: Optional[Sequence[str]] = None) -> "HistogramResult":
         vs = list(variables) if variables is not None else list(self.variables)
+        if not vs:
+            raise ValueError("remove_flow: no variables given")
         conds = []
         new_specs = dict(self.specs)
         for v in vs:
@@ -138,6 +140,8 @@ class HistogramResult:
         if self.density:
             raise ValueError("histogram is already normalized")
         vs = list(variables) if variables is not None else list(self.variables)
+        if not vs:
+            raise ValueError("normalize: no variables given")
         for v in vs:
             if v not in self.variables:
                 raise ValueError(f"unknown variable {v!r}")

@@ -24,6 +24,7 @@ Determinism design (the oracle hash-compares floats bit-for-bit):
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -97,31 +98,29 @@ def mean(result: HistogramResult, variable: Optional[str] = None) -> DataFrame:
     return g.select(*part, _ratio(num, tot).alias(f"{v}_mean"))
 
 
-def var(result: HistogramResult, variable: Optional[str] = None) -> DataFrame:
-    """Variance of the piecewise-uniform distribution:
-    Σ mass·(c² + w²/12) − mean²  (accessor.py:501-512)."""
-    v, part, g = _moment_fold_df(result, variable)
-    a = F.col("__a")
+def _var_expr(a) -> "F.Column":
+    """Σ mass·(c² + w²/12)/Σmass − mean² — shared by var and std so the
+    piecewise-uniform formula lives in exactly one place."""
     tot = _fold(a, lambda x: x["m"])
     e1 = _ratio(_fold(a, lambda x: x["m"] * x["c"]), tot)
     e2 = _ratio(
         _fold(a, lambda x: x["m"] * (x["c"] * x["c"] + x["w"] * x["w"] / F.lit(12.0))),
         tot,
     )
-    return g.select(*part, (e2 - e1 * e1).alias(f"{v}_var"))
+    return e2 - e1 * e1
+
+
+def var(result: HistogramResult, variable: Optional[str] = None) -> DataFrame:
+    """Variance of the piecewise-uniform distribution:
+    Σ mass·(c² + w²/12) − mean²  (accessor.py:501-512)."""
+    v, part, g = _moment_fold_df(result, variable)
+    return g.select(*part, _var_expr(F.col("__a")).alias(f"{v}_var"))
 
 
 def std(result: HistogramResult, variable: Optional[str] = None) -> DataFrame:
     """Standard deviation (accessor.py:514-525)."""
     v, part, g = _moment_fold_df(result, variable)
-    a = F.col("__a")
-    tot = _fold(a, lambda x: x["m"])
-    e1 = _ratio(_fold(a, lambda x: x["m"] * x["c"]), tot)
-    e2 = _ratio(
-        _fold(a, lambda x: x["m"] * (x["c"] * x["c"] + x["w"] * x["w"] / F.lit(12.0))),
-        tot,
-    )
-    return g.select(*part, F.sqrt(e2 - e1 * e1).alias(f"{v}_std"))
+    return g.select(*part, F.sqrt(_var_expr(F.col("__a"))).alias(f"{v}_std"))
 
 
 def moment(
@@ -222,6 +221,10 @@ def cdf(result: HistogramResult, x: float, variable: Optional[str] = None) -> Da
     spec = result.specs[v]
     bins = spec.core_bins()
     x = float(x)
+    if math.isnan(x):
+        # NaN passes neither range guard and would fall through to a bare
+        # StopIteration from the bin search
+        raise ValueError("cdf: x must not be NaN")
     if x < bins[0].left:
         j, frac = -1, 0.0
     elif x >= bins[-1].right:

@@ -11,7 +11,6 @@ without recomputation."""
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import SparkSession
 
@@ -21,7 +20,45 @@ from ..plans.result import HistogramResult
 SIDECAR = "_binspec.json"
 
 
+def _sidecar_write(spark: SparkSession, path: str, text: str) -> None:
+    """Write the sidecar through the HADOOP filesystem of ``path`` — a
+    local ``open()`` would silently target the driver's disk for
+    hdfs://s3a:// result paths (the parquet would land remote, the
+    sidecar local, and the result would be unreadable).  Hadoop's
+    LocalFileSystem handles plain paths identically."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path, SIDECAR)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _sidecar_read(spark: SparkSession, path: str) -> str:
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path, SIDECAR)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        # py4j passes byte[] BY VALUE — a read(buf) loop would never see
+        # the bytes Java wrote; toByteArray returns the filled array
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def write_result(result: HistogramResult, path: str, mode: str = "overwrite") -> None:
+    if mode == "append":
+        # appending duplicates every (group, bin) row; a reloaded result
+        # would double-count all mass with no error.  Additive combination
+        # is HistogramResult.merge()/`+` — re-save the merged result.
+        raise ValueError(
+            "write_result does not support mode='append' (duplicate bin "
+            "rows double-count on reload); merge() the results and save"
+        )
     result._df.write.mode(mode).parquet(path)
     meta = {
         "variables": result.variables,
@@ -33,13 +70,13 @@ def write_result(result: HistogramResult, path: str, mode: str = "overwrite") ->
         "int_mode": result.int_mode,
         "divisor": result.divisor,
     }
-    with open(os.path.join(path, SIDECAR), "w") as f:
-        json.dump(meta, f, indent=2)
+    _sidecar_write(
+        result._df.sparkSession, path, json.dumps(meta, indent=2)
+    )
 
 
 def read_result(spark: SparkSession, path: str) -> HistogramResult:
-    with open(os.path.join(path, SIDECAR)) as f:
-        meta = json.load(f)
+    meta = json.loads(_sidecar_read(spark, path))
     df = spark.read.parquet(path)
     return HistogramResult(
         _df=df,
