@@ -255,3 +255,36 @@ def test_weight_storage_grouped(spark, sf_dir):
     }
     assert out == {k: (pytest.approx(v[0]), pytest.approx(v[1]))
                    for k, v in exp.items()}
+
+
+def test_nan_weight_skipped_like_null(spark, sf_dir):
+    """NaN weights contribute zero mass in quantized mode — the one
+    semantic the Column path, Arrow kernel (which receives Spark NULLs as
+    pandas NaN), and DuckDB mirror can all share.  All three agree."""
+    from xarray_histogram_spark import Regular, histogram
+    from xarray_histogram_spark.oracle import histogram_oracle_sql
+    from xarray_histogram_spark.plans.fast_fill import histogramdd_fill
+
+    d = spark.createDataFrame(
+        [(1.0, 2.0), (1.5, float("nan")), (1.2, None), (0.5, 3.0)],
+        "x double, w double",
+    )
+    spec = Regular(2, 0.0, 2.0)
+    a = sorted(map(tuple, histogram(d, "x", spec, weights="w").df.collect()))
+    b = sorted(
+        map(tuple, histogramdd_fill(d, ["x"], [spec], weights="w").df.collect())
+    )
+    assert a == b
+    assert a == [(0, 0.0, 3.0), (1, 1.0, 2.0)]  # NaN and NULL both skipped
+    con = duck(sf_dir)
+    con.execute(
+        "CREATE OR REPLACE VIEW nanw AS SELECT * FROM (VALUES "
+        "(1.0::DOUBLE, 2.0::DOUBLE), (1.5, 'nan'::DOUBLE), (1.2, NULL), "
+        "(0.5, 3.0)) v(x, w)"
+    )
+    got = sorted(
+        map(tuple, con.execute(
+            histogram_oracle_sql("nanw", ["x"], [spec], weights="w")
+        ).fetchall())
+    )
+    assert got == a

@@ -22,6 +22,7 @@ arithmetic with decimal semantics.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 from .binspec import BinSpec, flit, slit
@@ -35,12 +36,13 @@ def scaled_weight_sql(expr: str, divisor: float) -> str:
     while Spark's F.round rounds the decimal string: subtly different on
     adversarial doubles)."""
     x = f"(CAST({expr} AS DOUBLE) * {flit(divisor)})"
+    # NaN → NULL (skipped by SUM): matches the engine's scaled_weight_col
+    # and the Arrow kernel; without the guard DuckDB errors on NaN→BIGINT
     return (
-        f"CAST(CASE WHEN {x} >= 0 THEN FLOOR({x} + 0.5) "
+        f"CAST(CASE WHEN isnan({x}) THEN NULL WHEN {x} >= 0 "
+        f"THEN FLOOR({x} + 0.5) "
         f"ELSE -FLOOR(-{x} + 0.5) END AS BIGINT)"
     )
-
-_LABEL_SQL_TYPE = {"double": "DOUBLE", "bigint": "BIGINT", "string": "VARCHAR"}
 
 
 def _spine_values(var: str, spec: BinSpec, flow: bool) -> str:
@@ -431,11 +433,15 @@ def stats_oracle_sql(
                 for i, _ in enumerate(qs)
             ]
         opart = f"PARTITION BY {', '.join(part)} " if part else ""
+        # int_mode: exact-int64 running sums (HUGEINT→BIGINT first, the
+        # oracle-wide convention); raw-double mode (weight_scale=None)
+        # must stay DOUBLE — a BIGINT cast would truncate fractional mass
+        st = "BIGINT" if int_mode else "DOUBLE"
         c2 = (
             f"SELECT {psel}{id_col(v)}, CAST({label_col(v)} AS DOUBLE) AS __left, "
             f"__{v}_width AS __w, __val, "
-            f"CAST(SUM(__val) OVER ({opart}ORDER BY {id_col(v)}) AS BIGINT) AS __cum, "
-            f"CAST(SUM(__val) OVER ({opart.strip() or ''}) AS BIGINT) AS __tot "
+            f"CAST(SUM(__val) OVER ({opart}ORDER BY {id_col(v)}) AS {st}) AS __cum, "
+            f"CAST(SUM(__val) OVER ({opart.strip() or ''}) AS {st}) AS __tot "
             f"FROM core"
         )
         ctes.append(f"c2 AS ({c2})")
@@ -452,6 +458,10 @@ def stats_oracle_sql(
     if kind == "cdf":
         bins = spec.core_bins()
         xx = float(x)
+        if math.isnan(xx):
+            # mirror stats.cdf's guard — NaN passes neither range check
+            # and would StopIteration out of the bin search below
+            raise ValueError("cdf: x must not be NaN")
         if xx < bins[0].left:
             j, frac = -1, 0.0
         elif xx >= bins[-1].right:
@@ -460,9 +470,10 @@ def stats_oracle_sql(
             j = next(i for i, b in enumerate(bins) if b.left <= xx < b.right)
             b = bins[j]
             frac = (xx - b.left) / (b.right - b.left)
-        below = f"CAST(CAST(SUM(CASE WHEN {id_col(v)} < {j} THEN __val ELSE 0 END) AS BIGINT) AS DOUBLE)"
-        at = f"CAST(CAST(SUM(CASE WHEN {id_col(v)} = {j} THEN __val ELSE 0 END) AS BIGINT) AS DOUBLE)"
-        tot = f"CAST(CAST(SUM(__val) AS BIGINT) AS DOUBLE)"
+        st = "BIGINT" if int_mode else "DOUBLE"  # see the ppf note above
+        below = f"CAST(CAST(SUM(CASE WHEN {id_col(v)} < {j} THEN __val ELSE 0 END) AS {st}) AS DOUBLE)"
+        at = f"CAST(CAST(SUM(CASE WHEN {id_col(v)} = {j} THEN __val ELSE 0 END) AS {st}) AS DOUBLE)"
+        tot = f"CAST(CAST(SUM(__val) AS {st}) AS DOUBLE)"
         expr = f"({below} + {at} * {flit(frac)}) / NULLIF({tot}, {_D0})"
         final = f"SELECT {psel}{expr} AS {v}_cdf FROM core{pgroup}"
         return "WITH " + ", ".join(ctes) + " " + final

@@ -187,9 +187,7 @@ def binned_statistic(
         ).alias(f"sample_var_{value}"),
     }
     meta = axis_meta_exprs(x, spec, flow)
-    return agg.selectExpr(
-        *group_by, id_col(x), meta[0], "*"
-    ).select(
+    return agg.selectExpr(meta[0], "*").select(
         *group_by,
         id_col(x),
         label_col(x),
@@ -216,19 +214,24 @@ def binned_statistic_sql(
     bid = spec.raw_id_sql(x)
     lo, hi = spec.keep_range(flow)
     if weight_scale is not None:
+        from ..binspec import flit
+
         divisor = float(10**weight_scale)
+        dv = flit(divisor)  # flit: a bare float literal parses as DECIMAL
         sw = scaled_weight_sql(value, divisor)
-        ssum = f"SUM({sw})"
-        sum_out = f"CAST({ssum} AS DOUBLE) / {divisor}"
-        mean_out = f"CAST({ssum} AS DOUBLE) / CAST(COUNT({value}) AS DOUBLE) / {divisor}"
-        sum_sq_out = (
-            f"CAST(SUM({sw} * {sw}) AS DOUBLE) / {divisor} / {divisor}"
-        )
+        # int64 sum FIRST (DuckDB SUM(BIGINT) is HUGEINT — its direct
+        # DOUBLE cast rounds differently above 2^53 and never overflows
+        # where Spark's bigint sum does), then the double division
+        ssum = f"CAST(SUM({sw}) AS BIGINT)"
+        ssq = f"CAST(SUM({sw} * {sw}) AS BIGINT)"
+        sum_out = f"CAST({ssum} AS DOUBLE) / {dv}"
+        mean_out = f"CAST({ssum} AS DOUBLE) / CAST(COUNT({value}) AS DOUBLE) / {dv}"
+        sum_sq_out = f"CAST({ssq} AS DOUBLE) / {dv} / {dv}"
         n_d = f"CAST(COUNT({value}) AS DOUBLE)"
         svar_out = (
             f"CASE WHEN COUNT({value}) >= 2 THEN GREATEST("
-            f"({sum_sq_out} - (CAST(SUM({sw}) AS DOUBLE) / {divisor}) * "
-            f"(CAST(SUM({sw}) AS DOUBLE) / {divisor}) / {n_d}) / ({n_d} - 1.0)"
+            f"({sum_sq_out} - (CAST({ssum} AS DOUBLE) / {dv}) * "
+            f"(CAST({ssum} AS DOUBLE) / {dv}) / {n_d}) / ({n_d} - 1.0)"
             f", 0.0) END"
         )
     else:

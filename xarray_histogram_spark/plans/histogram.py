@@ -96,8 +96,6 @@ def resolve_specs(
     # (Int/StrCategory(..., growth=True)) resolves the same way, keeping
     # the declared categories in place and appending newly observed ones
     # in sorted order.
-    from dataclasses import replace as _dc_replace
-
     from ..binspec import IntCategory as _IC, StrCategory as _SC
 
     def _resolve_growth(i: int, b):
@@ -111,7 +109,7 @@ def resolve_specs(
             merged = tuple(b.categories) + tuple(
                 v for v in disc.categories if v not in have
             )
-            return _dc_replace(
+            return dc_replace(
                 b, categories=merged, growth=False, max_categories=None
             )
         return b
@@ -164,10 +162,19 @@ def scaled_weight_col(w: Column, divisor: float) -> Column:
     BIT-IDENTICAL int64 for every input.  ``F.round`` would round the
     decimal string repr through BigDecimal: subtly different on
     adversarial doubles AND ~1.8× slower per row (BigDecimal allocation
-    in the hot path)."""
+    in the hot path).
+
+    NaN weights are treated as NULL (skipped by SUM, zero mass) — the one
+    semantic all three execution paths can share: Spark's NaN ordering
+    would otherwise quietly quantize NaN to 0 through the ``>= 0`` branch
+    while the DuckDB mirror ERRORS on its NaN→BIGINT cast, and the Arrow
+    fill kernel receives Spark NULLs as pandas NaN so it cannot tell the
+    two apart (it already skips both).  Raw-double mode
+    (``weight_scale=None``) keeps IEEE semantics (NaN poisons the sum)."""
     x = w.cast("double") * F.lit(divisor)
     return (
-        F.when(x >= 0, F.floor(x + F.lit(0.5)))
+        F.when(F.isnan(x), F.lit(None))
+        .when(x >= 0, F.floor(x + F.lit(0.5)))
         .otherwise(-F.floor(-x + F.lit(0.5)))
         .cast("bigint")
     )
@@ -727,6 +734,8 @@ def histogram_columns(
     storage = {"unlimited": "double", "atomicint64": "int64"}.get(
         storage.lower(), storage.lower()
     )
+    if storage not in ("double", "int64"):
+        raise ValueError("storage must be 'double'/'unlimited' or 'int64'/'atomicint64'")
     spark = df.sparkSession
     if isinstance(bins, BinSpec):
         spec = bins

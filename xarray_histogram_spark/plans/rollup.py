@@ -52,44 +52,13 @@ def rollup_histogram(
 
     Returns (group_by…, __grouping_id, <col>_bin, n) — sparse.  With
     ``weights``, ``n`` is the weighted sum (same exact-int64 quantisation
-    contract as ``histogramdd``: deterministic under any partitioning)."""
-    group_by = list(group_by)
-    if not group_by:
-        raise ValueError("rollup_histogram needs at least one group column")
-    bid = spec.raw_id_col(F.col(col)).alias(id_col(col))
-    pred = spec.keep_pred_col(F.col(col), flow)
-    src = df.where(pred) if pred is not None else df
-    proj = [F.col(g) for g in group_by] + [bid]
-    if weights is not None:
-        proj.append(F.col(weights).alias("__w"))
-    base = src.select(*proj)
-    if weights is None:
-        val = F.count(F.lit(1)).cast("bigint")
-    elif weight_scale is not None:
-        s = float(10**weight_scale)
-        val = (
-            F.sum(scaled_weight_col(F.col("__w"), s))
-            .cast("double") / F.lit(s)
-        )
-    else:
-        val = F.sum(F.col("__w").cast("double"))
-    sets = [
-        [F.col(g) for g in gs] + [F.col(id_col(col))]
-        for gs in _group_sets(group_by, cube)
-    ]
-    grouped = base.groupingSets(
-        sets, *[F.col(g) for g in group_by], F.col(id_col(col))
-    )
-    out = grouped.agg(
-        F.grouping_id().alias("__gid_raw"), val.alias("n")
-    )
-    # lowest grouping bit belongs to the bin column and is always 0 (the bin
-    # is in every set) — strip it so the id only encodes the group columns
-    return out.select(
-        *group_by,
-        (F.col("__gid_raw") / 2).cast("int").alias("__grouping_id"),
-        F.col(id_col(col)),
-        F.col("n"),
+    contract as ``histogramdd``: deterministic under any partitioning).
+
+    Delegates to ``rollup_histogramdd`` with one variable — the 1-D
+    output (columns, gid stripping, values) is exactly the k=1 case."""
+    return rollup_histogramdd(
+        df, [col], [spec], group_by, cube=cube, flow=flow,
+        weights=weights, weight_scale=weight_scale,
     )
 
 
@@ -187,9 +156,13 @@ def rollup_histogramdd_sql(
     elif weight_scale is not None:
         sc = flit(float(10**weight_scale))
         from ..oracle import scaled_weight_sql
+        # CAST(SUM(...) AS BIGINT) BEFORE the double cast: DuckDB's
+        # SUM(BIGINT) is HUGEINT, whose direct cast to DOUBLE rounds
+        # differently from Spark's int64 sum for |sum| > 2^53 (and never
+        # overflows where Spark's does) — the oracle-wide convention
         val = (
-            f"CAST(SUM({scaled_weight_sql('__w', float(10**weight_scale))}) "
-            f"AS DOUBLE) / {sc}"
+            f"CAST(CAST(SUM({scaled_weight_sql('__w', float(10**weight_scale))}) "
+            f"AS BIGINT) AS DOUBLE) / {sc}"
         )
     else:
         val = "SUM(CAST(__w AS DOUBLE))"
@@ -220,36 +193,8 @@ def rollup_histogram_sql(
     weights: str | None = None,
     weight_scale: int | None = 6,
 ) -> str:
-    from ..binspec import flit
-
-    group_by = list(group_by)
-    bid = spec.raw_id_sql(col)
-    lo, hi = spec.keep_range(flow)
-    gcols = ", ".join(group_by)
-    wsel = f", {weights} AS __w" if weights is not None else ""
-    if weights is None:
-        val = "CAST(COUNT(*) AS BIGINT)"
-    elif weight_scale is not None:
-        s = flit(float(10**weight_scale))
-        from ..oracle import scaled_weight_sql
-        val = (
-            f"CAST(SUM({scaled_weight_sql('__w', float(10**weight_scale))}) "
-            f"AS DOUBLE) / {s}"
-        )
-    else:
-        val = "SUM(CAST(__w AS DOUBLE))"
-    sets = ", ".join(
-        "(" + ", ".join(gs + [id_col(col)]) + ")"
-        for gs in _group_sets(group_by, cube)
-    )
-    gid = " + ".join(
-        f"GROUPING({g}) * {2 ** (len(group_by) - 1 - i)}"
-        for i, g in enumerate(group_by)
-    )
-    return (
-        f"WITH base AS (SELECT * FROM (SELECT {gcols}, {bid} AS {id_col(col)}"
-        f"{wsel} FROM {table}) b WHERE {id_col(col)} BETWEEN {lo} AND {hi}) "
-        f"SELECT {gcols}, CAST({gid} AS INT) AS __grouping_id, "
-        f"{id_col(col)}, {val} AS n "
-        f"FROM base GROUP BY GROUPING SETS ({sets})"
+    """1-D twin of ``rollup_histogramdd_sql`` (delegates, like the engine)."""
+    return rollup_histogramdd_sql(
+        table, [col], [spec], group_by, cube=cube, flow=flow,
+        weights=weights, weight_scale=weight_scale,
     )
