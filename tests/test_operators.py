@@ -637,3 +637,41 @@ def test_line_operators_multiline_oracle(spark, tmp_path):
         repetition_stats(spark.read.parquet(out), "text", "doc_id"),
         repetition_stats_sql("mldocs", "text", "doc_id"), con,
     )
+
+
+def test_sampling_edge_guards(spark, docs):
+    """Empty stratified rates fall back to the default threshold on both
+    engines; quoted salts survive the SQL mirror; decoders NULL malformed
+    payloads instead of failing the task."""
+    from xarray_histogram_spark.operators import sampling as sp
+    import duckdb
+
+    out = sp.stratified_sample(docs, "lang", "doc_id", {}, default_rate=0.3)
+    n = out.count()
+    assert 0 < n < docs.count()
+    con = duckdb.connect()
+    pred = sp.stratified_sample_sql("lang", "doc_id", {}, default_rate=0.3)
+    assert "CASE" not in pred
+    salted = sp.deterministic_sample_sql("doc_id", 0.5, salt="v1'2024")
+    con.execute(f"SELECT 1 WHERE {salted.replace('doc_id', '42')}")  # parses
+
+
+def test_decoders_null_malformed_payloads(spark):
+    from xarray_histogram_spark.operators.multimodal import (
+        decode_image, decode_meta, resize_image,
+    )
+
+    rows = [
+        (1, "image/bmp", bytearray(b"BM\x00\x00")),          # truncated header
+        (2, "image/ppm", bytearray(b"P6\n2 2\n255\n")),      # header, no raster
+        (3, "image/bmp", None),                               # null payload
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    got = {r["media_id"]: r for r in decode_image(media).collect()}
+    assert all(got[i]["px_sum"] is None for i in (1, 2, 3))
+    rz = {r["media_id"]: r["payload"] for r in resize_image(media, 2, 2).collect()}
+    assert all(v is None for v in rz.values())
+    meta = {r["media_id"]: r["n_bytes"] for r in decode_meta(media).collect()}
+    assert meta[3] is None and meta[1] == 4  # NULL payload -> NULL n_bytes

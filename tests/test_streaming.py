@@ -137,6 +137,54 @@ def test_stateful_cumulative_histogram(spark, events_ts):
     assert key(got) == key(want)
 
 
+def test_stateful_bool_label_axis(spark, events_ts):
+    """Bool-label Integer axes stream too: the state schema maps
+    label_type 'boolean' to BooleanType (a StringType fallback would die
+    at Arrow conversion on the first micro-batch)."""
+    from xarray_histogram_spark import Integer, histogram
+    from xarray_histogram_spark.streaming.stateful import (
+        latest_snapshot,
+        stateful_cumulative_histogram,
+    )
+    from pyspark.sql import functions as F
+
+    spec = Integer(0, 2, bool_labels=True)
+    src = tempfile.mkdtemp(prefix="xhs_state_bool_src_")
+    ckpt = tempfile.mkdtemp(prefix="xhs_state_bool_ckpt_")
+    data = events_ts.select(
+        "event_type", (F.col("value") > F.lit(50.0)).alias("hot")
+    )
+    data.repartition(2).write.mode("overwrite").parquet(src)
+    sdf = (
+        spark.readStream.schema(data.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_cumulative_histogram(sdf, "hot", spec, "event_type")
+    assert dict(out.dtypes)["hot_bins"] == "boolean"
+    q = (
+        out.writeStream.format("memory")
+        .queryName("xhs_stateful_bool_test")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = latest_snapshot(
+        spark.sql("SELECT * FROM xhs_stateful_bool_test"), "event_type"
+    )
+    batch = histogram(data, "hot", spec, group_by=["event_type"]).df
+
+    def key(rows):
+        return sorted(
+            ((r["event_type"], r["hot_bin"]), r["hot_bins"], r["hot_histogram"])
+            for r in rows
+        )
+
+    assert key(final.collect()) == key(batch.collect())
+
+
 def test_dense_fill(spark, events_ts):
     sparse = streaming_histogram(
         events_ts, "value", SPEC, "ts", window_duration="1 day",

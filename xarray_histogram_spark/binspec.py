@@ -279,7 +279,12 @@ class Regular(BinSpec):
     a codegen'd floor expression.
 
     ``transform``: None | "log" | "sqrt" | "pow" (with ``power=p``, p > 0 —
-    boost's Pow transform).  Transformed axes keep O(1) lookup
+    boost's Pow transform).  Out-of-domain inputs are corner cases with
+    engine-defined routing: the fast paths follow boost (log(x≤0) and
+    sqrt(x<0) produce NaN → overflow, Spark/DuckDB NaN ordering), while
+    the ``exact=True`` edge scan buckets the raw value (→ underflow);
+    pow guards x<0 to underflow on BOTH paths.  Domain-valid data is
+    identical everywhere.  Transformed axes keep O(1) lookup
     by bucketing the transformed value against transformed bounds when
     ``exact=False``; with ``exact=True`` (the oracle-deterministic path) the
     precomputed edges are scanned with exact comparisons so Spark and DuckDB

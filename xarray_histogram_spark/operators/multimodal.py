@@ -85,7 +85,9 @@ def decode_meta(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": payload.map(lambda b: len(b) if b is not None else 0),
+                    # NULL payload → NULL n_bytes (octet_length(NULL) is
+                    # NULL in the DuckDB mirror — 0 would diverge)
+                    "n_bytes": payload.map(lambda b: len(b) if b is not None else None),
                     "fp8": payload.map(
                         lambda b: hashlib.md5(b).hexdigest()[:8]
                         if b is not None
@@ -184,7 +186,11 @@ def _decode_bmp(b: bytes) -> tuple:
     if bpp != 24 or comp != 0:
         raise NotImplementedError("only uncompressed 24-bit BMP supported")
     bottom_up, h = h > 0, abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError("bad BMP dimensions")
     stride = (w * 3 + 3) & ~3
+    if len(b) < off + h * stride:
+        raise ValueError("truncated BMP raster")
     px_sum = 0
     topleft_r = None
     for y in range(h):
@@ -217,7 +223,11 @@ def _decode_ppm(b: bytes) -> tuple:
     w, h, maxval = fields
     if maxval > 255:
         raise NotImplementedError("16-bit PPM not supported")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PPM dimensions")
     raster = b[pos : pos + w * h * 3]
+    if len(raster) < w * h * 3:
+        raise ValueError("truncated PPM raster")
     return w, h, sum(raster), raster[0]
 
 
@@ -278,12 +288,17 @@ def decode_image(media: DataFrame) -> DataFrame:
                 fmt = w = h = s = r = None
                 if payload is not None:
                     bb = bytes(payload)
-                    if bb[:2] == b"BM":
-                        fmt = "bmp"
-                        w, h, s, r = _decode_bmp(bb)
-                    elif bb[:2] == b"P6":
-                        fmt = "ppm"
-                        w, h, s, r = _decode_ppm(bb)
+                    # untrusted bytes: a malformed payload yields NULL
+                    # fields, never a task-killing exception (one corrupt
+                    # document must not fail a corpus-scale decode job)
+                    try:
+                        if bb[:2] == b"BM":
+                            fmt, (w, h, s, r) = "bmp", _decode_bmp(bb)
+                        elif bb[:2] == b"P6":
+                            fmt, (w, h, s, r) = "ppm", _decode_ppm(bb)
+                    except (ValueError, NotImplementedError, IndexError,
+                            struct.error):
+                        fmt = w = h = s = r = None
                 out["media_id"].append(mid)
                 out["format"].append(fmt)
                 out["width"].append(w)
@@ -309,21 +324,36 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
                 out: Optional[bytes] = None
                 if payload is not None and bytes(payload[:2]) == b"BM":
                     bb = bytes(payload)
-                    off = struct.unpack_from("<I", bb, 10)[0]
-                    w0 = struct.unpack_from("<i", bb, 18)[0]
-                    h0raw = struct.unpack_from("<i", bb, 22)[0]
-                    bottom_up, h0 = h0raw > 0, abs(h0raw)
-                    stride = (w0 * 3 + 3) & ~3
-                    px = []
-                    for y in range(height):
-                        sy = min(y * h0 // height, h0 - 1)
-                        src_y = (h0 - 1 - sy) if bottom_up else sy
-                        base = off + src_y * stride
-                        for x in range(width):
-                            sx = min(x * w0 // width, w0 - 1)
-                            bgr = bb[base + sx * 3 : base + sx * 3 + 3]
-                            px.append((bgr[2], bgr[1], bgr[0]))
-                    out = encode_bmp(px, width, height)
+                    # same untrusted-payload discipline as decode_image:
+                    # validate bpp/compression/raster length, NULL out
+                    # malformed rows instead of killing the task
+                    try:
+                        off = struct.unpack_from("<I", bb, 10)[0]
+                        w0 = struct.unpack_from("<i", bb, 18)[0]
+                        h0raw = struct.unpack_from("<i", bb, 22)[0]
+                        bpp = struct.unpack_from("<H", bb, 28)[0]
+                        comp = struct.unpack_from("<I", bb, 30)[0]
+                        if bpp != 24 or comp != 0:
+                            raise NotImplementedError("only 24-bit BMP")
+                        bottom_up, h0 = h0raw > 0, abs(h0raw)
+                        if w0 <= 0 or h0 <= 0:
+                            raise ValueError("bad BMP dimensions")
+                        stride = (w0 * 3 + 3) & ~3
+                        if len(bb) < off + h0 * stride:
+                            raise ValueError("truncated BMP raster")
+                        px = []
+                        for y in range(height):
+                            sy = min(y * h0 // height, h0 - 1)
+                            src_y = (h0 - 1 - sy) if bottom_up else sy
+                            base = off + src_y * stride
+                            for x in range(width):
+                                sx = min(x * w0 // width, w0 - 1)
+                                bgr = bb[base + sx * 3 : base + sx * 3 + 3]
+                                px.append((bgr[2], bgr[1], bgr[0]))
+                        out = encode_bmp(px, width, height)
+                    except (ValueError, NotImplementedError, IndexError,
+                            struct.error):
+                        out = None
                 rows["media_id"].append(mid)
                 rows["media_type"].append(mt)
                 rows["payload"].append(out)

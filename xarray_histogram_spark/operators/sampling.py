@@ -54,7 +54,8 @@ def draw_hex(key: Column, salt: str = "") -> Column:
 
 
 def draw_hex_sql(key_expr: str, salt: str = "") -> str:
-    return f"substring(md5('{salt}' || CAST({key_expr} AS VARCHAR)), 1, 8)"
+    esc = str(salt).replace("'", "''")  # quote-safe literal
+    return f"substring(md5('{esc}' || CAST({key_expr} AS VARCHAR)), 1, 8)"
 
 
 def deterministic_sample(
@@ -130,14 +131,14 @@ def stratified_sample(
     primitive: downsample dominant strata, keep the tail).  A literal CASE
     threshold per stratum — still a pure pushable filter, no shuffle."""
     d = draw_hex(F.col(key_col), salt)
+    dflt = F.lit("g" if default_rate >= 1.0 else _hex_threshold(default_rate))
     thr = None
     for stratum, rate in sorted(rates.items()):
         t = F.lit("g" if rate >= 1.0 else _hex_threshold(rate))
         cond = F.col(strata_col).eqNullSafe(F.lit(stratum))
         thr = F.when(cond, t) if thr is None else thr.when(cond, t)
-    thr = thr.otherwise(
-        F.lit("g" if default_rate >= 1.0 else _hex_threshold(default_rate))
-    )
+    # empty rates: every row gets the default threshold (no CASE at all)
+    thr = dflt if thr is None else thr.otherwise(dflt)
     # "g" > every hex char, so it means keep-all
     return df.where(d < thr)
 
@@ -158,6 +159,8 @@ def stratified_sample_sql(
             f"WHEN {strata_expr} IS NOT DISTINCT FROM '{lit}' THEN '{t}'"
         )
     dflt = "g" if default_rate >= 1.0 else _hex_threshold(default_rate)
+    if not parts:  # empty rates → plain default threshold
+        return f"{d} < '{dflt}'"
     return f"{d} < CASE {' '.join(parts)} ELSE '{dflt}' END"
 
 
@@ -199,7 +202,9 @@ def topk_per_group_sql(
     return (
         f"SELECT {cols}, CAST(rk AS INT) AS {rank_col} FROM ("
         f"SELECT {cols}, row_number() OVER ("
-        f"PARTITION BY {part} ORDER BY {d}, {key_expr}) AS rk "
+        # NULLS FIRST: Spark's ascending default; DuckDB defaults LAST
+        f"PARTITION BY {part} ORDER BY {d} NULLS FIRST, "
+        f"{key_expr} NULLS FIRST) AS rk "
         f"FROM {table}) t WHERE rk <= {k}"
     )
 
@@ -312,5 +317,6 @@ def deterministic_take_sql(
     d = draw_hex_sql(key_expr, salt)
     cols = ", ".join(select_cols)
     return (
-        f"SELECT {cols} FROM {table} ORDER BY {d}, {key_expr} LIMIT {int(n)}"
+        f"SELECT {cols} FROM {table} "
+        f"ORDER BY {d} NULLS FIRST, {key_expr} NULLS FIRST LIMIT {int(n)}"
     )

@@ -161,7 +161,9 @@ def lang_id_sql(table: str, text_col: str, id_col: str) -> str:
 def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalised lowercase text +
     min-shingle rolling fingerprint (winnowing-style representative hash)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    # explicit class, not \s: Java \s matches U+000B, RE2's (DuckDB)
+    # does not — the same one-codepoint hazard hashing._WS_CLASS documents
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), H._WS_CLASS, " "))
     fp_doc = F.md5(norm.cast("binary"))
     mins = F.array_min(
         F.transform(H.shingles(norm, k), lambda s: F.md5(s.cast("binary")))
@@ -172,7 +174,7 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFr
 
 
 def fingerprint_sql(table: str, text_col: str, id_col: str, k: int = 8) -> str:
-    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    norm = f"trim(regexp_replace(lower({text_col}), '{H._WS_CLASS}', ' ', 'g'))"
     sh = H.shingles_sql(norm, k)
     return (
         f"SELECT {id_col}, md5({norm}) AS fp_doc, "

@@ -60,9 +60,11 @@ def stateful_cumulative_histogram(
     # to any package function would make executors import this package,
     # which fails when the driver runs outside the repo directory
     bin_name, lab_name = id_col(col), label_col(col)
-    label_t = {"double": T.DoubleType(), "bigint": T.LongType()}.get(
-        spec.label_type, T.StringType()
-    )
+    label_t = {
+        "double": T.DoubleType(),
+        "bigint": T.LongType(),
+        "boolean": T.BooleanType(),  # Integer(bool_labels=True) axes
+    }.get(spec.label_type, T.StringType())
     key_t = sdf.schema[key_col].dataType
     out_schema = T.StructType(
         [
