@@ -90,6 +90,33 @@ def test_fill_sqrt_negative_matches_column_path(spark, lineitem):
     assert over > 0
 
 
+def test_fill_bool_axis_and_self_weight_parity(spark, lineitem):
+    """The fill path must apply the same bool-axis relabel as histogramdd
+    (identical labels/flow structure), and a self-weighted histogram
+    (weights == histogrammed column) must not trip the duplicate-column
+    projection."""
+    from pyspark.sql import functions as F
+
+    d = lineitem.withColumn("is_bulk", F.col("l_quantity") > F.lit(25.0))
+    a = histogramdd(d, ["is_bulk"], [Integer(0, 2)])
+    b = histogramdd_fill(d, ["is_bulk"], [Integer(0, 2)])
+    assert a.specs["is_bulk"].bool_labels and b.specs["is_bulk"].bool_labels
+    _cmp(a, b, ["is_bulk_bin"])
+    sw_a = histogramdd(
+        lineitem, ["l_quantity"], [Regular(5, 1.0, 51.0)], weights="l_quantity"
+    )
+    sw_b = histogramdd_fill(
+        lineitem, ["l_quantity"], [Regular(5, 1.0, 51.0)], weights="l_quantity"
+    )
+    _cmp(sw_a, sw_b, ["l_quantity_bin"])
+    # extent guard parity
+    with pytest.raises(ValueError, match="infeasible"):
+        histogramdd_fill(
+            lineitem, ["l_quantity", "l_extendedprice"],
+            [Regular(100_000, 0.0, 1.0), Regular(100_000, 0.0, 1.0)],
+        )
+
+
 def test_fill_pow_negative_matches_column_path(spark, lineitem):
     """x < 0 is out of the pow domain and must land in UNDERFLOW on both
     paths and both parities of p — without the guard, even powers fold

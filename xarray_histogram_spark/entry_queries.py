@@ -959,6 +959,15 @@ register(
 
 
 def _utc_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Registry-wide convention: the whole driver session runs in UTC.
+
+    ``spark.sql.session.timeZone`` is SESSION-global and read at
+    execution time, so a scoped set-and-restore would silently flip
+    results when the query executes later; instead EVERY tz-sensitive
+    registry query routes through this helper and the session stays
+    pinned to UTC (the DuckDB oracle is tz-fixed the same way).  Any
+    future tz-sensitive registry query must do the same — never rely on
+    the driver's ambient timezone."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
@@ -1580,14 +1589,19 @@ def _streaming_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+from .streaming.dedup_stream import streaming_dedup_state_sql as _sds_sql
+
 register(
+    # oracle composed from the module's own mirror over the same planted
+    # union — one fingerprint definition, not a hand-copied twin
     "streaming_dedup_state",
     _streaming_dedup_fn,
-    "SELECT md5(text) AS fp, COUNT(*) AS n_dups, "
-    "CAST(MIN(doc_id) AS BIGINT) AS keep_id FROM "
-    "(SELECT doc_id, text FROM documents UNION ALL "
-    "SELECT doc_id + 10000000 AS doc_id, text FROM documents "
-    "WHERE doc_id % 5 = 0) u GROUP BY md5(text)",
+    _sds_sql(
+        "(SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 10000000 AS doc_id, text FROM documents "
+        "WHERE doc_id % 5 = 0) u",
+        "text", "doc_id",
+    ),
 )
 
 

@@ -114,11 +114,39 @@ def histogramdd_fill(
         if c not in schema:
             raise ValueError(f"column {c!r} not in DataFrame")
         s.validate_dtype(schema[c], c)
+    # same bool-axis relabel as histogramdd (reference core.py:542-543) —
+    # the two paths must emit identical labels/flow structure
+    from dataclasses import replace as _dcr
+
+    specs = [
+        _dcr(s, bool_labels=True)
+        if (
+            not flow
+            and isinstance(s, Integer)
+            and not s.bool_labels
+            and (s.lo, s.hi) == (0, 2)
+            and isinstance(schema[c], T.BooleanType)
+        )
+        else s
+        for c, s in zip(cols, specs)
+    ]
+    # same dense-extent guard as histogramdd: fail clearly up front
+    total_space = 1
+    for s in specs:
+        total_space *= s.n + 2
+    if total_space > 2**31:
+        raise ValueError(
+            f"dense histogram extent ({total_space} cells per group) is "
+            "infeasible to materialize; reduce bin counts or histogram "
+            "fewer variables together"
+        )
 
     keep = [s.keep_range(flow) for s in specs]
     int_mode = weights is None or weight_scale is not None
     divisor = float(10**weight_scale) if (weights and weight_scale) else 1.0
-    needed = group_by + cols + ([weights] if weights else [])
+    # dedup: a column may serve several roles (e.g. self-weighted
+    # histograms) — duplicate names would make pdf[col] a 2-column frame
+    needed = list(dict.fromkeys(group_by + cols + ([weights] if weights else [])))
     narrow = df.select(*needed)
 
     out_fields = [T.StructField(g, schema[g]) for g in group_by]
@@ -147,9 +175,18 @@ def histogramdd_fill(
                 ids = v.map(d["lookup"]).to_numpy(dtype="float64", na_value=_np.nan)
                 return _np.where(_np.isnan(ids), n, ids).astype(_np.int64)
             if d["kind"] == "integer":
-                x = v.to_numpy(dtype="float64", na_value=_np.nan)
-                bad = _np.isnan(x)
-                xi = _np.where(bad, 0, x).astype(_np.int64)
+                raw = v.to_numpy()
+                if raw.dtype.kind in "iub":
+                    # null-free long/bool columns arrive as real ints —
+                    # keep them exact (a float64 round-trip corrupts
+                    # |v| >= 2^53, where the Column path's bigint
+                    # comparisons stay exact)
+                    bad = _np.zeros(len(raw), dtype=bool)
+                    xi = raw.astype(_np.int64)
+                else:
+                    x = v.to_numpy(dtype="float64", na_value=_np.nan)
+                    bad = _np.isnan(x)
+                    xi = _np.where(bad, 0, x).astype(_np.int64)
                 ids = _np.clip(xi - d["lo"], -1, n)
                 ids = _np.where(xi < d["lo"], -1, ids)
                 ids = _np.where(xi >= d["hi"], n, ids)
@@ -227,6 +264,12 @@ def histogramdd_fill(
                         _np.isnan(w), 0, round_half_away(_np.nan_to_num(w) * scale)
                     )
                 else:
+                    # raw-double mode: NULL weights arrive as NaN through
+                    # Arrow and cannot be told apart from true NaN, so
+                    # BOTH are skipped here; the Column path skips NULLs
+                    # but lets a true NaN poison the bin sum (IEEE).  Raw
+                    # mode never promised cross-path bit-equality — that
+                    # is what quantized mode (the default) is for.
                     data["__val"] = _np.nan_to_num(w, nan=0.0)
             else:
                 data["__val"] = _np.ones(int(mask.sum()), dtype=_np.int64)

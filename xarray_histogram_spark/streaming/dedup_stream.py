@@ -27,11 +27,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
+
 
 def fingerprint_col(text: F.Column) -> F.Column:
-    """Content fingerprint: md5 of the raw text bytes (identical in
-    DuckDB: ``md5(text)``)."""
-    return F.md5(text.cast("binary"))
+    """Content fingerprint — THE canonical md5 text fingerprint
+    (functions.hashing.md5_hex), shared with the batch curation pipeline
+    so batch and streaming dedup agree byte-for-byte."""
+    return H.md5_hex(text)
 
 
 def streaming_dedup_state(

@@ -132,6 +132,15 @@ def session_histogram(
     State per open session is its kept-event bin list — bounded by session
     activity; for adversarial unbounded sessions use
     ``streaming.stateful`` (count-vector state) instead.
+    
+
+    Densify cost note: the per-bin counts come from ``size(filter(...))``
+    over the session's collected bin list — O(n_bins × session_len)
+    expression work per session row, the price of staying a SINGLE
+    stateful aggregation (a second groupBy after the session agg would
+    be illegal in streaming append mode, and Catalyst has no O(len)
+    array-histogram primitive).  For large axes emit the sparse form
+    and densify in batch with ``dense_fill``.
     """
     group_by = list(group_by)
     if sdf.isStreaming:
@@ -188,11 +197,19 @@ def write_stream_histogram(
     available_now: bool = False,
 ):
     """End-to-end streaming sink for ``streaming_histogram`` output: append
-    mode (only watermark-finalised windows emit — each window is written
-    exactly once), each micro-batch densified against the spine and
-    appended as parquet partitioned by ``window_us`` (epoch-micros of the
-    window start — integer partition values, prunable by time-range
-    predicates).  Returns the started StreamingQuery.
+    mode (only watermark-finalised windows emit), each micro-batch
+    densified against the spine and written as parquet partitioned by
+    ``window_us`` (epoch-micros of the window start — integer partition
+    values, prunable by time-range predicates).  Returns the started
+    StreamingQuery.
+
+    Exactly-once on top of foreachBatch's at-least-once contract: a
+    RETRIED epoch (executor loss / driver restart after a commit but
+    before the checkpoint records the batch) re-writes the SAME windows,
+    so the sink uses dynamic partition overwrite — re-running an epoch
+    replaces its own window partitions with identical rows instead of
+    appending duplicates.  Idempotence holds because append-mode windows
+    are watermark-finalised: a window is emitted by exactly one epoch.
 
     At scale this is the materialised rollup store: finalized histogram
     windows land once, partition layout supports both time-range reads and
@@ -206,7 +223,8 @@ def write_stream_histogram(
             dense.withColumn(
                 "window_us", F.unix_micros(F.col("window_start"))
             )
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("window_us")
             .parquet(path)
         )
