@@ -70,23 +70,49 @@ _DRIVER_VERIFIED = frozenset({
     "alg_apply_func_log", "alg_bin_coordinates", "alg_normalize_after",
     "alg_rebin", "alg_remove_flow", "alg_scale",
     "dedup_contamination",
-    "hist_2d", "hist_3d_grouped", "hist_columns", "hist_columns_weighted",
+    "hist_2d", "hist_3d_grouped", "hist_columns",
     "hist_cube_multires", "hist_density", "hist_density_flow",
-    "hist_fill_arrow_path", "hist_group_month", "hist_grouped",
+    "hist_group_month", "hist_grouped",
     "hist_int64_storage", "hist_integer_axis", "hist_intcategory",
-    "hist_join_align_2var", "hist_log_axis", "hist_mean_storage",
+    "hist_join_align_2var", "hist_log_axis",
     "hist_merge_shards", "hist_range_infer", "hist_regular_1d",
     "hist_regular_flow", "hist_rollup_2d", "hist_rollup_multires",
     "hist_sqrt_axis", "hist_strcategory", "hist_variable_binary",
-    "hist_weight_storage", "hist_weighted",
-    "mm_decode_meta", "mm_sample_frames",
+    "mm_sample_frames",
     "pipeline_curate",
     "stat_cdf25", "stat_interval80", "stat_mean", "stat_median",
     "stat_moment3", "stat_ppf90", "stat_std", "stat_var",
     "streaming_stateful_hist",
-    "text_fingerprint", "text_line_dedup", "text_repetition",
+    "text_line_dedup", "text_repetition",
     "text_top_terms",
+    # --- r03-green entries DEMOTED to make window room: their plans and
+    # oracles are UNCHANGED since they were verified, while the entries
+    # removed above (hist_weighted, hist_weight_storage,
+    # hist_mean_storage, hist_columns_weighted, hist_fill_arrow_path,
+    # mm_decode_meta, text_fingerprint) changed in round 5's review fixes
+    # (quantized NaN-weight semantics, Arrow kernel exactness/bool
+    # relabel, explicit whitespace class, NULL n_bytes) and MUST be
+    # driver-re-verified first.  All demoted entries stay green in the
+    # local full-registry gates (test_entry_contract, driver_sim).
+    "hist_variable_axis", "hist_quantile_bins", "hist_join_revenue",
+    "alg_project", "alg_slice_bins", "hist_bool_axis",
 })
+
+
+# Entries whose PLAN or ORACLE changed in round 5 — never mind their past
+# greens, the driver must re-check them under the new engine before
+# anything else in the stale head.  Ordered right after _NEW_THIS_ROUND.
+_CHANGED_THIS_ROUND = (
+    # review-fix batch: quantized NaN-weight when-branch (every weighted
+    # aggregate), Arrow-kernel exactness + bool relabel, whitespace class
+    "hist_weighted", "hist_weight_storage", "hist_mean_storage",
+    "hist_columns_weighted", "hist_fill_arrow_path", "mm_decode_meta",
+    "text_fingerprint",
+    # round-5 plan reworks already in the stale head, promoted to its top
+    "dedup_simhash", "dedup_jaccard", "dedup_near_keep", "dedup_components",
+    "binned_stat_grouped", "binned_stat_profile", "hist_rollup_weighted",
+    "sample_topk_group", "mm_decode_image", "streaming_dedup_state",
+)
 
 
 # Queries REGISTERED IN ROUND 5 — never in any driver CORRECTNESS record;
@@ -103,12 +129,20 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
     items = list(_REGISTRY.items())
     fresh = [(n, _REGISTRY[n]) for n in _NEW_THIS_ROUND if n in _REGISTRY]
     seen = set(_NEW_THIS_ROUND)
+    changed = [
+        (n, _REGISTRY[n]) for n in _CHANGED_THIS_ROUND
+        if n in _REGISTRY and n not in seen
+    ]
+    seen |= set(_CHANGED_THIS_ROUND)
     head = [
         (n, v) for n, v in items
         if n not in _DRIVER_VERIFIED and n not in seen
     ]
-    tail = [(n, v) for n, v in items if n in _DRIVER_VERIFIED]
-    return dict(fresh + head + tail)
+    tail = [
+        (n, v) for n, v in items
+        if n in _DRIVER_VERIFIED and n not in seen
+    ]
+    return dict(fresh + changed + head + tail)
 
 
 def _hist_query(
