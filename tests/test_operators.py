@@ -675,3 +675,60 @@ def test_decoders_null_malformed_payloads(spark):
     assert all(v is None for v in rz.values())
     meta = {r["media_id"]: r["n_bytes"] for r in decode_meta(media).collect()}
     assert meta[3] is None and meta[1] == 4  # NULL payload -> NULL n_bytes
+
+
+def test_asof_join_semantics(spark):
+    from xarray_histogram_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 20), (3, 100, 35), (4, 200, 50)],
+        "lid long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        # two right rows at t=20 for key 100 (tie → max rid wins); one row
+        # with a NULL value (must NOT tear back to an older row's value)
+        [(7, 100, 5, 1.0), (8, 100, 20, 2.0), (9, 100, 20, None),
+         (6, 300, 1, 9.0)],
+        "rid long, k long, t long, v double",
+    )
+    out = {
+        r["lid"]: r
+        for r in asof_join(
+            left, right, ["k"], "t", ["v"], "rid"
+        ).collect()
+    }
+    assert out[1]["asof_rid"] == 7 and out[1]["asof_v"] == 1.0
+    # inclusive bound + tie at t=20: rid 9 (max) wins, and its NULL v is
+    # kept rather than falling back to rid 8's 2.0
+    assert out[2]["asof_rid"] == 9 and out[2]["asof_v"] is None
+    assert out[3]["asof_rid"] == 9
+    assert out[4]["asof_rid"] is None and out[4]["asof_ts"] is None
+
+    # tolerance: lid 3 at t=35 is 15 past its match at 20 → nulled at tol 10
+    tol = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            left, right, ["k"], "t", ["v"], "rid", tolerance=10
+        ).collect()
+    }
+    assert tol[3] is None and tol[2] == 9
+
+
+def test_range_join_count_semantics(spark):
+    from xarray_histogram_spark.operators.joins import range_join_count
+
+    left = spark.createDataFrame(
+        [(1, 100, 0), (2, 100, 95), (3, 200, 0)], "lid long, k long, t long"
+    )
+    right = spark.createDataFrame(
+        # for lid 1 (band (0, 100]): rows at 1, 100 count; row at 0 is
+        # strictly-after-excluded; 150 out of band.  Cross-bucket: lid 2's
+        # band (95, 195] catches 100 and 150 from the next bucket.
+        [(100, 1), (100, 0), (100, 100), (100, 150), (200, 500)],
+        "k long, t long",
+    )
+    out = {
+        r["lid"]: r["n_in_window"]
+        for r in range_join_count(left, right, ["k"], "t", 100, "lid").collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 0}

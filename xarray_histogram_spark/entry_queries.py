@@ -122,6 +122,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "hist_pow_axis", "hist_growth_categories", "hist_growth_merge",
     "pipeline_curate_narrow", "dedup_simhash_pairs", "sample_pack_chunks",
     "sample_take_n", "text_vocabulary",
+    "events_asof_join", "events_range_join",
 )
 
 
@@ -1637,6 +1638,103 @@ register(
         "text", "doc_id",
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (operators/joins.py): as-of and banded range join over
+# events — all arithmetic in integer epoch-micros (unix_micros == epoch_us
+# under the _utc_ts session convention)
+# ---------------------------------------------------------------------------
+
+
+def _asof_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click gets the user's most recent error
+    at-or-before it, within a 6-hour tolerance.  Union+window plan (one
+    keys-shuffle), vs the oracle's LATERAL rank-1 formulation."""
+    from .operators.joins import asof_join
+
+    ev = _utc_ts(spark, t(spark, sf_dir, "events")).select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts)").alias("t"),
+        "event_type",
+        "value",
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "t"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "t", "value"
+    )
+    return asof_join(
+        clicks,
+        errors,
+        keys=["user_id"],
+        ts_col="t",
+        value_cols=["value"],
+        right_id_col="event_id",
+        tolerance=6 * 3_600_000_000,
+    )
+
+
+def _asof_sql() -> str:
+    from .operators.joins import asof_join_sql
+
+    return asof_join_sql(
+        "SELECT event_id, user_id, epoch_us(ts) AS t FROM events "
+        "WHERE event_type = 'click'",
+        "SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events "
+        "WHERE event_type = 'error'",
+        keys=["user_id"],
+        ts_col="t",
+        value_cols=["value"],
+        right_id_col="event_id",
+        tolerance=6 * 3_600_000_000,
+    )
+
+
+register("events_asof_join", _asof_fn, _asof_sql())
+
+
+def _range_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: purchases per user within 24h after each signup.
+    Bucketed equi-join plan (right side expanded ≤2×), vs the oracle's
+    direct inequality join."""
+    from .operators.joins import range_join_count
+
+    ev = _utc_ts(spark, t(spark, sf_dir, "events")).select(
+        "event_id", "user_id", F.expr("unix_micros(ts)").alias("t"), "event_type"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "t"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "t")
+    return range_join_count(
+        signups,
+        purchases,
+        keys=["user_id"],
+        ts_col="t",
+        window=86_400_000_000,
+        left_id_col="event_id",
+    )
+
+
+def _range_join_sql() -> str:
+    from .operators.joins import range_join_count_sql
+
+    return range_join_count_sql(
+        "SELECT event_id, user_id, epoch_us(ts) AS t FROM events "
+        "WHERE event_type = 'signup'",
+        "SELECT user_id, epoch_us(ts) AS t FROM events "
+        "WHERE event_type = 'purchase'",
+        keys=["user_id"],
+        ts_col="t",
+        window=86_400_000_000,
+        left_id_col="event_id",
+    )
+
+
+register("events_range_join", _range_join_fn, _range_join_sql())
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

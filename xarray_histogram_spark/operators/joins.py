@@ -1,0 +1,235 @@
+"""Temporal join operators: as-of join and banded range join.
+
+The reference has no join machinery at all (SURVEY.md §2.4: xarray
+broadcasting, ``core.py:261``, is its only implicit equi-join), but an
+event/training-data pipeline needs the two classic temporal joins Spark
+has no native operator for.  Both are built in the shape that survives
+100 TB:
+
+* ``asof_join`` — the union-and-window formulation: tag both sides, union,
+  ONE window over the join keys ordered by ``(ts, side, right-id)`` that
+  carries the latest right-side row forward as a struct.  One shuffle of
+  left+right narrow rows, no inequality join — the naive
+  ``l.ts >= r.ts`` theta-join Spark would plan for the equivalent SQL is
+  a per-key cartesian (BroadcastNestedLoop at worst), quadratic in events
+  per key.  Skewed keys cost what any per-key window costs; the payload
+  carried through the shuffle is only the projected right value columns.
+* ``range_join_count`` — inequality band ``l.ts < r.ts <= l.ts + W``
+  turned into an equi-join: right rows are expanded to the (at most two)
+  W-aligned buckets whose left rows they can serve, the join runs on
+  ``(key, bucket)``, and an exact band filter keeps true matches.  Each
+  (l, r) pair meets in exactly one bucket (the left row's own), so no
+  dedup pass is needed.  Right rows duplicate at most 2×; at scale AQE
+  picks broadcast vs shuffle per side as usual.
+
+All timestamp arithmetic is integer epoch-microseconds (the registry's
+``unix_micros``/``epoch_us`` convention) — bit-exact on both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    right_id_col: str,
+    tolerance: Optional[int] = None,
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the most recent right
+    row with the same ``keys`` and ``right.ts <= left.ts``.
+
+    Ties on ``ts`` are broken deterministically: a right row at exactly
+    ``left.ts`` DOES match (inclusive bound — the union sorts right rows
+    before left rows at equal ts), and among several right rows at the
+    same instant the one with the greatest ``right_id_col`` wins (the SQL
+    mirror's ``ORDER BY ts DESC, id DESC LIMIT 1``).
+
+    ``tolerance`` (in the ts unit, i.e. microseconds) null-outs matches
+    older than ``left.ts - tolerance``.  Output: every left column, plus
+    ``asof_ts``, ``asof_<right_id_col>`` and ``asof_<v>`` for each value
+    column — all NULL where no right row qualifies.
+
+    The matched row travels as ONE struct through ``last(..., ignorenulls)``
+    so all output columns come from the same right row even when a value
+    column is legitimately NULL in it (per-column ``last`` would skip to
+    an older row for that column only — a row-tearing bug).
+    """
+    keys = list(keys)
+    value_cols = list(value_cols)
+    lpay = [c for c in left.columns if c not in set(keys) | {ts_col}]
+    match_struct = F.struct(
+        F.col(ts_col).alias("__mts"),
+        F.col(right_id_col).alias("__mid"),
+        *[F.col(v).alias(f"__mv_{v}") for v in value_cols],
+    )
+    rtypes = dict(right.dtypes)
+    lt = left.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(rtypes[right_id_col]).alias("__rid"),
+        F.lit(None)
+        .cast(right.select(match_struct.alias("m")).schema["m"].dataType)
+        .alias("__m"),
+        *lpay,
+    )
+    ltypes = dict(left.dtypes)
+    rt = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        F.col(right_id_col).alias("__rid"),
+        match_struct.alias("__m"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lpay],
+    )
+    # Frame note: ROWS UNBOUNDED PRECEDING..CURRENT ROW over a total order
+    # for right rows (ts, side=0, rid unique).  Left rows tied on ts only
+    # tie with other left rows (side=1) — they contribute NULL __m, so the
+    # arbitrary order among them cannot change any row's last(__m).
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col(ts_col).asc(), F.col("__side").asc(), F.col("__rid").asc_nulls_last()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = F.last(F.col("__m"), ignorenulls=True).over(w)
+    if tolerance is not None:
+        m = F.when(
+            m.isNotNull() & ((F.col(ts_col) - m["__mts"]) <= F.lit(tolerance)), m
+        )
+    out = (
+        lt.unionByName(rt)
+        .select(
+            *keys,
+            F.col(ts_col),
+            F.col("__side"),
+            *lpay,
+            m.alias("__match"),
+        )
+        .where(F.col("__side") == 1)
+    )
+    return out.select(
+        *keys,
+        F.col(ts_col),
+        *lpay,
+        F.col("__match")["__mts"].alias("asof_ts"),
+        F.col("__match")["__mid"].alias(f"asof_{right_id_col}"),
+        *[F.col("__match")[f"__mv_{v}"].alias(f"asof_{v}") for v in value_cols],
+    )
+
+
+def asof_join_sql(
+    left_sql: str,
+    right_sql: str,
+    keys: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    right_id_col: str,
+    tolerance: Optional[int] = None,
+) -> str:
+    """DuckDB mirror: LEFT JOIN LATERAL rank-1 subquery — an independent
+    formulation of the same semantics (greatest ``ts`` then greatest id at
+    or before the left timestamp, optional tolerance band)."""
+    keys = list(keys)
+    on = " AND ".join(f"r.{k} = l.{k}" for k in keys)
+    tol = (
+        f" AND r.{ts_col} >= l.{ts_col} - {int(tolerance)}"
+        if tolerance is not None
+        else ""
+    )
+    vals = ", ".join(
+        [f"r.{ts_col} AS asof_ts", f"r.{right_id_col} AS asof_{right_id_col}"]
+        + [f"r.{v} AS asof_{v}" for v in value_cols]
+    )
+    return (
+        f"SELECT l.*, {vals} FROM ({left_sql}) l "
+        f"LEFT JOIN LATERAL ("
+        f"SELECT * FROM ({right_sql}) r "
+        f"WHERE {on} AND r.{ts_col} <= l.{ts_col}{tol} "
+        f"ORDER BY r.{ts_col} DESC, r.{right_id_col} DESC LIMIT 1"
+        f") r ON TRUE"
+    )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    window: int,
+    left_id_col: str,
+) -> DataFrame:
+    """Per left row, count right rows with the same keys inside the band
+    ``(l.ts, l.ts + window]`` (strictly after, within ``window`` µs).
+
+    Equi-join on ``(keys, bucket)`` where bucket = ``ts div window``: a
+    right row at bucket ``b`` can only serve left rows in buckets ``b``
+    and ``b-1``, so the right side is exploded to those two bucket keys
+    and the exact band predicate filters inside the hash join.  A (l, r)
+    pair meets exactly once (at the left row's own bucket), so the count
+    needs no dedup.  Unmatched left rows keep count 0 via the left join.
+    """
+    keys = list(keys)
+    w = int(window)
+    lb = left.select(
+        F.col(left_id_col),
+        *keys,
+        F.col(ts_col),
+        F.floor(F.col(ts_col) / F.lit(w)).cast("bigint").alias("__bucket"),
+    )
+    rb = right.select(
+        *keys,
+        F.col(ts_col).alias("__rts"),
+        F.explode(
+            F.array(
+                F.floor(F.col(ts_col) / F.lit(w)).cast("bigint"),
+                F.floor(F.col(ts_col) / F.lit(w)).cast("bigint") - F.lit(1),
+            )
+        ).alias("__bucket"),
+    )
+    joined = lb.join(rb, keys + ["__bucket"], "left")
+    hit = (
+        F.col("__rts").isNotNull()
+        & (F.col("__rts") > F.col(ts_col))
+        & (F.col("__rts") <= F.col(ts_col) + F.lit(w))
+    )
+    return joined.groupBy(left_id_col, *keys, ts_col).agg(
+        F.sum(F.when(hit, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_in_window")
+    )
+
+
+def range_join_count_sql(
+    left_sql: str,
+    right_sql: str,
+    keys: Sequence[str],
+    ts_col: str,
+    window: int,
+    left_id_col: str,
+) -> str:
+    """DuckDB mirror: direct inequality LEFT JOIN + COUNT — the textbook
+    formulation the Spark plan deliberately avoids."""
+    keys = list(keys)
+    on = " AND ".join(f"r.{k} = l.{k}" for k in keys)
+    gb = ", ".join([f"l.{left_id_col}"] + [f"l.{k}" for k in keys] + [f"l.{ts_col}"])
+    sel = ", ".join(
+        [f"l.{left_id_col}"] + [f"l.{k}" for k in keys] + [f"l.{ts_col}"]
+    )
+    return (
+        f"SELECT {sel}, CAST(COUNT(r.{ts_col}) AS BIGINT) AS n_in_window "
+        f"FROM ({left_sql}) l LEFT JOIN ({right_sql}) r "
+        f"ON {on} AND r.{ts_col} > l.{ts_col} "
+        f"AND r.{ts_col} <= l.{ts_col} + {int(window)} "
+        f"GROUP BY {gb}"
+    )
