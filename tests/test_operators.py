@@ -732,3 +732,20 @@ def test_range_join_count_semantics(spark):
         for r in range_join_count(left, right, ["k"], "t", 100, "lid").collect()
     }
     assert out == {1: 2, 2: 2, 3: 0}
+
+
+def test_kmeans_refine_semantics(spark, emb):
+    from xarray_histogram_spark.operators.similarity import kmeans_refine
+
+    out = kmeans_refine(emb, k=8, n_iter=2, n_hint=512, dim=64).collect()
+    n_total = emb.count()
+    # every vector lands in exactly one surviving cluster
+    assert sum(r["n"] for r in out) == n_total
+    assert 1 <= len(out) <= 32
+    # centroid components are means of unit-scale data: bounded
+    assert all(abs(r["c0"]) < 1.0 and abs(r["c1"]) < 1.0 for r in out)
+    # n_iter=1 equals plain seed-assignment summary (no refinement step)
+    one = kmeans_refine(emb, k=8, n_iter=1, n_hint=512, dim=64).collect()
+    assert sum(r["n"] for r in one) == n_total
+    with pytest.raises(ValueError, match="n_iter"):
+        kmeans_refine(emb, k=8, n_iter=0)

@@ -122,7 +122,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "hist_pow_axis", "hist_growth_categories", "hist_growth_merge",
     "pipeline_curate_narrow", "dedup_simhash_pairs", "sample_pack_chunks",
     "sample_take_n", "text_vocabulary",
-    "events_asof_join", "events_range_join",
+    "events_asof_join", "events_range_join", "sim_kmeans_refine",
 )
 
 
@@ -1735,6 +1735,25 @@ def _range_join_sql() -> str:
 
 
 register("events_range_join", _range_join_fn, _range_join_sql())
+
+
+def _kmeans_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds over the embedding corpus (iterative algorithm,
+    oracle-exact via int64 component quantization + deterministic cosine
+    folds — see operators/similarity.py:kmeans_refine)."""
+    from .operators.similarity import kmeans_refine
+
+    emb = t(spark, sf_dir, "embeddings")
+    return kmeans_refine(emb, k=8, n_iter=2, n_hint=512, dim=64)
+
+
+def _kmeans_sql() -> str:
+    from .operators.similarity import kmeans_refine_sql
+
+    return kmeans_refine_sql("embeddings", k=8, n_iter=2, n_hint=512, dim=64)
+
+
+register("sim_kmeans_refine", _kmeans_fn, _kmeans_sql())
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

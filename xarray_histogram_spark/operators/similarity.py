@@ -499,3 +499,199 @@ def embed_dup_pairs_sql(
         f"{guard}"
         f"WHERE {cos} >= {flit(threshold)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means: Lloyd refinement over the IVF seed net
+# ---------------------------------------------------------------------------
+
+
+def _argmin_cid(vec_col: str, cents: Sequence[tuple[int, Sequence[float]]]):
+    """Zero-shuffle per-row argmin over literal centroids: array_max over
+    (cosine, -cid) structs — the (sim DESC, cid ASC) rank-1, same trick
+    and tie-break as ivf_assign."""
+    v = F.col(vec_col)
+    arr = F.array(
+        *[
+            F.struct(
+                V.cosine(v, F.array(*[F.lit(float(x)) for x in cv])).alias("sim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    return (-F.array_max(arr)["ncid"]).cast("bigint")
+
+
+KMEANS_SCALE = float(1 << 20)
+
+
+def kmeans_refine(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    n_hint: int = 512,
+    dim: int | None = None,
+    scale: float = KMEANS_SCALE,
+) -> DataFrame:
+    """``n_iter`` Lloyd rounds of k-means on top of ivf_assign's
+    deterministic id-strided seed net, ORACLE-EXACT across engines.
+
+    The reason ivf_assign skips k-means — iterative float training cannot
+    be mirrored bit-exactly — is dissolved by the engine's two standing
+    determinism tools: per-component **int64 quantization**
+    (``scaled_weight_col``; integer sums are addition-order independent, so
+    partial aggregation and DuckDB agree bit-for-bit) and the sequential
+    **cosine fold** (functions.vectors).  A centroid component is
+    ``(Σq / n) / scale`` — three IEEE ops on exact integers, identical in
+    Spark, DuckDB, and the driver-side recompute between rounds.
+    ``scale`` is a power of two so the final division is lossless.
+
+    Each round: zero-shuffle argmin assignment against ≤4k literal
+    centroids, then ONE map-combined shuffle of (cid, n, Σq_0..Σq_{d-1})
+    rows — k·d ints, not n·d.  Between rounds the ≤4k centroid rows are
+    collected (output-bounded metadata, the IVF convention); clusters that
+    lose all members are dropped on both engines.  Returns the final
+    round's summary: (cid, n, c0, c1).
+
+    At 100 TB: per-round cost is one corpus scan + a k·d-int shuffle —
+    the canonical Lloyd shape (Spark MLlib's KMeans iterates the same
+    way); Σq stays in int64 for corpora up to ~2^43 rows/cluster at
+    scale 2^20.  Pass ``dim`` to skip the one-row dimension probe.
+    """
+    if n_iter < 1:
+        raise ValueError("kmeans_refine: n_iter must be >= 1")
+    step = _centroid_step(n_hint, k)
+    cents_rows = (
+        df.where((F.col(id_col) % step) == 0)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+    if not cents_rows:
+        raise ValueError(
+            f"kmeans_refine: no seed rows ({id_col} % {step}) — n_hint="
+            f"{n_hint} overestimates the corpus"
+        )
+    if len(cents_rows) > 4 * k:
+        raise ValueError(
+            f"kmeans_refine: seed sample has {len(cents_rows)} rows for "
+            f"k={k} — n_hint={n_hint} underestimates the corpus"
+        )
+    cents = sorted(
+        (int(r["cid"]), [float(x) for x in r["cv"]]) for r in cents_rows
+    )
+    if dim is None:
+        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None or probe["d"] is None:
+            raise ValueError("kmeans_refine: cannot infer dim (empty input?)")
+        dim = int(probe["d"])
+
+    from ..plans.histogram import scaled_weight_col
+
+    def _sums(assigned: DataFrame) -> DataFrame:
+        qs = [
+            F.sum(
+                scaled_weight_col(
+                    F.element_at(F.col(vec_col), d + 1).cast("double"), scale
+                )
+            ).alias(f"__s{d}")
+            for d in range(dim)
+        ]
+        return assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n"), *qs
+        )
+
+    for _ in range(n_iter - 1):
+        upd = _sums(
+            df.select(
+                F.col(vec_col), _argmin_cid(vec_col, cents).alias("cid")
+            )
+        ).collect()
+        cents = sorted(
+            (
+                int(r["cid"]),
+                [
+                    (float(r[f"__s{d}"]) / float(r["n"])) / scale
+                    for d in range(dim)
+                ],
+            )
+            for r in upd
+        )
+
+    final = _sums(
+        df.select(F.col(vec_col), _argmin_cid(vec_col, cents).alias("cid"))
+    )
+    mean = lambda d: (  # noqa: E731 - tiny local expr builder
+        F.col(f"__s{d}").cast("double") / F.col("n").cast("double")
+    ) / F.lit(scale)
+    return final.select(
+        F.col("cid"),
+        F.col("n").cast("bigint").alias("n"),
+        mean(0).alias("c0"),
+        mean(1).alias("c1"),
+    )
+
+
+def kmeans_refine_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    n_hint: int = 512,
+    dim: int = DIM,
+    scale: float = KMEANS_SCALE,
+) -> str:
+    """DuckDB mirror: the full Lloyd chain as CTEs — rank-based argmin
+    (ROW_NUMBER over the cross join) instead of the fold, quantized sums
+    CAST AS BIGINT (SUM(BIGINT) is HUGEINT in DuckDB), identical
+    (Σq / n) / scale centroid arithmetic."""
+    from ..oracle import scaled_weight_sql
+
+    step = _centroid_step(n_hint, k)
+    q = [
+        scaled_weight_sql(f"CAST({vec_col}[{d + 1}] AS DOUBLE)", scale)
+        for d in range(dim)
+    ]
+    sums = ", ".join(
+        f"CAST(SUM({q[d]}) AS BIGINT) AS s{d}" for d in range(dim)
+    )
+    comp = [
+        f"((CAST(s{d} AS DOUBLE) / CAST(n AS DOUBLE)) / {flit(scale)})"
+        for d in range(dim)
+    ]
+    cv_list = "list_value(" + ", ".join(comp) + ")"
+
+    def assign(cents: str) -> str:
+        sim = V.cosine_sql(f"t.{vec_col}", "c.cv")
+        return (
+            f"(SELECT {vec_col}, cid FROM ("
+            f"SELECT t.{vec_col}, c.cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY t.{id_col} "
+            f"ORDER BY {sim} DESC, c.cid) AS rn "
+            f"FROM {table} t CROSS JOIN {cents} c) x WHERE rn = 1)"
+        )
+
+    def update(assigned: str) -> str:
+        return (
+            f"(SELECT cid, COUNT(*) AS n, {sums} "
+            f"FROM {assigned} a GROUP BY cid)"
+        )
+
+    ctes = [
+        f"cents0 AS (SELECT {id_col} AS cid, {vec_col} AS cv "
+        f"FROM {table} WHERE {id_col} % {step} = 0)"
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"u{i} AS {update(assign(f'cents{i - 1}'))}")
+        if i < n_iter:
+            ctes.append(
+                f"cents{i} AS (SELECT cid, {cv_list} AS cv FROM u{i})"
+            )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT cid, CAST(n AS BIGINT) AS n, "
+        f"{comp[0]} AS c0, {comp[1]} AS c1 FROM u{n_iter}"
+    )
