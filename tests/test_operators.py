@@ -749,3 +749,24 @@ def test_kmeans_refine_semantics(spark, emb):
     assert sum(r["n"] for r in one) == n_total
     with pytest.raises(ValueError, match="n_iter"):
         kmeans_refine(emb, k=8, n_iter=0)
+
+
+def test_dup_ngram_stats_semantics(spark):
+    from xarray_histogram_spark.operators.text import dup_ngram_stats
+
+    rows = [
+        (1, "a b c d"),        # grams: "a b c","b c d"
+        (2, "a b c x"),        # shares "a b c" with doc 1
+        (3, "p q r"),          # unique gram
+        (4, "a b"),            # < n tokens -> no output row
+        (5, None),             # null text -> no output row
+        (6, "z z z z z"),      # within-doc repeats dedup to ONE gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_ngram_stats(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3, 6}
+    assert out[1]["n_grams"] == 2 and out[1]["n_dup"] == 1
+    assert out[1]["dup_frac"] == 0.5
+    assert out[2]["n_dup"] == 1
+    assert out[3]["n_dup"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[6]["n_grams"] == 1 and out[6]["n_dup"] == 0

@@ -123,6 +123,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "pipeline_curate_narrow", "dedup_simhash_pairs", "sample_pack_chunks",
     "sample_take_n", "text_vocabulary",
     "events_asof_join", "events_range_join", "sim_kmeans_refine",
+    "text_dup_ngrams",
 )
 
 
@@ -1735,6 +1736,25 @@ def _range_join_sql() -> str:
 
 
 register("events_range_join", _range_join_fn, _range_join_sql())
+
+
+def _dup_ngram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplicate-n-gram fraction per doc (cross-document repetition
+    signal; window-df plan, one gram shuffle)."""
+    from .operators.text import dup_ngram_stats
+
+    return dup_ngram_stats(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id", n=3
+    )
+
+
+def _dup_ngram_sql() -> str:
+    from .operators.text import dup_ngram_stats_sql
+
+    return dup_ngram_stats_sql("documents", "text", "doc_id", n=3)
+
+
+register("text_dup_ngrams", _dup_ngram_fn, _dup_ngram_sql())
 
 
 def _kmeans_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

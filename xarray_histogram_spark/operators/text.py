@@ -492,3 +492,81 @@ def vocabulary_sql(
         f"(ORDER BY tf DESC, term) AS INT) AS rank FROM vocab "
         f"ORDER BY tf DESC, term LIMIT {int(k)}"
     )
+
+
+def dup_ngram_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Corpus-level duplicate-n-gram fraction per document: for each doc,
+    the share of its DISTINCT token n-grams that also occur in at least
+    one other document.  The cross-document complement of
+    ``repetition_stats`` (which scores repetition *inside* a doc) and the
+    standard "duplicate n-gram fraction" curation signal.
+
+    Shape: per-row distinct n-gram arrays (zero shuffle), ONE explode +
+    hash-partition on the gram with a window ``COUNT(*) OVER (PARTITION BY
+    gram)`` for document frequency — no self-join, so the gram relation is
+    shuffled once, not twice — then one output-bounded ``groupBy(doc)``.
+    A viral gram concentrates its copies in one partition (same skew as
+    any df computation); AQE skew handling applies.  Docs with no n-gram
+    (null text or fewer than ``n`` tokens) are absent from the output on
+    both engines.
+
+    100 TB: two input-proportional shuffles total (gram rows, then
+    doc-grouped rows) of narrow (id, gram-hash-sized) rows; everything
+    else is per-row array work.
+    """
+    from pyspark.sql.window import Window
+
+    toks = H.tokens(F.col(text_col))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    # Spark's sequence(1, m) REVERSES when m < 1 (DuckDB's generate_series
+    # is empty) — guard to the empty list so short docs drop identically.
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    g = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("__g"))
+    return (
+        g.select(F.col(id_col), dfreq.alias("__df"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__df") >= 2, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_grams").cast("double")).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+def dup_ngram_stats_sql(table: str, text_col: str, id_col: str, n: int = 3) -> str:
+    """DuckDB mirror: same tokenizer, list_distinct n-grams, window df."""
+    toks = H.tokens_sql(text_col)
+    grams = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+    return (
+        f"WITH g AS (SELECT {id_col}, unnest({grams}) AS g FROM {table}), "
+        f"d AS (SELECT {id_col}, "
+        f"COUNT(*) OVER (PARTITION BY g) AS dfreq FROM g), "
+        f"p AS (SELECT {id_col}, COUNT(*) AS n_grams, "
+        f"CAST(SUM(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup "
+        f"FROM d GROUP BY {id_col}) "
+        f"SELECT {id_col}, n_grams, n_dup, "
+        f"CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac FROM p"
+    )
