@@ -770,3 +770,29 @@ def test_dup_ngram_stats_semantics(spark):
     assert out[2]["n_dup"] == 1
     assert out[3]["n_dup"] == 0 and out[3]["dup_frac"] == 0.0
     assert out[6]["n_grams"] == 1 and out[6]["n_dup"] == 0
+
+
+def test_decode_audio_malformed_payloads(spark):
+    from xarray_histogram_spark.operators.multimodal import (
+        decode_audio, encode_wav,
+    )
+
+    good = encode_wav([1, -2, 3], 16000)
+    # data chunk before fmt: rejected by the chunk walker
+    swapped = good[:12] + good[36:] + good[12:36]
+    rows = [
+        (1, "audio/wav", bytearray(good)),
+        (2, "audio/wav", bytearray(b"RIFF\x00\x00\x00\x00WAVE")),  # no chunks
+        (3, "audio/wav", bytearray(b"ID3\x03junk")),               # not RIFF
+        (4, "audio/wav", None),
+        (5, "audio/wav", bytearray(swapped)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    got = {r["media_id"]: r for r in decode_audio(media).collect()}
+    assert got[1]["format"] == "wav" and got[1]["sample_rate"] == 16000
+    assert got[1]["n_samples"] == 3 and got[1]["sample_sum"] == 2
+    assert got[1]["first_sample"] == 1
+    assert all(got[i]["format"] is None for i in (2, 3, 4, 5))
+    assert all(got[i]["sample_sum"] is None for i in (2, 3, 4, 5))

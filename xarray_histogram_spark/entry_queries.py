@@ -123,7 +123,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "pipeline_curate_narrow", "dedup_simhash_pairs", "sample_pack_chunks",
     "sample_take_n", "text_vocabulary",
     "events_asof_join", "events_range_join", "sim_kmeans_refine",
-    "text_dup_ngrams",
+    "text_dup_ngrams", "mm_decode_audio",
 )
 
 
@@ -1736,6 +1736,28 @@ def _range_join_sql() -> str:
 
 
 register("events_range_join", _range_join_fn, _range_join_sql())
+
+
+def _mm_audio_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL byte-level audio decode: deterministic mono PCM16 WAVs (sample
+    # s of audio k = (k*31 + s*7) % 256 - 128) are synthesised per doc_id
+    # and parsed back by the RIFF chunk walker — rate/n_samples/sums all
+    # come from decoded bytes, recomputed in closed form by the oracle
+    docs = t_wide(spark, sf_dir, "documents")
+    return mm.decode_audio(mm.synth_wav_media(docs, "doc_id", n_samples=32))
+
+
+register(
+    "mm_decode_audio", _mm_audio_fn,
+    "WITH sm AS (SELECT doc_id, "
+    "SUM((doc_id*31 + r.i*7) % 256 - 128) AS s "
+    "FROM documents CROSS JOIN range(0, 32) r(i) GROUP BY doc_id) "
+    "SELECT CAST(d.doc_id AS BIGINT) AS media_id, 'wav' AS format, "
+    "CAST(8000 AS INT) AS sample_rate, CAST(32 AS BIGINT) AS n_samples, "
+    "CAST(sm.s AS BIGINT) AS sample_sum, "
+    "CAST((d.doc_id*31) % 256 - 128 AS INT) AS first_sample "
+    "FROM documents d JOIN sm ON sm.doc_id = d.doc_id",
+)
 
 
 def _dup_ngram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

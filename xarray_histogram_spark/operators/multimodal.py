@@ -477,3 +477,143 @@ def sample_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio: real RIFF/WAV PCM16 codec (the third modality, same pattern as
+# BMP/PPM: header-true byte-level encode/decode with a closed-form test
+# pattern the oracle recomputes)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: list, sample_rate: int = 8000) -> bytes:
+    """Minimal mono PCM16 little-endian WAV: RIFF header + fmt + data."""
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def _decode_wav(b: bytes) -> tuple:
+    """Parse RIFF container: walk (id, size) chunks, require a PCM16 mono
+    ``fmt `` before ``data``; returns (sample_rate, n_samples, sample_sum,
+    first_sample) from the actual decoded samples."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    riff_end = min(8 + struct.unpack("<I", b[4:8])[0], len(b))
+    pos, rate, got_fmt = 12, None, False
+    while pos + 8 <= riff_end:
+        cid = b[pos : pos + 4]
+        size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, n_ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or n_ch != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 mono supported")
+            got_fmt = True
+        elif cid == b"data":
+            if not got_fmt:
+                raise ValueError("data chunk before fmt")
+            n = size // 2
+            samples = struct.unpack(f"<{n}h", body[: n * 2])
+            return (
+                rate,
+                n,
+                int(sum(samples)),
+                samples[0] if n else None,
+            )
+        pos += 8 + size + (size & 1)  # RIFF chunks pad to even offsets
+    raise ValueError("no data chunk")
+
+
+def synth_wav_media(
+    df: DataFrame, id_col: str, n_samples: int = 32, sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic WAV test-pattern generator: sample ``s`` of audio ``k``
+    is ``((k·31 + s·7) % 256) − 128`` — closed form for the SQL oracle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    [
+                        ((int(k) * 31 + s * 7) % 256) - 128
+                        for s in range(n_samples)
+                    ],
+                    sample_rate,
+                )
+                for k in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(F.col(id_col).cast("bigint").alias("media_id")).mapInPandas(
+        kernel, MEDIA_SCHEMA
+    )
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("first_sample", T.IntegerType()),
+    ]
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL audio decode (Arrow-batched mapInPandas): RIFF chunk walk +
+    PCM16 sample decode; all output fields derive from decoded bytes.
+    Malformed payloads yield NULL fields, never a task-killing exception
+    (same untrusted-input rule as decode_image/sample_frames)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "media_id",
+                    "format",
+                    "sample_rate",
+                    "n_samples",
+                    "sample_sum",
+                    "first_sample",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt = rate = n = s = first = None
+                if payload is not None:
+                    try:
+                        rate, n, s, first = _decode_wav(bytes(payload))
+                        fmt = "wav"
+                    except (
+                        ValueError,
+                        NotImplementedError,
+                        IndexError,
+                        struct.error,
+                    ):
+                        fmt = rate = n = s = first = None
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["sample_sum"].append(s)
+                out["first_sample"].append(first)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, AUDIO_META_SCHEMA)
