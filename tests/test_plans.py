@@ -352,3 +352,53 @@ def test_curate_single_shuffle(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert "Join" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_asof_join_single_window_shuffle(spark, sf_dir):
+    """As-of join is union + ONE keys-partitioned window — no theta join
+    (Spark would plan BroadcastNestedLoopJoin for the naive l.ts >= r.ts
+    formulation), no sort-merge join, one hash exchange on the keys."""
+    from xarray_histogram_spark.operators.joins import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS t", "event_type", "value"
+    )
+    out = asof_join(
+        ev.where("event_type = 'click'").select("event_id", "user_id", "t"),
+        ev.where("event_type = 'error'").select("event_id", "user_id", "t", "value"),
+        ["user_id"], "t", ["value"], "event_id",
+    )
+    p = plan_of(out)
+    assert "Join" not in p, p[:2000]
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:3000]
+    assert "Window" in p
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """Banded range join plans as a hash equi-join on (key, bucket) with
+    the band predicate inside the join — never a nested-loop theta join."""
+    from xarray_histogram_spark.operators.joins import range_join_count
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS t", "event_type"
+    )
+    out = range_join_count(
+        ev.where("event_type = 'signup'").select("event_id", "user_id", "t"),
+        ev.where("event_type = 'purchase'").select("user_id", "t"),
+        ["user_id"], "t", 86_400_000_000, "event_id",
+    )
+    p = plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p), p[:3000]
+
+
+def test_kmeans_round_is_single_exchange(spark, sf_dir):
+    """A Lloyd round's returned plan: zero-shuffle literal-centroid argmin
+    projection + one map-combined hash aggregate — no join, no Python."""
+    from xarray_histogram_spark.operators.similarity import kmeans_refine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_of(kmeans_refine(emb, k=8, n_iter=1, n_hint=512, dim=64))
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:3000]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
