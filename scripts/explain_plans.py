@@ -141,6 +141,24 @@ SELECTION: dict[str, tuple[list[str], str]] = {
         "corpus-wide `row_number` window sort); the probe is a broadcast "
         "hash join on the nprobe nearest inverted lists.",
     ),
+    "events_asof_join": (
+        ["Window", "Union"],
+        "As-of join as union + ONE keys-partitioned window (no join node): "
+        "both sides tag themselves, the matched right row travels as one "
+        "struct through `last(..., ignorenulls)` ordered by (ts, side, "
+        "right-id) — inclusive bound and deterministic tie-break — and the "
+        "tolerance check is a post-window projection.  The naive "
+        "`r.ts <= l.ts` theta-join would plan BroadcastNestedLoopJoin: "
+        "per-key quadratic.",
+    ),
+    "sim_kmeans_refine": (
+        ["HashAggregate", "array_max"],
+        "One Lloyd round's plan: literal-centroid argmin as a zero-shuffle "
+        "`array_max` projection (same fold as IVF assignment), then ONE "
+        "map-combined HashAggregate of int64-quantized component sums — "
+        "k·d integers cross the exchange, not vectors.  Rounds before the "
+        "last materialize only ≤4k centroid rows to the driver.",
+    ),
     "events_session_hist": (
         ["HashAggregate", "collect_list"],
         "Session-window histogram (batch twin of the streaming merge-agg): "
