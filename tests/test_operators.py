@@ -796,3 +796,56 @@ def test_decode_audio_malformed_payloads(spark):
     assert got[1]["first_sample"] == 1
     assert all(got[i]["format"] is None for i in (2, 3, 4, 5))
     assert all(got[i]["sample_sum"] is None for i in (2, 3, 4, 5))
+
+
+def test_asof_join_null_faithfulness(spark):
+    from xarray_histogram_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, None, 10)], "lid long, k long, t long"
+    )
+    right = spark.createDataFrame(
+        # NULL ts and NULL key rows can match nothing (SQL semantics);
+        # NULL-rid row loses the equal-ts tie to rid 8
+        [(7, 100, None, 1.0), (6, None, 5, 2.0),
+         (8, 100, 10, 3.0), (None, 100, 10, 4.0)],
+        "rid long, k long, t long, v double",
+    )
+    out = {
+        r["lid"]: r
+        for r in asof_join(left, right, ["k"], "t", ["v"], "rid").collect()
+    }
+    assert out[1]["asof_rid"] == 8 and out[1]["asof_v"] == 3.0
+    assert out[2]["asof_rid"] is None and out[2]["asof_v"] is None
+
+
+def test_range_join_negative_ts_buckets(spark):
+    from xarray_histogram_spark.operators.joins import range_join_count
+
+    # negative timestamps: floor (not truncate-toward-zero) bucketing —
+    # t=-50 bucket -1, right rows at -49..0 are in its (−50, 50] band
+    left = spark.createDataFrame([(1, 9, -50)], "lid long, k long, t long")
+    right = spark.createDataFrame(
+        [(9, -49), (9, 0), (9, 50), (9, 51), (9, -50)], "k long, t long"
+    )
+    out = range_join_count(left, right, ["k"], "t", 100, "lid").collect()
+    assert out[0]["n_in_window"] == 3  # -49, 0, 50 in band; -50 and 51 out
+
+
+def test_decode_audio_rate_overflow_nulls(spark):
+    import struct as st
+
+    from xarray_histogram_spark.operators.multimodal import (
+        decode_audio, encode_wav,
+    )
+
+    good = bytearray(encode_wav([1, 2], 8000))
+    bad = bytearray(good)
+    bad[24:28] = st.pack("<I", 4_000_000_000)  # u32 rate > int32 max
+    media = spark.createDataFrame(
+        [(1, "audio/wav", bytes(good)), (2, "audio/wav", bytes(bad))],
+        "media_id long, media_type string, payload binary",
+    )
+    got = {r["media_id"]: r for r in decode_audio(media).collect()}
+    assert got[1]["format"] == "wav"
+    assert got[2]["format"] is None and got[2]["sample_rate"] is None

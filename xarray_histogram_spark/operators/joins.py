@@ -58,6 +58,10 @@ def asof_join(
     ``asof_ts``, ``asof_<right_id_col>`` and ``asof_<v>`` for each value
     column — all NULL where no right row qualifies.
 
+    Right rows with a NULL key or NULL ``ts`` are dropped (SQL equality /
+    inequality semantics: they can match nothing); NULL-key left rows come
+    out unmatched rather than joining each other.
+
     The matched row travels as ONE struct through ``last(..., ignorenulls)``
     so all output columns come from the same right row even when a value
     column is legitimately NULL in it (per-column ``last`` would skip to
@@ -66,6 +70,15 @@ def asof_join(
     keys = list(keys)
     value_cols = list(value_cols)
     lpay = [c for c in left.columns if c not in set(keys) | {ts_col}]
+    # NULL faithfulness vs the SQL mirror: `r.k = l.k` never matches a NULL
+    # key and `r.ts <= l.ts` is never true for a NULL ts, so right rows
+    # with a NULL key or NULL ts can match NOTHING — drop them up front
+    # (the window would otherwise group NULL keys together and sort NULL
+    # ts first, i.e. "before everything").  NULL-key/ts LEFT rows stay and
+    # come out unmatched, exactly like the mirror's LEFT JOIN.
+    right = right.where(F.col(ts_col).isNotNull())
+    for k in keys:
+        right = right.where(F.col(k).isNotNull())
     match_struct = F.struct(
         F.col(ts_col).alias("__mts"),
         F.col(right_id_col).alias("__mid"),
@@ -98,7 +111,9 @@ def asof_join(
     w = (
         Window.partitionBy(*keys)
         .orderBy(
-            F.col(ts_col).asc(), F.col("__side").asc(), F.col("__rid").asc_nulls_last()
+            # nulls FIRST so a NULL-id right row loses equal-ts ties to any
+            # real id (the mirror's ORDER BY id DESC under NULLS-LAST)
+            F.col(ts_col).asc(), F.col("__side").asc(), F.col("__rid").asc_nulls_first()
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -181,21 +196,24 @@ def range_join_count(
     """
     keys = list(keys)
     w = int(window)
+    # Exact integer floor division (pmod is non-negative, so ts - pmod is
+    # the floor multiple and DIV on the exact multiple is floor) — a
+    # double `floor(ts / w)` loses ulps past 2^53 and can misplace a row
+    # one bucket over, silently dropping an in-band match.
+    bucket = F.expr(
+        f"(CAST({ts_col} AS BIGINT) - pmod(CAST({ts_col} AS BIGINT), "
+        f"CAST({w} AS BIGINT))) DIV CAST({w} AS BIGINT)"
+    ).cast("bigint")
     lb = left.select(
         F.col(left_id_col),
         *keys,
         F.col(ts_col),
-        F.floor(F.col(ts_col) / F.lit(w)).cast("bigint").alias("__bucket"),
+        bucket.alias("__bucket"),
     )
     rb = right.select(
         *keys,
         F.col(ts_col).alias("__rts"),
-        F.explode(
-            F.array(
-                F.floor(F.col(ts_col) / F.lit(w)).cast("bigint"),
-                F.floor(F.col(ts_col) / F.lit(w)).cast("bigint") - F.lit(1),
-            )
-        ).alias("__bucket"),
+        F.explode(F.array(bucket, bucket - F.lit(1))).alias("__bucket"),
     )
     joined = lb.join(rb, keys + ["__bucket"], "left")
     hit = (

@@ -517,6 +517,10 @@ def _decode_wav(b: bytes) -> tuple:
             )
             if audio_fmt != 1 or n_ch != 1 or bits != 16:
                 raise NotImplementedError("only PCM16 mono supported")
+            if rate > 0x7FFFFFFF:
+                # the u32 field outranges the IntegerType output column —
+                # Arrow conversion would kill the task, not NULL the row
+                raise ValueError("sample rate exceeds int32")
             got_fmt = True
         elif cid == b"data":
             if not got_fmt:
