@@ -319,3 +319,92 @@ def test_curate_partitioning_independent(spark, sf_dir):
     ra = sorted(map(str, a.collect()))
     rb = sorted(map(str, b.collect()))
     assert ra == rb and len(ra) > 0
+
+
+# ---------------------------------------------------------------------------
+# temporal joins: executable brute-force specs on arbitrary event layouts
+# ---------------------------------------------------------------------------
+
+
+def py_asof(left_rows, right_rows, tolerance=None):
+    """Spec: per left row, the right row with max (t, rid) among same-key
+    rows with non-null key/ts and r.t <= l.t (within tolerance)."""
+    out = {}
+    for lid, lk, lt in left_rows:
+        best = None
+        if lk is not None and lt is not None:
+            for rid, rk, rt, rv in right_rows:
+                if rk is None or rt is None or rk != lk or rt > lt:
+                    continue
+                if tolerance is not None and rt < lt - tolerance:
+                    continue
+                key = (rt, rid if rid is not None else -(10**18))
+                if best is None or key > best[0]:
+                    best = (key, rid, rt, rv)
+        out[lid] = (best[1], best[2], best[3]) if best else (None, None, None)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-5, 5)),
+        min_size=1, max_size=12,
+    ),
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 3)),
+            st.one_of(st.none(), st.integers(-5, 5)),
+            st.integers(0, 9),
+        ),
+        min_size=0, max_size=12,
+    ),
+    st.one_of(st.none(), st.integers(0, 4)),
+)
+def test_asof_join_property(spark, lrows, rrows, tolerance):
+    from xarray_histogram_spark.operators.joins import asof_join
+
+    left_rows = [(i, k, t) for i, (k, t) in enumerate(lrows)]
+    right_rows = [
+        (100 + i, k, t, float(v)) for i, (k, t, v) in enumerate(rrows)
+    ]
+    left = spark.createDataFrame(left_rows, "lid long, k long, t long")
+    right = spark.createDataFrame(
+        right_rows, "rid long, k long, t long, v double"
+    )
+    got = {
+        r["lid"]: (r["asof_rid"], r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            left, right, ["k"], "t", ["v"], "rid", tolerance=tolerance
+        ).collect()
+    }
+    assert got == py_asof(left_rows, right_rows, tolerance)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-200, 200)),
+        min_size=1, max_size=10,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-200, 200)),
+        min_size=0, max_size=15,
+    ),
+    st.integers(1, 150),
+)
+def test_range_join_count_property(spark, lrows, rrows, w):
+    from xarray_histogram_spark.operators.joins import range_join_count
+
+    left_rows = [(i, k, t) for i, (k, t) in enumerate(lrows)]
+    left = spark.createDataFrame(left_rows, "lid long, k long, t long")
+    right = spark.createDataFrame(rrows, "k long, t long")
+    got = {
+        r["lid"]: r["n_in_window"]
+        for r in range_join_count(left, right, ["k"], "t", w, "lid").collect()
+    }
+    exp = {
+        lid: sum(1 for rk, rt in rrows if rk == k and t < rt <= t + w)
+        for lid, k, t in left_rows
+    }
+    assert got == exp
