@@ -434,3 +434,70 @@ def test_text_operators_run_in_streaming(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.table("stream_repetition").count() == 50
+
+
+def test_streaming_range_join_ordered_batches_tight_watermark(spark, tmp_path):
+    """Stream-stream range join with a TIGHT watermark over time-ordered
+    micro-batches: state from day-old rows is expirable, yet every in-band
+    pair still emits because arrival order respects event time.  (The
+    registry query uses a beyond-span delay instead, because its
+    round-robin replay files interleave time — late-drop behaviour is
+    arrival-dependent and can never be hash-gated.)"""
+    from pyspark.sql import functions as F
+    from xarray_histogram_spark.streaming.join_stream import (
+        streaming_range_join,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = 1_700_000_000_000_000  # epoch micros
+    hour = 3_600_000_000
+    rows = []
+    # three days; signup at 00:00, purchases at +1h (in band) and +30h (out)
+    for day in range(3):
+        t0 = base + day * 24 * hour
+        rows.append(("signup", 1000 + day, t0))
+        rows.append(("purchase", 2000 + day, t0 + hour))
+        rows.append(("purchase", 3000 + day, t0 + 30 * hour))
+    src = str(tmp_path / "src")
+    for day in range(3):  # one time-ordered file per day -> ordered batches
+        day_rows = [r for r in rows if (r[2] - base) // (24 * hour) == day]
+        spark.createDataFrame(
+            day_rows, "event_type string, event_id long, t long"
+        ).select(
+            "event_type", "event_id",
+            F.timestamp_micros(F.col("t")).alias("ts"),
+            F.lit(7).alias("user_id"),
+        ).coalesce(1).write.mode(
+            "append" if day else "overwrite"
+        ).parquet(src)
+    sdf = (
+        spark.readStream.schema(
+            "event_type string, event_id long, ts timestamp, user_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = streaming_range_join(
+        sdf.where("event_type = 'signup'").select("user_id", "ts", "event_id"),
+        sdf.where("event_type = 'purchase'").select("user_id", "ts", "event_id"),
+        key="user_id", ts_col="ts", window_us=24 * hour, delay="2 hours",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("srj_tight")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.table("srj_tight").collect()
+    }
+    # +1h purchases pair with their day's signup; a +30h purchase is out
+    # of ITS day's band but inside the NEXT day's (24h < 30h <= 48h)
+    expected = {(1000 + d, 2000 + d) for d in range(3)}
+    expected |= {(1001, 3000), (1002, 3001)}
+    assert got == expected

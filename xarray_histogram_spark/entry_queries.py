@@ -123,7 +123,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "pipeline_curate_narrow", "dedup_simhash_pairs", "sample_pack_chunks",
     "sample_take_n", "text_vocabulary",
     "events_asof_join", "events_range_join", "sim_kmeans_refine",
-    "text_dup_ngrams", "mm_decode_audio",
+    "text_dup_ngrams", "mm_decode_audio", "streaming_range_join",
 )
 
 
@@ -1736,6 +1736,73 @@ def _range_join_sql() -> str:
 
 
 register("events_range_join", _range_join_fn, _range_join_sql())
+
+
+def _streaming_range_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL watermarked stream-stream join: events replayed as 3
+    micro-batches; signup→purchase pairs within 24h must hash-equal the
+    batch inequality-join oracle.  The replay files are round-robin splits
+    (each spans the full time range), so the watermark delay is set beyond
+    the fixture span — deliberately: late-data DROPPING is
+    arrival-order-dependent and can never be hash-gated; state-expiry
+    semantics are exercised in test_streaming.py instead."""
+    import tempfile
+    import uuid
+
+    from .streaming.join_stream import streaming_range_join
+
+    ev = _utc_ts(spark, t(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    src = tempfile.mkdtemp(prefix="xhs_srj_src_")
+    ckpt = tempfile.mkdtemp(prefix="xhs_srj_ckpt_")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_range_join(
+        sdf.where(F.col("event_type") == "signup").select(
+            "user_id", "ts", F.col("event_id")
+        ),
+        sdf.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id")
+        ),
+        key="user_id",
+        ts_col="ts",
+        window_us=86_400_000_000,
+        delay="3650 days",
+    )
+    name = "xhs_srj_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _streaming_range_join_sql() -> str:
+    from .streaming.join_stream import streaming_range_join_sql
+
+    return streaming_range_join_sql(
+        "SELECT user_id, epoch_us(ts) AS t, event_id AS l_event_id "
+        "FROM events WHERE event_type = 'signup'",
+        "SELECT user_id, epoch_us(ts) AS t, event_id AS r_event_id "
+        "FROM events WHERE event_type = 'purchase'",
+        key="user_id",
+        window_us=86_400_000_000,
+    )
+
+
+register(
+    "streaming_range_join", _streaming_range_join_fn, _streaming_range_join_sql()
+)
 
 
 def _mm_audio_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
