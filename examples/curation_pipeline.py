@@ -9,6 +9,7 @@ the operator families a 100 TB text pipeline runs, end to end —
   5. corpus term statistics                    (top_terms)
   6. SimHash near-dup pairs                    (simhash_pairs, 64-bit)
   7. concat-and-chunk packing bookkeeping      (chunk_assignments)
+  8. cross-document duplicate-n-gram fraction  (dup_ngram_stats)
 
 Run:  python examples/curation_pipeline.py [sf_dir]
 """
@@ -28,6 +29,7 @@ from xarray_histogram_spark.operators.sampling import chunk_assignments
 from xarray_histogram_spark.operators.dedup import simhash_pairs
 from xarray_histogram_spark.operators.text import (
     remove_repeated_lines, token_count_cols, top_terms,
+    dup_ngram_stats,
 )
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -85,6 +87,11 @@ n_chunks = (
     .agg(F.sum(F.col("m") + 1)).first()[0]
 )
 
+# 8. cross-document repetition: share of each doc's distinct token
+# 3-grams that occur elsewhere in the corpus (window df — no self-join)
+dup_frac = dup_ngram_stats(docs, "text", "doc_id", n=3)
+mean_dup = dup_frac.agg(F.avg("dup_frac")).first()[0]
+
 print(f"docs: {n0}")
 print(f"boilerplate lines removed corpus-wide: {n_removed}")
 print(f"docs overlapping the benchmark slice: {n_contaminated}")
@@ -92,6 +99,7 @@ print(f"near-duplicate candidate pairs: {n_pairs}")
 print(f"curated split sizes: {split_counts}")
 print(f"simhash near-dup pairs (hamming<=3): {n_sh}")
 print(f"training chunks at context=256: {n_chunks}")
+print(f"mean duplicate-3-gram fraction: {mean_dup:.3f}")
 print("sample top terms:")
 terms.orderBy("doc_id", F.col("score").desc()).show(6)
 assert sum(split_counts.values()) > 0 and n0 > 0
