@@ -849,3 +849,36 @@ def test_decode_audio_rate_overflow_nulls(spark):
     got = {r["media_id"]: r for r in decode_audio(media).collect()}
     assert got[1]["format"] == "wav"
     assert got[2]["format"] is None and got[2]["sample_rate"] is None
+
+
+def test_funnel_conversion_semantics(spark):
+    from xarray_histogram_spark.operators.joins import funnel_conversion
+
+    rows = [
+        # user 1: full ordered funnel within window
+        (1, 0, "signup"), (1, 5, "click"), (1, 9, "purchase"),
+        # user 2: purchase BEFORE the click-after-signup -> not converted
+        (2, 0, "signup"), (2, 8, "click"), (2, 3, "purchase"),
+        # user 3: converted but outside the window
+        (3, 0, "signup"), (3, 1, "click"), (3, 50, "purchase"),
+        # user 4: click before signup doesn't count; later click does
+        (4, 0, "click"), (4, 2, "signup"), (4, 7, "click"), (4, 8, "purchase"),
+        # user 5: no signup -> all stages NULL
+        (5, 1, "click"), (5, 2, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, t long, event_type string")
+    out = {
+        r["user_id"]: r
+        for r in funnel_conversion(
+            ev, "user_id", "t", "event_type",
+            ["signup", "click", "purchase"], window=20,
+        ).collect()
+    }
+    assert out[1]["converted"] and out[1]["t_2"] == 9
+    assert not out[2]["converted"] and out[2]["t_1"] == 8 and out[2]["t_2"] is None
+    assert not out[3]["converted"] and out[3]["t_2"] == 50
+    assert out[4]["converted"] and out[4]["t_0"] == 2 and out[4]["t_1"] == 7
+    assert not out[5]["converted"] and out[5]["t_0"] is None
+
+    with pytest.raises(ValueError, match="stages"):
+        funnel_conversion(ev, "user_id", "t", "event_type", ["signup"])

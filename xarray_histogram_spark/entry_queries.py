@@ -124,6 +124,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "sample_take_n", "text_vocabulary",
     "events_asof_join", "events_range_join", "sim_kmeans_refine",
     "text_dup_ngrams", "mm_decode_audio", "streaming_range_join",
+    "events_funnel",
 )
 
 
@@ -1736,6 +1737,35 @@ def _range_join_sql() -> str:
 
 
 register("events_range_join", _range_join_fn, _range_join_sql())
+
+
+def _funnel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential signup→click→purchase funnel per user (ordered min-chain,
+    one keys-exchange regardless of depth), 7-day conversion window."""
+    from .operators.joins import funnel_conversion
+
+    ev = _utc_ts(spark, t(spark, sf_dir, "events")).select(
+        "user_id", F.expr("unix_micros(ts)").alias("t"), "event_type"
+    )
+    return funnel_conversion(
+        ev, "user_id", "t", "event_type",
+        ["signup", "click", "purchase"],
+        window=7 * 86_400_000_000,
+    )
+
+
+def _funnel_sql() -> str:
+    from .operators.joins import funnel_conversion_sql
+
+    return funnel_conversion_sql(
+        "SELECT user_id, epoch_us(ts) AS t, event_type FROM events",
+        "user_id", "t", "event_type",
+        ["signup", "click", "purchase"],
+        window=7 * 86_400_000_000,
+    )
+
+
+register("events_funnel", _funnel_fn, _funnel_sql())
 
 
 def _streaming_range_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -251,3 +251,88 @@ def range_join_count_sql(
         f"AND r.{ts_col} <= l.{ts_col} + {int(window)} "
         f"GROUP BY {gb}"
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    window: Optional[int] = None,
+) -> DataFrame:
+    """Sequential funnel: per key, the earliest time of stage ``i`` at or
+    after the earliest completion of stage ``i-1`` (the classic ordered
+    min-chain), plus a conversion flag.
+
+    ``t_0 = min(ts | type = stages[0])``;
+    ``t_i = min(ts | type = stages[i] and ts >= t_{i-1})``.  A stage with
+    no qualifying event yields NULL from that stage on (``ts >= NULL`` is
+    never true).  ``converted`` is true when every stage fired and, if
+    ``window`` is given, ``t_last - t_0 <= window``.
+
+    Shape: ONE hash exchange on the key; the k stage mins are k window
+    projections over the SAME partitioning (Spark plans one exchange and
+    chains the Window operators), then an output-bounded per-key
+    aggregate.  No joins, no iteration over the corpus — at 100 TB this
+    costs exactly one events shuffle regardless of funnel depth.
+    """
+    from pyspark.sql.window import Window
+
+    stages = list(stages)
+    if len(stages) < 2:
+        raise ValueError("funnel_conversion: need at least 2 stages")
+    w = Window.partitionBy(key)
+    df = events.select(key, ts_col, type_col)
+    prev = None
+    for i, s in enumerate(stages):
+        cond = F.col(type_col) == F.lit(s)
+        if prev is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev))
+        name = f"t_{i}"
+        df = df.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = name
+    tcols = [f"t_{i}" for i in range(len(stages))]
+    out = df.groupBy(key).agg(*[F.min(c).alias(c) for c in tcols])
+    conv = F.col(tcols[-1]).isNotNull()
+    if window is not None:
+        conv = conv & (
+            (F.col(tcols[-1]) - F.col(tcols[0])) <= F.lit(int(window))
+        )
+    return out.select(key, *tcols, conv.alias("converted"))
+
+
+def funnel_conversion_sql(
+    table_sql: str,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    window: Optional[int] = None,
+) -> str:
+    """DuckDB mirror: the same ordered min-chain as window expressions."""
+    stages = list(stages)
+    sel, prev = [], None
+    for i, s in enumerate(stages):
+        cond = f"{type_col} = '{s}'"
+        if prev is not None:
+            cond += f" AND {ts_col} >= {prev}"
+        sel.append(
+            f"MIN(CASE WHEN {cond} THEN {ts_col} END) "
+            f"OVER (PARTITION BY {key}) AS t_{i}"
+        )
+        prev = f"t_{i}"
+    # each t_i references t_{i-1}: chain via nested selects
+    inner = f"SELECT {key}, {ts_col}, {type_col} FROM ({table_sql}) t0"
+    for i, s in enumerate(sel):
+        inner = f"SELECT *, {s} FROM ({inner}) s{i}"
+    last, first = f"MIN(t_{len(stages) - 1})", "MIN(t_0)"
+    conv = f"{last} IS NOT NULL"
+    if window is not None:
+        conv += f" AND ({last} - {first}) <= {int(window)}"
+    return (
+        f"SELECT {key}, "
+        + ", ".join(f"MIN(t_{i}) AS t_{i}" for i in range(len(stages)))
+        + f", ({conv}) AS converted "
+        f"FROM ({inner}) x GROUP BY {key}"
+    )
