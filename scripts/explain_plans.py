@@ -159,6 +159,13 @@ SELECTION: dict[str, tuple[list[str], str]] = {
         "k·d integers cross the exchange, not vectors.  Rounds before the "
         "last materialize only ≤4k centroid rows to the driver.",
     ),
+    "events_funnel": (
+        ["Window", "HashAggregate"],
+        "Sequential funnel as an ordered min-chain: the three stage mins "
+        "are chained Window operators over ONE keys-exchange (depth adds "
+        "operators, not shuffles), then an output-bounded per-key "
+        "aggregate derives the conversion flag.",
+    ),
     "events_session_hist": (
         ["HashAggregate", "collect_list"],
         "Session-window histogram (batch twin of the streaming merge-agg): "
