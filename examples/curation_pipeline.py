@@ -90,7 +90,7 @@ n_chunks = (
 # 8. cross-document repetition: share of each doc's distinct token
 # 3-grams that occur elsewhere in the corpus (window df — no self-join)
 dup_frac = dup_ngram_stats(docs, "text", "doc_id", n=3)
-mean_dup = dup_frac.agg(F.avg("dup_frac")).first()[0]
+mean_dup = dup_frac.agg(F.avg("dup_frac")).first()[0] or 0.0
 
 print(f"docs: {n0}")
 print(f"boilerplate lines removed corpus-wide: {n_removed}")

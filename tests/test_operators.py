@@ -882,3 +882,8 @@ def test_funnel_conversion_semantics(spark):
 
     with pytest.raises(ValueError, match="stages"):
         funnel_conversion(ev, "user_id", "t", "event_type", ["signup"])
+    # repeated stage names: one event would satisfy both occurrences
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_conversion(
+            ev, "user_id", "t", "event_type", ["signup", "click", "click"]
+        )

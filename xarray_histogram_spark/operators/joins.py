@@ -253,6 +253,19 @@ def range_join_count_sql(
     )
 
 
+def _check_stages(stages: Sequence[str]) -> list:
+    """Shared funnel validation: >= 2 DISTINCT stages.  A repeated stage
+    name would let ONE event satisfy both occurrences (the non-strict
+    ``ts >= t_{i-1}`` chain) — "two clicks" funnels need a strict-sequence
+    operator, not a repeated label."""
+    stages = list(stages)
+    if len(stages) < 2:
+        raise ValueError("funnel: need at least 2 stages")
+    if len(set(stages)) != len(stages):
+        raise ValueError("funnel: stages must be distinct")
+    return stages
+
+
 def funnel_conversion(
     events: DataFrame,
     key: str,
@@ -269,7 +282,12 @@ def funnel_conversion(
     ``t_i = min(ts | type = stages[i] and ts >= t_{i-1})``.  A stage with
     no qualifying event yields NULL from that stage on (``ts >= NULL`` is
     never true).  ``converted`` is true when every stage fired and, if
-    ``window`` is given, ``t_last - t_0 <= window``.
+    ``window`` is given, ``t_last - t_0 <= window``.  The clock anchors at
+    the key's EARLIEST stage-0 event (the greedy earliest-completion
+    chain, which finds an ordered chain iff one exists); per-attempt
+    re-anchoring ("any later attempt may convert within its own window")
+    is a different, inherently heavier operator — this one reports the
+    first attempt's outcome.
 
     Shape: ONE hash exchange on the key; the k stage mins are k window
     projections over the SAME partitioning (Spark plans one exchange and
@@ -277,11 +295,7 @@ def funnel_conversion(
     aggregate.  No joins, no iteration over the corpus — at 100 TB this
     costs exactly one events shuffle regardless of funnel depth.
     """
-    from pyspark.sql.window import Window
-
-    stages = list(stages)
-    if len(stages) < 2:
-        raise ValueError("funnel_conversion: need at least 2 stages")
+    stages = _check_stages(stages)
     w = Window.partitionBy(key)
     df = events.select(key, ts_col, type_col)
     prev = None
@@ -311,10 +325,11 @@ def funnel_conversion_sql(
     window: Optional[int] = None,
 ) -> str:
     """DuckDB mirror: the same ordered min-chain as window expressions."""
-    stages = list(stages)
+    stages = _check_stages(stages)
     sel, prev = [], None
     for i, s in enumerate(stages):
-        cond = f"{type_col} = '{s}'"
+        # stage names are DATA, not identifiers: escape embedded quotes
+        cond = f"{type_col} = '{s.replace(chr(39), chr(39) * 2)}'"
         if prev is not None:
             cond += f" AND {ts_col} >= {prev}"
         sel.append(

@@ -43,6 +43,19 @@ def streaming_range_join(
     Columns other than ``key``/``ts_col`` are preserved with ``l_``/``r_``
     prefixes; the band is evaluated on integer epoch-micros.
     """
+    # the synthesized epoch-micros outputs are named l_t / r_t: a payload
+    # column literally named "t" would prefix into the same name and make
+    # every downstream by-name reference AMBIGUOUS_REFERENCE
+    if "t" in left.columns and "t" not in (key, ts_col):
+        raise ValueError(
+            "streaming_range_join: left payload column 't' collides with "
+            "the synthesized l_t output — rename it first"
+        )
+    if "t" in right.columns and "t" not in (key, ts_col):
+        raise ValueError(
+            "streaming_range_join: right payload column 't' collides with "
+            "the synthesized r_t output — rename it first"
+        )
     lw = left.withWatermark(ts_col, delay)
     rw = right.withWatermark(ts_col, delay)
     lp = lw.select(
