@@ -887,3 +887,22 @@ def test_funnel_conversion_semantics(spark):
         funnel_conversion(
             ev, "user_id", "t", "event_type", ["signup", "click", "click"]
         )
+
+
+def test_quantize_embeddings_semantics(spark):
+    from xarray_histogram_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),   # all-zero vector: scale 0, codes 0
+        (3, None),                    # NULL vector passes through
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert out[1]["codes"][0] == 127 and out[1]["codes"][1] == -64  # round(-63.5) away from 0
+    assert out[1]["codes"][3] == 0
+    assert abs(out[1]["scale"] - 1.0 / 127.0) < 1e-12
+    # reconstruction error bounded by scale/2
+    assert out[1]["max_err"] <= out[1]["scale"] / 2 + 1e-12
+    assert out[2]["scale"] == 0.0 and out[2]["codes"] == [0, 0, 0, 0]
+    assert out[3]["codes"] is None and out[3]["scale"] is None

@@ -124,7 +124,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "sample_take_n", "text_vocabulary",
     "events_asof_join", "events_range_join", "sim_kmeans_refine",
     "text_dup_ngrams", "mm_decode_audio", "streaming_range_join",
-    "events_funnel",
+    "events_funnel", "sim_quantize_int8",
 )
 
 
@@ -1893,6 +1893,32 @@ def _kmeans_sql() -> str:
 
 
 register("sim_kmeans_refine", _kmeans_fn, _kmeans_sql())
+
+
+def _quantize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization summary per vector (zero-shuffle map stage;
+    exact-int code sums + IEEE-identical scale/error on both engines)."""
+    from .operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.aggregate("codes", F.lit(0).cast("bigint"), lambda a, c: a + c)
+        .alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        "scale",
+        "max_err",
+    )
+
+
+def _quantize_sql() -> str:
+    from .operators.similarity import quantize_summary_sql
+
+    return quantize_summary_sql("embeddings")
+
+
+register("sim_quantize_int8", _quantize_fn, _quantize_sql())
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -695,3 +695,89 @@ def kmeans_refine_sql(
         f"SELECT cid, CAST(n AS BIGINT) AS n, "
         f"{comp[0]} AS c0, {comp[1]} AS c1 FROM u{n_iter}"
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (vector-store compression)
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization per vector: ``scale = amax/127``,
+    ``code_i = round_half_away(x_i / scale)`` — 4× smaller storage for
+    ANN candidate scoring, with the quantization entirely per-row (zero
+    shuffle; the canonical vector-store compression map stage).
+
+    Determinism: amax (order-independent max), one division for the
+    scale, and the engine's sign-aware-floor rounding per element are the
+    same IEEE ops on both engines, so codes — and therefore the summary
+    the registry gates — are bit-identical.  An all-zero vector gets
+    scale 0 and all-zero codes (CASE-guarded, no division by zero).
+    NULL vectors pass through as NULL codes/scale.
+
+    Returns (id, codes array<int>, scale, max_err) where ``max_err`` is
+    the max absolute reconstruction error ``|x_i - code_i·scale|``.
+    """
+    v = F.col(vec_col)
+    xd = lambda x: x.cast("double")  # noqa: E731
+    amax = F.array_max(F.transform(v, lambda x: F.abs(xd(x))))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    sc = amax / F.lit(127.0)
+
+    def code(x):
+        q = xd(x) / sc
+        r = (
+            F.when(q >= 0, F.floor(q + F.lit(0.5)))
+            .otherwise(-F.floor(-q + F.lit(0.5)))
+            .cast("int")
+        )
+        return F.when(sc == 0, F.lit(0)).otherwise(r)
+
+    codes = F.transform(v, code)
+    err = F.array_max(
+        F.zip_with(
+            v, codes, lambda x, c: F.abs(xd(x) - c.cast("double") * sc)
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        scale,
+        err.alias("max_err"),
+    )
+
+
+def quantize_summary_sql(
+    table: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    """DuckDB mirror of the gated quantization summary (scalar projections
+    of the codes: exact int sum/min/max, scale, max reconstruction
+    error)."""
+    amax = (
+        f"list_max(list_transform({vec_col}, "
+        f"x -> abs(CAST(x AS DOUBLE))))"
+    )
+    sc = f"({amax} / 127.0)"
+    q = f"(CAST(x AS DOUBLE) / {sc})"
+    code = (
+        f"(CASE WHEN {sc} = 0 THEN 0 "
+        f"WHEN {q} >= 0 THEN CAST(FLOOR({q} + 0.5) AS INTEGER) "
+        f"ELSE CAST(-FLOOR(-{q} + 0.5) AS INTEGER) END)"
+    )
+    codes = f"list_transform({vec_col}, x -> {code})"
+    err = (
+        f"list_max(list_transform({vec_col}, "
+        f"x -> abs(CAST(x AS DOUBLE) - CAST({code} AS DOUBLE) * {sc})))"
+    )
+    return (
+        f"SELECT {id_col}, "
+        f"CAST(list_sum({codes}) AS BIGINT) AS code_sum, "
+        f"CAST(list_min({codes}) AS INTEGER) AS code_min, "
+        f"CAST(list_max({codes}) AS INTEGER) AS code_max, "
+        f"{sc} AS scale, {err} AS max_err "
+        f"FROM {table}"
+    )
