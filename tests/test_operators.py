@@ -906,3 +906,76 @@ def test_quantize_embeddings_semantics(spark):
     assert out[1]["max_err"] <= out[1]["scale"] / 2 + 1e-12
     assert out[2]["scale"] == 0.0 and out[2]["codes"] == [0, 0, 0, 0]
     assert out[3]["codes"] is None and out[3]["scale"] is None
+    # codes are true int8 (tinyint) — the 4x compression is real
+    sch = dict(quantize_embeddings(df).dtypes)
+    assert sch["codes"] == "array<tinyint>"
+
+
+def test_quantize_embeddings_nonfinite_and_empty(spark):
+    import math
+
+    from xarray_histogram_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [float("nan"), 0.5]),     # NaN poisons -> NULL row
+        (2, [float("inf"), 0.5]),     # inf -> NULL row
+        (3, []),                      # empty -> NULL row (list_sum parity)
+        (4, [0.5, -0.25]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["codes"] is None and out[i]["scale"] is None
+        assert out[i]["max_err"] is None
+    assert out[4]["codes"] == [127, -64]
+
+
+def test_quantize_adversarial_oracle_parity(spark, tmp_path):
+    """Adversarial vectors through BOTH engines: NaN/inf elements, a NULL
+    element (pandas→parquet turns NaN into NULL — Spark's exists() is
+    NULL-valued there while DuckDB's list_bool_or ignores NULLs, the exact
+    divergence the guards pin), empty and NULL vectors."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from xarray_histogram_spark.operators.similarity import (
+        quantize_embeddings, quantize_summary_sql,
+    )
+
+    from .util import assert_matches_sql
+
+    pdf = pd.DataFrame({
+        "vec_id": [1, 2, 3, 4, 5],
+        "embedding": [[np.nan, 0.5], [np.inf, 0.5], [], [0.5, -0.25], None],
+    })
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=pa.schema(
+            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+        )),
+        path,
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embx AS SELECT * FROM read_parquet('{path}')")
+    q = quantize_embeddings(spark.read.parquet(path))
+    sdf = q.select(
+        "vec_id",
+        F.aggregate("codes", F.lit(0).cast("bigint"), lambda a, c: a + c)
+        .alias("code_sum"),
+        F.array_min("codes").cast("int").alias("code_min"),
+        F.array_max("codes").cast("int").alias("code_max"),
+        "scale", "max_err",
+    )
+    assert_matches_sql(sdf, quantize_summary_sql("embx"), con)
+    # true NaN elements (written by Spark, which preserves them) also NULL
+    spark.createDataFrame(
+        [(10, [float("nan"), 0.5]), (11, [1.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(str(tmp_path / "emb2"))
+    got = {r["vec_id"]: r for r in quantize_embeddings(
+        spark.read.parquet(str(tmp_path / "emb2"))).collect()}
+    assert got[10]["codes"] is None and got[11]["codes"] is not None

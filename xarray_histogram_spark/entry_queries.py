@@ -115,7 +115,10 @@ _CHANGED_THIS_ROUND = (
 )
 
 
-# Queries REGISTERED IN ROUND 5 — never in any driver CORRECTNESS record;
+# Queries REGISTERED IN ROUND 5 (either session) — never in any driver
+# CORRECTNESS record; at the round-6 rotation refresh, fold ONLY the names
+# CORRECTNESS_r05.json actually verified into _DRIVER_VERIFIED — anything
+# here the window missed stays unverified and must lead round 6's head;
 # they lead the registry so the driver's ~50-query window is guaranteed to
 # reach them regardless of where they appear in this file.
 _NEW_THIS_ROUND: tuple[str, ...] = (
@@ -1905,8 +1908,8 @@ def _quantize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.aggregate("codes", F.lit(0).cast("bigint"), lambda a, c: a + c)
         .alias("code_sum"),
-        F.array_min("codes").alias("code_min"),
-        F.array_max("codes").alias("code_max"),
+        F.array_min("codes").cast("int").alias("code_min"),
+        F.array_max("codes").cast("int").alias("code_max"),
         "scale",
         "max_err",
     )

@@ -719,13 +719,29 @@ def quantize_embeddings(
     scale 0 and all-zero codes (CASE-guarded, no division by zero).
     NULL vectors pass through as NULL codes/scale.
 
-    Returns (id, codes array<int>, scale, max_err) where ``max_err`` is
-    the max absolute reconstruction error ``|x_i - code_i·scale|``.
+    Vectors that are NULL, EMPTY, or contain a non-finite element yield
+    NULL codes/scale/max_err — a NaN amax would otherwise poison every
+    code on Spark (NaN >= 0 is true, floor(NaN) → 0) while the DuckDB
+    mirror ERRORS on its NaN→INT cast: the same engine divergence
+    ``scaled_weight_col`` guards, applied row-wise here.
+
+    Returns (id, codes array<tinyint>, scale, max_err) where ``max_err``
+    is the max absolute reconstruction error ``|x_i - code_i·scale|``.
     """
     v = F.col(vec_col)
     xd = lambda x: x.cast("double")  # noqa: E731
+    # NULL ELEMENTS count as bad too: Spark's exists() returns NULL (not
+    # false) for a NULL predicate while DuckDB's list_bool_or ignores
+    # NULLs — without x IS NULL in the predicate the engines diverge on
+    # a vector like [NULL, 0.5]
+    bad = F.exists(
+        v,
+        lambda x: x.isNull()
+        | F.isnan(xd(x))
+        | (F.abs(xd(x)) == F.lit(float("inf"))),
+    )
+    ok = v.isNotNull() & (F.size(v) > 0) & ~bad
     amax = F.array_max(F.transform(v, lambda x: F.abs(xd(x))))
-    scale = (amax / F.lit(127.0)).alias("scale")
     sc = amax / F.lit(127.0)
 
     def code(x):
@@ -733,9 +749,9 @@ def quantize_embeddings(
         r = (
             F.when(q >= 0, F.floor(q + F.lit(0.5)))
             .otherwise(-F.floor(-q + F.lit(0.5)))
-            .cast("int")
+            .cast("tinyint")
         )
-        return F.when(sc == 0, F.lit(0)).otherwise(r)
+        return F.when(sc == 0, F.lit(0).cast("tinyint")).otherwise(r)
 
     codes = F.transform(v, code)
     err = F.array_max(
@@ -743,11 +759,12 @@ def quantize_embeddings(
             v, codes, lambda x, c: F.abs(xd(x) - c.cast("double") * sc)
         )
     )
+    null = F.lit(None)
     return df.select(
         F.col(id_col),
-        codes.alias("codes"),
-        scale,
-        err.alias("max_err"),
+        F.when(ok, codes).otherwise(null).alias("codes"),
+        F.when(ok, sc).otherwise(null).alias("scale"),
+        F.when(ok, err).otherwise(null).alias("max_err"),
     )
 
 
@@ -757,6 +774,11 @@ def quantize_summary_sql(
     """DuckDB mirror of the gated quantization summary (scalar projections
     of the codes: exact int sum/min/max, scale, max reconstruction
     error)."""
+    ok = (
+        f"({vec_col} IS NOT NULL AND len({vec_col}) > 0 AND NOT "
+        f"list_bool_or(list_transform({vec_col}, "
+        f"x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))))"
+    )
     amax = (
         f"list_max(list_transform({vec_col}, "
         f"x -> abs(CAST(x AS DOUBLE))))"
@@ -764,20 +786,23 @@ def quantize_summary_sql(
     sc = f"({amax} / 127.0)"
     q = f"(CAST(x AS DOUBLE) / {sc})"
     code = (
-        f"(CASE WHEN {sc} = 0 THEN 0 "
-        f"WHEN {q} >= 0 THEN CAST(FLOOR({q} + 0.5) AS INTEGER) "
-        f"ELSE CAST(-FLOOR(-{q} + 0.5) AS INTEGER) END)"
+        f"(CASE WHEN {sc} = 0 THEN CAST(0 AS TINYINT) "
+        f"WHEN {q} >= 0 THEN CAST(FLOOR({q} + 0.5) AS TINYINT) "
+        f"ELSE CAST(-FLOOR(-{q} + 0.5) AS TINYINT) END)"
     )
     codes = f"list_transform({vec_col}, x -> {code})"
     err = (
         f"list_max(list_transform({vec_col}, "
         f"x -> abs(CAST(x AS DOUBLE) - CAST({code} AS DOUBLE) * {sc})))"
     )
+    def guard(expr: str) -> str:
+        return f"CASE WHEN {ok} THEN {expr} END"
+
     return (
         f"SELECT {id_col}, "
-        f"CAST(list_sum({codes}) AS BIGINT) AS code_sum, "
-        f"CAST(list_min({codes}) AS INTEGER) AS code_min, "
-        f"CAST(list_max({codes}) AS INTEGER) AS code_max, "
-        f"{sc} AS scale, {err} AS max_err "
+        f"{guard(f'CAST(list_sum({codes}) AS BIGINT)')} AS code_sum, "
+        f"{guard(f'CAST(list_min({codes}) AS INTEGER)')} AS code_min, "
+        f"{guard(f'CAST(list_max({codes}) AS INTEGER)')} AS code_max, "
+        f"{guard(sc)} AS scale, {guard(err)} AS max_err "
         f"FROM {table}"
     )
