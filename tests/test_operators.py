@@ -979,3 +979,76 @@ def test_quantize_adversarial_oracle_parity(spark, tmp_path):
     got = {r["vec_id"]: r for r in quantize_embeddings(
         spark.read.parquet(str(tmp_path / "emb2"))).collect()}
     assert got[10]["codes"] is None and got[11]["codes"] is not None
+
+
+def test_temporal_join_adversarial_oracle_parity(spark, tmp_path):
+    """NULL-bearing events through BOTH engines for the asof and range
+    join SQL mirrors (the hash gate the driver applies) — NULL keys, NULL
+    timestamps, ties, and an id tie at equal ts."""
+    import duckdb
+
+    from xarray_histogram_spark.operators.joins import (
+        asof_join, asof_join_sql, range_join_count, range_join_count_sql,
+    )
+
+    from .util import assert_matches_sql
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 20), (3, None, 20), (4, 200, 5), (5, 100, None)],
+        "lid long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [(7, 100, 5, 1.0), (8, 100, 20, None), (9, 100, 20, 2.0),
+         (10, None, 1, 3.0), (11, 200, None, 4.0)],
+        "rid long, k long, t long, v double",
+    )
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.mode("overwrite").parquet(lp)
+    right.write.mode("overwrite").parquet(rp)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lft AS SELECT * FROM read_parquet('{lp}/*.parquet')")
+    con.execute(f"CREATE VIEW rgt AS SELECT * FROM read_parquet('{rp}/*.parquet')")
+
+    for tol in (None, 10):
+        sdf = asof_join(left, right, ["k"], "t", ["v"], "rid", tolerance=tol)
+        sql = asof_join_sql(
+            "SELECT lid, k, t FROM lft", "SELECT rid, k, t, v FROM rgt",
+            ["k"], "t", ["v"], "rid", tolerance=tol,
+        )
+        assert_matches_sql(sdf, sql, con)
+
+    sdf = range_join_count(
+        left.select("lid", "k", "t").where("t IS NOT NULL AND k IS NOT NULL"),
+        right.select("k", "t"), ["k"], "t", 15, "lid",
+    )
+    sql = range_join_count_sql(
+        "SELECT lid, k, t FROM lft WHERE t IS NOT NULL AND k IS NOT NULL",
+        "SELECT k, t FROM rgt", ["k"], "t", 15, "lid",
+    )
+    assert_matches_sql(sdf, sql, con)
+
+
+def test_dup_ngram_adversarial_oracle_parity(spark, tmp_path):
+    """NULL/short/whitespace-heavy docs through both dup_ngram mirrors."""
+    import duckdb
+
+    from xarray_histogram_spark.operators.text import (
+        dup_ngram_stats, dup_ngram_stats_sql,
+    )
+
+    from .util import assert_matches_sql
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, None), (4, "a b"), (5, ""),
+         (6, "a\tb\nc  d"), (7, "A B C D")],   # tokenizer lowercases
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW dx AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    assert_matches_sql(
+        dup_ngram_stats(docs, "text", "doc_id", n=3),
+        dup_ngram_stats_sql("dx", "text", "doc_id", n=3),
+        con,
+    )
