@@ -1052,3 +1052,35 @@ def test_dup_ngram_adversarial_oracle_parity(spark, tmp_path):
         dup_ngram_stats_sql("dx", "text", "doc_id", n=3),
         con,
     )
+
+
+def test_kmeans_adversarial_oracle_parity(spark, tmp_path):
+    """NULL, zero-norm, and NaN vectors in the clustering corpus: both
+    engines exclude non-clusterable vectors identically (ANSI Spark would
+    otherwise DIVIDE_BY_ZERO on a zero norm; DuckDB sorts NaN sims above
+    every real similarity)."""
+    import duckdb
+
+    from xarray_histogram_spark.operators.similarity import (
+        kmeans_refine, kmeans_refine_sql,
+    )
+
+    from .util import assert_matches_sql
+
+    rows = [
+        (i, [float((i * 7 + j) % 5) - 2.0 for j in range(4)])
+        for i in range(40)
+    ]
+    rows[13] = (13, None)
+    rows[17] = (17, [0.0, 0.0, 0.0, 0.0])
+    rows[23] = (23, [float("nan"), 1.0, 1.0, 1.0])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    d = str(tmp_path / "embk")
+    df.write.mode("overwrite").parquet(d)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embk AS SELECT * FROM read_parquet('{d}/*.parquet')")
+    assert_matches_sql(
+        kmeans_refine(spark.read.parquet(d), k=4, n_iter=2, n_hint=40, dim=4),
+        kmeans_refine_sql("embk", k=4, n_iter=2, n_hint=40, dim=4),
+        con,
+    )

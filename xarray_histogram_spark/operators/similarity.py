@@ -563,6 +563,18 @@ def kmeans_refine(
     """
     if n_iter < 1:
         raise ValueError("kmeans_refine: n_iter must be >= 1")
+    # Clusterable vectors only: NULL, zero-norm, or non-finite vectors have
+    # no cosine (ANSI Spark raises DIVIDE_BY_ZERO on a zero norm; DuckDB
+    # yields NaN and sorts it ABOVE every real sim) — both the corpus and
+    # the seed net take the same filter, mirrored in the oracle.  NaN>0 is
+    # false in Spark but TRUE in DuckDB, hence the explicit isnan guard.
+    dvv = V.dot(F.col(vec_col), F.col(vec_col))
+    df = df.where(
+        dvv.isNotNull()
+        & ~F.isnan(dvv)
+        & (dvv > 0)
+        & (dvv != F.lit(float("inf")))
+    )
     step = _centroid_step(n_hint, k)
     cents_rows = (
         df.where((F.col(id_col) % step) == 0)
@@ -650,6 +662,11 @@ def kmeans_refine_sql(
     (Σq / n) / scale centroid arithmetic."""
     from ..oracle import scaled_weight_sql
 
+    dvv = V.dot_sql(vec_col, vec_col)
+    table = (
+        f"(SELECT * FROM {table} WHERE {dvv} IS NOT NULL "
+        f"AND isfinite({dvv}) AND {dvv} > 0)"
+    )
     step = _centroid_step(n_hint, k)
     q = [
         scaled_weight_sql(f"CAST({vec_col}[{d + 1}] AS DOUBLE)", scale)
