@@ -1084,3 +1084,29 @@ def test_kmeans_adversarial_oracle_parity(spark, tmp_path):
         kmeans_refine_sql("embk", k=4, n_iter=2, n_hint=40, dim=4),
         con,
     )
+
+
+def test_cosine_zero_norm_does_not_crash(spark, tmp_path):
+    """A zero-norm or NULL vector in the corpus must not kill the job
+    (ANSI DIVIDE_BY_ZERO) and must simply drop out of top-k on BOTH
+    engines (NULL sims lose desc orderings)."""
+    import duckdb
+
+    from xarray_histogram_spark.operators.similarity import (
+        cosine_topk, cosine_topk_sql,
+    )
+
+    from .util import assert_matches_sql
+
+    rows = [(i, [float((i + j) % 3) + 0.5 for j in range(4)]) for i in range(10)]
+    rows[3] = (3, [0.0, 0.0, 0.0, 0.0])
+    rows[7] = (7, None)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p = str(tmp_path / "embz")
+    df.write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embz AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    out = cosine_topk(spark.read.parquet(p), query_id=0, k=5)
+    got = [r["vec_id"] for r in out.collect()]
+    assert 3 not in got and 7 not in got and len(got) == 5
+    assert_matches_sql(out, cosine_topk_sql("embz", query_id=0, k=5), con)

@@ -112,6 +112,10 @@ _CHANGED_THIS_ROUND = (
     "dedup_simhash", "dedup_jaccard", "dedup_near_keep", "dedup_components",
     "binned_stat_grouped", "binned_stat_profile", "hist_rollup_weighted",
     "sample_topk_group", "mm_decode_image", "streaming_dedup_state",
+    # cosine made total (try_divide + CASE-NULL mirror) in session 2:
+    # every cosine-consuming plan must be driver-re-verified
+    "sim_cosine_topk", "sim_ann_topk", "sim_ann_indexed", "sim_ivf_topk",
+    "dedup_embed_pairs", "dedup_embed_components",
 )
 
 

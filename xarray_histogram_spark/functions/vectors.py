@@ -64,12 +64,21 @@ def dot_lit_sql(a: str, vec: Sequence[float]) -> str:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """Cosine similarity; a ZERO-NORM side yields NULL (try_divide) instead
+    of the ANSI DIVIDE_BY_ZERO that would otherwise kill the whole job on
+    one degenerate row — the mirror CASEs the zero denominator to NULL the
+    same way.  For every nonzero-norm input the value is bit-identical to
+    the plain division.  NULL sims lose orderings on both engines (desc ⇒
+    nulls last in Spark and DuckDB), so degenerate vectors simply drop out
+    of top-k results rather than poisoning them."""
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
 def cosine_sql(a: str, b: str) -> str:
+    denom = f"(sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)}))"
     return (
-        f"({dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
+        f"(CASE WHEN {denom} = 0 THEN NULL "
+        f"ELSE {dot_sql(a, b)} / {denom} END)"
     )
 
 
