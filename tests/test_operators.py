@@ -1110,3 +1110,36 @@ def test_cosine_zero_norm_does_not_crash(spark, tmp_path):
     got = [r["vec_id"] for r in out.collect()]
     assert 3 not in got and 7 not in got and len(got) == 5
     assert_matches_sql(out, cosine_topk_sql("embz", query_id=0, k=5), con)
+
+
+def test_cosine_nan_vector_drops_out(spark, tmp_path):
+    """A NaN-element vector must NOT rank #1 (NaN sorts above every real
+    sim in desc on BOTH engines): total cosine NULLs non-finite sims, so
+    the corrupt vector drops out of top-k and of threshold dedup pairs,
+    identically on both engines."""
+    import duckdb
+
+    from xarray_histogram_spark.operators.similarity import (
+        cosine_topk, cosine_topk_sql, embed_dup_pairs, embed_dup_pairs_sql,
+    )
+
+    from .util import assert_matches_sql
+
+    rows = [(i, [float((i + j) % 3) + 0.5 for j in range(4)]) for i in range(10)]
+    rows[3] = (3, [float("nan"), 1.0, 1.0, 1.0])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p = str(tmp_path / "embn")
+    df.write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embn AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    out = cosine_topk(spark.read.parquet(p), query_id=0, k=5)
+    got = [r["vec_id"] for r in out.collect()]
+    assert 3 not in got
+    assert_matches_sql(out, cosine_topk_sql("embn", query_id=0, k=5), con)
+    from xarray_histogram_spark.functions import vectors as V
+
+    pairs = embed_dup_pairs(
+        spark.read.parquet(p), threshold=0.95,
+        planes=V.hyperplanes(4, 4, seed=42),
+    )
+    assert all(3 not in (r["id_a"], r["id_b"]) for r in pairs.collect())

@@ -64,21 +64,25 @@ def dot_lit_sql(a: str, vec: Sequence[float]) -> str:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; a ZERO-NORM side yields NULL (try_divide) instead
-    of the ANSI DIVIDE_BY_ZERO that would otherwise kill the whole job on
-    one degenerate row — the mirror CASEs the zero denominator to NULL the
-    same way.  For every nonzero-norm input the value is bit-identical to
-    the plain division.  NULL sims lose orderings on both engines (desc ⇒
-    nulls last in Spark and DuckDB), so degenerate vectors simply drop out
-    of top-k results rather than poisoning them."""
-    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """TOTAL cosine similarity: any degenerate input — zero norm (ANSI
+    DIVIDE_BY_ZERO would otherwise abort the job on one corrupt row) or a
+    non-finite element (NaN/inf sims sort ABOVE every real similarity in
+    desc on BOTH engines, so a corrupt vector would rank #1 in top-k and
+    pair with everything in threshold dedup) — yields NULL.  NULL sims
+    lose desc orderings on both engines (nulls last), so degenerate
+    vectors drop out of results instead of poisoning them.  For every
+    finite nonzero-norm input the value is bit-identical to the plain
+    division."""
+    r = F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    return F.when(~F.isnan(r) & (F.abs(r) != F.lit(float("inf"))), r)
 
 
 def cosine_sql(a: str, b: str) -> str:
     denom = f"(sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)}))"
+    div = f"{dot_sql(a, b)} / {denom}"
     return (
         f"(CASE WHEN {denom} = 0 THEN NULL "
-        f"ELSE {dot_sql(a, b)} / {denom} END)"
+        f"WHEN isfinite({div}) THEN {div} END)"
     )
 
 

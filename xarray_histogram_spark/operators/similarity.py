@@ -156,7 +156,11 @@ def ann_topk(
     )
     qp = (
         q.select("__qv", "__qb", F.explode(entries).alias("__e"))
-        .orderBy(F.col("__e.s"), F.col("__e.m"))
+        # explicit nulls-LAST: scores are NULL iff the query embedding is
+        # NULL, and Spark's default asc puts NULLs first while the
+        # oracle's DuckDB default is last — the home bucket (score 0)
+        # must stay ahead of degenerate NULL scores on both engines
+        .orderBy(F.col("__e.s").asc_nulls_last(), F.col("__e.m"))
         .limit(n_probes)
         .select("__qv", F.col("__qb").bitwiseXOR(F.col("__e.m")).alias("__pb"))
     )
@@ -563,11 +567,13 @@ def kmeans_refine(
     """
     if n_iter < 1:
         raise ValueError("kmeans_refine: n_iter must be >= 1")
-    # Clusterable vectors only: NULL, zero-norm, or non-finite vectors have
-    # no cosine (ANSI Spark raises DIVIDE_BY_ZERO on a zero norm; DuckDB
-    # yields NaN and sorts it ABOVE every real sim) — both the corpus and
-    # the seed net take the same filter, mirrored in the oracle.  NaN>0 is
-    # false in Spark but TRUE in DuckDB, hence the explicit isnan guard.
+    # Clusterable vectors only: NULL, zero-norm, or non-finite vectors
+    # have no meaningful cosine — total cosine() NULLs them, and a NULL
+    # sim in the argmin struct-max has murkier ordering than an explicit
+    # exclusion, so both the corpus and the seed net take the same filter,
+    # mirrored in the oracle.  The explicit isnan guard exists because
+    # NaN > 0 is TRUE on both engines (NaN sorts above every real value),
+    # so dvv > 0 alone would ADMIT a NaN-norm vector rather than drop it.
     dvv = V.dot(F.col(vec_col), F.col(vec_col))
     df = df.where(
         dvv.isNotNull()
