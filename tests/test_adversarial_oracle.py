@@ -1,0 +1,183 @@
+"""Adversarial-corpus oracle parity: every text/dedup/sampling/curation
+mirror driven with a CRAFTED documents table through BOTH engines.
+
+The driver's hash gate only ever sees the clean synthetic fixtures; these
+tests replay the same Spark-vs-DuckDB comparison over inputs the fixtures
+never contain — NULL and empty text, whitespace-only documents, the
+U+000B vertical tab (the one Java-\\s vs RE2 discrepancy the tokenizer
+explicitly pins), multibyte unicode, embedded quotes, repeated lines and
+exact duplicates.  The pattern (write crafted rows to parquet, run the
+operator's own *_sql builder in DuckDB, exact-compare) is what exposed
+the quantization NULL-element and NaN-cosine divergences — kept here as
+a standing regression net for the older mirrors.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_histogram_spark.operators import dedup as dd
+from xarray_histogram_spark.operators import sampling as sp
+from xarray_histogram_spark.operators import text as tx
+
+from .util import assert_matches_sql
+
+ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+    (2, "the quick brown fox jumps over the lazy dog", "en", "s1"),  # dup of 1
+    (3, None, "en", "s0"),                       # NULL text
+    (4, "", "de", "s1"),                         # empty text
+    (5, "   \t  \n ", "de", "s0"),               # whitespace only
+    (6, "tab\x0bseparated tokens here", "fr", "s1"),   # U+000B edge
+    (7, "naïve café déjà-vu 文字化け ☃ emoji", "fr", "s0"),  # multibyte
+    (8, "it's a \"quoted\" 'string' -- with; commas,", "en", "s1"),
+    (9, "line one\nline two\nline one\nline two\nline three", "en", "s0"),
+    (10, "a a a a a a a a a a", "und", "s1"),    # degenerate repetition
+    (11, "x", "und", "s0"),                      # single char
+    (12, "the quick brown fox jumps over the lazy cat", "en", "s1"),  # near-dup
+]
+
+
+@pytest.fixture(scope="module")
+def adv(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("adv") / "docs.parquet")
+    df = spark.createDataFrame(
+        ROWS, "doc_id long, text string, lang string, source string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW adocs AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    return df, con
+
+
+def _check(sdf, sql, con):
+    assert_matches_sql(sdf, sql, con)
+
+
+def test_adv_token_count(spark, adv):
+    df, con = adv
+    _check(tx.token_count(df, "text", "doc_id"),
+           tx.token_count_sql("adocs", "text", "doc_id"), con)
+
+
+def test_adv_quality_score(spark, adv):
+    df, con = adv
+    _check(tx.quality_score(df, "text", "doc_id"),
+           tx.quality_score_sql("adocs", "text", "doc_id"), con)
+
+
+def test_adv_lang_id(spark, adv):
+    df, con = adv
+    _check(tx.lang_id(df, "text", "doc_id"),
+           tx.lang_id_sql("adocs", "text", "doc_id"), con)
+
+
+def test_adv_fingerprint(spark, adv):
+    df, con = adv
+    _check(tx.fingerprint(df, "text", "doc_id"),
+           tx.fingerprint_sql("adocs", "text", "doc_id"), con)
+
+
+def test_adv_repetition(spark, adv):
+    df, con = adv
+    _check(tx.repetition_stats(df, "text", "doc_id"),
+           tx.repetition_stats_sql("adocs", "text", "doc_id"), con)
+
+
+def test_adv_top_terms(spark, adv):
+    df, con = adv
+    _check(tx.top_terms(df, "text", "doc_id", k=3, min_df=2),
+           tx.top_terms_sql("adocs", "text", "doc_id", k=3, min_df=2), con)
+
+
+def test_adv_vocabulary(spark, adv):
+    df, con = adv
+    _check(tx.vocabulary(df, "text", "doc_id", k=10),
+           tx.vocabulary_sql("adocs", "text", "doc_id", k=10), con)
+
+
+def test_adv_line_dedup(spark, adv):
+    df, con = adv
+    _check(
+        tx.remove_repeated_lines(df, "text", "doc_id", max_occurrences=1),
+        tx.remove_repeated_lines_sql("adocs", "text", "doc_id",
+                                     max_occurrences=1),
+        con,
+    )
+
+
+def test_adv_dup_ngrams(spark, adv):
+    df, con = adv
+    _check(tx.dup_ngram_stats(df, "text", "doc_id", n=2),
+           tx.dup_ngram_stats_sql("adocs", "text", "doc_id", n=2), con)
+
+
+def test_adv_exact_dedup(spark, adv):
+    df, con = adv
+    _check(dd.exact_dedup(df, "text", "doc_id"),
+           dd.exact_dedup_sql("adocs", "text", "doc_id"), con)
+
+
+def test_adv_minhash_signatures(spark, adv):
+    df, con = adv
+    _check(dd.minhash_signatures(df, "text", "doc_id"),
+           dd.minhash_signatures_sql("adocs", "text", "doc_id"), con)
+
+
+def test_adv_jaccard_pairs(spark, adv):
+    df, con = adv
+    _check(dd.jaccard_pairs(df, "text", "doc_id"),
+           dd.jaccard_pairs_sql("adocs", "text", "doc_id"), con)
+
+
+def test_adv_simhash(spark, adv):
+    df, con = adv
+    _check(dd.simhash(df, "text", "doc_id"),
+           dd.simhash_sql("adocs", "text", "doc_id"), con)
+
+
+def test_adv_simhash64_pairs(spark, adv):
+    df, con = adv
+    _check(dd.simhash_pairs(df, "text", "doc_id", max_hamming=3),
+           dd.simhash_pairs_sql("adocs", "text", "doc_id", max_hamming=3),
+           con)
+
+
+def test_adv_contamination(spark, adv):
+    df, con = adv
+    bench = df.where(F.col("doc_id") == 12).select(
+        F.col("doc_id").alias("bench_id"), F.col("text")
+    )
+    _check(
+        dd.ngram_contamination(df, bench, "text", "doc_id"),
+        dd.ngram_contamination_sql(
+            "adocs",
+            "(SELECT doc_id AS bench_id, text FROM adocs WHERE doc_id = 12)",
+            "text", "doc_id",
+        ),
+        con,
+    )
+
+
+def test_adv_sampling(spark, adv):
+    df, con = adv
+    _check(
+        sp.deterministic_sample(df, "doc_id", 0.5, salt="adv'x"),
+        f"SELECT * FROM adocs WHERE "
+        + sp.deterministic_sample_sql("doc_id", 0.5, salt="adv'x"),
+        con,
+    )
+    fr = [("train", 0.6), ("val", 0.2), ("test", 0.2)]
+    _check(
+        sp.assign_splits(df, "doc_id", fr),
+        f"SELECT *, {sp.assign_splits_sql('doc_id', fr)} AS split FROM adocs",
+        con,
+    )
+    _check(
+        sp.topk_per_group(df, ["lang"], "doc_id", 2),
+        sp.topk_per_group_sql(
+            "adocs", ["doc_id", "text", "lang", "source"], ["lang"],
+            "doc_id", 2,
+        ),
+        con,
+    )

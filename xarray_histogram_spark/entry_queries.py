@@ -116,6 +116,8 @@ _CHANGED_THIS_ROUND = (
     # every cosine-consuming plan must be driver-re-verified
     "sim_cosine_topk", "sim_ann_topk", "sim_ann_indexed", "sim_ivf_topk",
     "dedup_embed_pairs", "dedup_embed_components",
+    # session-2 NULL-text mirror fixes (shingle ratio, minhash sentinel)
+    "text_repetition", "dedup_minhash_pairs",
 )
 
 

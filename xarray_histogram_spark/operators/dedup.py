@@ -95,10 +95,19 @@ def minhash_signatures(
             ]
         ),
     )
-    return df.select(F.col(id_col), sig.alias("_sig")).select(
+    # NULL text: the fold's least('g', NULL) keeps the 'g' sentinel (Spark
+    # least skips NULLs) while the oracle's MIN over the one NULL shingle
+    # row is NULL — a leaked sentinel would also band every NULL-text doc
+    # into one fake near-dup bucket.  NULL text → NULL signature, like the
+    # explode formulation.
+    return df.select(
+        F.col(id_col), F.col(text_col).isNotNull().alias("_has"),
+        sig.alias("_sig"),
+    ).select(
         F.col(id_col),
         *[
-            F.element_at(F.col("_sig"), i + 1).alias(f"mh{i}")
+            F.when(F.col("_has"), F.element_at(F.col("_sig"), i + 1))
+            .alias(f"mh{i}")
             for i in range(N_HASHES)
         ],
     )

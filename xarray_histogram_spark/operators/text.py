@@ -301,8 +301,16 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ) / F.nullif(n_lines, F.lit(0.0))
     sh = H.shingles(F.lower(text), 3)
     n_sh = F.size(sh).cast("double")
-    sh_ratio = F.size(F.array_distinct(sh)).cast("double") / F.nullif(
-        n_sh, F.lit(0.0)
+    # NULL text must be guarded BEFORE the shingle helper: greatest(NULL-2,
+    # 1) manufactures a [NULL] 1-shingle array on both engines, and then
+    # Spark's array_distinct KEEPS the NULL (ratio 1.0) while DuckDB's
+    # list_distinct DROPS it (ratio 0.0) — NULL text carries no signal, so
+    # the ratio is NULL, mirrored with an explicit CASE.
+    sh_ratio = F.when(
+        text.isNotNull(),
+        F.size(F.array_distinct(sh)).cast("double") / F.nullif(
+            n_sh, F.lit(0.0)
+        ),
     )
     return df.select(
         F.col(id_col),
@@ -330,8 +338,9 @@ def repetition_stats_sql(table: str, text_col: str, id_col: str) -> str:
     sh = H.shingles_sql(f"lower({text_col})", 3)
     n_sh = f"CAST(len({sh}) AS DOUBLE)"
     sh_ratio = (
+        f"CASE WHEN {text_col} IS NOT NULL THEN "
         f"CAST(len(list_distinct({sh})) AS DOUBLE) / "
-        f"NULLIF({n_sh}, {flit(0.0)})"
+        f"NULLIF({n_sh}, {flit(0.0)}) END"
     )
     return (
         f"SELECT {id_col}, {tok_ratio} AS token_distinct_ratio, "
