@@ -181,3 +181,57 @@ def test_adv_sampling(spark, adv):
         ),
         con,
     )
+
+
+def test_adv_stratified_take_chunks(spark, adv):
+    df, con = adv
+    rates = {"en": 0.8, "it's": 0.5}      # stratum name with a quote
+    _check(
+        sp.stratified_sample(df, "lang", "doc_id", rates, default_rate=0.3,
+                             salt="s'1"),
+        "SELECT * FROM adocs WHERE "
+        + sp.stratified_sample_sql("lang", "doc_id", rates,
+                                   default_rate=0.3, salt="s'1"),
+        con,
+    )
+    _check(
+        sp.deterministic_take(df, "doc_id", 5, salt="t'2"),
+        sp.deterministic_take_sql(
+            "adocs", ["doc_id", "text", "lang", "source"], "doc_id", 5,
+            salt="t'2",
+        ),
+        con,
+    )
+    toks = df.select("doc_id", "source", tx.token_count_cols("text")[0])
+    _check(
+        sp.chunk_assignments(toks, "doc_id", "n_tokens", 7, "source"),
+        sp.chunk_assignments_sql(
+            f"(SELECT doc_id, source, "
+            f"{tx.token_count_sql('adocs', 'text', 'doc_id').split('SELECT ')[0] or ''}"
+            f"CAST(len(list_filter(regexp_split_to_array(lower(text), "
+            f"'[ \\t\\n\\r\\f\\x0B]+'), t -> t != '')) AS BIGINT) AS n_tokens "
+            f"FROM adocs)",
+            "doc_id", "n_tokens", 7, "source",
+        ),
+        con,
+    )
+
+
+def test_adv_curate(spark, adv):
+    from xarray_histogram_spark.operators.curate import (
+        curate_documents, curate_documents_sql,
+    )
+
+    df, con = adv
+    for wide in (True, False):
+        _check(
+            curate_documents(
+                df, "text", "doc_id", quality_min=0.1, langs=("en", "und"),
+                salt="c'3", wide_rows=wide,
+            ),
+            curate_documents_sql(
+                "adocs", "text", "doc_id", quality_min=0.1,
+                langs=("en", "und"), salt="c'3",
+            ),
+            con,
+        )
