@@ -235,3 +235,47 @@ def test_adv_curate(spark, adv):
             ),
             con,
         )
+
+
+def test_adv_events_mirrors(spark, tmp_path):
+    """Every batch events mirror against a crafted events table with NULL
+    ts / value / event_type / user_id rows: event-time operators drop
+    NULL-ts rows on both engines, NULL event_type is a REAL group (the
+    session mirror needs NULL-safe join equality), and the temporal joins
+    keep their NULL-key/ts semantics."""
+    import datetime as dt
+
+    import duckdb
+
+    import xarray_histogram_spark.entry_queries as eq
+
+    base = dt.datetime(2024, 1, 1)
+    types = ["click", "error", "purchase", "signup", "view", None]
+    rows = []
+    for i in range(200):
+        ts = None if i % 37 == 0 else base + dt.timedelta(minutes=13 * i)
+        rows.append((
+            i, ts, None if i % 29 == 0 else i % 7, types[i % 6],
+            None if i % 31 == 0 else float(i % 50) * 9.7,
+            '{"k": %d}' % (i % 120) if i % 11 else None,
+        ))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    for name in (
+        "events_hourly_hist", "events_type_value_hist",
+        "events_session_hist", "events_sliding_hist",
+        "events_props_json_hist",
+        "events_asof_join", "events_range_join", "events_funnel",
+    ):
+        fn, sql = eq._REGISTRY[name]
+        assert_matches_sql(fn(spark, d), sql, con)

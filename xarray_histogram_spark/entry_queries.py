@@ -118,6 +118,8 @@ _CHANGED_THIS_ROUND = (
     "dedup_embed_pairs", "dedup_embed_components",
     # session-2 NULL-text mirror fixes (shingle ratio, minhash sentinel)
     "text_repetition", "dedup_minhash_pairs",
+    # session-2 events-oracle fixes (NULL-ts drop, NULL-safe group join)
+    "events_session_hist", "events_sliding_hist",
 )
 
 
@@ -1058,8 +1060,12 @@ def _session_sql(gap_us: int = 1_800_000_000) -> str:
     bid = _EV_SPEC.raw_id_sql("value")
     spine = orc._spine_values("value", _EV_SPEC, False)
     return (
+        # ts IS NOT NULL: session_window is an EVENT-TIME op — Spark drops
+        # rows without event time; the islands mirror must too (a NULL t
+        # would otherwise land in a NULL-ordered island)
         f"WITH e AS (SELECT event_type, epoch_us(ts) AS t, value FROM events "
-        f"WHERE value >= {orc.flit(0.0)} AND value < {orc.flit(500.0)}), "
+        f"WHERE ts IS NOT NULL "
+        f"AND value >= {orc.flit(0.0)} AND value < {orc.flit(500.0)}), "
         f"s AS (SELECT event_type, t, value, CASE WHEN t - lag(t) OVER "
         f"(PARTITION BY event_type ORDER BY t) > {gap_us} THEN 1 ELSE 0 END "
         f"AS brk FROM e), "
@@ -1075,7 +1081,11 @@ def _session_sql(gap_us: int = 1_800_000_000) -> str:
         f"sess.event_type, sp_value.value_bin, sp_value.value_bins, "
         f"CAST(coalesce(binned.c, 0) AS BIGINT) AS count "
         f"FROM sess CROSS JOIN {spine} "
-        f"LEFT JOIN binned ON binned.event_type = sess.event_type "
+        # NULL-safe group equality: a NULL event_type is a real group on
+        # the engine side (groupBy keeps it); plain = would orphan its
+        # binned counts and zero-fill the whole session
+        f"LEFT JOIN binned ON binned.event_type IS NOT DISTINCT FROM "
+        f"sess.event_type "
         f"AND binned.sid = sess.sid AND binned.b = sp_value.value_bin"
     )
 
@@ -1522,7 +1532,8 @@ def _sliding_window_sql() -> str:
     day = 86_400_000_000
     return (
         f"WITH raw AS (SELECT epoch_us(ts) AS t, {bucket} AS value_bin "
-        f"FROM events), "
+        # NULL ts rows belong to no window on the Spark side — drop
+        f"FROM events WHERE ts IS NOT NULL), "
         f"win AS (SELECT ((t // {day}) - k.k) * 86400 AS window_start_s, "
         f"value_bin FROM raw, (SELECT unnest([0, 1]) AS k) k), "
         f"agg AS (SELECT CAST(window_start_s AS BIGINT) AS window_start_s, "
