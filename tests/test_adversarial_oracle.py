@@ -271,10 +271,12 @@ def test_adv_events_mirrors(spark, tmp_path):
         f"CREATE VIEW events AS "
         f"SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
     )
+    # streaming_window_hist included: a REAL streaming execution over the
+    # crafted corpus — its oracle needs the same NULL-ts drop
     for name in (
         "events_hourly_hist", "events_type_value_hist",
         "events_session_hist", "events_sliding_hist",
-        "events_props_json_hist",
+        "events_props_json_hist", "streaming_window_hist",
         "events_asof_join", "events_range_join", "events_funnel",
     ):
         fn, sql = eq._REGISTRY[name]

@@ -119,7 +119,7 @@ _CHANGED_THIS_ROUND = (
     # session-2 NULL-text mirror fixes (shingle ratio, minhash sentinel)
     "text_repetition", "dedup_minhash_pairs",
     # session-2 events-oracle fixes (NULL-ts drop, NULL-safe group join)
-    "events_session_hist", "events_sliding_hist",
+    "events_session_hist", "events_sliding_hist", "streaming_window_hist",
 )
 
 
@@ -1490,7 +1490,8 @@ def _streaming_window_sql() -> str:
     return (
         f"WITH raw AS (SELECT CAST(epoch(time_bucket(INTERVAL '1 day', ts)) "
         f"AS BIGINT) AS window_start_s, "
-        f"{bucket} AS value_bin FROM events), "
+        # NULL ts rows belong to no window on the Spark side — drop
+        f"{bucket} AS value_bin FROM events WHERE ts IS NOT NULL), "
         f"agg AS (SELECT window_start_s, value_bin, CAST(COUNT(*) AS DOUBLE) AS n "
         f"FROM raw WHERE value_bin BETWEEN 0 AND {_ST_SPEC.n - 1} "
         f"GROUP BY window_start_s, value_bin) "
