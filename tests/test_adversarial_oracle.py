@@ -281,3 +281,53 @@ def test_adv_events_mirrors(spark, tmp_path):
     ):
         fn, sql = eq._REGISTRY[name]
         assert_matches_sql(fn(spark, d), sql, con)
+
+
+def test_adv_streaming_mirrors(spark, tmp_path):
+    """REAL streaming executions (stateful cumulative histogram, dedup
+    state, stream-stream range join) over crafted NULL-laden corpora:
+    NULL text fingerprints (md5(NULL)=NULL) group consistently, NULL
+    values take the flow path, NULL ts rows are dropped by watermarked
+    event-time operators on both engines."""
+    import datetime as dt
+
+    import duckdb
+
+    import xarray_histogram_spark.entry_queries as eq
+
+    d = str(tmp_path)
+    base = dt.datetime(2024, 1, 1)
+    types = ["click", "error", "purchase", "signup", "view", None]
+    rows = []
+    for i in range(200):
+        ts = None if i % 37 == 0 else base + dt.timedelta(minutes=13 * i)
+        rows.append((
+            i, ts, None if i % 29 == 0 else i % 7, types[i % 6],
+            None if i % 31 == 0 else float(i % 50) * 9.7, None,
+        ))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    docs = [
+        (1, "same text", "en", "s0", 9), (2, "same text", "en", "s1", 9),
+        (3, None, "en", "s0", 0), (4, "", "de", "s1", 0),
+        (5, "other", "fr", "s0", 5), (10, None, "de", "s1", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    for t_ in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t_} AS "
+            f"SELECT * FROM read_parquet('{d}/{t_}.parquet/*.parquet')"
+        )
+    for name in (
+        "streaming_stateful_hist", "streaming_dedup_state",
+        "streaming_range_join",
+    ):
+        fn, sql = eq._REGISTRY[name]
+        assert_matches_sql(fn(spark, d), sql, con)
