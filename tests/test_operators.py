@@ -480,10 +480,19 @@ def test_components_reliable_checkpoint(spark, docs, tmp_path):
         .where(F.col("jaccard") >= 0.8)
         .select("id_a", "id_b")
     )
-    b = dd.components_from_edges(
+    res = dd.components_from_edges(
         docs, edges, "doc_id", checkpoint_dir=str(tmp_path / "ckpt")
-    ).collect()
+    )
+    b = res.collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+    # Checkpoint hygiene: the per-round cc-work-* scratch subdir is
+    # deleted before return; exactly one cc-final-* subdir (backing the
+    # returned DataFrame) remains.
+    left = sorted(p.name for p in (tmp_path / "ckpt").iterdir())
+    assert not [n for n in left if n.startswith("cc-work-")], left
+    assert len([n for n in left if n.startswith("cc-final-")]) == 1, left
+    # the returned DataFrame stays consumable off its final checkpoint
+    assert res.count() == len(b)
 
 
 def test_ngram_contamination_semantics(spark):

@@ -54,89 +54,65 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
     _REGISTRY[name] = (fn, sql)
 
 
-# Queries the round-4 driver hash-verified (CORRECTNESS_r04.json — exactly
-# the 50 entries its ~50-query window reached).  The driver checks the
-# FIRST ~50 registry entries per round, so these sit at the TAIL and the
-# 41 entries whose freshest driver row is round 3 (dedup_*/sim_*/sample_*/
-# events_*/text_langid-quality-token_count/streaming pairs, the 5
-# deliberately demoted stat/weighted entries, hist_variable_axis,
-# hist_bool_axis, alg_project/slice_bins, binned_stat_*, …) rotate into
-# the round-5 window and get re-verified before their greens age a third
-# round.  Several of those 41 ALSO have round-5-changed plans (simhash
-# zero-shuffle fold, jaccard shingle de-triplication inherited by
-# near_keep/components, t_wide gating for pure projections) — rotating
-# them in-window is what lets the driver re-verify the new plans.
+# Round-6 rotation refresh.  _DRIVER_VERIFIED is EXACTLY the 50 names
+# CORRECTNESS_r05.json hash-verified (every one green) — those sit at the
+# TAIL of the registry so the driver's ~50-query window reaches the 57
+# entries whose freshest green is r03/r04.  All stale entries have
+# UNCHANGED plans and oracles since their last driver green and stay
+# green in the local full-registry gates (test_entry_contract,
+# driver_sim); this rotation is pure evidence-freshness maintenance.
 _DRIVER_VERIFIED = frozenset({
-    "alg_apply_func_log", "alg_bin_coordinates", "alg_normalize_after",
-    "alg_rebin", "alg_remove_flow", "alg_scale",
-    "dedup_contamination",
-    "hist_2d", "hist_3d_grouped", "hist_columns",
-    "hist_cube_multires", "hist_density", "hist_density_flow",
-    "hist_group_month", "hist_grouped",
-    "hist_int64_storage", "hist_integer_axis", "hist_intcategory",
-    "hist_join_align_2var", "hist_log_axis",
-    "hist_merge_shards", "hist_range_infer", "hist_regular_1d",
-    "hist_regular_flow", "hist_rollup_2d", "hist_rollup_multires",
-    "hist_sqrt_axis", "hist_strcategory", "hist_variable_binary",
-    "mm_sample_frames",
-    "pipeline_curate",
-    "stat_cdf25", "stat_interval80", "stat_mean", "stat_median",
-    "stat_moment3", "stat_ppf90", "stat_std", "stat_var",
-    "streaming_stateful_hist",
-    "text_line_dedup", "text_repetition",
-    "text_top_terms",
-    # --- r03-green entries DEMOTED to make window room: their plans and
-    # oracles are UNCHANGED since they were verified, while the entries
-    # removed above (hist_weighted, hist_weight_storage,
-    # hist_mean_storage, hist_columns_weighted, hist_fill_arrow_path,
-    # mm_decode_meta, text_fingerprint) changed in round 5's review fixes
-    # (quantized NaN-weight semantics, Arrow kernel exactness/bool
-    # relabel, explicit whitespace class, NULL n_bytes) and MUST be
-    # driver-re-verified first.  All demoted entries stay green in the
-    # local full-registry gates (test_entry_contract, driver_sim).
-    "hist_variable_axis", "hist_quantile_bins", "hist_join_revenue",
-    "alg_project", "alg_slice_bins", "hist_bool_axis",
+    "binned_stat_grouped", "binned_stat_profile",
+    "dedup_components", "dedup_embed_components", "dedup_embed_pairs",
+    "dedup_exact", "dedup_jaccard", "dedup_minhash_pairs",
+    "dedup_near_keep", "dedup_simhash", "dedup_simhash_pairs",
+    "events_asof_join", "events_funnel", "events_range_join",
+    "events_session_hist", "events_sliding_hist",
+    "hist_columns_weighted", "hist_fill_arrow_path",
+    "hist_growth_categories", "hist_growth_merge", "hist_mean_storage",
+    "hist_pow_axis", "hist_rollup_weighted", "hist_weight_storage",
+    "hist_weighted", "hist_weighted_grouped_density",
+    "mm_decode_audio", "mm_decode_image", "mm_decode_meta",
+    "pipeline_curate_narrow",
+    "sample_pack_chunks", "sample_take_n", "sample_topk_group",
+    "sim_ann_indexed", "sim_ann_topk", "sim_cosine_topk", "sim_ivf_topk",
+    "sim_kmeans_refine", "sim_quantize_int8",
+    "stat_mean_2d", "stat_mean_weighted", "stat_median_2d",
+    "streaming_dedup_state", "streaming_range_join",
+    "streaming_window_hist",
+    "text_dup_ngrams", "text_fingerprint", "text_repetition",
+    "text_token_count", "text_vocabulary",
 })
 
 
-# Entries whose PLAN or ORACLE changed in round 5 — never mind their past
+# Stale-head priority: entries whose freshest driver green is ROUND 3
+# (two rounds old) lead the window before the r04 tail, so no green ever
+# ages a third round.  The r04-stale entries follow in registry order.
+_STALE_PRIORITY = (
+    "hist_variable_axis", "hist_quantile_bins", "hist_join_revenue",
+    "alg_project", "alg_slice_bins", "hist_bool_axis",
+    "events_hourly_hist", "events_props_json_hist",
+    "events_type_value_hist",
+    "sample_deterministic", "sample_split", "sample_stratified",
+    "text_langid", "text_quality", "hist_weighted_fastpath",
+)
+
+
+# Entries whose PLAN or ORACLE changed in round 6 — never mind their past
 # greens, the driver must re-check them under the new engine before
 # anything else in the stale head.  Ordered right after _NEW_THIS_ROUND.
-_CHANGED_THIS_ROUND = (
-    # review-fix batch: quantized NaN-weight when-branch (every weighted
-    # aggregate), Arrow-kernel exactness + bool relabel, whitespace class
-    "hist_weighted", "hist_weight_storage", "hist_mean_storage",
-    "hist_columns_weighted", "hist_fill_arrow_path", "mm_decode_meta",
-    "text_fingerprint",
-    # round-5 plan reworks already in the stale head, promoted to its top
-    "dedup_simhash", "dedup_jaccard", "dedup_near_keep", "dedup_components",
-    "binned_stat_grouped", "binned_stat_profile", "hist_rollup_weighted",
-    "sample_topk_group", "mm_decode_image", "streaming_dedup_state",
-    # cosine made total (try_divide + CASE-NULL mirror) in session 2:
-    # every cosine-consuming plan must be driver-re-verified
-    "sim_cosine_topk", "sim_ann_topk", "sim_ann_indexed", "sim_ivf_topk",
-    "dedup_embed_pairs", "dedup_embed_components",
-    # session-2 NULL-text mirror fixes (shingle ratio, minhash sentinel)
-    "text_repetition", "dedup_minhash_pairs",
-    # session-2 events-oracle fixes (NULL-ts drop, NULL-safe group join)
-    "events_session_hist", "events_sliding_hist", "streaming_window_hist",
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # dedup_embed_pairs re-registered non-vacuously (r05 gate row was a
+    # 0-row == 0-row equality; now threshold/planes yield real pairs at
+    # sf0.01) — see VERDICT r05 "What's wrong" #1.
+    "dedup_embed_pairs",
 )
 
 
-# Queries REGISTERED IN ROUND 5 (either session) — never in any driver
-# CORRECTNESS record; at the round-6 rotation refresh, fold ONLY the names
-# CORRECTNESS_r05.json actually verified into _DRIVER_VERIFIED — anything
-# here the window missed stays unverified and must lead round 6's head;
-# they lead the registry so the driver's ~50-query window is guaranteed to
-# reach them regardless of where they appear in this file.
-_NEW_THIS_ROUND: tuple[str, ...] = (
-    "hist_pow_axis", "hist_growth_categories", "hist_growth_merge",
-    "pipeline_curate_narrow", "dedup_simhash_pairs", "sample_pack_chunks",
-    "sample_take_n", "text_vocabulary",
-    "events_asof_join", "events_range_join", "sim_kmeans_refine",
-    "text_dup_ngrams", "mm_decode_audio", "streaming_range_join",
-    "events_funnel", "sim_quantize_int8",
-)
+# Queries REGISTERED IN ROUND 6 — never in any driver CORRECTNESS record;
+# they lead the registry so the driver's ~50-query window is guaranteed
+# to reach them regardless of where they appear in this file.
+_NEW_THIS_ROUND: tuple[str, ...] = ()
 
 
 def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
@@ -148,6 +124,11 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         if n in _REGISTRY and n not in seen
     ]
     seen |= set(_CHANGED_THIS_ROUND)
+    prio = [
+        (n, _REGISTRY[n]) for n in _STALE_PRIORITY
+        if n in _REGISTRY and n not in seen and n not in _DRIVER_VERIFIED
+    ]
+    seen |= set(_STALE_PRIORITY)
     head = [
         (n, v) for n, v in items
         if n not in _DRIVER_VERIFIED and n not in seen
@@ -156,7 +137,7 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         (n, v) for n, v in items
         if n in _DRIVER_VERIFIED and n not in seen
     ]
-    return dict(fresh + changed + head + tail)
+    return dict(fresh + changed + prio + head + tail)
 
 
 def _hist_query(
@@ -616,9 +597,18 @@ register(
     ),
 )
 register(
+    # threshold 0.35 (not the 0.95 production default): the sf0.01
+    # fixture's random embeddings have no true near-duplicates, so the
+    # default gate row was a vacuous 0-row == 0-row equality (VERDICT r05
+    # "What's wrong" #1).  0.35 yields 41 in-bucket pairs at sf0.01 /
+    # 38 at sf0.001 — a real value-hash over the bucket join + cosine
+    # filter.  The 0.95 path is exercised with synthetic duplicates in
+    # tests/test_operators.py.
     "dedup_embed_pairs",
-    lambda spark, sf_dir: sim.embed_dup_pairs(t(spark, sf_dir, "embeddings")),
-    sim.embed_dup_pairs_sql("embeddings"),
+    lambda spark, sf_dir: sim.embed_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.35
+    ),
+    sim.embed_dup_pairs_sql("embeddings", threshold=0.35),
 )
 register(
     "sim_cosine_topk",

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
@@ -357,28 +357,62 @@ def components_from_edges(
     ``setCheckpointDir`` is SparkContext-global; the propagation runs
     eagerly inside this call, and any previously configured checkpoint
     directory is restored on exit (best-effort — if none was set before,
-    the new one remains, as Spark has no unset)."""
-    spark = nodes.sparkSession
-    prev_dir = None
-    if checkpoint_dir is not None:
-        try:
-            opt = spark.sparkContext._jsc.sc().getCheckpointDir()
-            prev_dir = opt.get() if opt.isDefined() else None
-        except Exception:  # noqa: BLE001 - py4j surface differences
-            prev_dir = None
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    the new one remains, as Spark has no unset).
 
-        def _ckpt(d: DataFrame) -> DataFrame:
-            return d.checkpoint(eager=True)
-    else:
+    Checkpoint hygiene: Spark never deletes reliable checkpoints on its
+    own, so the per-round label/edge checkpoints (up to ``max_iter + 2``
+    datasets) would otherwise accumulate in the fault-tolerant store on
+    every call.  The loop therefore checkpoints into a per-call scratch
+    subdirectory ``{checkpoint_dir}/cc-work-*``, the converged labels are
+    re-checkpointed once into ``{checkpoint_dir}/cc-final-*``, and the
+    scratch subdirectory is deleted via the Hadoop FileSystem API before
+    returning.  Exactly ONE checkpointed dataset (the final labels, which
+    back the returned lazy DataFrame) remains; callers own deleting the
+    ``cc-final-*`` subdirectory once the result has been consumed."""
+    spark = nodes.sparkSession
+    if checkpoint_dir is None:
         def _ckpt(d: DataFrame) -> DataFrame:
             return d.localCheckpoint(eager=True)
 
-    try:
         return _components_loop(nodes, edges, id_col, max_iter, _ckpt)
+
+    import uuid
+
+    sc = spark.sparkContext
+    try:
+        opt = sc._jsc.sc().getCheckpointDir()
+        prev_dir = opt.get() if opt.isDefined() else None
+    except Exception:  # noqa: BLE001 - py4j surface differences
+        prev_dir = None
+    tag = uuid.uuid4().hex[:12]
+    work_dir = f"{checkpoint_dir.rstrip('/')}/cc-work-{tag}"
+    final_dir = f"{checkpoint_dir.rstrip('/')}/cc-final-{tag}"
+
+    def _ckpt(d: DataFrame) -> DataFrame:
+        return d.checkpoint(eager=True)
+
+    try:
+        sc.setCheckpointDir(work_dir)
+        result = _components_loop(nodes, edges, id_col, max_iter, _ckpt)
+        # One fresh reliable checkpoint of the small (id, component, keep)
+        # result so the scratch rounds can be dropped while the returned
+        # DataFrame stays fault-tolerantly backed.
+        sc.setCheckpointDir(final_dir)
+        result = result.checkpoint(eager=True)
+        _hadoop_delete(spark, work_dir)
+        return result
     finally:
         if prev_dir is not None:
-            spark.sparkContext.setCheckpointDir(prev_dir)
+            sc.setCheckpointDir(prev_dir)
+
+
+def _hadoop_delete(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` through the JVM Hadoop FileSystem —
+    works for any scheme the cluster can reach (HDFS, S3A, local)."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
 
 
 def _components_loop(
