@@ -132,6 +132,23 @@ def test_growth_on_fractional_column_raises(lineitem):
         histogram(lineitem, "l_extendedprice", Growth())
 
 
+def test_max_categories_validation():
+    """max_categories must be >= 1 everywhere it is accepted; an explicit
+    0 used to silently fall back to the 10,000 default (ADVICE r05)."""
+    from xarray_histogram_spark import Growth, IntCategory, StrCategory
+
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match=">= 1"):
+            Growth(max_categories=bad)
+        with pytest.raises(ValueError, match=">= 1"):
+            IntCategory((), growth=True, max_categories=bad)
+        with pytest.raises(ValueError, match=">= 1"):
+            StrCategory((), growth=True, max_categories=bad)
+    Growth(max_categories=1)
+    IntCategory((), growth=True, max_categories=1)
+    StrCategory((), growth=True, max_categories=1)
+
+
 def test_similarity_guards(spark, sf_dir):
     """Missing/duplicate query ids raise; mismatched embedding dimensions
     raise at execution instead of silently returning empty results."""

@@ -418,6 +418,52 @@ def test_chunk_assignments_semantics(spark):
         sp.chunk_assignments(df, "doc_id", "n_tokens", 0, "source")
 
 
+def test_chunk_assignments_duplicate_id_determinism(spark, tmp_path):
+    """Duplicate ids within a shard: the (id, token) secondary sort key
+    makes offsets deterministic across layouts, and matches the DuckDB
+    mirror (ADVICE r05)."""
+    from .util import assert_matches_sql
+    from xarray_histogram_spark.operators import sampling as sp
+
+    rows = [
+        (1, "s0", 10), (1, "s0", 3), (1, "s0", 10),  # full triple dup too
+        (2, "s0", 7), (2, "s0", 1),
+        (3, "s1", 5), (3, "s1", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = sp.chunk_assignments(df, "doc_id", "n_tokens", 8, "source")
+    a = sorted(map(str, out.collect()))
+    for n in (2, 5):
+        b = sorted(
+            map(
+                str,
+                sp.chunk_assignments(
+                    df.repartition(n), "doc_id", "n_tokens", 8, "source"
+                ).collect(),
+            )
+        )
+        assert a == b
+    # shorter duplicate of id=1 packs first: offsets 0(len 3),3,13
+    offs = sorted(
+        (r["n_tokens"], r["tok_offset"]) for r in out.collect() if r["doc_id"] == 1
+    )
+    assert offs == [(3, 0), (10, 3), (10, 13)]
+    # and the DuckDB mirror agrees on the duplicate-id input
+    import duckdb
+
+    p = str(tmp_path / "toks.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW toks AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    assert_matches_sql(
+        out,
+        sp.chunk_assignments_sql("toks", "doc_id", "n_tokens", 8, "source"),
+        con,
+    )
+
+
 def test_simhash_pairs_semantics(spark):
     """Identical docs pair at hamming 0; a lightly-edited near-dup pairs
     with a small positive hamming; unrelated docs don't pair at the
@@ -826,6 +872,28 @@ def test_asof_join_null_faithfulness(spark):
     }
     assert out[1]["asof_rid"] == 8 and out[1]["asof_v"] == 3.0
     assert out[2]["asof_rid"] is None and out[2]["asof_v"] is None
+
+
+def test_asof_join_rejects_colliding_left_columns(spark):
+    """Left columns named like the internals (__side/__m/…) or the outputs
+    (asof_*) would silently duplicate — must raise up front (ADVICE r05)."""
+    from xarray_histogram_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [(8, 100, 10, 3.0)], "rid long, k long, t long, v double"
+    )
+    for bad in ("__side", "__m", "__rid", "__match", "asof_ts", "asof_rid",
+                "asof_v"):
+        left = spark.createDataFrame(
+            [(1, 100, 10, 0)], f"lid long, k long, t long, `{bad}` long"
+        )
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(left, right, ["k"], "t", ["v"], "rid")
+    # non-colliding payload still works
+    ok = spark.createDataFrame(
+        [(1, 100, 10, 0)], "lid long, k long, t long, extra long"
+    )
+    assert asof_join(ok, right, ["k"], "t", ["v"], "rid").count() == 1
 
 
 def test_range_join_negative_ts_buckets(spark):

@@ -244,6 +244,10 @@ class Growth:
 
     max_categories: int = 10_000
 
+    def __post_init__(self) -> None:
+        if self.max_categories < 1:
+            raise ValueError("max_categories must be >= 1")
+
 
 def _numeric_ok(dt: T.DataType) -> bool:
     return isinstance(
@@ -826,6 +830,8 @@ class IntCategory(BinSpec):
             raise ValueError("IntCategory: need non-empty unique categories")
         if self.max_categories is not None and not self.growth:
             raise ValueError("max_categories is only valid with growth=True")
+        if self.max_categories is not None and self.max_categories < 1:
+            raise ValueError("max_categories must be >= 1")
         object.__setattr__(self, "categories", cats)
 
     @property
@@ -926,6 +932,8 @@ class StrCategory(BinSpec):
             raise ValueError("StrCategory: need non-empty unique categories")
         if self.max_categories is not None and not self.growth:
             raise ValueError("max_categories is only valid with growth=True")
+        if self.max_categories is not None and self.max_categories < 1:
+            raise ValueError("max_categories must be >= 1")
         object.__setattr__(self, "categories", cats)
 
     @property

@@ -106,6 +106,9 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # 0-row == 0-row equality; now threshold/planes yield real pairs at
     # sf0.01) — see VERDICT r05 "What's wrong" #1.
     "dedup_embed_pairs",
+    # chunk_assignments window gained a token-count secondary sort key on
+    # both engines (ADVICE r05: duplicate-id tie determinism).
+    "sample_pack_chunks",
 )
 
 

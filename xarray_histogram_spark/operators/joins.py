@@ -69,6 +69,17 @@ def asof_join(
     """
     keys = list(keys)
     value_cols = list(value_cols)
+    reserved = {"__side", "__m", "__rid", "__match"} | {
+        "asof_ts",
+        f"asof_{right_id_col}",
+        *[f"asof_{v}" for v in value_cols],
+    }
+    clash = sorted(reserved & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns {clash} collide with internal or "
+            "output column names (asof_*/__*); rename them before joining"
+        )
     lpay = [c for c in left.columns if c not in set(keys) | {ts_col}]
     # NULL faithfulness vs the SQL mirror: `r.k = l.k` never matches a NULL
     # key and `r.ts <= l.ts` is never true for a NULL ts, so right rows

@@ -232,12 +232,19 @@ def chunk_assignments(
     bounded by shard granularity.  All arithmetic is exact int64
     (running SUM + integer DIV), so the assignment is bit-deterministic
     and partitioning-independent — same rows on any cluster layout.
+
+    Duplicate ids: the window orders by (id, token count) — with the
+    secondary key, rows that tie on id but differ in length still get
+    deterministic offsets on every engine and layout.  Rows identical in
+    ALL THREE of (shard, id, tokens) remain interchangeable, which is
+    harmless: whichever physical row takes the lower offset, the output
+    multiset is the same.
     """
     if context <= 0:
         raise ValueError("context must be > 0")
     w = (
         Window.partitionBy(shard_col)
-        .orderBy(id_col)
+        .orderBy(F.col(id_col).asc(), F.col(token_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(token_col)).over(w)
@@ -272,9 +279,11 @@ def chunk_assignments_sql(
 ) -> str:
     """DuckDB mirror: same ROWS-framed running sum, same integer division
     (DuckDB ``//`` on BIGINT ≡ Spark ``DIV`` for the non-negative values
-    here)."""
+    here).  NULLS FIRST pins both sort keys to Spark's ascending default
+    (DuckDB defaults NULLS LAST)."""
     cum = (
-        f"SUM({token_col}) OVER (PARTITION BY {shard_col} ORDER BY {id_col} "
+        f"SUM({token_col}) OVER (PARTITION BY {shard_col} "
+        f"ORDER BY {id_col} NULLS FIRST, {token_col} NULLS FIRST "
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
     return (

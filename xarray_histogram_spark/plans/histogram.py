@@ -103,7 +103,8 @@ def resolve_specs(
             return categories_from_data(df, cols[i], b.max_categories)
         if isinstance(b, (_IC, _SC)) and b.growth:
             disc = categories_from_data(
-                df, cols[i], b.max_categories if b.max_categories else 10_000
+                df, cols[i],
+                b.max_categories if b.max_categories is not None else 10_000,
             )
             have = set(b.categories)
             merged = tuple(b.categories) + tuple(
