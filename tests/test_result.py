@@ -436,3 +436,129 @@ def test_slice_bins_multi_axis_flow(spark, lineitem):
     }
     # projecting the sliced result still works (re-finish path)
     assert s.project("l_discount").df.count() == 5
+
+
+# ---------------------------------------------------------------------------
+# foreign-histogram adoption (reference accessor.py:49-130 interop)
+# ---------------------------------------------------------------------------
+
+
+def test_adopt_sidecarless_roundtrip(spark, lineitem):
+    """A result written as PLAIN parquet (public df, no sidecar) adopts
+    back through the naming convention with equal data, inferred Regular
+    spec (right-edge inference), and a working accessor surface."""
+    from xarray_histogram_spark import adopt_dataframe
+
+    spec = Regular(10, 0.0, 50.0)  # exactly-representable spacing
+    h = histogram(
+        lineitem, "l_quantity", spec, group_by=["l_returnflag"], flow=True
+    )
+    path = tempfile.mkdtemp(prefix="xhs_adopt_") + "/plain"
+    h.df.write.parquet(path)  # PUBLIC df: no sidecar, no internal cols
+    a = adopt_dataframe(spark.read.parquet(path))
+    assert a.variables == ["l_quantity"]
+    assert a.specs["l_quantity"] == spec
+    assert a.group_by == ["l_returnflag"] and a.flow
+    assert not a.int_mode  # default storage displays double counts
+    x = _pdf(h.df, ["l_returnflag", "l_quantity_bin"])
+    y = _pdf(a.df, ["l_returnflag", "l_quantity_bin"])
+    assert x.equals(y[x.columns])
+    # accessor surface: edges round-trip, normalize + median run
+    assert a.edges("l_quantity", flow=False) == h.edges("l_quantity", flow=False)
+    n1 = _pdf(h.normalize().df, ["l_returnflag", "l_quantity_bin"])
+    n2 = _pdf(a.normalize().df, ["l_returnflag", "l_quantity_bin"])
+    assert n1.equals(n2[n1.columns])
+    m1 = _pdf(h.median(), ["l_returnflag"])
+    m2 = _pdf(a.median(), ["l_returnflag"])
+    assert m1.equals(m2[m1.columns])
+    # read_result falls back to adoption when the sidecar is missing
+    r = read_result(spark, path)
+    assert r.specs["l_quantity"] == spec
+
+
+def test_adopt_infer_right_edge_contract(spark):
+    """Reference tests/test_accessor.py:114-125: evenly spaced bin labels
+    infer the right edge (arange(0,10) -> edges arange(0,11)); irregular
+    (logspace-like) labels raise ValueError."""
+    from xarray_histogram_spark import adopt_dataframe
+
+    rows = [(float(i), float(10 + i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "var1_bins double, var1_histogram double")
+    a = adopt_dataframe(df)
+    assert a.edges("var1", flow=False) == [float(e) for e in range(11)]
+    bad = spark.createDataFrame(
+        [(10.0 ** (1 + 9 * i / 9.0), 1.0) for i in range(10)],
+        "var1_bins double, var1_histogram double",
+    )
+    with pytest.raises(ValueError, match="not regularly spaced"):
+        adopt_dataframe(bad)
+    # a single bin cannot pin a width either
+    one = spark.createDataFrame(
+        [(0.0, 1.0)], "var1_bins double, var1_histogram double"
+    )
+    with pytest.raises(ValueError, match="Cannot infer right edge"):
+        adopt_dataframe(one)
+
+
+def test_adopt_name_validation(spark):
+    """Malformed value-column names raise, mirroring accessor.py:73-105."""
+    from xarray_histogram_spark import adopt_dataframe
+
+    with pytest.raises(ValueError, match="No bins coordinates"):
+        adopt_dataframe(
+            spark.createDataFrame([(1.0,)], "x double")
+        )
+    df = spark.createDataFrame(
+        [(0.0, 1.0)], "var1_bins double, other_histogram double"
+    )
+    with pytest.raises(ValueError, match="unrecognized variables"):
+        adopt_dataframe(df)
+    df2 = spark.createDataFrame(
+        [(0.0, 0.0, 1.0)],
+        "var1_bins double, var2_bins double, var1_histogram double",
+    )
+    with pytest.raises(ValueError, match="unrecognized variables"):
+        adopt_dataframe(df2)  # var2 never appears in the name
+    df3 = spark.createDataFrame(
+        [(0.0, 1.0)], "var1_bins double, var1_counts double"
+    )
+    with pytest.raises(ValueError, match="could not discover"):
+        adopt_dataframe(df3)
+    with pytest.raises(ValueError, match="end in one of"):
+        adopt_dataframe(df3, value_col="var1_counts")
+
+
+def test_adopt_category_integer_axes(spark, lineitem):
+    """StrCategory (id order preserved), Integer, and flow-label
+    recognition adopt correctly from plain frames."""
+    from xarray_histogram_spark import (
+        IntCategory, Integer, StrCategory, adopt_dataframe, histogram,
+    )
+
+    hs = histogram(
+        lineitem, "l_returnflag", StrCategory(("R", "A", "N")), flow=True
+    )
+    a = adopt_dataframe(hs.df)
+    assert a.specs["l_returnflag"] == StrCategory(("R", "A", "N"), overflow=True)
+    x = _pdf(hs.df, ["l_returnflag_bin"])
+    y = _pdf(a.df, ["l_returnflag_bin"])
+    assert x.equals(y[x.columns])
+    # without the id column, categories fall back to sorted order
+    b = adopt_dataframe(hs.df.drop("l_returnflag_bin"))
+    assert b.specs["l_returnflag"].categories == ("A", "N", "R")
+    hi = histogram(lineitem, "l_linenumber", Integer(1, 8), flow=True)
+    ai = adopt_dataframe(hi.df)
+    assert ai.specs["l_linenumber"] == Integer(1, 8)
+    x = _pdf(hi.df, ["l_linenumber_bin"])
+    y = _pdf(ai.df, ["l_linenumber_bin"])
+    assert x.equals(y[x.columns])
+    hc = histogram(lineitem, "l_linenumber", IntCategory((1, 3, 7)))
+    ac = adopt_dataframe(hc.df)
+    assert ac.specs["l_linenumber"] == IntCategory((1, 3, 7), overflow=False)
+    # int64 storage adopts back into exact-integer mode
+    h64 = histogram(lineitem, "l_linenumber", Integer(1, 8), storage="int64")
+    a64 = adopt_dataframe(h64.df)
+    assert a64.int_mode
+    x = _pdf(h64.normalize().df, ["l_linenumber_bin"])
+    y = _pdf(a64.normalize().df, ["l_linenumber_bin"])
+    assert x.equals(y[x.columns])

@@ -37,7 +37,7 @@ from .plans.binned import (
     mean_storage_histogram,
     weight_storage_histogram,
 )
-from .plans.result import HistogramResult
+from .plans.result import HistogramResult, adopt_dataframe
 from .plans.rollup import rollup_histogram
 from .sources.io import read_result, write_result
 from .operators.curate import curate_documents
@@ -77,6 +77,7 @@ __all__ = [
     "histogram_columns",
     "histogramdd",
     "HistogramResult",
+    "adopt_dataframe",
     "quantile_edges",
     "categories_from_data",
     "rollup_histogram",

@@ -115,7 +115,9 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
 # Queries REGISTERED IN ROUND 6 — never in any driver CORRECTNESS record;
 # they lead the registry so the driver's ~50-query window is guaranteed
 # to reach them regardless of where they appear in this file.
-_NEW_THIS_ROUND: tuple[str, ...] = ()
+_NEW_THIS_ROUND: tuple[str, ...] = (
+    "hist_adopt_roundtrip",
+)
 
 
 def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
@@ -932,6 +934,38 @@ register(
     orc.histogram_oracle_sql(
         "lineitem", ["l_quantity"], [Regular(10, 1.0, 51.0)],
         group_by=["l_returnflag"],
+    ),
+)
+
+
+def _adopt_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-histogram adoption round-trip (reference accessor
+    interop, accessor.py:49-130): the PUBLIC histogram frame is written
+    as plain parquet — no sidecar, no internal columns — re-read, adopted
+    purely from the naming convention (Regular right-edge inference from
+    the bin labels), and then NORMALIZED off the inferred spec.  The
+    spacing (50-0)/10 = 5.0 is exactly representable, so inferred widths
+    are bit-equal to the original's and the pdf hash-matches the direct
+    density oracle."""
+    import tempfile
+
+    from .plans.result import adopt_dataframe
+
+    spec = Regular(10, 0.0, 50.0)
+    h = histogram(
+        t(spark, sf_dir, "lineitem"), "l_quantity", spec,
+        group_by=["l_returnflag"], flow=True,
+    )
+    path = tempfile.mkdtemp(prefix="xhs_adopt_") + "/plain"
+    h.df.write.parquet(path)
+    return adopt_dataframe(spark.read.parquet(path)).normalize().df
+
+
+register(
+    "hist_adopt_roundtrip", _adopt_fn,
+    orc.histogram_oracle_sql(
+        "lineitem", ["l_quantity"], [Regular(10, 0.0, 50.0)],
+        group_by=["l_returnflag"], flow=True, density=True,
     ),
 )
 

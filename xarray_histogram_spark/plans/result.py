@@ -541,3 +541,266 @@ class HistogramResult:
                 attrs["right_edge"] = edges[-1]
             da.coords[f"{v}_bins"].attrs.update(attrs)
         return da
+
+
+# ---------------------------------------------------------------------------
+# foreign-histogram adoption: attach the accessor surface to ANY well-named
+# histogram DataFrame, no BinSpec sidecar required
+# ---------------------------------------------------------------------------
+
+_VALID_VALUE_TYPES = ("histogram", "pdf")
+_ADOPT_MAX_BINS = 100_000
+
+
+def _validate_value_name(name: str, variables: Sequence[str]) -> str:
+    """Name-convention validation, mirroring the reference accessor's
+    greedy decomposition (accessor.py:73-105): the value column must end
+    in a valid type and be prefixed by every ``_bins`` variable (in some
+    order); anything else is malformed.  Returns the type suffix."""
+    err = f"Malformed value column name '{name}'. "
+    vtype = ""
+    for t in _VALID_VALUE_TYPES:
+        if name.endswith(f"_{t}") or name == t:
+            vtype = t
+            break
+    if not vtype:
+        raise ValueError(
+            err + f"Name should end in one of {list(_VALID_VALUE_TYPES)}"
+        )
+    rest = name
+    unaccounted = list(variables)
+    for _ in range(len(variables)):
+        found = False
+        for var in unaccounted:
+            if rest.startswith(var):
+                found = True
+                rest = rest.removeprefix(var + "_")
+                unaccounted.remove(var)
+                break
+        if not found:
+            raise ValueError(
+                err + "Name contains unrecognized variables "
+                f"(found variables are {list(variables)})."
+            )
+    if unaccounted:
+        raise ValueError(
+            err + f"Variables {unaccounted} are not present in the name."
+        )
+    return vtype
+
+
+def _isclose(a: float, b: float) -> bool:
+    # np.allclose's default tolerances (accessor.py:124 uses np.allclose)
+    return abs(a - b) <= 1e-8 + 1e-5 * abs(b)
+
+
+def _infer_axis(var: str, pairs: list, dtype) -> "BinSpec":
+    """Infer a BinSpec from one axis's distinct (id, label) pairs.
+
+    The dtype of the label column picks the axis family (the reference's
+    "Default is Regular" + right-edge inference, accessor.py:107-130);
+    flow bins are recognized by THEIR label encodings (±inf / int64
+    min-max / "_flow_bin" — binspec.py:36-38), the same encodings
+    ``to_xarray``/NetCDF round-trips use."""
+    from pyspark.sql import types as T
+
+    from ..binspec import (
+        FLOW_STR, I64_MAX, I64_MIN, Integer, IntCategory, Regular,
+        StrCategory,
+    )
+
+    have_ids = all(i is not None for i, _ in pairs)
+    if have_ids:
+        pairs = sorted(pairs, key=lambda p: p[0])
+    labels = [l for _, l in pairs]
+
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        labels = sorted(float(l) for l in labels)
+        under = any(l == float("-inf") for l in labels)
+        over = any(l == float("inf") for l in labels)
+        core = [l for l in labels if l not in (float("-inf"), float("inf"))]
+        if len(core) < 2:
+            raise ValueError(
+                f"Cannot infer right edge: bins for {var} need at least "
+                "two regular bins."
+            )
+        diffs = [core[i + 1] - core[i] for i in range(len(core) - 1)]
+        if not all(_isclose(d, diffs[0]) for d in diffs):
+            raise ValueError(
+                f"Cannot infer right edge: bins for {var} are not "
+                "regularly spaced."
+            )
+        return Regular(
+            len(core), core[0], core[-1] + diffs[0],
+            underflow=under, overflow=over,
+        )
+    if isinstance(dtype, T.BooleanType):
+        return Integer(0, 2, underflow=False, overflow=False, bool_labels=True)
+    if isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        labels = sorted(int(l) for l in labels)
+        under = I64_MIN in labels
+        over = I64_MAX in labels
+        core = [l for l in labels if l not in (I64_MIN, I64_MAX)]
+        if not core:
+            raise ValueError(f"bins for {var}: no core (non-flow) bins")
+        consecutive = core == list(range(core[0], core[-1] + 1))
+        if consecutive:
+            return Integer(
+                core[0], core[-1] + 1, underflow=under, overflow=over
+            )
+        if under:
+            raise ValueError(
+                f"bins for {var}: non-consecutive integer labels with an "
+                "underflow sentinel cannot be represented (IntCategory "
+                "has no underflow)"
+            )
+        return IntCategory(tuple(core), overflow=over)
+    if isinstance(dtype, T.StringType):
+        over = FLOW_STR in labels
+        core = [l for l in labels if l != FLOW_STR]
+        if not have_ids:
+            core = sorted(core)
+        if not core:
+            raise ValueError(f"bins for {var}: no core (non-flow) bins")
+        return StrCategory(tuple(core), overflow=over)
+    raise TypeError(
+        f"bins for {var}: unsupported label dtype {dtype.simpleString()}"
+    )
+
+
+def adopt_dataframe(
+    df: DataFrame, value_col: Optional[str] = None
+) -> HistogramResult:
+    """Adopt a FOREIGN histogram DataFrame — one produced by another tool,
+    or by this engine with the ``_binspec.json`` sidecar lost — purely
+    from the naming convention, the reference accessor's interop story
+    (accessor.py:49-130: attach to any well-named DataArray, default the
+    bin type to Regular, infer the right edge from the bin coordinate,
+    raise when edges are not inferable, accessor.py:123-130).
+
+    Requirements (all by convention, no metadata):
+
+    - one ``<var>_bins`` label column per axis (any of: double Regular
+      left edges, int64 Integer/IntCategory labels, string StrCategory
+      labels, boolean Integer bool labels — flow bins recognized by the
+      ±inf / int64 min-max / ``"_flow_bin"`` encodings);
+    - a value column named ``<v1>_..._<vN>_{histogram|pdf}`` (validated
+      by the reference's greedy decomposition; pass ``value_col=`` to
+      skip discovery when other columns share the suffix);
+    - every other column is taken as a group (loop-dim) key;
+    - a ``<var>_bin`` integer id column is OPTIONAL: when present it
+      fixes category order; ids are (re)derived from the labels via the
+      inferred spec either way, so foreign id conventions cannot corrupt
+      the coordinate algebra.
+
+    Plan shape: ONE bounded aggregation job collects each axis's distinct
+    labels (bin-bounded — the frame is an aggregated histogram; a
+    ``_ADOPT_MAX_BINS`` guard refuses degenerate inputs), then everything
+    else is literal-map projection — no join, no extra shuffle.  The
+    returned result supports the full accessor surface (normalize, stats,
+    rebin, slice, merge, export).
+    """
+    cols = df.columns
+    variables = [c[: -len("_bins")] for c in cols if c.endswith("_bins")]
+    variables = [v for v in variables if v]
+    if not variables:
+        raise ValueError("No bins coordinates found in DataFrame")
+    if value_col is None:
+        cands = [
+            c
+            for c in cols
+            if any(c.endswith(f"_{t}") for t in _VALID_VALUE_TYPES)
+        ]
+        if len(cands) != 1:
+            raise ValueError(
+                "could not discover the value column (candidates: "
+                f"{cands}); pass value_col="
+            )
+        value_col = cands[0]
+    elif value_col not in cols:
+        raise ValueError(f"value column {value_col!r} not in DataFrame")
+    vtype = _validate_value_name(value_col, variables)
+    density = vtype == "pdf"
+
+    # ONE batched job: bounded distinct (id, label) pairs per axis
+    schema = df.schema
+    aggs = []
+    for v in variables:
+        lab = F.col(f"{v}_bins")
+        if f"{v}_bin" in cols:
+            src = F.struct(
+                F.col(f"{v}_bin").cast("int").alias("i"), lab.alias("l")
+            )
+        else:
+            src = F.struct(F.lit(None).cast("int").alias("i"), lab.alias("l"))
+        aggs.append(
+            F.slice(
+                F.sort_array(F.collect_set(F.when(lab.isNotNull(), src))),
+                1,
+                _ADOPT_MAX_BINS + 1,
+            ).alias(f"__lab_{v}")
+        )
+    row = df.agg(*aggs).first()
+
+    specs: dict[str, BinSpec] = {}
+    flow = False
+    for v in variables:
+        pairs = [(r["i"], r["l"]) for r in row[f"__lab_{v}"]]
+        if len(pairs) > _ADOPT_MAX_BINS:
+            raise ValueError(
+                f"bins for {v}: more than {_ADOPT_MAX_BINS} distinct "
+                "labels — not a histogram frame?"
+            )
+        if not pairs:
+            raise ValueError(f"bins for {v}: no labels (empty frame?)")
+        spec = _infer_axis(v, pairs, schema[f"{v}_bins"].dataType)
+        specs[v] = spec
+        flow = flow or any(b.is_flow for b in spec.bins(True))
+
+    consumed = (
+        {value_col}
+        | {f"{v}_bins" for v in variables}
+        | {f"{v}_bin" for v in variables}
+    )
+    group_by = [c for c in cols if c not in consumed]
+
+    vdt = schema[value_col].dataType
+    from pyspark.sql import types as T
+
+    int_mode = vtype == "histogram" and isinstance(
+        vdt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+
+    def lit_map(spec: BinSpec, value_of) -> Column:
+        kvs: list[Column] = []
+        for b in spec.bins(flow):
+            kvs.append(F.lit(b.label))
+            kvs.append(F.lit(value_of(b)))
+        return F.create_map(*kvs)
+
+    proj: list[Column] = [F.col(c) for c in group_by]
+    for v in variables:
+        s = specs[v]
+        lab = F.col(f"{v}_bins")
+        proj.append(lit_map(s, lambda b: b.id)[lab].cast("int").alias(f"{v}_bin"))
+        proj.append(lab)
+        proj.append(lit_map(s, lambda b: float(b.width))[lab].alias(f"__{v}_width"))
+        proj.append(lit_map(s, lambda b: float(b.center))[lab].alias(f"__{v}_center"))
+        proj.append(lit_map(s, lambda b: bool(b.is_flow))[lab].alias(f"__{v}_is_flow"))
+    proj.append(F.col(value_col))
+    proj.append(
+        F.col(value_col).cast("bigint" if int_mode else "double").alias("__val")
+    )
+    return HistogramResult(
+        _df=df.select(*proj),
+        variables=variables,
+        specs=specs,
+        group_by=group_by,
+        value_col=value_col,
+        density=density,
+        flow=flow,
+        int_mode=int_mode,
+        divisor=1.0,
+    )

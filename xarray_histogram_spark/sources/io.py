@@ -76,7 +76,19 @@ def write_result(result: HistogramResult, path: str, mode: str = "overwrite") ->
 
 
 def read_result(spark: SparkSession, path: str) -> HistogramResult:
-    meta = json.loads(_sidecar_read(spark, path))
+    """Reload a saved result.  With the ``_binspec.json`` sidecar the
+    wrapper state round-trips exactly; when the sidecar is MISSING (a
+    foreign writer, or a lost sidecar) the result is ADOPTED from the
+    naming convention instead — ``plans.result.adopt_dataframe``, the
+    reference accessor's attach-to-any-well-named-array interop
+    (accessor.py:49-130)."""
+    try:
+        raw = _sidecar_read(spark, path)
+    except Exception:  # noqa: BLE001 - Hadoop FileNotFound via py4j
+        from ..plans.result import adopt_dataframe
+
+        return adopt_dataframe(spark.read.parquet(path))
+    meta = json.loads(raw)
     df = spark.read.parquet(path)
     return HistogramResult(
         _df=df,
