@@ -471,3 +471,98 @@ def test_count_path_equals_unit_weight_sum_path(lineitem):
             for r in b.df.collect()
         )
         assert ka == kb, kw
+
+
+# ---------------------------------------------------------------------------
+# arbitrary monotone transform axes (MonotoneRegular)
+# ---------------------------------------------------------------------------
+
+
+def test_monotone_logit_exact_oracle(lineitem, con):
+    from xarray_histogram_spark import MonotoneRegular
+
+    spec = MonotoneRegular.logit(8, 0.005, 0.105, exact=True)
+    r = histogram(lineitem, "l_discount", spec, flow=True)
+    check(r, "lineitem", ["l_discount"], [spec], con, flow=True)
+    # total mass conserved: core + flow == rows
+    tot = sum(x["l_discount_histogram"] for x in r.df.collect())
+    assert tot == lineitem.count()
+
+
+def test_monotone_asinh_fast_vs_exact(spark, lineitem):
+    """Fast transformed-bucketize path and exact literal-edge path agree
+    on domain-interior data (asinh is correctly mirrorable here: every
+    discount value transforms well clear of any edge)."""
+    from xarray_histogram_spark import MonotoneRegular
+
+    fast = MonotoneRegular.asinh(10, -1.0, 1.0)
+    assert not fast.exact
+    exact = MonotoneRegular.asinh(10, -1.0, 1.0, exact=True)
+    a = histogram(lineitem, "l_discount", fast, flow=True).df.collect()
+    b = histogram(lineitem, "l_discount", exact, flow=True).df.collect()
+    key = lambda rows: sorted((r["l_discount_bin"], r["l_discount_histogram"]) for r in rows)
+    assert key(a) == key(b)
+
+
+def test_monotone_equivalent_to_variable(lineitem):
+    """A MonotoneRegular IS a Variable over its computed edges — identical
+    bins, labels, widths, and counts."""
+    from xarray_histogram_spark import MonotoneRegular, Variable
+
+    m = MonotoneRegular.logit(6, 0.01, 0.2, exact=True)
+    v = Variable(tuple(m.edges()))
+    hm = histogram(lineitem, "l_discount", m, flow=True).df.collect()
+    hv = histogram(lineitem, "l_discount", v, flow=True).df.collect()
+    assert sorted(map(tuple, hm)) == sorted(map(tuple, hv))
+
+
+def test_monotone_error_contracts(spark):
+    import math as _m
+
+    from xarray_histogram_spark import MonotoneRegular
+
+    with pytest.raises(ValueError, match="needs fwd"):
+        MonotoneRegular(4, 0.0, 1.0)
+    with pytest.raises(ValueError, match="not transform="):
+        MonotoneRegular(4, 1.0, 2.0, transform="log",
+                        fwd=_m.log, inv=_m.exp)
+    with pytest.raises(ValueError, match="strictly increasing"):
+        MonotoneRegular(4, 0.0, 6.0, fwd=_m.cos, inv=_m.acos)
+    with pytest.raises(ValueError, match="0 < lo < hi < 1"):
+        MonotoneRegular.logit(4, 0.2, 1.5)
+    # fast-path oracle without a SQL mirror refuses
+    sq = MonotoneRegular(4, 1.0, 2.0, fwd=lambda x: x * x,
+                         inv=_m.sqrt, fwd_col=lambda c: c * c,
+                         exact=False)
+    with pytest.raises(ValueError, match="fwd_sql"):
+        sq.raw_id_sql("x")
+    # without fwd_col there is no fast path: exact is forced on
+    e = MonotoneRegular(4, 1.0, 2.0, fwd=lambda x: x * x, inv=_m.sqrt)
+    assert e.exact
+
+
+def test_monotone_persistence_roundtrip(spark, lineitem, tmp_path):
+    """to_dict serializes the resolved edges as a Variable axis; a result
+    written+reloaded has identical bins and data."""
+    from xarray_histogram_spark import MonotoneRegular, Variable
+    from xarray_histogram_spark.binspec import BinSpec
+    from xarray_histogram_spark.sources.io import read_result, write_result
+
+    m = MonotoneRegular.asinh(5, 0.0, 0.1, exact=True)
+    rt = BinSpec.from_dict(m.to_dict())
+    assert isinstance(rt, Variable)
+    assert rt.edges() == m.edges()
+    assert [dataclasses_astuple_safe(b) for b in rt.bins(True)] == [
+        dataclasses_astuple_safe(b) for b in m.bins(True)
+    ]
+    h = histogram(lineitem, "l_discount", m, flow=True)
+    path = str(tmp_path / "mono")
+    write_result(h, path)
+    h2 = read_result(spark, path)
+    a = sorted(map(tuple, h.df.collect()))
+    b = sorted(map(tuple, h2.df.collect()))
+    assert a == b
+
+
+def dataclasses_astuple_safe(b):
+    return (b.id, b.label, b.left, b.right, b.center, b.width, b.is_flow)

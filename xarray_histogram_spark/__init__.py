@@ -20,6 +20,7 @@ from .binspec import (
     BinSpec,
     IntCategory,
     Integer,
+    MonotoneRegular,
     Regular,
     StrCategory,
     Variable,
@@ -63,6 +64,7 @@ __all__ = [
     "mean_storage_histogram",
     "weight_storage_histogram",
     "BinSpec",
+    "MonotoneRegular",
     "Regular",
     "Variable",
     "Integer",

@@ -16,7 +16,10 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .binspec import BinSpec, IntCategory, Integer, Regular, StrCategory, Variable
+from .binspec import (
+    BinSpec, IntCategory, Integer, MonotoneRegular, Regular, StrCategory,
+    Variable,
+)
 from . import oracle as orc
 from .plans.histogram import histogram, histogramdd
 from .plans import stats as st
@@ -116,7 +119,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
 # they lead the registry so the driver's ~50-query window is guaranteed
 # to reach them regardless of where they appear in this file.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "hist_adopt_roundtrip",
+    "hist_adopt_roundtrip", "hist_custom_transform_axis",
 )
 
 
@@ -261,6 +264,15 @@ _hist_query("hist_log_axis", "orders", ["o_totalprice"],
 # scan so Spark and DuckDB cannot diverge by a Math.pow ulp
 _hist_query("hist_pow_axis", "lineitem", ["l_quantity"],
             [Regular(12, 1.0, 51.0, transform="pow", power=2.0, exact=True)])
+# ARBITRARY monotone transform (MonotoneRegular — boost accepts any
+# transform; log/sqrt/pow were the hardcoded set): logit-spaced bins over
+# the discount ratio, flow on (0.0 discounts land in underflow).  The
+# driver-side callables only precompute the literal edges; the plan is
+# the same exact binary-search CASE tree as a Variable axis.
+_hist_query(
+    "hist_custom_transform_axis", "lineitem", ["l_discount"],
+    [MonotoneRegular.logit(8, 0.005, 0.105, exact=True)], flow=True,
+)
 
 
 # growth-axis emulation (binspec.Growth → discover-then-bin): the Spark

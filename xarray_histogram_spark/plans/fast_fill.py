@@ -54,8 +54,21 @@ def _spec_to_plain(spec: BinSpec) -> dict:
     mapInPandas closure must be fully self-contained (no references to this
     package, which Python workers cannot import unless the driver's CWD
     happens to be the repo)."""
+    from ..binspec import MonotoneRegular
+
     d = {"n": spec.n}
-    if isinstance(spec, Regular):
+    if isinstance(spec, MonotoneRegular):
+        # custom-transform axes: the exact literal-edge path serializes as
+        # plain edge data; the fast path would need the user's Python
+        # callable on workers — refuse rather than ship it silently
+        if not spec.exact:
+            raise TypeError(
+                "Arrow fill path supports MonotoneRegular only with "
+                "exact=True (literal edges); the fast path keeps the user "
+                "callable driver-side"
+            )
+        d.update(kind="edges", edges=spec.edges())
+    elif isinstance(spec, Regular):
         if spec.transform is not None and spec.exact:
             d.update(kind="edges", edges=spec.edges())
         else:

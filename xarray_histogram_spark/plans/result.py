@@ -537,7 +537,9 @@ class HistogramResult:
                 "overflow": int(any(b.id == s.n for b in emitted)),
             }
             edges = s.edges()
-            if edges is not None and type(s).__name__ in ("Regular", "Variable"):
+            if edges is not None and type(s).__name__ in (
+                "Regular", "MonotoneRegular", "Variable",
+            ):
                 attrs["right_edge"] = edges[-1]
             da.coords[f"{v}_bins"].attrs.update(attrs)
         return da
