@@ -39,3 +39,16 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
         assert df.count() >= 0
         return
     assert_matches_sql(df, sql, con)
+
+
+def test_registry_never_drops_entries(monkeypatch):
+    """Review regression: a name in BOTH _STALE_PRIORITY and
+    _DRIVER_VERIFIED must still appear (in the tail), not vanish."""
+    import xarray_histogram_spark.entry_queries as eq
+
+    all_names = set(eq._REGISTRY)
+    some_verified = next(iter(eq._DRIVER_VERIFIED & all_names))
+    monkeypatch.setattr(
+        eq, "_STALE_PRIORITY", eq._STALE_PRIORITY + (some_verified,)
+    )
+    assert set(eq.registry()) == all_names

@@ -566,3 +566,91 @@ def test_monotone_persistence_roundtrip(spark, lineitem, tmp_path):
 
 def dataclasses_astuple_safe(b):
     return (b.id, b.label, b.left, b.right, b.center, b.width, b.is_flow)
+
+
+def test_monotone_asinh_negative_range(spark):
+    """Review regression: the naive ln(x+sqrt(x²+1)) formulation cancels
+    catastrophically for negative x (argument rounds to 0 at x≤-6.7e7).
+    The sign-symmetric fast path must bin large negatives correctly."""
+    from xarray_histogram_spark import MonotoneRegular
+
+    spec = MonotoneRegular.asinh(10, -1e9, 1e9)
+    assert not spec.exact
+    vals = [-1e8, -6.7e7, -1e6, -1.0, 0.0, 1.0, 1e6, 1e8]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    r = histogram(df, "x", spec, flow=True)
+    got = {
+        row["x_bin"]: row["x_histogram"]
+        for row in r.df.collect()
+        if row["x_histogram"] > 0
+    }
+    # nothing lands in flow (all values are interior), and the exact path
+    # agrees bin-for-bin
+    assert -1 not in got and 10 not in got
+    exact = MonotoneRegular.asinh(10, -1e9, 1e9, exact=True)
+    got2 = {
+        row["x_bin"]: row["x_histogram"]
+        for row in histogram(df, "x", exact, flow=True).df.collect()
+        if row["x_histogram"] > 0
+    }
+    assert got == got2
+
+
+def test_monotone_fast_oracle_out_of_domain(spark, tmp_path):
+    """Review regression: DuckDB ln() RAISES on non-positive arguments, so
+    the named constructors' fwd_sql must be total — the fast-path oracle
+    over a column containing out-of-domain values (0.0, 1.0, negatives,
+    NaN, NULL) must run and route them to overflow on both engines."""
+    import duckdb
+
+    from xarray_histogram_spark import MonotoneRegular
+    from xarray_histogram_spark.oracle import histogram_oracle_sql
+
+    from .util import assert_matches_sql
+
+    spec = MonotoneRegular.logit(4, 0.1, 0.9)
+    assert not spec.exact
+    rows = [(0.0,), (1.0,), (-3.0,), (2.5,), (None,), (float("nan"),),
+            (0.25,), (0.5,), (0.75,), (0.15,)]
+    df = spark.createDataFrame(rows, "x double")
+    p = str(tmp_path / "vals.parquet")
+    df.coalesce(1).write.parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW vals AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    r = histogram(df, "x", spec, flow=True)
+    assert_matches_sql(
+        r.df, histogram_oracle_sql("vals", ["x"], [spec], flow=True), con
+    )
+
+
+def test_monotone_merge_across_constructions(spark, lineitem):
+    """Review regression: two separately constructed equal-parameter
+    MonotoneRegular axes must compare equal so shard merge works."""
+    from xarray_histogram_spark import MonotoneRegular
+
+    a = histogram(
+        lineitem.where(F_mod_even("l_orderkey")),
+        "l_discount", MonotoneRegular.logit(6, 0.005, 0.105, exact=True),
+        flow=True,
+    )
+    b = histogram(
+        lineitem.where(~F_mod_even("l_orderkey")),
+        "l_discount", MonotoneRegular.logit(6, 0.005, 0.105, exact=True),
+        flow=True,
+    )
+    whole = histogram(
+        lineitem, "l_discount",
+        MonotoneRegular.logit(6, 0.005, 0.105, exact=True), flow=True,
+    )
+    m = a.merge(b)
+    assert sorted(map(tuple, m.df.collect())) == sorted(
+        map(tuple, whole.df.collect())
+    )
+
+
+def F_mod_even(col):
+    from pyspark.sql import functions as _F
+
+    return (_F.col(col) % 2) == 0

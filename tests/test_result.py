@@ -562,3 +562,72 @@ def test_adopt_category_integer_axes(spark, lineitem):
     x = _pdf(h64.normalize().df, ["l_linenumber_bin"])
     y = _pdf(a64.normalize().df, ["l_linenumber_bin"])
     assert x.equals(y[x.columns])
+
+
+def test_adopt_ulp_drift_spacing(spark):
+    """Review regression: adoption maps must be keyed by the FRAME's own
+    label values — an inferred Regular recomputes lo + i·span/n, which
+    can drift from the stored labels by an ulp and a float-equality map
+    would emit NULL ids/metadata for those bins."""
+    from xarray_histogram_spark import Regular, adopt_dataframe, histogram
+
+    # bounds chosen so interior edges are NOT exactly representable
+    spec = Regular(7, -13.165623, 597.7217731)
+    rows = [(float(v),) for v in range(-20, 620, 7)]
+    df = spark.createDataFrame(rows, "x double")
+    h = histogram(df, "x", spec, flow=True)
+    a = adopt_dataframe(h.df)
+    rows_out = a._df.collect()
+    assert rows_out
+    for r in rows_out:
+        assert r["x_bin"] is not None, r
+        assert r["__x_width"] is not None and r["__x_is_flow"] is not None
+    x = sorted(map(tuple, h.df.collect()))
+    y = sorted(map(tuple, a.df.collect()))
+    assert x == y
+    # normalize works end-to-end off the adopted frame (no NULL pdf)
+    for r in a.normalize().df.collect():
+        assert r["x_pdf"] is not None
+
+
+def test_adopt_strict_name_validation(spark):
+    """Review regression: separator-less prefix matches and junk between
+    variables and the type suffix must raise."""
+    from xarray_histogram_spark import adopt_dataframe
+
+    # var named 'var' must NOT claim 'var1_histogram'
+    df = spark.createDataFrame(
+        [(0.0, 1.0, 2.0)],
+        "var_bins double, var1_histogram double, var1 double",
+    )
+    with pytest.raises(ValueError, match="unrecognized variables"):
+        adopt_dataframe(df, value_col="var1_histogram")
+    # junk between variable and type suffix
+    df2 = spark.createDataFrame(
+        [(0.0, 1.0)], "var1_bins double, var1_junk_histogram double"
+    )
+    with pytest.raises(ValueError, match="unrecognized variables"):
+        adopt_dataframe(df2)
+
+
+def test_read_result_fallback_on_full_internal_frame(spark, lineitem, tmp_path):
+    """Review regression: read_result's lost-sidecar fallback must adopt
+    write_result's OWN parquet (which contains __-prefixed internal
+    columns) — internals are dropped and rebuilt, not taken as group
+    keys."""
+    import os
+
+    h = histogram(
+        lineitem, "l_quantity", Regular(10, 0.0, 50.0),
+        group_by=["l_returnflag"], flow=True,
+    )
+    path = str(tmp_path / "full")
+    write_result(h, path)
+    os.remove(os.path.join(path, "_binspec.json"))  # lose the sidecar
+    r = read_result(spark, path)
+    assert r.group_by == ["l_returnflag"]
+    assert r.specs["l_quantity"] == Regular(10, 0.0, 50.0)
+    # accessor surface runs (no ambiguous-column AnalysisException)
+    a = _pdf(h.normalize().df, ["l_returnflag", "l_quantity_bin"])
+    b = _pdf(r.normalize().df, ["l_returnflag", "l_quantity_bin"])
+    assert a.equals(b[a.columns])

@@ -643,7 +643,19 @@ class MonotoneRegular(Regular):
     values below/above the span to under/overflow.  ``fwd_sql`` supplies
     the DuckDB mirror of the fast path when oracle parity is wanted there
     too (like pow, a within-1-ulp library function may disagree near an
-    edge — use ``exact=True`` when determinism matters).
+    edge — use ``exact=True`` when determinism matters).  BOTH builders
+    MUST be total: under ANSI mode (the Spark 4 default) an out-of-domain
+    division/function in ``fwd_col`` ABORTS the whole job, and DuckDB
+    math functions RAISE on out-of-domain arguments (``ln(0)`` is an
+    OutOfRange error, not NULL) — guard the domain with a ``when``/CASE
+    and return NULL out-of-domain, which routes to overflow (see the
+    ``logit`` constructor for the pattern on both sides).
+
+    Equality/hash ignore the callables (two lambdas never compare
+    equal) and compare the RESOLVED geometry — nbins/lo/hi/flow flags/
+    exact plus the computed edges, which pin the transform numerically —
+    so results built from two equal-parameter constructions merge()/
+    ``+`` cleanly.
 
     Persistence: ``to_dict`` serializes the RESOLVED edges as a Variable
     axis (callables cannot round-trip a JSON sidecar); a reloaded result
@@ -691,24 +703,64 @@ class MonotoneRegular(Regular):
             nbins, lo, hi,
             fwd=lambda x: math.log(x / (1.0 - x)),
             inv=lambda y: 1.0 / (1.0 + math.exp(-y)),
-            fwd_col=lambda c: F.log(c / (F.lit(1.0) - c)),
-            fwd_sql=lambda e: f"ln(({e}) / (1.0 - ({e})))",
+            # TOTAL column too: under ANSI mode (Spark 4 default) x=1
+            # would abort the whole job with DIVIDE_BY_ZERO; the CASE
+            # guard evaluates the division only in-domain, out-of-domain
+            # yields NULL -> overflow
+            fwd_col=lambda c: F.when(
+                (c > F.lit(0.0)) & (c < F.lit(1.0)),
+                F.log(c / (F.lit(1.0) - c)),
+            ),
+            # TOTAL mirror: DuckDB ln() RAISES on non-positive arguments
+            # (it does not return NULL like Spark), so the domain guard
+            # must come before the call — out-of-domain yields NULL, which
+            # raw_id_sql routes to overflow exactly like the Spark path
+            fwd_sql=lambda e: (
+                f"CASE WHEN ({e}) > 0.0 AND ({e}) < 1.0 "
+                f"THEN ln(({e}) / (1.0 - ({e}))) ELSE NULL END"
+            ),
             **kw,
         )
 
     @classmethod
     def asinh(cls, nbins: int, lo: float, hi: float, **kw) -> "MonotoneRegular":
         """asinh(x) — log-like compression that stays defined through 0 and
-        negatives (the standard symlog axis)."""
+        negatives (the standard symlog axis).
+
+        Formulated as ``sign(x)·ln(|x| + sqrt(x²+1))``: the naive
+        ``ln(x + sqrt(x²+1))`` cancels catastrophically for negative x
+        (at x ≤ -6.7e7 the argument rounds to 0 and ln degenerates
+        entirely); the sign-symmetric form is accurate over the full
+        range and its ln argument is always ≥ 1, so the SQL mirror is
+        total in DuckDB too."""
         return cls(
             nbins, lo, hi,
             fwd=math.asinh,
             inv=math.sinh,
-            # ln(x + sqrt(x²+1)) — same formulation in both engines so the
-            # fast path mirrors exactly where the libraries agree
-            fwd_col=lambda c: F.log(c + F.sqrt(c * c + F.lit(1.0))),
-            fwd_sql=lambda e: f"ln(({e}) + sqrt(({e})*({e}) + 1.0))",
+            fwd_col=lambda c: F.signum(c)
+            * F.log(F.abs(c) + F.sqrt(c * c + F.lit(1.0))),
+            fwd_sql=lambda e: (
+                f"sign({e}) * ln(abs({e}) + sqrt(({e})*({e}) + 1.0))"
+            ),
             **kw,
+        )
+
+    # resolved-geometry equality (see class docstring) ------------------
+    def __eq__(self, other: object) -> bool:
+        if other.__class__ is not self.__class__:
+            return NotImplemented
+        return (
+            self.nbins, self.lo, self.hi, self.underflow, self.overflow,
+            self.exact, tuple(self.edges()),
+        ) == (
+            other.nbins, other.lo, other.hi, other.underflow,
+            other.overflow, other.exact, tuple(other.edges()),
+        )
+
+    def __hash__(self) -> int:
+        return hash(
+            (self.nbins, self.lo, self.hi, self.underflow, self.overflow,
+             self.exact, tuple(self.edges()))
         )
 
     # driver-side transform hooks (edges/bins algebra reuses Regular's) --

@@ -136,7 +136,9 @@ def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
         (n, _REGISTRY[n]) for n in _STALE_PRIORITY
         if n in _REGISTRY and n not in seen and n not in _DRIVER_VERIFIED
     ]
-    seen |= set(_STALE_PRIORITY)
+    # only the names actually placed: a _STALE_PRIORITY name that has since
+    # been driver-verified must still appear in the tail, not vanish
+    seen |= {n for n, _ in prio}
     head = [
         (n, v) for n, v in items
         if n not in _DRIVER_VERIFIED and n not in seen
@@ -968,9 +970,16 @@ def _adopt_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "lineitem"), "l_quantity", spec,
         group_by=["l_returnflag"], flow=True,
     )
-    path = tempfile.mkdtemp(prefix="xhs_adopt_") + "/plain"
-    h.df.write.parquet(path)
+    # one session-scoped scratch dir, overwritten per call — repeated
+    # bench/driver invocations must not accumulate orphan temp dirs
+    path = _ADOPT_SCRATCH.setdefault(
+        sf_dir, tempfile.mkdtemp(prefix="xhs_adopt_") + "/plain"
+    )
+    h.df.write.mode("overwrite").parquet(path)
     return adopt_dataframe(spark.read.parquet(path)).normalize().df
+
+
+_ADOPT_SCRATCH: dict[str, str] = {}
 
 
 register(

@@ -399,11 +399,21 @@ def components_from_edges(
         # DataFrame stays fault-tolerantly backed.
         sc.setCheckpointDir(final_dir)
         result = result.checkpoint(eager=True)
-        _hadoop_delete(spark, work_dir)
         return result
     finally:
-        if prev_dir is not None:
-            sc.setCheckpointDir(prev_dir)
+        # scratch cleanup runs on BOTH success and failure paths — a
+        # mid-iteration error must not leak the per-round checkpoints
+        try:
+            _hadoop_delete(spark, work_dir)
+        except Exception:  # noqa: BLE001 - best-effort on teardown
+            pass
+        # restore the caller's checkpoint dir; with none previously set,
+        # park the global dir on the caller-owned parent so later foreign
+        # checkpoint() data never lands inside the deletable cc-final-*
+        # subdirectory.  (setCheckpointDir is SparkContext-GLOBAL: running
+        # two checkpoint_dir components calls concurrently on one context
+        # can cross their scratch dirs — serialize such calls.)
+        sc.setCheckpointDir(prev_dir if prev_dir is not None else checkpoint_dir)
 
 
 def _hadoop_delete(spark: SparkSession, path: str) -> None:

@@ -574,7 +574,9 @@ def _validate_value_name(name: str, variables: Sequence[str]) -> str:
     for _ in range(len(variables)):
         found = False
         for var in unaccounted:
-            if rest.startswith(var):
+            # require the separator: bare startswith(var) would let
+            # "var1_histogram" satisfy a variable named "var"
+            if rest.startswith(var + "_"):
                 found = True
                 rest = rest.removeprefix(var + "_")
                 unaccounted.remove(var)
@@ -588,6 +590,13 @@ def _validate_value_name(name: str, variables: Sequence[str]) -> str:
         raise ValueError(
             err + f"Variables {unaccounted} are not present in the name."
         )
+    if rest != vtype:
+        # leftover between the variables and the type suffix, e.g.
+        # "var1_junk_histogram"
+        raise ValueError(
+            err + "Name contains unrecognized variables "
+            f"(found variables are {list(variables)})."
+        )
     return vtype
 
 
@@ -596,14 +605,22 @@ def _isclose(a: float, b: float) -> bool:
     return abs(a - b) <= 1e-8 + 1e-5 * abs(b)
 
 
-def _infer_axis(var: str, pairs: list, dtype) -> "BinSpec":
+def _infer_axis(var: str, pairs: list, dtype) -> tuple:
     """Infer a BinSpec from one axis's distinct (id, label) pairs.
 
     The dtype of the label column picks the axis family (the reference's
     "Default is Regular" + right-edge inference, accessor.py:107-130);
     flow bins are recognized by THEIR label encodings (±inf / int64
     min-max / "_flow_bin" — binspec.py:36-38), the same encodings
-    ``to_xarray``/NetCDF round-trips use."""
+    ``to_xarray``/NetCDF round-trips use.
+
+    Returns ``(spec, frame_core_labels)``: for double axes,
+    ``frame_core_labels`` is the sorted list of the FRAME's actual core
+    label values — the inferred Regular recomputes its labels as
+    ``lo + i·span/n``, which can drift from the stored labels by an ulp,
+    so id/metadata lookups must be keyed by the frame's own values, not
+    the recomputation.  ``None`` for exact (int/string/bool) label types,
+    whose spec labels are constructed bit-identical from the frame's."""
     from pyspark.sql import types as T
 
     from ..binspec import (
@@ -632,12 +649,18 @@ def _infer_axis(var: str, pairs: list, dtype) -> "BinSpec":
                 f"Cannot infer right edge: bins for {var} are not "
                 "regularly spaced."
             )
-        return Regular(
-            len(core), core[0], core[-1] + diffs[0],
-            underflow=under, overflow=over,
+        return (
+            Regular(
+                len(core), core[0], core[-1] + diffs[0],
+                underflow=under, overflow=over,
+            ),
+            core,
         )
     if isinstance(dtype, T.BooleanType):
-        return Integer(0, 2, underflow=False, overflow=False, bool_labels=True)
+        return (
+            Integer(0, 2, underflow=False, overflow=False, bool_labels=True),
+            None,
+        )
     if isinstance(
         dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     ):
@@ -649,8 +672,9 @@ def _infer_axis(var: str, pairs: list, dtype) -> "BinSpec":
             raise ValueError(f"bins for {var}: no core (non-flow) bins")
         consecutive = core == list(range(core[0], core[-1] + 1))
         if consecutive:
-            return Integer(
-                core[0], core[-1] + 1, underflow=under, overflow=over
+            return (
+                Integer(core[0], core[-1] + 1, underflow=under, overflow=over),
+                None,
             )
         if under:
             raise ValueError(
@@ -658,7 +682,7 @@ def _infer_axis(var: str, pairs: list, dtype) -> "BinSpec":
                 "underflow sentinel cannot be represented (IntCategory "
                 "has no underflow)"
             )
-        return IntCategory(tuple(core), overflow=over)
+        return IntCategory(tuple(core), overflow=over), None
     if isinstance(dtype, T.StringType):
         over = FLOW_STR in labels
         core = [l for l in labels if l != FLOW_STR]
@@ -666,7 +690,7 @@ def _infer_axis(var: str, pairs: list, dtype) -> "BinSpec":
             core = sorted(core)
         if not core:
             raise ValueError(f"bins for {var}: no core (non-flow) bins")
-        return StrCategory(tuple(core), overflow=over)
+        return StrCategory(tuple(core), overflow=over), None
     raise TypeError(
         f"bins for {var}: unsupported label dtype {dtype.simpleString()}"
     )
@@ -691,7 +715,10 @@ def adopt_dataframe(
     - a value column named ``<v1>_..._<vN>_{histogram|pdf}`` (validated
       by the reference's greedy decomposition; pass ``value_col=`` to
       skip discovery when other columns share the suffix);
-    - every other column is taken as a group (loop-dim) key;
+    - every other column is taken as a group (loop-dim) key — except
+      ``__``-prefixed columns, this engine's internal-metadata convention,
+      which are DROPPED and rebuilt (so ``read_result``'s lost-sidecar
+      fallback adopts this engine's own full ``_df`` parquet cleanly);
     - a ``<var>_bin`` integer id column is OPTIONAL: when present it
       fixes category order; ids are (re)derived from the labels via the
       inferred spec either way, so foreign id conventions cannot corrupt
@@ -704,6 +731,9 @@ def adopt_dataframe(
     returned result supports the full accessor surface (normalize, stats,
     rebin, slice, merge, export).
     """
+    internal = [c for c in df.columns if c.startswith("__")]
+    if internal:
+        df = df.drop(*internal)
     cols = df.columns
     variables = [c[: -len("_bins")] for c in cols if c.endswith("_bins")]
     variables = [v for v in variables if v]
@@ -747,6 +777,7 @@ def adopt_dataframe(
     row = df.agg(*aggs).first()
 
     specs: dict[str, BinSpec] = {}
+    frame_core: dict[str, Optional[list]] = {}
     flow = False
     for v in variables:
         pairs = [(r["i"], r["l"]) for r in row[f"__lab_{v}"]]
@@ -757,8 +788,9 @@ def adopt_dataframe(
             )
         if not pairs:
             raise ValueError(f"bins for {v}: no labels (empty frame?)")
-        spec = _infer_axis(v, pairs, schema[f"{v}_bins"].dataType)
+        spec, core_labels = _infer_axis(v, pairs, schema[f"{v}_bins"].dataType)
         specs[v] = spec
+        frame_core[v] = core_labels
         flow = flow or any(b.is_flow for b in spec.bins(True))
 
     consumed = (
@@ -775,22 +807,40 @@ def adopt_dataframe(
         vdt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     )
 
-    def lit_map(spec: BinSpec, value_of) -> Column:
+    def keyed_bins(v: str) -> list:
+        """(map_key, Bin) pairs: keys are the FRAME's own label values.
+        An inferred Regular recomputes core labels as lo + i·span/n,
+        which can drift from the stored labels by an ulp — a float-equal
+        map keyed on the recomputation would miss those bins and emit
+        NULL ids/metadata.  Core double keys therefore come from the
+        collected frame labels (sorted ascending = id order); flow and
+        exact-typed labels are bit-identical by construction."""
+        s = specs[v]
+        core = frame_core[v]
+        out = []
+        for b in s.bins(flow):
+            if b.is_flow or core is None:
+                out.append((b.label, b))
+            else:
+                out.append((core[b.id], b))
+        return out
+
+    def lit_map(kb: list, value_of) -> Column:
         kvs: list[Column] = []
-        for b in spec.bins(flow):
-            kvs.append(F.lit(b.label))
+        for key, b in kb:
+            kvs.append(F.lit(key))
             kvs.append(F.lit(value_of(b)))
         return F.create_map(*kvs)
 
     proj: list[Column] = [F.col(c) for c in group_by]
     for v in variables:
-        s = specs[v]
+        kb = keyed_bins(v)
         lab = F.col(f"{v}_bins")
-        proj.append(lit_map(s, lambda b: b.id)[lab].cast("int").alias(f"{v}_bin"))
+        proj.append(lit_map(kb, lambda b: b.id)[lab].cast("int").alias(f"{v}_bin"))
         proj.append(lab)
-        proj.append(lit_map(s, lambda b: float(b.width))[lab].alias(f"__{v}_width"))
-        proj.append(lit_map(s, lambda b: float(b.center))[lab].alias(f"__{v}_center"))
-        proj.append(lit_map(s, lambda b: bool(b.is_flow))[lab].alias(f"__{v}_is_flow"))
+        proj.append(lit_map(kb, lambda b: float(b.width))[lab].alias(f"__{v}_width"))
+        proj.append(lit_map(kb, lambda b: float(b.center))[lab].alias(f"__{v}_center"))
+        proj.append(lit_map(kb, lambda b: bool(b.is_flow))[lab].alias(f"__{v}_is_flow"))
     proj.append(F.col(value_col))
     proj.append(
         F.col(value_col).cast("bigint" if int_mode else "double").alias("__val")

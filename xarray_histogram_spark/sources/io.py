@@ -84,7 +84,11 @@ def read_result(spark: SparkSession, path: str) -> HistogramResult:
     (accessor.py:49-130)."""
     try:
         raw = _sidecar_read(spark, path)
-    except Exception:  # noqa: BLE001 - Hadoop FileNotFound via py4j
+    except Exception as e:  # noqa: BLE001 - Hadoop errors arrive via py4j
+        # only a MISSING sidecar falls back to adoption; transient IO or
+        # permission failures must surface, not silently re-infer specs
+        if "FileNotFoundException" not in str(e):
+            raise
         from ..plans.result import adopt_dataframe
 
         return adopt_dataframe(spark.read.parquet(path))
