@@ -631,3 +631,29 @@ def test_read_result_fallback_on_full_internal_frame(spark, lineitem, tmp_path):
     a = _pdf(h.normalize().df, ["l_returnflag", "l_quantity_bin"])
     b = _pdf(r.normalize().df, ["l_returnflag", "l_quantity_bin"])
     assert a.equals(b[a.columns])
+
+
+def test_adopt_multivar_2d(spark, lineitem):
+    """2-D adoption: greedy name decomposition over two variables, two
+    axis families (Regular + Variable-incompatible StrCategory), group
+    keys preserved."""
+    from xarray_histogram_spark import StrCategory, adopt_dataframe
+
+    h = histogramdd(
+        lineitem, ["l_quantity", "l_returnflag"],
+        [Regular(5, 0.0, 50.0), StrCategory(("A", "N", "R"))],
+        group_by=["l_linestatus"],
+    )
+    a = adopt_dataframe(h.df)
+    assert a.variables == ["l_quantity", "l_returnflag"]
+    assert a.group_by == ["l_linestatus"]
+    assert a.specs["l_returnflag"] == StrCategory(("A", "N", "R"), overflow=False)
+    x = _pdf(h.df, ["l_linestatus", "l_quantity_bin", "l_returnflag_bin"])
+    y = _pdf(a.df, ["l_linestatus", "l_quantity_bin", "l_returnflag_bin"])
+    assert x.equals(y[x.columns])
+    # partial normalize over one variable works off the adopted frame
+    n1 = _pdf(h.normalize(["l_quantity"]).df,
+              ["l_linestatus", "l_quantity_bin", "l_returnflag_bin"])
+    n2 = _pdf(a.normalize(["l_quantity"]).df,
+              ["l_linestatus", "l_quantity_bin", "l_returnflag_bin"])
+    assert n1.equals(n2[n1.columns])
