@@ -408,3 +408,108 @@ def test_range_join_count_property(spark, lrows, rrows, w):
         for lid, k, t in left_rows
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# round-6 surfaces: MonotoneRegular + adoption
+# ---------------------------------------------------------------------------
+
+
+def py_monotone_id(spec, x):
+    """Executable spec for the MonotoneRegular FAST path: bucket the
+    transformed value against transformed bounds; NULL/NaN input or an
+    out-of-domain (NaN/undefined) transform result -> overflow."""
+    if x is None or math.isnan(x):
+        return spec.n
+    try:
+        y = spec.fwd(x)
+    except (ValueError, OverflowError, ZeroDivisionError):
+        return spec.n
+    if y is None or math.isnan(y):
+        return spec.n
+    lo, hi = spec.fwd(spec.lo), spec.fwd(spec.hi)
+    if y < lo:
+        return -1
+    if y >= hi:
+        return spec.n
+    return min(int(math.floor((y - lo) * spec.n / (hi - lo))), spec.n - 1)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(min_value=-2.0, max_value=3.0),
+            st.just(float("nan")),
+            st.just(float("inf")),
+            st.just(float("-inf")),
+            st.none(),
+            st.floats(min_value=0.005, max_value=0.995),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_monotone_logit_fast_property(spark, values):
+    from xarray_histogram_spark.binspec import MonotoneRegular
+
+    spec = MonotoneRegular.logit(6, 0.05, 0.9)
+    got = spark_ids(spark, spec, values)
+    exp = [py_monotone_id(spec, v) for v in values]
+    assert got == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(min_value=-1e12, max_value=1e12),
+            st.floats(min_value=-2e8, max_value=-5e7),  # cancellation zone
+            st.just(float("nan")),
+            st.just(float("inf")),
+            st.just(float("-inf")),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_monotone_asinh_exact_property(spark, values):
+    """Exact path: ids equal the literal-edge scan of a Variable over the
+    same edges (the defining equivalence), for the full adversarial float
+    menagerie including the negative cancellation zone."""
+    from xarray_histogram_spark.binspec import MonotoneRegular
+
+    spec = MonotoneRegular.asinh(8, -1e9, 1e9, exact=True)
+    v = Variable(tuple(spec.edges()))
+    got = spark_ids(spark, spec, values)
+    exp = spark_ids(spark, v, values)
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=12),
+    lo=st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    span=st.floats(min_value=1e-3, max_value=1e6, allow_nan=False),
+)
+def test_adopt_regular_roundtrip_property(spark, n, lo, span):
+    """Any Regular histogram frame adopts back with NO NULL ids/metadata
+    and identical public rows — including axes whose recomputed labels
+    drift from the stored ones by an ulp (the map is keyed on the frame's
+    own labels)."""
+    from xarray_histogram_spark import Regular, adopt_dataframe, histogram
+
+    spec = Regular(n, lo, lo + span)
+    vals = [lo + span * k / 7.0 for k in range(-2, 10)]
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    h = histogram(df, "x", spec, flow=True)
+    a = adopt_dataframe(h.df)
+    rows = a._df.collect()
+    assert rows
+    for r in rows:
+        assert r["x_bin"] is not None
+        assert r["__x_width"] is not None and r["__x_is_flow"] is not None
+    assert sorted(map(tuple, h.df.collect())) == sorted(
+        map(tuple, a.df.collect())
+    )
