@@ -121,5 +121,28 @@ ms = xhs.mean_storage_histogram(dfw, "temp", xhs.Regular(6, 0.0, 30.0), "w",
 assert {"count", "mean", "variance"} <= set(ms.columns)
 # merge (+), rebin, project, UHI slice — see README table.
 
+# ---- 12. arbitrary monotone transforms (boost allows any; ref hardcodes log)
+# accessor story: any strictly-increasing (fwd, inv) pair; named logit/asinh
+# constructors ship total, mirror-exact builders.  exact=True compiles to
+# literal edges — zero Python on executors.
+hm = xhs.histogram(
+    dfw, "temp", xhs.MonotoneRegular.asinh(6, 0.0, 30.0, exact=True)
+)
+assert hm.df.count() == 6
+
+# ---- 13. foreign-histogram adoption (the accessor's interop story) ----------
+# reference: the `hist` accessor attaches to ANY well-named DataArray and
+# infers missing right_edge metadata (accessor.py:107-130).  Engine: adopt
+# a plain histogram frame (no sidecar) by the same naming convention.
+import tempfile as _tf
+
+_p = _tf.mkdtemp(prefix="xhs_example_") + "/plain"
+h.df.write.parquet(_p)                      # PUBLIC frame, no metadata
+adopted = xhs.adopt_dataframe(spark.read.parquet(_p))
+# right edge re-inferred from the evenly spaced labels; flow flags come
+# from what the frame actually contains (h was built flow=False)
+assert adopted.specs["temp"].edges() == h.specs["temp"].edges()
+assert adopted.normalize().df.count() == h.df.count()
+
 print("migration guide: all mappings verified OK")
 spark.stop()
