@@ -331,3 +331,44 @@ def test_adv_streaming_mirrors(spark, tmp_path):
     ):
         fn, sql = eq._REGISTRY[name]
         assert_matches_sql(fn(spark, d), sql, con)
+
+
+def test_adv_decode_meta(spark, adv):
+    """Multimodal metadata mirror over the crafted corpus: NULL text,
+    empty payloads, multibyte unicode, embedded quotes — octet_length and
+    md5-prefix must agree byte-for-byte across engines."""
+    from xarray_histogram_spark.operators import multimodal as mm
+
+    df, con = adv
+    media = mm.as_media(df, "doc_id", "text", "text/plain")
+    _check(mm.decode_meta(media),
+           mm.decode_meta_sql("adocs", "doc_id", "text"), con)
+
+
+def test_adv_codec_extreme_ids(spark):
+    """Synth→decode round-trips hold for negative, zero, and huge media
+    ids (Python %256 is floor-mod, so payload bytes stay valid for any
+    id; the decoders recover the exact generated rasters/samples)."""
+    from xarray_histogram_spark.operators import multimodal as mm
+
+    ids = [-7, -1, 0, 3, 2**31 - 1, 2**40]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    img = {r["media_id"]: r for r in mm.decode_image(
+        mm.synth_bmp_media(docs, "doc_id")).collect()}
+    assert set(img) == set(ids)
+    for i in ids:
+        want = sum((i * 31 + k) % 256 for k in range(45))
+        assert img[i]["px_sum"] == want and img[i]["width"] == 5
+        assert img[i]["topleft_r"] == (i * 31) % 256
+    frames = mm.sample_frames(
+        mm.synth_video_media(docs, "doc_id", n_frames=4, width=4, height=3),
+        every_n=2,
+    ).collect()
+    assert {r["media_id"] for r in frames} == set(ids)
+    for r in frames:
+        i, f = r["media_id"], r["frame_idx"]
+        assert r["px_sum"] == sum((i * 31 + f * 7 + k) % 256 for k in range(36))
+    aud = {r["media_id"]: r for r in mm.decode_audio(
+        mm.synth_wav_media(docs, "doc_id")).collect()}
+    for i in ids:
+        assert aud[i]["format"] == "wav" and aud[i]["n_samples"] > 0

@@ -112,6 +112,9 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # chunk_assignments window gained a token-count secondary sort key on
     # both engines (ADVICE r05: duplicate-id tie determinism).
     "sample_pack_chunks",
+    # decode_meta oracle: encode() instead of CAST(... AS BLOB), which
+    # RAISES on non-ASCII text (battery-found; ASCII fixtures masked it).
+    "mm_decode_meta",
 )
 
 

@@ -100,10 +100,15 @@ def decode_meta(media: DataFrame) -> DataFrame:
 
 
 def decode_meta_sql(table: str, id_col: str, payload_expr: str) -> str:
-    """DuckDB mirror of decode_meta over the same source column."""
+    """DuckDB mirror of decode_meta over the same source column.
+
+    ``encode()`` (VARCHAR → UTF-8 BLOB), not ``CAST(... AS BLOB)``: the
+    cast RAISES on any non-ASCII character ("must be escaped with hex
+    codes"), so the old form worked on the ASCII fixtures but broke on
+    any real multibyte corpus — found by the adversarial battery."""
     return (
         f"SELECT CAST({id_col} AS BIGINT) AS media_id, "
-        f"CAST(octet_length(CAST({payload_expr} AS BLOB)) AS BIGINT) AS n_bytes, "
+        f"CAST(octet_length(encode({payload_expr})) AS BIGINT) AS n_bytes, "
         f"substring(md5({payload_expr}), 1, 8) AS fp8 FROM {table}"
     )
 
