@@ -372,3 +372,58 @@ def test_adv_codec_extreme_ids(spark):
         mm.synth_wav_media(docs, "doc_id")).collect()}
     for i in ids:
         assert aud[i]["format"] == "wav" and aud[i]["n_samples"] > 0
+
+
+def test_adv_similarity_mirrors(spark, tmp_path):
+    """Similarity mirrors over crafted embeddings: exact duplicate of the
+    query, NaN element, zero-norm, NULL vector, NULL id — rankings and
+    pair sets must match DuckDB exactly (total cosine: zero-norm →
+    try_divide NULL, non-finite sims → NULL, NULLs sort last)."""
+    import math
+
+    import duckdb
+
+    from xarray_histogram_spark.operators import similarity as sim
+
+    DIM = 64
+
+    def vec(seed, bad=None):
+        v = [math.sin(seed * 13.7 + k) for k in range(DIM)]
+        if bad == "nan":
+            v[3] = float("nan")
+        if bad == "zero":
+            v = [0.0] * DIM
+        return v
+
+    rows = [
+        (0, vec(0), 1), (1, vec(0), 1),           # query + exact dup
+        (2, vec(5), 2), (3, vec(0, "nan"), 2),    # NaN element
+        (4, vec(0, "zero"), 3), (5, None, 3),     # zero norm, NULL vec
+        (None, vec(9), 1),                        # NULL id
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    p = str(tmp_path / "emb.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    src = spark.read.parquet(p)
+    _check(sim.cosine_topk(src, query_id=0, k=5),
+           sim.cosine_topk_sql("embeddings", query_id=0, k=5), con)
+    _check(sim.embed_dup_pairs(src, threshold=0.3),
+           sim.embed_dup_pairs_sql("embeddings", threshold=0.3), con)
+    _check(sim.ann_topk(src, query_id=0, k=5),
+           sim.ann_topk_sql("embeddings", query_id=0, k=5), con)
+    _check(sim.ivf_topk(src, query_id=0, k=5),
+           sim.ivf_topk_sql("embeddings", query_id=0, k=5), con)
+    # dimension-mismatch contract: one corrupt (short/empty) vector must
+    # RAISE the explicit guard, not silently degrade rankings
+    bad = df.unionByName(
+        spark.createDataFrame([(7, [1.0, 2.0], 2)],
+                              "vec_id long, embedding array<float>, label int")
+    )
+    with pytest.raises(Exception, match="dimension mismatch"):
+        sim.cosine_topk(bad, query_id=0, k=5).collect()
