@@ -657,3 +657,16 @@ def test_adopt_multivar_2d(spark, lineitem):
     n2 = _pdf(a.normalize(["l_quantity"]).df,
               ["l_linestatus", "l_quantity_bin", "l_returnflag_bin"])
     assert n1.equals(n2[n1.columns])
+
+
+def test_adopt_rejects_null_labels(spark):
+    """A NULL bin label is a malformed frame — must raise, not adopt with
+    silent NULL ids."""
+    from xarray_histogram_spark import adopt_dataframe
+
+    df = spark.createDataFrame(
+        [(0.0, 1.0), (None, 2.0), (1.0, 3.0)],
+        "var1_bins double, var1_histogram double",
+    )
+    with pytest.raises(ValueError, match="NULL labels"):
+        adopt_dataframe(df)

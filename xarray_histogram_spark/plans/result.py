@@ -774,7 +774,16 @@ def adopt_dataframe(
                 _ADOPT_MAX_BINS + 1,
             ).alias(f"__lab_{v}")
         )
+        # same job: a NULL label anywhere is a malformed histogram frame —
+        # it would otherwise adopt with silent NULL ids poisoning stats
+        aggs.append(F.max(lab.isNull()).alias(f"__null_{v}"))
     row = df.agg(*aggs).first()
+    for v in variables:
+        if row[f"__null_{v}"]:
+            raise ValueError(
+                f"bins for {v}: NULL labels present — not a well-formed "
+                "histogram frame"
+            )
 
     specs: dict[str, BinSpec] = {}
     frame_core: dict[str, Optional[list]] = {}
