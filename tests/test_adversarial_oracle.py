@@ -427,3 +427,135 @@ def test_adv_similarity_mirrors(spark, tmp_path):
     )
     with pytest.raises(Exception, match="dimension mismatch"):
         sim.cosine_topk(bad, query_id=0, k=5).collect()
+
+
+PII_ROWS = [
+    (1, "a@b.co", "en", "s0"),                        # whole text IS the email
+    (2, "x 12.3.4.5@host999-123-4567.example.com y", "en", "s1"),  # chain order
+    (3, "почта: юзер@пример.рф and real@ex.com", "fr", "s0"),  # non-ASCII local
+    (4, "tel +123456 too short, +1234567 ok", "de", "s1"),  # 6 vs 7 digits
+    (5, "999.999.999.999 and 1.2.3.4.5 runs", "de", "s0"),  # degenerate IPs
+    (6, "regex meta []()*+?{}| \\d $1 literals", "en", "s1"),
+    (7, None, "en", "s0"),
+    (8, "", "und", "s1"),
+    (9, "123-45-678 no, 123-45-6789 yes, 1234-56-7890?", "en", "s0"),
+    (10, "a@b.co.a@b.co chained emails", "en", "s1"),
+    (11, "see https://ex.org/a?b=c#d, http://EX.org and https://", "en", "s0"),
+    (12, "url in quotes 'https://q.net/x' and (http://p.io/y)", "de", "s1"),
+    (13, "ftp://not.matched and https//broken.org", "fr", "s0"),
+    (14, "multi https://a.io/1 https://a.io/1 same url twice", "en", "s1"),
+]
+
+
+@pytest.fixture(scope="module")
+def advp(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("advp") / "docs.parquet")
+    df = spark.createDataFrame(
+        PII_ROWS, "doc_id long, text string, lang string, source string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW pdocs AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    return spark.read.parquet(p), con
+
+
+def test_adv_pii_scrub(spark, advp):
+    """PII mirror over edge inputs: emails at string boundaries, the
+    redaction-chain-order trap, almost-matches (6-digit phone, 5-octet
+    'IP'), regex metacharacters IN the text, NULL/empty text."""
+    df, con = advp
+    _check(tx.pii_scrub(df, "text", "doc_id"),
+           tx.pii_scrub_sql("pdocs", "text", "doc_id"), con)
+
+
+def test_adv_extract_urls(spark, advp):
+    """URL mirror: scheme-only tail, uppercase host, quoted/parenthesised
+    URLs (class excludes quotes/parens), duplicate URLs keep distinct
+    1-based positions, non-matching schemes yield no rows."""
+    df, con = advp
+    _check(tx.extract_urls(df, "text", "doc_id"),
+           tx.extract_urls_sql("pdocs", "text", "doc_id"), con)
+
+
+def test_adv_balanced_sample(spark, advp):
+    """Balanced-mixture mirror: NULL group key forms its own group; the
+    HUGEINT-division thresholds must reproduce the Python integers."""
+    df, con = advp
+    withnull = df.withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, None).otherwise(F.col("lang"))
+    )
+    con.execute(
+        "CREATE OR REPLACE VIEW ndocs AS SELECT doc_id, text, "
+        "CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang, source "
+        "FROM pdocs"
+    )
+    _check(
+        sp.balanced_sample(withnull, "lang", "doc_id", 2).select(
+            "doc_id", "lang"
+        ),
+        sp.balanced_sample_sql("ndocs", ["doc_id", "lang"], "lang",
+                               "doc_id", 2),
+        con,
+    )
+    # NULL *sampling key* inside a kept-whole group: must drop on BOTH
+    # engines (review-found: a bare `n <= target OR draw < thr` oracle
+    # short-circuits TRUE and keeps it while Spark's NULL draw drops it)
+    kdf = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (None, "a"), (10, "b"), (11, "b")],
+        "id LONG, grp STRING",
+    )
+    con.execute(
+        "CREATE OR REPLACE VIEW kdocs AS "
+        "SELECT CAST(id AS BIGINT) AS id, grp FROM (VALUES "
+        "(1, 'a'), (2, 'a'), (NULL, 'a'), (10, 'b'), (11, 'b')"
+        ") v(id, grp)"
+    )
+    out = sp.balanced_sample(kdf, "grp", "id", 5)
+    assert out.where(F.col("id").isNull()).count() == 0
+    _check(
+        out.select("id", "grp"),
+        sp.balanced_sample_sql("kdocs", ["id", "grp"], "grp", "id", 5),
+        con,
+    )
+
+
+def test_adv_ann_batch(spark, tmp_path):
+    """Batch-ANN mirror over the crafted embeddings (NaN element,
+    zero-norm, NULL vector, NULL id): per-query rankings must match."""
+    import math
+
+    import duckdb as _d
+
+    from xarray_histogram_spark.operators import similarity as sim
+
+    DIM = 64
+
+    def vec(seed, bad=None):
+        v = [math.sin(seed * 13.7 + k) for k in range(DIM)]
+        if bad == "nan":
+            v[3] = float("nan")
+        if bad == "zero":
+            v = [0.0] * DIM
+        return v
+
+    rows = [
+        (0, vec(0), 1), (1, vec(0), 1),
+        (2, vec(5), 2), (3, vec(0, "nan"), 2),
+        (4, vec(0, "zero"), 3), (5, None, 3),
+        (None, vec(9), 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    p = str(tmp_path / "emb.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    con = _d.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    src = spark.read.parquet(p)
+    # query 4 is the zero-norm vector: every cosine NULL, ranks by id only
+    _check(sim.ann_topk_batch(src, [0, 2, 4], k=5),
+           sim.ann_topk_batch_sql("embeddings", [0, 2, 4], k=5), con)

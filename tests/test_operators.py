@@ -1220,3 +1220,155 @@ def test_cosine_nan_vector_drops_out(spark, tmp_path):
         planes=V.hyperplanes(4, 4, seed=42),
     )
     assert all(3 not in (r["id_a"], r["id_b"]) for r in pairs.collect())
+
+
+# ---------------------------------------------------------------------------
+# round-6 second batch: balanced mixture, PII scrub, URL extraction, batch ANN
+# ---------------------------------------------------------------------------
+
+
+def test_balanced_sample_caps_expected_group_size(spark, docs):
+    from xarray_histogram_spark.operators import sampling as sp
+
+    counts = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    out = sp.balanced_sample(docs, "lang", "doc_id", 100)
+    got = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    for g, n in counts.items():
+        if n <= 100:
+            assert got.get(g, 0) == n  # small groups kept whole
+        else:
+            # expected 100; the draw is uniform so allow wide slack
+            # (<= n, not < n: a group barely over target can legitimately
+            # keep every row under its ~n/target rate)
+            assert 0 < got.get(g, 0) <= n
+
+
+def test_balanced_sample_matches_manual_md5(spark, docs):
+    # row membership is a pure function of md5(key) vs the exact integer
+    # threshold — recompute both driver-side
+    import hashlib
+
+    from xarray_histogram_spark.operators import sampling as sp
+
+    rows = docs.select("doc_id", "lang").collect()
+    counts = {}
+    for r in rows:
+        counts[r.lang] = counts.get(r.lang, 0) + 1
+    target = 100
+    expect = set()
+    for r in rows:
+        n = counts[r.lang]
+        if n <= target:
+            expect.add(r.doc_id)
+            continue
+        draw = hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8]
+        if draw < format(target * 16**8 // n, "08x"):
+            expect.add(r.doc_id)
+    got = {
+        r.doc_id
+        for r in sp.balanced_sample(docs, "lang", "doc_id", 100)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == expect
+
+
+def test_balanced_sample_null_group_and_validation(spark):
+    from xarray_histogram_spark.operators import sampling as sp
+
+    df = spark.createDataFrame(
+        [(i, None if i % 2 else "g") for i in range(40)], "id INT, grp STRING"
+    )
+    out = sp.balanced_sample(df, "grp", "id", 5)
+    # NULL keys form their own downsampled group, not a dropped one
+    assert out.where(F.col("grp").isNull()).count() > 0
+    with pytest.raises(ValueError):
+        sp.balanced_sample(df, "grp", "id", 0)
+
+
+def test_pii_scrub_redacts_each_class(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "ssn 123-45-6789 ok"),
+            (3, "call +4915112345678 or 555-123-4567"),
+            (4, "host 192.168.0.1 down"),
+            (5, None),
+            (6, "plain text, no pii"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {r.doc_id: r for r in tx.pii_scrub(df, "text", "doc_id").collect()}
+    assert out[1].n_email == 1 and "<EMAIL>" in out[1].text_scrubbed
+    assert "bob" not in out[1].text_scrubbed
+    assert out[2].n_ssn == 1 and "<ID>" in out[2].text_scrubbed
+    assert out[3].n_phone == 2 and out[3].text_scrubbed.count("<PHONE>") == 2
+    assert out[4].n_ipv4 == 1 and "<IP>" in out[4].text_scrubbed
+    # NULL text propagates (never a crash, never a fake count)
+    assert out[5].text_scrubbed is None and out[5].n_pii is None
+    assert out[6].n_pii == 0 and out[6].text_scrubbed == "plain text, no pii"
+
+
+def test_pii_scrub_chain_order_no_double_fire(spark):
+    # digits inside an e-mail must not ALSO fire the phone/ipv4 rules:
+    # later patterns run on the already-redacted text
+    df = spark.createDataFrame(
+        [(1, "x 12.3.4.5@host999-123-4567.example.com y")],
+        "doc_id INT, text STRING",
+    )
+    r = tx.pii_scrub(df, "text", "doc_id").collect()[0]
+    assert r.n_email == 1
+    assert r.n_ipv4 == 0 and r.n_phone == 0 and r.n_ssn == 0
+    assert r.n_pii == 1
+
+
+def test_extract_urls_positions_and_domains(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see https://A.Example.org/x?k=1 and http://b.net/y."),
+            (2, "no links here"),
+            (3, None),
+        ],
+        "doc_id INT, text STRING",
+    )
+    rows = tx.extract_urls(df, "text", "doc_id").collect()
+    assert {r.doc_id for r in rows} == {1}
+    by_pos = {r.pos: r for r in rows}
+    assert by_pos[1].url == "https://A.Example.org/x?k=1"
+    assert by_pos[1].domain == "a.example.org"  # lowercased host
+    # the trailing '.' is outside the URL class only when prose follows;
+    # 'b.net/y.' keeps the dot-run — assert the domain, not the tail
+    assert by_pos[2].domain == "b.net"
+
+
+def test_ann_topk_batch_consistent_with_single(spark, emb):
+    single = {
+        r.vec_id: r.cos
+        for r in sim.ann_topk(emb, query_id=7, k=5).collect()
+    }
+    batch = {
+        r.vec_id: r.cos
+        for r in sim.ann_topk_batch(emb, [7], k=5).collect()
+    }
+    assert batch == single
+
+
+def test_ann_topk_batch_validation(spark, emb):
+    with pytest.raises(ValueError):
+        sim.ann_topk_batch(emb, [])
+    with pytest.raises(ValueError):
+        sim.ann_topk_batch(emb, [1, 1])
+    with pytest.raises(ValueError):
+        sim.ann_topk_batch(emb, [0, 10_000_000])
+
+
+def test_ann_topk_batch_shape(spark, emb):
+    out = sim.ann_topk_batch(emb, [0, 7, 13], k=5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.query_id, []).append(r)
+        assert r.vec_id != r.query_id  # self excluded
+    assert set(per) == {0, 7, 13}
+    for qid, rows in per.items():
+        assert len(rows) == 5
+        assert sorted(r.rk for r in rows) == [1, 2, 3, 4, 5]

@@ -123,6 +123,9 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
 # to reach them regardless of where they appear in this file.
 _NEW_THIS_ROUND: tuple[str, ...] = (
     "hist_adopt_roundtrip", "hist_custom_transform_axis",
+    # second round-6 batch: training-data curation ops
+    "sample_balanced", "text_pii_scrub", "text_url_extract",
+    "text_url_cap_domain", "sim_ann_batch",
 )
 
 
@@ -677,6 +680,15 @@ register(
     lambda spark, sf_dir: sim.ivf_topk(t(spark, sf_dir, "embeddings"), query_id=0),
     sim.ivf_topk_sql("embeddings", query_id=0),
 )
+register(
+    # batched multiprobe ANN: top-k for every query in ONE plan — probes
+    # ranked per query, one broadcast bucket join, per-query window top-k
+    "sim_ann_batch",
+    lambda spark, sf_dir: sim.ann_topk_batch(
+        t(spark, sf_dir, "embeddings"), [0, 7, 13], k=5
+    ),
+    sim.ann_topk_batch_sql("embeddings", [0, 7, 13], k=5),
+)
 # token_count / quality_score / lang_id keep t_wide: measured (round 5,
 # interleaved A/B on the 1-split sf0.1 scan) the repartition more than
 # pays for itself — quality_score min 133 ms wide vs 230 ms plain —
@@ -920,6 +932,19 @@ register(
     ),
 )
 register(
+    # mixture rebalancing: downsample every language to an EXPECTED 100
+    # docs (en 218→~100 at sf0.01, the rest kept whole) — k-row count
+    # aggregate → literal CASE filter, exact integer thresholds on both
+    # engines (floor(target·16⁸/n) vs HUGEINT division)
+    "sample_balanced",
+    lambda spark, sf_dir: sp.balanced_sample(
+        t(spark, sf_dir, "documents"), "lang", "doc_id", 100
+    ).select("doc_id", "lang"),
+    sp.balanced_sample_sql(
+        "documents", ["doc_id", "lang"], "lang", "doc_id", 100
+    ),
+)
+register(
     # corpus vocabulary: top-k terms by total count, tokenizer-training
     # primitive; global top-k is heap-based, never a vocabulary sort
     "text_vocabulary",
@@ -927,6 +952,122 @@ register(
         t_wide(spark, sf_dir, "documents"), "text", "doc_id", k=100, min_df=2
     ),
     tx.vocabulary_sql("documents", "text", "doc_id", k=100, min_df=2),
+)
+
+# --- PII / URL curation over a deterministically AUGMENTED text column ---
+# The sf fixtures contain little literal PII and few URLs, so a gate on the
+# raw text would be near-vacuous (the round-5 dedup_embed_pairs lesson:
+# 0-row == 0-row proves nothing).  Both engines append the SAME synthetic
+# contact block — pure doc_id arithmetic, so every row carries a known
+# e-mail, phone, IPv4, SSN and two URLs on top of whatever the text has.
+_PII_AUG_SQL = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.example.com or +1555000' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7, SSN 123-45-6789.'"
+)
+_URL_AUG_SQL = (
+    "text || ' See https://src' || CAST(doc_id % 7 AS VARCHAR) || "
+    "'.example.org/p/' || CAST(doc_id AS VARCHAR) || "
+    "' and http://Mirror' || CAST(doc_id % 3 AS VARCHAR) || '.example.net/' "
+    "|| CAST(doc_id AS VARCHAR)"
+)
+
+
+def _pii_aug_col():
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), d.cast("string"),
+        F.lit("@mail"), (d % 7).cast("string"),
+        F.lit(".example.com or +1555000"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10.0."), (d % 256).cast("string"),
+        F.lit(".7, SSN 123-45-6789."),
+    )
+
+
+def _url_aug_col():
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" See https://src"), (d % 7).cast("string"),
+        F.lit(".example.org/p/"), d.cast("string"),
+        F.lit(" and http://Mirror"), (d % 3).cast("string"),
+        F.lit(".example.net/"), d.cast("string"),
+    )
+
+
+register(
+    # PII scrubbing pass: per-class non-overlapping match counts + the
+    # redacted text, chain-ordered identically on both engines
+    "text_pii_scrub",
+    lambda spark, sf_dir: tx.pii_scrub(
+        t_wide(spark, sf_dir, "documents").withColumn("text", _pii_aug_col()),
+        "text", "doc_id",
+    ),
+    tx.pii_scrub_sql(
+        f"(SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)",
+        "text", "doc_id",
+    ),
+)
+register(
+    # URL/domain discovery: one row per match with 1-based position and
+    # lowercased host — the input of per-domain curation
+    "text_url_extract",
+    lambda spark, sf_dir: tx.extract_urls(
+        t_wide(spark, sf_dir, "documents").withColumn("text", _url_aug_col()),
+        "text", "doc_id",
+    ),
+    tx.extract_urls_sql(
+        f"(SELECT doc_id, {_URL_AUG_SQL} AS text FROM documents)",
+        "text", "doc_id",
+    ),
+)
+
+
+def _url_cap_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-domain cap: URL discovery composed with the deterministic
+    # exactly-k-per-group window.  The rank key is (doc_id, pos) encoded
+    # as a string — unique per extracted row, so the kept SET is total-
+    # ordered and engine-independent even when the same URL repeats.
+    from .operators import sampling as _sp
+
+    urls = tx.extract_urls(
+        t_wide(spark, sf_dir, "documents").withColumn("text", _url_aug_col()),
+        "text", "doc_id",
+    ).withColumn(
+        "row_key",
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"),
+            F.col("pos").cast("string"),
+        ),
+    )
+    return _sp.topk_per_group(urls, ["domain"], "row_key", 5).select(
+        "doc_id", "pos", "url", "domain", "rk"
+    )
+
+
+def _url_cap_sql() -> str:
+    from .operators import sampling as _sp
+
+    inner = tx.extract_urls_sql(
+        f"(SELECT doc_id, {_URL_AUG_SQL} AS text FROM documents)",
+        "text", "doc_id",
+    )
+    key = "CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)"
+    return _sp.topk_per_group_sql(
+        f"({inner})", ["doc_id", "pos", "url", "domain"], ["domain"],
+        key, 5,
+    )
+
+
+register(
+    # per-domain capping (the web-corpus "no domain dominates" rule):
+    # extraction → ONE window on the domain key, k kept per domain
+    "text_url_cap_domain",
+    _url_cap_fn,
+    _url_cap_sql(),
 )
 
 

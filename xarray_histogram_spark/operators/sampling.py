@@ -164,6 +164,89 @@ def stratified_sample_sql(
     return f"{d} < CASE {' '.join(parts)} ELSE '{dflt}' END"
 
 
+def _hex_threshold_ratio(num: int, den: int) -> str:
+    """Exact 8-hex threshold floor(num/den · 16⁸) for 0 < num < den —
+    pure integer arithmetic, so any engine that divides the same two
+    integers (e.g. the oracle's HUGEINT ``//``) lands on the same hex
+    literal, with none of the float-rounding hazards of ``rate * 16⁸``."""
+    return format(num * _SPACE // den, "08x")
+
+
+def balanced_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    target: int,
+    salt: str = "",
+) -> DataFrame:
+    """Rebalance a skewed source/language mixture: downsample every group
+    to an EXPECTED ``target`` rows (groups already at or under ``target``
+    are kept whole) — the uniform-mixture resampling step of a
+    training-data pipeline (cf. temperature-sampling mixtures; this is
+    the τ→∞ limit with a per-group cap).
+
+    Scale shape: group counts are ONE map-combined k-row aggregate
+    collected to the driver (bounded metadata — the same pattern as
+    histogram range inference); the keep decision then compiles to a
+    literal CASE threshold over the main scan — a pure pushable filter,
+    ZERO joins, partitioning- and order-independent.  Keep rates are
+    exact integers floor(target·16⁸ / n_g), so the DuckDB oracle
+    (HUGEINT division in SQL, an independent computation of the same
+    integers) reproduces row membership bit-identically.  A group unseen
+    at count time (concurrent append) is kept whole — the conservative
+    choice for audit reruns.  NULL group keys form their own group; a
+    NULL *sampling key* always drops (NULL draw fails every threshold,
+    the same convention as every sampler in this module), even in a
+    group kept whole."""
+    if target < 1:
+        raise ValueError("target must be >= 1")
+    counts = df.groupBy(group_col).count().collect()
+    d = draw_hex(F.col(key_col), salt)
+    thr = None
+    for row in counts:
+        g, n = row[0], row[1]
+        t = F.lit("g" if n <= target else _hex_threshold_ratio(target, n))
+        cond = (
+            F.col(group_col).isNull()
+            if g is None
+            else F.col(group_col) == F.lit(g)
+        )
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    if thr is None:  # empty input: nothing to filter
+        return df
+    # "g" > every hex char → keep-all; unseen groups kept whole
+    return df.where(d < thr.otherwise(F.lit("g")))
+
+
+def balanced_sample_sql(
+    table: str,
+    select_cols: Sequence[str],
+    group_expr: str,
+    key_expr: str,
+    target: int,
+    salt: str = "",
+) -> str:
+    """Oracle mirror of ``balanced_sample``: recomputes the group counts
+    in SQL and derives the identical thresholds with exact HUGEINT
+    integer division (never a float rate)."""
+    d = draw_hex_sql(f"t.{key_expr}", salt)
+    thr = (
+        f"lower(lpad(to_hex(CAST((CAST({target} AS HUGEINT) * {_SPACE}) "
+        f"// c.n AS BIGINT)), 8, '0'))"
+    )
+    sel = ", ".join(f"t.{c} AS {c}" for c in select_cols)
+    return (
+        f"WITH __cnt AS (SELECT {group_expr} AS g, COUNT(*) AS n "
+        f"FROM {table} GROUP BY {group_expr}) "
+        f"SELECT {sel} FROM {table} t "
+        f"JOIN __cnt c ON t.{group_expr} IS NOT DISTINCT FROM c.g "
+        # keep-whole goes THROUGH the draw comparison ('g' > every hex
+        # char) so a NULL sampling key drops on both engines — a bare
+        # `c.n <= target OR ...` would short-circuit TRUE and keep it
+        f"WHERE {d} < CASE WHEN c.n <= {target} THEN 'g' ELSE {thr} END"
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     group_cols: List[str],

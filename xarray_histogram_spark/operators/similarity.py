@@ -47,6 +47,49 @@ def _mask_score_terms(mask: int, n_planes: int) -> list[int]:
     return [j for j in range(n_planes) if mask >> j & 1]
 
 
+
+def _probe_entries_col(n_planes: int, max_weight: int):
+    """The (flip-cost score, mask) struct array over the __p{j} projection
+    columns — THE one Python builder of the multiprobe ranking.  Score 0.0
+    for the home bucket; left-assoc sum in ascending plane order.
+    ``_probe_entries_sql`` must generate the identical association — the
+    ranking is a cross-engine bit-exactness contract, which is why all
+    ANN variants (single and batch) share these two builders."""
+
+    def score(mask: int):
+        terms = _mask_score_terms(mask, n_planes)
+        if not terms:
+            return F.lit(0.0)
+        return reduce(lambda a, j: a + F.abs(F.col(f"__p{j}")),
+                      terms[1:], F.abs(F.col(f"__p{terms[0]}")))
+
+    return F.array(
+        *[
+            F.struct(score(m).alias("s"), F.lit(m).alias("m"))
+            for m in _probe_masks(n_planes, max_weight)
+        ]
+    )
+
+
+def _probe_entries_sql(n_planes: int, max_weight: int) -> str:
+    """DuckDB twin of ``_probe_entries_col`` (same association, same
+    mask order) — a comma-joined struct_pack list for unnest([...])."""
+
+    def score(mask: int) -> str:
+        terms = _mask_score_terms(mask, n_planes)
+        if not terms:
+            return "CAST(0.0 AS DOUBLE)"
+        out = f"abs(__p{terms[0]})"
+        for j in terms[1:]:
+            out = f"{out} + abs(__p{j})"
+        return out
+
+    return ", ".join(
+        f"struct_pack(s := {score(m)}, m := {m})"
+        for m in _probe_masks(n_planes, max_weight)
+    )
+
+
 def _require_single_query(df: DataFrame, id_col: str, query_id: int) -> None:
     """Fail fast when the query id is missing (an empty top-k would be
     indistinguishable from 'no neighbours') or duplicated (every candidate
@@ -138,22 +181,7 @@ def ann_topk(
             for j, p in enumerate(planes)
         ],
     )
-    # one struct per mask: (flip-cost score, mask); score 0.0 for the home
-    # bucket.  Left-assoc sum in ascending plane order — the SQL mirror
-    # generates the identical association, so the rankings cannot diverge.
-    def score(mask: int):
-        terms = _mask_score_terms(mask, n_pl)
-        if not terms:
-            return F.lit(0.0)
-        return reduce(lambda a, j: a + F.abs(F.col(f"__p{j}")),
-                      terms[1:], F.abs(F.col(f"__p{terms[0]}")))
-
-    entries = F.array(
-        *[
-            F.struct(score(m).alias("s"), F.lit(m).alias("m"))
-            for m in _probe_masks(n_pl, max_probe_weight)
-        ]
-    )
+    entries = _probe_entries_col(n_pl, max_probe_weight)
     qp = (
         q.select("__qv", "__qb", F.explode(entries).alias("__e"))
         # explicit nulls-LAST: scores are NULL iff the query embedding is
@@ -191,19 +219,7 @@ def ann_topk_sql(
         f"{V.dot_lit_sql(vec_col, p)} AS __p{j}" for j, p in enumerate(planes)
     )
 
-    def score(mask: int) -> str:
-        terms = _mask_score_terms(mask, n_pl)
-        if not terms:
-            return "CAST(0.0 AS DOUBLE)"
-        out = f"abs(__p{terms[0]})"
-        for j in terms[1:]:
-            out = f"{out} + abs(__p{j})"
-        return out
-
-    entries = ", ".join(
-        f"struct_pack(s := {score(m)}, m := {m})"
-        for m in _probe_masks(n_pl, max_probe_weight)
-    )
+    entries = _probe_entries_sql(n_pl, max_probe_weight)
     return (
         f"WITH b AS (SELECT *, {bucket} AS bucket FROM {table}), "
         f"q AS (SELECT {vec_col} AS __qv, bucket AS __qb, {projs} "
@@ -828,4 +844,135 @@ def quantize_summary_sql(
         f"{guard(f'CAST(list_max({codes}) AS INTEGER)')} AS code_max, "
         f"{guard(sc)} AS scale, {guard(err)} AS max_err "
         f"FROM {table}"
+    )
+
+
+def _require_unique_queries(
+    df: DataFrame, id_col: str, query_ids: Sequence[int]
+) -> None:
+    """Batch analog of ``_require_single_query``: ONE bounded job
+    (id-pushdown filter + per-id counts, ≤ len(query_ids) rows collected)
+    that fails fast on a missing or corpus-duplicated query id."""
+    rows = (
+        df.where(F.col(id_col).isin(list(query_ids)))
+        .groupBy(id_col)
+        .count()
+        .collect()
+    )
+    seen = {r[0]: r[1] for r in rows}
+    missing = [q for q in query_ids if q not in seen]
+    if missing:
+        raise ValueError(f"query {id_col}s not found: {missing}")
+    dup = [q for q in query_ids if seen[q] > 1]
+    if dup:
+        raise ValueError(f"query {id_col}s not unique: {dup}")
+
+
+def ann_topk_batch(
+    df: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes=ANN_PLANES,
+    n_probes: int = 22,
+    max_probe_weight: int = 3,
+) -> DataFrame:
+    """Batched multiprobe ANN: top-k neighbours for EVERY query id in one
+    plan — the offline-retrieval shape (batch semantic dedup lookups, RAG
+    index builds) where per-query jobs would pay the scheduling floor
+    thousands of times.  Probe selection is per query (same query-directed
+    flip-cost ranking as ``ann_topk``, via one row_number window over the
+    tiny queries×masks frame), the corpus is touched by ONE broadcast
+    hash join on the bucket key (queries·n_probes rows broadcast — never
+    a corpus scan), and the per-query top-k is one window partitioned by
+    query id, its input bounded by the probed candidates only.  Returns
+    (query_id, id, cos, rk) with the (cos DESC, id) total-order tiebreak.
+    """
+    qids = list(query_ids)
+    if not qids:
+        raise ValueError("query_ids must be non-empty")
+    if len(set(qids)) != len(qids):
+        raise ValueError("query_ids contains duplicates")
+    _require_unique_queries(df, id_col, qids)
+    from pyspark.sql.window import Window
+
+    n_pl = len(planes)
+    b = with_lsh_bucket(df, vec_col, planes)
+    q = b.where(F.col(id_col).isin(qids)).select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        F.col("bucket").alias("__qb"),
+        *[
+            V.dot_lit(F.col(vec_col), p).alias(f"__p{j}")
+            for j, p in enumerate(planes)
+        ],
+    )
+
+    entries = _probe_entries_col(n_pl, max_probe_weight)
+    # nulls-LAST for the same reason as ann_topk: a NULL query embedding
+    # must not outrank the home bucket on either engine
+    wp = Window.partitionBy("__qid").orderBy(
+        F.col("__e.s").asc_nulls_last(), F.col("__e.m")
+    )
+    qp = (
+        q.select("__qid", "__qv", "__qb", F.explode(entries).alias("__e"))
+        .withColumn("__pr", F.row_number().over(wp))
+        .where(F.col("__pr") <= F.lit(n_probes))
+        .select(
+            "__qid", "__qv",
+            F.col("__qb").bitwiseXOR(F.col("__e.m")).alias("__pb"),
+        )
+    )
+    joined = b.join(F.broadcast(qp), F.col("bucket") == F.col("__pb"))
+    cos = V.cosine(F.col(vec_col), F.col("__qv"))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col(id_col)
+    )
+    return (
+        joined.where(F.col(id_col) != F.col("__qid"))
+        .select(F.col("__qid").alias("query_id"), F.col(id_col), cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(wk).cast("int"))
+        .where(F.col("rk") <= F.lit(k))
+    )
+
+
+def ann_topk_batch_sql(
+    table: str,
+    query_ids: Sequence[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes=ANN_PLANES,
+    n_probes: int = 22,
+    max_probe_weight: int = 3,
+) -> str:
+    """DuckDB mirror of ``ann_topk_batch``: identical probe ranking
+    (left-assoc score sums, NULLS LAST), per-query row_number windows."""
+    n_pl = len(planes)
+    bucket = V.lsh_bucket_sql(vec_col, planes)
+    cos = V.cosine_sql(vec_col, "__qv")
+    projs = ", ".join(
+        f"{V.dot_lit_sql(vec_col, p)} AS __p{j}" for j, p in enumerate(planes)
+    )
+    ids = ", ".join(str(int(q)) for q in query_ids)
+
+    entries = _probe_entries_sql(n_pl, max_probe_weight)
+    return (
+        f"WITH b AS (SELECT *, {bucket} AS bucket FROM {table}), "
+        f"q AS (SELECT {id_col} AS __qid, {vec_col} AS __qv, "
+        f"bucket AS __qb, {projs} FROM b WHERE {id_col} IN ({ids})), "
+        f"qe AS (SELECT __qid, __qv, __qb, unnest([{entries}]) AS __e "
+        f"FROM q), "
+        f"qr AS (SELECT __qid, __qv, xor(__qb, __e.m) AS __pb, "
+        f"row_number() OVER (PARTITION BY __qid "
+        f"ORDER BY __e.s NULLS LAST, __e.m) AS __pr FROM qe), "
+        f"qp AS (SELECT __qid, __qv, __pb FROM qr WHERE __pr <= {n_probes}), "
+        f"c AS (SELECT qp.__qid AS query_id, b.{id_col} AS {id_col}, "
+        f"{cos} AS cos FROM b JOIN qp ON b.bucket = qp.__pb "
+        f"WHERE b.{id_col} <> qp.__qid) "
+        f"SELECT query_id, {id_col}, cos, CAST(rk AS INT) AS rk FROM ("
+        f"SELECT query_id, {id_col}, cos, row_number() OVER ("
+        f"PARTITION BY query_id ORDER BY cos DESC NULLS LAST, {id_col}"
+        f") AS rk FROM c) t WHERE rk <= {k}"
     )

@@ -579,3 +579,123 @@ def dup_ngram_stats_sql(table: str, text_col: str, id_col: str, n: int = 3) -> s
         f"SELECT {id_col}, n_grams, n_dup, "
         f"CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac FROM p"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+# interpret identically: explicit character classes, bounded quantifiers,
+# alternation (leftmost-FIRST in both engines) — no lookaround, no \s/\d
+# shorthand classes, no backreferences.  Replacement tokens contain no
+# '$' or '\' (special in Java's replacement strings, literal in DuckDB's).
+# ORDER MATTERS and is part of the contract: each pattern is counted and
+# redacted against the text AFTER all earlier patterns were redacted, so
+# e.g. digits inside an already-redacted e-mail can never double-fire the
+# phone/IPv4 rules.  Both engines apply the same chain.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<ID>"),
+    ("phone", r"\+[0-9]{7,15}|[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    (
+        "ipv4",
+        r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+        "<IP>",
+    ),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Detect and redact PII spans (e-mail, SSN-like ids, phone numbers,
+    IPv4 addresses — the C4/Dolma-style scrubbing pass): returns
+    (id, scrubbed text, one match count per PII class, total).  Pure
+    per-row regex projection — fully codegen'd, no shuffle, trivially
+    scale-free; counts are of NON-OVERLAPPING matches in chain order
+    (see ``PII_PATTERNS``), so ``n_pii`` is exactly the number of
+    redacted spans in ``text_scrubbed``."""
+    cur = F.col(text_col)
+    counts = []
+    total = None
+    for name, pat, rep in PII_PATTERNS:
+        c = F.regexp_count(cur, F.lit(pat)).cast("bigint")
+        counts.append(c.alias(f"n_{name}"))
+        total = c if total is None else total + c
+        cur = F.regexp_replace(cur, pat, rep)
+    return df.select(
+        F.col(id_col),
+        cur.alias("text_scrubbed"),
+        *counts,
+        total.cast("bigint").alias("n_pii"),
+    )
+
+
+def pii_scrub_sql(table: str, text_col: str, id_col: str) -> str:
+    """DuckDB mirror: same chain order; counts via
+    len(regexp_extract_all), redaction via regexp_replace(..., 'g')."""
+    cur = text_col
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        # DuckDB string literals are escape-free (no backslash doubling);
+        # the regex-level backslashes pass through verbatim
+        p = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{p}')) AS BIGINT) "
+            f"AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{p}', '{rep}', 'g')"
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    inner = ", ".join([id_col, f"{cur} AS text_scrubbed", *counts])
+    return (
+        f"SELECT {id_col}, text_scrubbed, "
+        + ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS)
+        + f", CAST({total} AS BIGINT) AS n_pii "
+        f"FROM (SELECT {inner} FROM {table}) t"
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain extraction
+# ---------------------------------------------------------------------------
+
+# Shared-syntax URL shape: scheme + one run of URL-safe chars.  The class
+# deliberately excludes quotes/brackets/trailing-prose chars so the same
+# non-overlapping scan terminates identically in both engines.
+URL_RE = r"https?://[A-Za-z0-9._/:#?=&%+-]+"
+_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Explode every URL in the text to one row (id, pos, url, domain) —
+    the discovery half of per-domain curation (blocklists, per-domain
+    caps).  ``pos`` is the 1-based match index within the document, so
+    output rows are a deterministic multiset; ``domain`` is the
+    lowercased host part.  Per-row regex scan + explode: no shuffle; at
+    100 TB the fan-out is bounded by matches per document, and the
+    downstream per-domain cap is one window on the domain key."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(0))
+    ex = df.select(
+        F.col(id_col), F.posexplode(urls).alias("pos0", "url")
+    )
+    return ex.select(
+        F.col(id_col),
+        (F.col("pos0") + F.lit(1)).cast("int").alias("pos"),
+        F.col("url"),
+        F.lower(F.regexp_extract(F.col("url"), _DOMAIN_RE, 1)).alias(
+            "domain"
+        ),
+    )
+
+
+def extract_urls_sql(table: str, text_col: str, id_col: str) -> str:
+    """DuckDB mirror: zipped unnest of (matches, 1..n) for the 1-based
+    position; same domain group-extract."""
+    pat = URL_RE.replace("'", "''")
+    dpat = _DOMAIN_RE.replace("'", "''")
+    arr = f"regexp_extract_all({text_col}, '{pat}')"
+    return (
+        f"SELECT {id_col}, CAST(pos AS INT) AS pos, url, "
+        f"lower(regexp_extract(url, '{dpat}', 1)) AS domain FROM ("
+        f"SELECT {id_col}, unnest({arr}) AS url, "
+        f"unnest(generate_series(1, len({arr}))) AS pos FROM {table}) t"
+    )
