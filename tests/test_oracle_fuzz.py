@@ -183,3 +183,86 @@ def test_fuzzed_binned_statistic_matches_oracle(spark, sf_dir, seed):
         weight_scale=scale,
     )
     assert_matches_sql(got, sql, con)
+
+
+# ---------------------------------------------------------------------------
+# regex-mirror fuzz: pii_scrub / extract_urls over adversarial random text
+# ---------------------------------------------------------------------------
+
+_PII_ATOMS = [
+    "@", ".", "-", "+", ":", "/", " ", "\t", "\n", "\x0b", "'", '"',
+    "http://", "https://", "ftp://", "www.", ".com", ".org", ".co",
+    "example", "mail", "user", "ssn", "(", ")", "[", "]", "$", "\\",
+    "123", "45", "6789", "0", "99", "255", "１２３", "naïve", "文字",
+    "☃", "a", "B", "zz", "%", "#", "?", "=", "&", "_", "~", ",",
+]
+
+
+def _random_text(rng: random.Random) -> str:
+    n = rng.randint(0, 24)
+    return "".join(rng.choice(_PII_ATOMS) for _ in range(n))
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_fuzzed_pii_url_mirrors(spark, seed):
+    """Spark (Java regex) vs DuckDB (RE2) over random near-PII text: the
+    shared-syntax pattern subset must scan/replace identically — any
+    divergence (greediness, class contents, alternation order, unicode)
+    is a real oracle bug, not tolerance noise."""
+    import duckdb
+    import pandas as pd
+
+    from xarray_histogram_spark.operators import text as tx
+
+    rng = random.Random(seed)
+    rows = [(i, _random_text(rng)) for i in range(300)]
+    rows += [(300, None), (301, "")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+        {"doc_id": "int64"}
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("fuzzdocs", pdf)
+    assert_matches_sql(
+        tx.pii_scrub(df, "text", "doc_id"),
+        tx.pii_scrub_sql("fuzzdocs", "text", "doc_id"),
+        con,
+    )
+    assert_matches_sql(
+        tx.extract_urls(df, "text", "doc_id"),
+        tx.extract_urls_sql("fuzzdocs", "text", "doc_id"),
+        con,
+    )
+
+
+@pytest.mark.parametrize("seed", [11, 22])
+def test_fuzzed_balanced_sample_mirror(spark, seed):
+    """Random group distributions (skew, NULL groups, NULL keys) ×
+    random targets: Spark's Python-integer thresholds and the oracle's
+    HUGEINT division must agree on every row's membership."""
+    import duckdb
+    import pandas as pd
+
+    from xarray_histogram_spark.operators import sampling as sp
+
+    rng = random.Random(seed)
+    groups = ["a", "b", None, "dominant", "é"]
+    weights = [1, 2, 1, 12, 1]
+    rows = []
+    for i in range(400):
+        g = rng.choices(groups, weights)[0]
+        key = None if rng.random() < 0.03 else i
+        rows.append((key, g))
+    pdf = pd.DataFrame(rows, columns=["id", "grp"]).astype({"id": "Int64"})
+    # build the Spark frame from the raw rows: pandas' nullable Int64
+    # round-trips NULLs as NaN floats through createDataFrame
+    df = spark.createDataFrame(rows, "id long, grp string")
+    con = duckdb.connect()
+    con.register("fuzzrows", pdf)
+    target = rng.choice([1, 7, 50, 120, 1000])
+    assert_matches_sql(
+        sp.balanced_sample(df, "grp", "id", target).select("id", "grp"),
+        sp.balanced_sample_sql("fuzzrows", ["id", "grp"], "grp", "id",
+                               target),
+        con,
+    )
