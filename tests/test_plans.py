@@ -402,3 +402,48 @@ def test_kmeans_round_is_single_exchange(spark, sf_dir):
     assert "Join" not in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:3000]
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_balanced_sample_pure_filter(spark, sf_dir):
+    """Balanced mixture: after the ONE k-row count job at build time, the
+    main plan is a literal-CASE filter directly over the scan — no join,
+    no exchange (the 100 TB shape the operator promises)."""
+    from xarray_histogram_spark.operators.sampling import balanced_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(balanced_sample(docs, "lang", "doc_id", 100))
+    assert "Join" not in p
+    assert "Exchange" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_pii_and_urls_projection_only(spark, sf_dir):
+    """PII scrub and URL extraction are per-row regex kernels: one scan,
+    zero exchanges, zero joins, nothing Python."""
+    from xarray_histogram_spark.operators.text import extract_urls, pii_scrub
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (pii_scrub(docs, "text", "doc_id"),
+               extract_urls(docs, "text", "doc_id")):
+        p = plan_of(df)
+        assert "Exchange" not in p
+        assert "Join" not in p
+        assert "EvalPython" not in p
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_ann_batch_broadcast_join_and_topk_pushdown(spark, sf_dir):
+    """Batch ANN: the corpus is touched by exactly ONE BroadcastHashJoin
+    on the bucket key (probe side broadcast — never a corpus-side
+    broadcast or cartesian), and the per-query top-k compiles to
+    WindowGroupLimit (partial per-partition k-pruning before the final
+    window) so candidate rows are cut to ≤k per query before the
+    exchange."""
+    from xarray_histogram_spark.operators.similarity import ann_topk_batch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_of(ann_topk_batch(emb, [0, 7], k=5))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 1
+    assert "WindowGroupLimit" in p
