@@ -10,6 +10,10 @@ the operator families a 100 TB text pipeline runs, end to end —
   6. SimHash near-dup pairs                    (simhash_pairs, 64-bit)
   7. concat-and-chunk packing bookkeeping      (chunk_assignments)
   8. cross-document duplicate-n-gram fraction  (dup_ngram_stats)
+  9. PII scrubbing                             (pii_scrub)
+ 10. URL discovery + per-domain caps           (extract_urls + topk_per_group)
+ 11. mixture rebalancing to a per-language
+     expected target                           (balanced_sample)
 
 Run:  python examples/curation_pipeline.py [sf_dir]
 """
@@ -25,11 +29,13 @@ from xarray_histogram_spark import curate_documents
 from xarray_histogram_spark.operators.dedup import (
     lsh_candidate_pairs, ngram_contamination,
 )
-from xarray_histogram_spark.operators.sampling import chunk_assignments
+from xarray_histogram_spark.operators.sampling import (
+    balanced_sample, chunk_assignments, topk_per_group,
+)
 from xarray_histogram_spark.operators.dedup import simhash_pairs
 from xarray_histogram_spark.operators.text import (
     remove_repeated_lines, token_count_cols, top_terms,
-    dup_ngram_stats,
+    dup_ngram_stats, extract_urls, pii_scrub,
 )
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -92,6 +98,35 @@ n_chunks = (
 dup_frac = dup_ngram_stats(docs, "text", "doc_id", n=3)
 mean_dup = dup_frac.agg(F.avg("dup_frac")).first()[0] or 0.0
 
+# 9. PII scrubbing: per-class counts + redacted text (pure projection).
+# The synthetic corpus is clean, so append a contact block to a slice of
+# documents to show the scrubber at work (the registry gate does the same).
+demo = docs.limit(50).withColumn(
+    "text",
+    F.concat(F.col("text"),
+             F.lit(" Contact "), F.col("doc_id").cast("string"),
+             F.lit("@corp.example.com or +4915112345678 at 10.0.0."),
+             (F.col("doc_id") % 256).cast("string"),
+             F.lit(" — see https://docs.example.org/p/"),
+             F.col("doc_id").cast("string")),
+)
+pii = pii_scrub(demo, "text", "doc_id")
+n_pii_docs = pii.where(F.col("n_pii") > 0).count()
+
+# 10. URL discovery + per-domain caps (no domain dominates the corpus)
+urls = extract_urls(demo, "text", "doc_id").withColumn(
+    "row_key",
+    F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+             F.col("pos").cast("string")),
+)
+capped = topk_per_group(urls, ["domain"], "row_key", 5)
+n_urls, n_capped = urls.count(), capped.count()
+
+# 11. rebalance the language mixture to an expected 100 docs/language
+balanced = balanced_sample(docs, "lang", "doc_id", 100)
+bal_sizes = {r["lang"]: r["n"] for r in
+             balanced.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+
 print(f"docs: {n0}")
 print(f"boilerplate lines removed corpus-wide: {n_removed}")
 print(f"docs overlapping the benchmark slice: {n_contaminated}")
@@ -103,5 +138,9 @@ print(f"mean duplicate-3-gram fraction: {mean_dup:.3f}")
 print("sample top terms:")
 terms.orderBy("doc_id", F.col("score").desc()).show(6)
 assert sum(split_counts.values()) > 0 and n0 > 0
+print(f"docs with detected PII: {n_pii_docs}")
+print(f"urls found: {n_urls}; kept after per-domain cap of 5: {n_capped}")
+print(f"language sizes after balancing to 100: {bal_sizes}")
+assert all(v <= 150 for v in bal_sizes.values())
 print("curation pipeline walkthrough OK")
 spark.stop()
