@@ -44,6 +44,9 @@ OPS_QUERIES = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "sim_ann_topk",
+    # 3-query batch in ONE plan: compare with 3× sim_ann_topk to see the
+    # per-job floor amortization the batch form exists for
+    "sim_ann_batch",
     "text_quality",
 ]
 
