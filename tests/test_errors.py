@@ -202,3 +202,24 @@ def test_empty_variable_lists_raise(lineitem):
         h.remove_flow([])
     with pytest.raises(ValueError, match="no variables"):
         h.normalize([])
+
+
+def test_new_curation_ops_collision_guards(spark):
+    """Output-name collisions fail fast instead of producing ambiguous
+    duplicate columns (the asof_join collision-check convention)."""
+    import pytest as _pt
+
+    from xarray_histogram_spark.operators import similarity as sim
+    from xarray_histogram_spark.operators import text as tx
+
+    df = spark.createDataFrame([("x", "t")], "n_pii STRING, text STRING")
+    with _pt.raises(ValueError, match="collides"):
+        tx.pii_scrub(df, "text", "n_pii")
+    df2 = spark.createDataFrame([("x", "t")], "domain STRING, text STRING")
+    with _pt.raises(ValueError, match="collides"):
+        tx.extract_urls(df2, "text", "domain")
+    df3 = spark.createDataFrame(
+        [(1, [1.0])], "rk LONG, embedding ARRAY<FLOAT>"
+    )
+    with _pt.raises(ValueError, match="collides"):
+        sim.ann_topk_batch(df3, [1], id_col="rk")

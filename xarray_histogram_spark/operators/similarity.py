@@ -889,6 +889,10 @@ def ann_topk_batch(
     query id, its input bounded by the probed candidates only.  Returns
     (query_id, id, cos, rk) with the (cos DESC, id) total-order tiebreak.
     """
+    if id_col in ("query_id", "cos", "rk"):
+        raise ValueError(
+            f"id_col {id_col!r} collides with an ann_topk_batch output column"
+        )
     qids = list(query_ids)
     if not qids:
         raise ValueError("query_ids must be non-empty")

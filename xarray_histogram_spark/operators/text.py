@@ -614,6 +614,13 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     scale-free; counts are of NON-OVERLAPPING matches in chain order
     (see ``PII_PATTERNS``), so ``n_pii`` is exactly the number of
     redacted spans in ``text_scrubbed``."""
+    reserved = {"text_scrubbed", "n_pii"} | {
+        f"n_{name}" for name, _, _ in PII_PATTERNS
+    }
+    if id_col in reserved:
+        raise ValueError(
+            f"id_col {id_col!r} collides with a pii_scrub output column"
+        )
     cur = F.col(text_col)
     counts = []
     total = None
@@ -673,6 +680,10 @@ def extract_urls(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     lowercased host part.  Per-row regex scan + explode: no shuffle; at
     100 TB the fan-out is bounded by matches per document, and the
     downstream per-domain cap is one window on the domain key."""
+    if id_col in ("pos", "url", "domain"):
+        raise ValueError(
+            f"id_col {id_col!r} collides with an extract_urls output column"
+        )
     urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(0))
     ex = df.select(
         F.col(id_col), F.posexplode(urls).alias("pos0", "url")
