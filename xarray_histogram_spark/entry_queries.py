@@ -125,7 +125,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "hist_adopt_roundtrip", "hist_custom_transform_axis",
     # second round-6 batch: training-data curation ops
     "sample_balanced", "text_pii_scrub", "text_url_extract",
-    "text_url_cap_domain", "sim_ann_batch",
+    "text_url_cap_domain", "sim_ann_batch", "streaming_pii_scrub",
 )
 
 
@@ -1006,6 +1006,44 @@ register(
         t_wide(spark, sf_dir, "documents").withColumn("text", _pii_aug_col()),
         "text", "doc_id",
     ),
+    tx.pii_scrub_sql(
+        f"(SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)",
+        "text", "doc_id",
+    ),
+)
+def _streaming_pii_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL micro-batch execution of the PII scrubber: the curation
+    kernels are pure stateless projections, so they are streaming-legal
+    as-is (append mode, no watermark, no state) — the ingest-time
+    scrubbing shape.  Result rows are identical to the batch run, so the
+    batch oracle gates the streaming execution exactly."""
+    import tempfile
+    import uuid
+
+    conv = (
+        t(spark, sf_dir, "documents")
+        .withColumn("text", _pii_aug_col())
+        .select("doc_id", "text")
+    )
+    src = tempfile.mkdtemp(prefix="xhs_pii_stream_")
+    conv.write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(conv.schema).parquet(src)
+    out = tx.pii_scrub(sdf, "text", "doc_id")
+    name = "xhs_pii_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+register(
+    "streaming_pii_scrub",
+    _streaming_pii_fn,
     tx.pii_scrub_sql(
         f"(SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)",
         "text", "doc_id",
