@@ -229,3 +229,41 @@ def test_f4_stats_tolerance(f4_samples_normal):
         assert abs(med[g] - np.median(arr)) < half_bin
         assert abs(mean[g] - arr.mean()) < half_bin
         assert abs(std[g] - arr.std()) < half_bin
+
+
+def test_jsonl_corpus_corrupt_record_capture(spark, tmp_path):
+    """PERMISSIVE ingestion: malformed lines are quarantined in the
+    corrupt column with data columns NULL; good lines parse; the stats
+    helper counts both."""
+    from pyspark.sql import types as T
+
+    from xarray_histogram_spark.sources.corpus import (
+        corrupt_line_stats, read_jsonl_corpus,
+    )
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "part-0.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        '{"doc_id": 2, "text": "naïve ☃"}\n'
+        'this line is not json\n'
+        '{"doc_id": 4, "text": null}\n'
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    df = read_jsonl_corpus(spark, str(p), schema)
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1].text == "ok" and rows[1]._corrupt_record is None
+    assert rows[2].text == "naïve ☃"
+    assert rows[4].text is None and rows[4]._corrupt_record is None
+    bad = [r for r in rows.values() if r.doc_id is None]
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+    s = corrupt_line_stats(df).collect()[0]
+    assert s.n_lines == 4 and s.n_corrupt == 1
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="collides"):
+        read_jsonl_corpus(spark, str(p), schema, corrupt_col="text")

@@ -126,6 +126,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     # second round-6 batch: training-data curation ops
     "sample_balanced", "text_pii_scrub", "text_url_extract",
     "text_url_cap_domain", "sim_ann_batch", "streaming_pii_scrub",
+    "source_jsonl_roundtrip",
 )
 
 
@@ -1011,6 +1012,30 @@ register(
         "text", "doc_id",
     ),
 )
+def _jsonl_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus source/sink round-trip: parquet → line-delimited JSON
+    (the format corpora actually ship in) → explicit-schema PERMISSIVE
+    read.  The oracle is simply the original table, so the gate proves
+    the JSON encode/decode (unicode escapes, quoting, NULLs) is lossless
+    on real multilingual text."""
+    import tempfile
+
+    from .sources.corpus import read_jsonl_corpus, write_jsonl_corpus
+
+    docs = t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="xhs_jsonl_") + "/docs"
+    write_jsonl_corpus(docs, path)
+    back = read_jsonl_corpus(spark, path, docs.schema)
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+register(
+    "source_jsonl_roundtrip",
+    _jsonl_roundtrip_fn,
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+
+
 def _streaming_pii_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL micro-batch execution of the PII scrubber: the curation
     kernels are pure stateless projections, so they are streaming-legal

@@ -1,0 +1,78 @@
+"""JSONL corpus ingestion/export — the interchange format most text
+corpora actually ship in (one JSON object per line, usually gzipped).
+
+Design rules for 100 TB ingestion:
+
+- **Explicit schema, never inference.**  ``spark.read.json`` without a
+  schema runs a FULL extra pass over the data just to infer types, and
+  the inferred schema drifts with corpus content (a shard where every
+  ``id`` happens to be small infers INT and overflows later).  The
+  schema is a required argument here.
+- **PERMISSIVE + captured corrupt records.**  At corpus scale some lines
+  are always broken (truncated uploads, encoding damage).  FAILFAST
+  would kill a day-long job on row one; DROPMALFORMED silently loses
+  data.  Malformed lines land in ``corrupt_col`` with every data column
+  NULL, so the pipeline can count/quarantine them explicitly.
+- JSON decode is JVM-side (no Python), columns prune through the parser,
+  and gzip-per-file parallelism is whatever the file layout gives —
+  standard corpus sharding (many ~100 MB .jsonl.gz files) parallelises
+  perfectly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def write_jsonl_corpus(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Export as JSON-lines (Spark's json writer is already line-delimited;
+    one file per partition — repartition upstream to control shard size)."""
+    df.write.mode(mode).format("json").save(path)
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = CORRUPT_COL,
+) -> DataFrame:
+    """Read a JSONL corpus with an EXPLICIT schema; malformed lines are
+    kept, with the raw line in ``corrupt_col`` and data columns NULL."""
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(
+            f"corrupt_col {corrupt_col!r} collides with a schema field"
+        )
+    full = T.StructType(
+        schema.fields + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def corrupt_line_stats(df: DataFrame, corrupt_col: str = CORRUPT_COL) -> DataFrame:
+    """One-row quarantine summary: total lines, malformed lines — the
+    ingestion health check a pipeline gates on before trusting a shard.
+
+    Spark refuses corrupt-col-only queries on the raw JSON source
+    (SPARK-21610: the parser would need a second full pass), and the
+    zero-effect-probe tricks constant-fold away — the SUPPORTED pattern
+    is materializing the parse first, so this caches ``df`` (Spark's own
+    documented workaround).  That is the right cost model for a
+    health check: the same cached parse is what the subsequent
+    quarantine filter / ingest read consumes, so the parse runs once.
+    For a check-only pass over a corpus too large to cache, compare
+    ``spark.read.text(path).count()`` against a DROPMALFORMED read
+    count instead (two scans, zero cache)."""
+    df = df.cache()
+    return df.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.col(corrupt_col)).alias("n_corrupt"),
+    )
