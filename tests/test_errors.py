@@ -223,3 +223,19 @@ def test_new_curation_ops_collision_guards(spark):
     )
     with _pt.raises(ValueError, match="collides"):
         sim.ann_topk_batch(df3, [1], id_col="rk")
+
+
+def test_lsh_bucket_name_collision_guard(spark):
+    """An existing 'bucket' column would be silently overwritten by the
+    LSH hash (review finding) — every ANN entry point must fail fast."""
+    import pytest as _pt
+
+    from xarray_histogram_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [1.0], 9)], "vec_id LONG, embedding ARRAY<FLOAT>, bucket INT"
+    )
+    with _pt.raises(ValueError, match="bucket"):
+        sim.with_lsh_bucket(df)
+    with _pt.raises(ValueError, match="bucket"):
+        sim.ann_topk_batch(df, [1])

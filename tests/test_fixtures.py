@@ -248,20 +248,27 @@ def test_jsonl_corpus_corrupt_record_capture(spark, tmp_path):
         '{"doc_id": 2, "text": "naïve ☃"}\n'
         'this line is not json\n'
         '{"doc_id": 4, "text": null}\n'
+        '{"doc_id": "notanumber", "text": "hi"}\n'
     )
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("text", T.StringType()),
     ])
     df = read_jsonl_corpus(spark, str(p), schema)
-    rows = {r.doc_id: r for r in df.collect()}
+    all_rows = df.collect()
+    rows = {r.doc_id: r for r in all_rows if r.doc_id is not None}
     assert rows[1].text == "ok" and rows[1]._corrupt_record is None
     assert rows[2].text == "naïve ☃"
     assert rows[4].text is None and rows[4]._corrupt_record is None
-    bad = [r for r in rows.values() if r.doc_id is None]
-    assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+    bad = [r for r in all_rows if r.doc_id is None]
+    # the unparseable line AND the type-mismatch line both quarantine,
+    # and the partial parse ("text": "hi") is NULLED — corrupt rows never
+    # leak data values into the clean stream
+    assert len(bad) == 2
+    assert all(r._corrupt_record is not None for r in bad)
+    assert all(r.text is None for r in bad)
     s = corrupt_line_stats(df).collect()[0]
-    assert s.n_lines == 4 and s.n_corrupt == 1
+    assert s.n_lines == 5 and s.n_corrupt == 2
 
     import pytest as _pt
 

@@ -45,7 +45,7 @@ def test_streaming_matches_batch(spark, events_ts):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream timed out'
 
     got = spark.sql("SELECT * FROM xhs_stream_test").collect()
     batch = streaming_histogram(
@@ -116,7 +116,7 @@ def test_stateful_cumulative_histogram(spark, events_ts):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), 'stream timed out'
 
     emitted = spark.sql("SELECT * FROM xhs_stateful_test")
     n_keys = data.select("event_type").distinct().count()
@@ -170,7 +170,7 @@ def test_stateful_bool_label_axis(spark, events_ts):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), 'stream timed out'
     final = latest_snapshot(
         spark.sql("SELECT * FROM xhs_stateful_bool_test"), "event_type"
     )
@@ -223,7 +223,7 @@ def test_session_histogram_streaming_append(spark, events_ts):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream timed out'
     got = spark.sql("SELECT * FROM xhs_session_test").collect()
     batch = session_histogram(
         events_ts, "value", SPEC, "ts", gap="30 minutes",
@@ -321,7 +321,7 @@ def test_write_stream_histogram_sink(spark, events_ts):
         out, dst, "value", SPEC, ckp, group_by=["event_type"],
         available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream timed out'
 
     got = spark.read.parquet(dst)
     batch = dense_fill(
@@ -382,7 +382,7 @@ def test_streaming_drop_duplicates_within_watermark(spark, events_ts):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream timed out'
     got = spark.sql("SELECT * FROM xhs_ddw_test").collect()
     n_distinct = one.select("text").distinct().count()
     assert len(got) == n_distinct
@@ -421,7 +421,7 @@ def test_text_operators_run_in_streaming(spark, sf_dir, tmp_path):
         .queryName("stream_text_features").outputMode("append")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream timed out'
     got = spark.table("stream_text_features").orderBy("doc_id").collect()
     exp = features(spark.read.parquet(src)).orderBy("doc_id").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in exp]
@@ -491,7 +491,7 @@ def test_streaming_range_join_ordered_batches_tight_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), 'stream timed out'
     got = {
         (r["l_event_id"], r["r_event_id"])
         for r in spark.table("srj_tight").collect()

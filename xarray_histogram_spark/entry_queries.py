@@ -1012,6 +1012,16 @@ register(
         "text", "doc_id",
     ),
 )
+def _await_stream(q, seconds: int = 300) -> None:
+    """``awaitTermination(timeout)`` returns False on timeout, which would
+    silently hand a PARTIALLY-populated memory table to the oracle gate
+    (looking like an operator bug) and leak the still-running query —
+    stop it and fail loudly instead."""
+    if not q.awaitTermination(seconds):
+        q.stop()
+        raise TimeoutError(f"streaming query did not finish in {seconds}s")
+
+
 def _jsonl_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL corpus source/sink round-trip: parquet → line-delimited JSON
     (the format corpora actually ship in) → explicit-schema PERMISSIVE
@@ -1062,7 +1072,7 @@ def _streaming_pii_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q, 300)
     return spark.table(name)
 
 
@@ -1726,7 +1736,7 @@ def _streaming_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q, 300)
     # epoch-seconds window key: integer-typed on both engines, immune to
     # timestamp-unit differences (Spark ns vs DuckDB µs) in the value hash
     return spark.table(name).select(
@@ -1854,7 +1864,7 @@ def _streaming_stateful_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q, 300)
     return latest_snapshot(spark.table(name), "event_type")
 
 
@@ -1898,7 +1908,7 @@ def _streaming_dedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q, 300)
     return spark.table(name)
 
 
@@ -2089,7 +2099,7 @@ def _streaming_range_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q, 300)
     return spark.table(name)
 
 

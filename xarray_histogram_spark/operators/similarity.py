@@ -145,6 +145,14 @@ def cosine_topk_sql(
 def with_lsh_bucket(
     df: DataFrame, vec_col: str = "embedding", planes=PLANES
 ) -> DataFrame:
+    # withColumn would silently OVERWRITE an existing 'bucket' column
+    # (e.g. an id column named 'bucket' would become the LSH hash and
+    # every downstream filter would select garbage) — fail fast instead
+    if "bucket" in df.columns:
+        raise ValueError(
+            "input already has a 'bucket' column — rename it before the "
+            "LSH operators (the bucket id is computed here)"
+        )
     return df.withColumn("bucket", V.lsh_bucket(F.col(vec_col), planes))
 
 

@@ -680,9 +680,10 @@ def extract_urls(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     lowercased host part.  Per-row regex scan + explode: no shuffle; at
     100 TB the fan-out is bounded by matches per document, and the
     downstream per-domain cap is one window on the domain key."""
-    if id_col in ("pos", "url", "domain"):
+    if id_col in ("pos", "url", "domain", "pos0"):
         raise ValueError(
-            f"id_col {id_col!r} collides with an extract_urls output column"
+            f"id_col {id_col!r} collides with an extract_urls "
+            "output/intermediate column"
         )
     urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(0))
     ex = df.select(

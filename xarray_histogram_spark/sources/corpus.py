@@ -12,7 +12,8 @@ Design rules for 100 TB ingestion:
   are always broken (truncated uploads, encoding damage).  FAILFAST
   would kill a day-long job on row one; DROPMALFORMED silently loses
   data.  Malformed lines land in ``corrupt_col`` with every data column
-  NULL, so the pipeline can count/quarantine them explicitly.
+  explicitly NULLED (PERMISSIVE alone keeps partial parses — see
+  ``read_jsonl_corpus``), so ``corrupt_col IS NULL`` is THE trust test.
 - JSON decode is JVM-side (no Python), columns prune through the parser,
   and gzip-per-file parallelism is whatever the file layout gives —
   standard corpus sharding (many ~100 MB .jsonl.gz files) parallelises
@@ -41,7 +42,14 @@ def read_jsonl_corpus(
     corrupt_col: str = CORRUPT_COL,
 ) -> DataFrame:
     """Read a JSONL corpus with an EXPLICIT schema; malformed lines are
-    kept, with the raw line in ``corrupt_col`` and data columns NULL."""
+    kept, with the raw line in ``corrupt_col`` and data columns NULL.
+
+    Spark's PERMISSIVE mode on its own keeps PARTIAL parses for
+    type-mismatch lines (``{"doc_id": "x", "text": "hi"}`` yields
+    doc_id NULL but text "hi" alongside the corrupt record), which makes
+    "corrupt" ambiguous for downstream filters — so this explicitly
+    nulls every data column on quarantined rows.  The contract is then
+    clean: ``corrupt_col IS NULL`` ⇔ trust the data columns."""
     if corrupt_col in schema.fieldNames():
         raise ValueError(
             f"corrupt_col {corrupt_col!r} collides with a schema field"
@@ -49,11 +57,16 @@ def read_jsonl_corpus(
     full = T.StructType(
         schema.fields + [T.StructField(corrupt_col, T.StringType(), True)]
     )
-    return (
+    raw = (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
+    )
+    ok = F.col(corrupt_col).isNull()
+    return raw.select(
+        *[F.when(ok, F.col(f.name)).alias(f.name) for f in schema.fields],
+        F.col(corrupt_col),
     )
 
 
