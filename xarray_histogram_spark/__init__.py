@@ -44,9 +44,17 @@ from .sources.io import read_result, write_result
 from .operators.curate import curate_documents
 from .operators.sampling import (
     assign_splits,
+    balanced_sample,
     deterministic_sample,
     stratified_sample,
     topk_per_group,
+)
+from .operators.text import extract_urls, pii_scrub
+from .operators.similarity import ann_topk, ann_topk_batch, cosine_topk
+from .sources.corpus import (
+    corrupt_line_stats,
+    read_jsonl_corpus,
+    write_jsonl_corpus,
 )
 from .streaming.dedup_stream import (
     streaming_dedup_state,
@@ -90,6 +98,15 @@ __all__ = [
     "write_stream_histogram",
     "binned_statistic",
     "deterministic_sample",
+    "balanced_sample",
+    "pii_scrub",
+    "extract_urls",
+    "ann_topk",
+    "ann_topk_batch",
+    "cosine_topk",
+    "read_jsonl_corpus",
+    "write_jsonl_corpus",
+    "corrupt_line_stats",
     "assign_splits",
     "stratified_sample",
     "topk_per_group",

@@ -1012,6 +1012,8 @@ register(
         "text", "doc_id",
     ),
 )
+
+
 def _await_stream(q, seconds: int = 300) -> None:
     """``awaitTermination(timeout)`` returns False on timeout, which would
     silently hand a PARTIALLY-populated memory table to the oracle gate
