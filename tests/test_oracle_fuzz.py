@@ -266,3 +266,33 @@ def test_fuzzed_balanced_sample_mirror(spark, seed):
                                target),
         con,
     )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzzed_rollup_matches_oracle(spark, sf_dir, seed):
+    """Rollup/cube oracle fuzz: random spec family × flow × weights ×
+    group-hierarchy depth × cube flag — the one oracle generator family
+    the seeded fuzz did not yet cover (its GROUPING SETS / grouping_id
+    arithmetic is hand-mirrored)."""
+    from xarray_histogram_spark.plans.rollup import (
+        rollup_histogramdd, rollup_histogramdd_sql,
+    )
+
+    rng = random.Random(424242 + seed)
+    spec, col, flow, weights, _gb, _d = _random_config(rng)
+    if col == "l_returnflag":
+        col = "l_quantity"
+        spec = Regular(8, 1.0, 51.0)
+    hierarchy = rng.choice(
+        [["l_returnflag"], ["l_returnflag", "l_linestatus"]]
+    )
+    cube = rng.random() < 0.5
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = rollup_histogramdd(
+        li, [col], [spec], hierarchy, cube=cube, flow=flow, weights=weights
+    )
+    sql = rollup_histogramdd_sql(
+        "lineitem", [col], [spec], hierarchy, cube=cube, flow=flow,
+        weights=weights,
+    )
+    assert_matches_sql(df, sql, duck(sf_dir))
