@@ -559,3 +559,39 @@ def test_adv_ann_batch(spark, tmp_path):
     # query 4 is the zero-norm vector: every cosine NULL, ranks by id only
     _check(sim.ann_topk_batch(src, [0, 2, 4], k=5),
            sim.ann_topk_batch_sql("embeddings", [0, 2, 4], k=5), con)
+
+
+def test_adv_retention_mirror(spark, tmp_path):
+    """Retention mirror over crafted events: NULL timestamps drop on both
+    engines, NULL user ids form their own cohort 'user', period
+    boundaries (exactly-midnight epochs) land identically."""
+    from datetime import datetime as d
+
+    import duckdb as _d
+
+    from xarray_histogram_spark.operators.joins import (
+        retention_cohorts, retention_cohorts_sql,
+    )
+
+    rows = [
+        (1, d(2024, 1, 1, 0, 0, 0)),       # exactly at a day boundary
+        (1, d(2024, 1, 7, 23, 59, 59, 999999)),
+        (2, d(2024, 1, 3, 12)),
+        (None, d(2024, 1, 2)),             # NULL user
+        (None, d(2024, 1, 5)),
+        (3, None),                          # NULL ts
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    p = str(tmp_path / "ev.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    con = _d.connect()
+    con.execute(
+        f"CREATE VIEW revents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    src = spark.read.parquet(p)
+    for period in ("day", "week"):
+        _check(
+            retention_cohorts(src, "user_id", "ts", period),
+            retention_cohorts_sql("revents", "user_id", "ts", period),
+            con,
+        )

@@ -1372,3 +1372,35 @@ def test_ann_topk_batch_shape(spark, emb):
     for qid, rows in per.items():
         assert len(rows) == 5
         assert sorted(r.rk for r in rows) == [1, 2, 3, 4, 5]
+
+
+def test_retention_cohorts_values(spark):
+    from datetime import datetime
+
+    from xarray_histogram_spark.operators.joins import retention_cohorts
+
+    d = datetime
+    rows = [
+        # user 1: first day 0, returns day 1 and day 3
+        (1, d(2024, 1, 1, 9)), (1, d(2024, 1, 2, 5)), (1, d(2024, 1, 4)),
+        (1, d(2024, 1, 2, 23)),          # same day twice → one cell
+        # user 2: first day 1 only
+        (2, d(2024, 1, 2, 1)),
+        # user 3: NULL ts only → contributes nothing
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    out = retention_cohorts(df, "user_id", "ts", period="day")
+    cells = {(r.cohort, r.offset): r.n_users for r in out.collect()}
+    day0 = d(2024, 1, 1).timestamp() // 86_400
+    day1 = day0 + 1
+    assert cells[(day0, 0)] == 1          # user 1's cohort
+    assert cells[(day0, 1)] == 1          # user 1 returned next day once
+    assert cells[(day0, 3)] == 1
+    assert cells[(day1, 0)] == 1          # user 2's own cohort
+    assert sum(cells.values()) == 4
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="period"):
+        retention_cohorts(df, "user_id", "ts", period="month")

@@ -126,7 +126,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     # second round-6 batch: training-data curation ops
     "sample_balanced", "text_pii_scrub", "text_url_extract",
     "text_url_cap_domain", "sim_ann_batch", "streaming_pii_scrub",
-    "source_jsonl_roundtrip",
+    "source_jsonl_roundtrip", "dedup_cluster_size_hist", "events_retention",
 )
 
 
@@ -1022,6 +1022,46 @@ def _await_stream(q, seconds: int = 300) -> None:
     if not q.awaitTermination(seconds):
         q.stop()
         raise TimeoutError(f"streaming query did not finish in {seconds}s")
+
+
+def _cluster_hist_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition across the engine's two halves: connected-component
+    near-dedup (iterative label propagation) feeding a histogram of
+    duplicate-cluster sizes (Integer axis + flow) — the dedup health
+    panel ('how big are my duplicate groups') as ONE plan."""
+    sizes = (
+        dd.dedup_components(t_wide(spark, sf_dir, "documents"), "text", "doc_id")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("csize"))
+    )
+    return histogramdd(sizes, ["csize"], [Integer(1, 6)], flow=True).df
+
+
+def _cluster_hist_sql() -> str:
+    comp = dd.dedup_components_sql("documents", "text", "doc_id")
+    inner = (
+        f"(WITH c AS ({comp}) SELECT CAST(COUNT(*) AS BIGINT) AS csize "
+        f"FROM c GROUP BY component)"
+    )
+    return orc.histogram_oracle_sql(inner, ["csize"], [Integer(1, 6)], flow=True)
+
+
+register("dedup_cluster_size_hist", _cluster_hist_fn, _cluster_hist_sql())
+
+from .operators.joins import (  # noqa: E402
+    retention_cohorts as _retention,
+    retention_cohorts_sql as _retention_sql,
+)
+
+register(
+    # cohort-retention triangle: exact integer epoch-period arithmetic,
+    # one distinct (user, period) shuffle + window MIN cohort, no joins
+    "events_retention",
+    lambda spark, sf_dir: _retention(
+        t(spark, sf_dir, "events"), "user_id", "ts", period="day"
+    ),
+    _retention_sql("events", "user_id", "ts", period="day"),
+)
 
 
 def _jsonl_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

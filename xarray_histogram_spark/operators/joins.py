@@ -362,3 +362,69 @@ def funnel_conversion_sql(
         + f", ({conv}) AS converted "
         f"FROM ({inner}) x GROUP BY {key}"
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+_PERIOD_SECONDS = {"day": 86_400, "week": 604_800}
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort-retention triangle: users grouped by their FIRST activity
+    period, counted in every later period they return — the standard
+    product-analytics rollup.  Returns (cohort, offset, n_users) where
+    ``cohort`` is the epoch-period index of first activity and ``offset``
+    counts periods since it (offset 0 = the cohort size itself).
+
+    Period indices are exact integer epoch divisions (no calendar
+    arithmetic, no timezone), so both engines agree bit-for-bit.
+
+    Scale shape: ONE distinct aggregate on (user, period) — the only
+    input-sized shuffle — then a user-partitioned window MIN for the
+    cohort (reuses the same hash partitioning, no join against a
+    first-seen table), then an output-bounded (cohort, offset) count.
+    Each distinct (user, period) row contributes exactly one user to one
+    cell, so no count-distinct pass is needed.  NULL timestamps drop
+    (they belong to no period)."""
+    secs = _PERIOD_SECONDS.get(period)
+    if secs is None:
+        raise ValueError(f"period must be one of {sorted(_PERIOD_SECONDS)}")
+    wk = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(secs)).cast("bigint")
+    act = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), wk.alias("__p"))
+        .distinct()
+    )
+    w = Window.partitionBy("__u")
+    out = act.withColumn("__cohort", F.min("__p").over(w))
+    return (
+        out.groupBy(
+            F.col("__cohort").alias("cohort"),
+            (F.col("__p") - F.col("__cohort")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+def retention_cohorts_sql(
+    table: str, user_col: str, ts_col: str, period: str = "week"
+) -> str:
+    """DuckDB mirror: identical integer epoch-period arithmetic, window
+    MIN cohort, (cohort, offset) count."""
+    secs = _PERIOD_SECONDS[period]
+    return (
+        f"WITH act AS (SELECT DISTINCT {user_col} AS u, "
+        f"CAST(floor(epoch({ts_col}) / {secs}) AS BIGINT) AS p "
+        f"FROM {table} WHERE {ts_col} IS NOT NULL), "
+        f"c AS (SELECT u, p, MIN(p) OVER (PARTITION BY u) AS cohort FROM act) "
+        f"SELECT cohort, p - cohort AS offset, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_users "
+        f"FROM c GROUP BY cohort, p - cohort"
+    )
