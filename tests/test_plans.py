@@ -447,3 +447,17 @@ def test_ann_batch_broadcast_join_and_topk_pushdown(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 1
     assert "WindowGroupLimit" in p
+
+
+def test_retention_three_exchanges_no_join(spark, sf_dir):
+    """Cohort retention: distinct (user, period) agg, user window for the
+    cohort, output-bounded (cohort, offset) agg — exactly three
+    exchanges, no join, one scan.  A first-seen-table join shape (the
+    naive formulation) would show a Join node and a fourth exchange."""
+    from xarray_histogram_spark.operators.joins import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = plan_of(retention_cohorts(ev, "user_id", "ts", "day"))
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 3
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
