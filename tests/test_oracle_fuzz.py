@@ -296,3 +296,68 @@ def test_fuzzed_rollup_matches_oracle(spark, sf_dir, seed):
         weights=weights,
     )
     assert_matches_sql(df, sql, duck(sf_dir))
+
+
+@pytest.mark.parametrize("seed", [7, 77, 777])
+def test_fuzzed_asof_join_mirror(spark, seed):
+    """As-of join fuzz: random key/timestamp collisions (many exact ts
+    ties, NULL keys/timestamps on both sides, random tolerance) through
+    the union+window plan and the LATERAL rank-1 oracle — the tie-break
+    and NULL conventions are the historically bug-dense surface."""
+    import duckdb
+
+    from xarray_histogram_spark.operators.joins import asof_join, asof_join_sql
+
+    rng = random.Random(seed)
+    keys = ["u1", "u2", None]
+    lrows, rrows = [], []
+    for i in range(120):
+        k = rng.choice(keys)
+        # coarse grid => heavy exact-timestamp collisions
+        ts = rng.randrange(0, 40) * 1000 if rng.random() > 0.03 else None
+        lrows.append((i, k, ts))
+    for j in range(80):
+        k = rng.choice(keys)
+        ts = rng.randrange(0, 40) * 1000 if rng.random() > 0.05 else None
+        val = None if rng.random() < 0.1 else round(rng.uniform(0, 9), 3)
+        rrows.append((j, k, ts, val))
+    ldf = spark.createDataFrame(lrows, "lid LONG, k STRING, ts LONG")
+    rdf = spark.createDataFrame(rrows, "rid LONG, k STRING, ts LONG, v DOUBLE")
+    con = duckdb.connect()
+    con.register("lt", ldf.toPandas())
+    con.register("rt", rdf.toPandas())
+    tol = rng.choice([None, 2000, 10_000])
+    got = asof_join(ldf, rdf, ["k"], "ts", ["v"], "rid", tolerance=tol)
+    sql = asof_join_sql("SELECT * FROM lt", "SELECT * FROM rt", ["k"], "ts",
+                        ["v"], "rid", tolerance=tol)
+    assert_matches_sql(got, sql, con)
+
+
+@pytest.mark.parametrize("seed", [5, 55])
+def test_fuzzed_curate_mirror(spark, sf_dir, seed):
+    """Composed curation pipeline fuzz: random quality threshold, language
+    filter, split fractions, salt and dedup shape — the hand-composed CTE
+    oracle must match both the wide-window and narrow-semi-join plans."""
+    from xarray_histogram_spark.operators.curate import (
+        curate_documents, curate_documents_sql,
+    )
+
+    rng = random.Random(seed)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qmin = rng.choice([None, 0.1, 0.25])
+    langs = rng.choice([None, ("en",), ("en", "und", "fr")])
+    a = round(rng.uniform(0.5, 0.8), 2)
+    b = round((1.0 - a) / 2, 3)
+    splits = [("train", a), ("val", b), ("test", round(1.0 - a - b, 3))]
+    salt = f"s{seed}"
+    sql = curate_documents_sql(
+        "documents", "text", "doc_id",
+        quality_min=qmin, langs=langs, splits=splits, salt=salt,
+    )
+    for wide in (True, False):
+        got = curate_documents(
+            docs, "text", "doc_id",
+            quality_min=qmin, langs=langs, splits=splits, salt=salt,
+            wide_rows=wide,
+        )
+        assert_matches_sql(got, sql, duck(sf_dir))
