@@ -562,9 +562,10 @@ def test_adv_ann_batch(spark, tmp_path):
 
 
 def test_adv_retention_mirror(spark, tmp_path):
-    """Retention mirror over crafted events: NULL timestamps drop on both
-    engines, NULL user ids form their own cohort 'user', period
-    boundaries (exactly-midnight epochs) land identically."""
+    """Retention mirror over crafted events: NULL timestamps AND NULL
+    user ids drop on both engines (anonymous activity must not fuse into
+    a pseudo-user), period boundaries (exactly-midnight epochs) land
+    identically."""
     from datetime import datetime as d
 
     import duckdb as _d

@@ -1375,32 +1375,44 @@ def test_ann_topk_batch_shape(spark, emb):
 
 
 def test_retention_cohorts_values(spark):
-    from datetime import datetime
+    """Expectations built from the SAME floor(epoch/86400) integer
+    arithmetic as the operator — never from naive datetime.timestamp(),
+    which resolves in the machine's LOCAL timezone and breaks anywhere
+    east/west of UTC (review-found)."""
+    from pyspark.sql import functions as _F
 
     from xarray_histogram_spark.operators.joins import retention_cohorts
 
-    d = datetime
+    day = 86_400
     rows = [
-        # user 1: first day 0, returns day 1 and day 3
-        (1, d(2024, 1, 1, 9)), (1, d(2024, 1, 2, 5)), (1, d(2024, 1, 4)),
-        (1, d(2024, 1, 2, 23)),          # same day twice → one cell
-        # user 2: first day 1 only
-        (2, d(2024, 1, 2, 1)),
+        # user 1: first day 0, returns day 1 (twice, same period) and day 3
+        (1, 10 * day + 9 * 3600),
+        (1, 11 * day + 5 * 3600),
+        (1, 11 * day + 23 * 3600),
+        (1, 13 * day + 60),
+        # user 2: day 11 only
+        (2, 11 * day + 3600),
         # user 3: NULL ts only → contributes nothing
         (3, None),
+        # NULL user: dropped, never a pseudo-user
+        (None, 10 * day),
     ]
-    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP")
+    df = spark.createDataFrame(rows, "user_id LONG, sec LONG").select(
+        "user_id", _F.timestamp_seconds(_F.col("sec")).alias("ts")
+    )
     out = retention_cohorts(df, "user_id", "ts", period="day")
     cells = {(r.cohort, r.offset): r.n_users for r in out.collect()}
-    day0 = d(2024, 1, 1).timestamp() // 86_400
-    day1 = day0 + 1
-    assert cells[(day0, 0)] == 1          # user 1's cohort
-    assert cells[(day0, 1)] == 1          # user 1 returned next day once
-    assert cells[(day0, 3)] == 1
-    assert cells[(day1, 0)] == 1          # user 2's own cohort
-    assert sum(cells.values()) == 4
+    assert cells[(10, 0)] == 1          # user 1's cohort
+    assert cells[(10, 1)] == 1          # returned next day (two events, one cell)
+    assert cells[(10, 3)] == 1
+    assert cells[(11, 0)] == 1          # user 2's own cohort
+    assert sum(cells.values()) == 4     # NULL user contributed nothing
 
     import pytest as _pt
 
     with _pt.raises(ValueError, match="period"):
         retention_cohorts(df, "user_id", "ts", period="month")
+    from xarray_histogram_spark.operators.joins import retention_cohorts_sql
+
+    with _pt.raises(ValueError, match="period"):
+        retention_cohorts_sql("events", "user_id", "ts", period="month")

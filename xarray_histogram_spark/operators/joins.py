@@ -388,17 +388,20 @@ def retention_cohorts(
 
     Scale shape: ONE distinct aggregate on (user, period) — the only
     input-sized shuffle — then a user-partitioned window MIN for the
-    cohort (reuses the same hash partitioning, no join against a
-    first-seen table), then an output-bounded (cohort, offset) count.
-    Each distinct (user, period) row contributes exactly one user to one
-    cell, so no count-distinct pass is needed.  NULL timestamps drop
-    (they belong to no period)."""
+    cohort over the already-reduced distinct frame (no join against a
+    first-seen table; the window does repartition, but its input is
+    #users·#periods rows, not the corpus), then an output-bounded
+    (cohort, offset) count.  Each distinct (user, period) row
+    contributes exactly one user to one cell, so no count-distinct pass
+    is needed.  NULL timestamps drop (they belong to no period) and so
+    do NULL user ids — grouping them would fuse all anonymous activity
+    into ONE pseudo-user and silently skew the triangle."""
     secs = _PERIOD_SECONDS.get(period)
     if secs is None:
         raise ValueError(f"period must be one of {sorted(_PERIOD_SECONDS)}")
     wk = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(secs)).cast("bigint")
     act = (
-        df.where(F.col(ts_col).isNotNull())
+        df.where(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
         .select(F.col(user_col).alias("__u"), wk.alias("__p"))
         .distinct()
     )
@@ -418,11 +421,14 @@ def retention_cohorts_sql(
 ) -> str:
     """DuckDB mirror: identical integer epoch-period arithmetic, window
     MIN cohort, (cohort, offset) count."""
-    secs = _PERIOD_SECONDS[period]
+    secs = _PERIOD_SECONDS.get(period)
+    if secs is None:
+        raise ValueError(f"period must be one of {sorted(_PERIOD_SECONDS)}")
     return (
         f"WITH act AS (SELECT DISTINCT {user_col} AS u, "
         f"CAST(floor(epoch({ts_col}) / {secs}) AS BIGINT) AS p "
-        f"FROM {table} WHERE {ts_col} IS NOT NULL), "
+        f"FROM {table} "
+        f"WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL), "
         f"c AS (SELECT u, p, MIN(p) OVER (PARTITION BY u) AS cohort FROM act) "
         f"SELECT cohort, p - cohort AS offset, "
         f"CAST(COUNT(*) AS BIGINT) AS n_users "
