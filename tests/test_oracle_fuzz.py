@@ -361,3 +361,46 @@ def test_fuzzed_curate_mirror(spark, sf_dir, seed):
             wide_rows=wide,
         )
         assert_matches_sql(got, sql, duck(sf_dir))
+
+
+@pytest.mark.parametrize("seed", [3, 33, 333])
+def test_fuzzed_funnel_and_range_mirror(spark, seed):
+    """Funnel + range-join fuzz over collision-heavy random events:
+    timestamps on a coarse grid that lands EXACTLY on window-bucket
+    multiples (the delicate pmod-floor bucket math), random funnel depth
+    and window, NULL timestamps, stage types missing entirely for some
+    keys."""
+    import duckdb
+
+    from xarray_histogram_spark.operators.joins import (
+        funnel_conversion, funnel_conversion_sql,
+        range_join_count, range_join_count_sql,
+    )
+
+    rng = random.Random(seed)
+    types = ["view", "cart", "buy", "refund"]
+    rows = []
+    for i in range(250):
+        k = rng.randrange(0, 12)
+        # multiples of 500 → many ts exactly at bucket edges for W=1000/2000
+        ts = rng.randrange(0, 40) * 500 if rng.random() > 0.03 else None
+        rows.append((i, k, ts, rng.choice(types)))
+    df = spark.createDataFrame(rows, "eid LONG, k LONG, ts LONG, et STRING")
+    con = duckdb.connect()
+    con.register("fe", df.toPandas())
+
+    depth = rng.choice([2, 3, 4])
+    window = rng.choice([None, 3000])
+    got = funnel_conversion(df.where("ts IS NOT NULL"), "k", "ts", "et",
+                            types[:depth], window=window)
+    sql = funnel_conversion_sql("SELECT * FROM fe WHERE ts IS NOT NULL",
+                                "k", "ts", "et", types[:depth],
+                                window=window)
+    assert_matches_sql(got, sql, con)
+
+    w = rng.choice([1000, 2000, 777])
+    left = df.where("ts IS NOT NULL")
+    got2 = range_join_count(left, left, ["k"], "ts", w, "eid")
+    lsql = "SELECT * FROM fe WHERE ts IS NOT NULL"
+    sql2 = range_join_count_sql(lsql, lsql, ["k"], "ts", w, "eid")
+    assert_matches_sql(got2, sql2, con)
