@@ -596,3 +596,52 @@ def test_adv_retention_mirror(spark, tmp_path):
             retention_cohorts_sql("revents", "user_id", "ts", period),
             con,
         )
+
+
+def test_adv_ann_indexed_degenerate_vectors(spark, tmp_path):
+    """The persisted partitionBy(bucket) index over crafted embeddings
+    (NaN element, zero-norm, NULL vector, NULL id): the partition-pruned
+    read must return the SAME ranking as the in-memory multiprobe AND
+    hash-match the shared oracle — NULL-bucket rows (NULL embeddings) go
+    to the null partition and must not break either path."""
+    import math
+
+    import duckdb as _d
+
+    from xarray_histogram_spark.operators import similarity as sim
+
+    DIM = 64
+
+    def vec(seed, bad=None):
+        v = [math.sin(seed * 13.7 + k) for k in range(DIM)]
+        if bad == "nan":
+            v[3] = float("nan")
+        if bad == "zero":
+            v = [0.0] * DIM
+        return v
+
+    rows = [
+        (0, vec(0), 1), (1, vec(0), 1),
+        (2, vec(5), 2), (3, vec(0, "nan"), 2),
+        (4, vec(0, "zero"), 3), (5, None, 3),
+        (None, vec(9), 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    raw = str(tmp_path / "emb.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(raw)
+    src = spark.read.parquet(raw)
+    idx = str(tmp_path / "ann_index")
+    sim.write_ann_index(src, idx)
+    con = _d.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{raw}/*.parquet')"
+    )
+    got = sim.ann_topk_indexed(spark, idx, query_id=0, k=5)
+    _check(got, sim.ann_topk_sql("embeddings", query_id=0, k=5), con)
+    # and identical to the in-memory plan's ranking
+    mem = sim.ann_topk(src, query_id=0, k=5).collect()
+    assert [(r.vec_id, r.cos) for r in got.collect()] == [
+        (r.vec_id, r.cos) for r in mem
+    ]
