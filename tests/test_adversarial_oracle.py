@@ -444,6 +444,8 @@ PII_ROWS = [
     (12, "url in quotes 'https://q.net/x' and (http://p.io/y)", "de", "s1"),
     (13, "ftp://not.matched and https//broken.org", "fr", "s0"),
     (14, "multi https://a.io/1 https://a.io/1 same url twice", "en", "s1"),
+    (15, "cards 4111-1111-1111-1111, 4111 1111 1111 11, 4111-1111-1111-1 no",
+     "en", "s0"),
 ]
 
 

@@ -1293,6 +1293,7 @@ def test_pii_scrub_redacts_each_class(spark):
             (2, "ssn 123-45-6789 ok"),
             (3, "call +4915112345678 or 555-123-4567"),
             (4, "host 192.168.0.1 down"),
+            (7, "pay 4111-1111-1111-1111 or 4111 1111 1111 11"),
             (5, None),
             (6, "plain text, no pii"),
         ],
@@ -1304,6 +1305,7 @@ def test_pii_scrub_redacts_each_class(spark):
     assert out[2].n_ssn == 1 and "<ID>" in out[2].text_scrubbed
     assert out[3].n_phone == 2 and out[3].text_scrubbed.count("<PHONE>") == 2
     assert out[4].n_ipv4 == 1 and "<IP>" in out[4].text_scrubbed
+    assert out[7].n_cc == 2 and out[7].text_scrubbed.count("<CC>") == 2
     # NULL text propagates (never a crash, never a fake count)
     assert out[5].text_scrubbed is None and out[5].n_pii is None
     assert out[6].n_pii == 0 and out[6].text_scrubbed == "plain text, no pii"

@@ -194,6 +194,7 @@ _PII_ATOMS = [
     "http://", "https://", "ftp://", "www.", ".com", ".org", ".co",
     "example", "mail", "user", "ssn", "(", ")", "[", "]", "$", "\\",
     "123", "45", "6789", "0", "99", "255", "１２３", "naïve", "文字",
+    "4111", "1111-",
     "☃", "a", "B", "zz", "%", "#", "?", "=", "&", "_", "~", ",",
 ]
 

@@ -965,7 +965,9 @@ _PII_AUG_SQL = (
     "text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail' || "
     "CAST(doc_id % 7 AS VARCHAR) || '.example.com or +1555000' || "
     "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.0.' || "
-    "CAST(doc_id % 256 AS VARCHAR) || '.7, SSN 123-45-6789.'"
+    "CAST(doc_id % 256 AS VARCHAR) || '.7, SSN 123-45-6789, card "
+    "4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "|| '.'"
 )
 _URL_AUG_SQL = (
     "text || ' See https://src' || CAST(doc_id % 7 AS VARCHAR) || "
@@ -984,7 +986,9 @@ def _pii_aug_col():
         F.lit(".example.com or +1555000"),
         F.lpad((d % 10000).cast("string"), 4, "0"),
         F.lit(" at 10.0."), (d % 256).cast("string"),
-        F.lit(".7, SSN 123-45-6789."),
+        F.lit(".7, SSN 123-45-6789, card 4111-1111-1111-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit("."),
     )
 
 

@@ -598,6 +598,11 @@ PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<ID>"),
     ("phone", r"\+[0-9]{7,15}|[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    # separator-formatted 14-16 digit card numbers only: a bare
+    # [0-9]{14,16} run is too false-positive-prone for a scrubber, and
+    # the 4-digit groups cannot collide with the 3-3-4 phone / 3-2-4 SSN
+    # shapes that run earlier in the chain
+    ("cc", r"[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{2,4}", "<CC>"),
     (
         "ipv4",
         r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
