@@ -274,3 +274,24 @@ def test_jsonl_corpus_corrupt_record_capture(spark, tmp_path):
 
     with _pt.raises(ValueError, match="collides"):
         read_jsonl_corpus(spark, str(p), schema, corrupt_col="text")
+
+
+@pytest.mark.parametrize(
+    "script", ["migration_from_reference.py", "curation_pipeline.py"]
+)
+def test_examples_run_green(script):
+    """The runnable walkthroughs are part of the public surface (README
+    links them) — run each as a real subprocess at sf0.001 so API drift
+    in the examples fails the suite, not the first reader."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "examples", script),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=540,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "OK" in r.stdout
