@@ -446,6 +446,8 @@ PII_ROWS = [
     (14, "multi https://a.io/1 https://a.io/1 same url twice", "en", "s1"),
     (15, "cards 4111-1111-1111-1111, 4111 1111 1111 11, 4111-1111-1111-1 no",
      "en", "s0"),
+    (16, "amex 3782 822463 10005 diners 3056-930902-5904 years 1914 1918 1939 1945",
+     "en", "s1"),
 ]
 
 

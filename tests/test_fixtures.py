@@ -287,10 +287,11 @@ def test_examples_run_green(script):
     import subprocess
     import sys
 
+    from .conftest import SF_DIR
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
-        [sys.executable, os.path.join(root, "examples", script),
-         "/root/testdata/sf0.001"],
+        [sys.executable, os.path.join(root, "examples", script), SF_DIR],
         capture_output=True, text=True, timeout=540,
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]

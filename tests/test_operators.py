@@ -1294,6 +1294,8 @@ def test_pii_scrub_redacts_each_class(spark):
             (3, "call +4915112345678 or 555-123-4567"),
             (4, "host 192.168.0.1 down"),
             (7, "pay 4111-1111-1111-1111 or 4111 1111 1111 11"),
+            (8, "amex 3782 822463 10005, diners 3056-930902-5904"),
+            (9, "years 1914 1918 1939 1945 list"),
             (5, None),
             (6, "plain text, no pii"),
         ],
@@ -1306,6 +1308,10 @@ def test_pii_scrub_redacts_each_class(spark):
     assert out[3].n_phone == 2 and out[3].text_scrubbed.count("<PHONE>") == 2
     assert out[4].n_ipv4 == 1 and "<IP>" in out[4].text_scrubbed
     assert out[7].n_cc == 2 and out[7].text_scrubbed.count("<CC>") == 2
+    # Amex 4-6-5 and Diners 4-6-4 groupings are covered
+    assert out[8].n_cc == 2 and out[8].text_scrubbed.count("<CC>") == 2
+    # year lists must NOT fire (the [3-6] first-digit anchor)
+    assert out[9].n_cc == 0 and "1914" in out[9].text_scrubbed
     # NULL text propagates (never a crash, never a fake count)
     assert out[5].text_scrubbed is None and out[5].n_pii is None
     assert out[6].n_pii == 0 and out[6].text_scrubbed == "plain text, no pii"

@@ -960,7 +960,8 @@ register(
 # raw text would be near-vacuous (the round-5 dedup_embed_pairs lesson:
 # 0-row == 0-row proves nothing).  Both engines append the SAME synthetic
 # contact block — pure doc_id arithmetic, so every row carries a known
-# e-mail, phone, IPv4, SSN and two URLs on top of whatever the text has.
+# e-mail, phone, IPv4, SSN, card number and two URLs on top of whatever
+# the text has.
 _PII_AUG_SQL = (
     "text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail' || "
     "CAST(doc_id % 7 AS VARCHAR) || '.example.com or +1555000' || "

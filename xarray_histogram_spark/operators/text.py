@@ -598,11 +598,21 @@ PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<ID>"),
     ("phone", r"\+[0-9]{7,15}|[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
-    # separator-formatted 14-16 digit card numbers only: a bare
-    # [0-9]{14,16} run is too false-positive-prone for a scrubber, and
-    # the 4-digit groups cannot collide with the 3-3-4 phone / 3-2-4 SSN
-    # shapes that run earlier in the chain
-    ("cc", r"[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{2,4}", "<CC>"),
+    # separator-formatted card numbers only — three explicit groupings
+    # (Amex 4-6-5, Diners 4-6-4, 16/15/14-digit 4-4-4-x), each anchored
+    # on a [3-6] first digit (every real PAN network; kills the
+    # year-list/score false positives like "1914 1918 1939 1945" that a
+    # bare 4-digit-group run redacts).  A bare [0-9]{14,16} run is too
+    # false-positive-prone for a scrubber, and none of these shapes can
+    # collide with the 3-3-4 phone / 3-2-4 SSN patterns earlier in the
+    # chain (their dash spacing differs).
+    (
+        "cc",
+        r"[3-6][0-9]{3}[ -][0-9]{6}[ -][0-9]{5}"
+        r"|[3-6][0-9]{3}[ -][0-9]{6}[ -][0-9]{4}"
+        r"|[3-6][0-9]{3}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{2,4}",
+        "<CC>",
+    ),
     (
         "ipv4",
         r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
@@ -613,7 +623,8 @@ PII_PATTERNS = (
 
 def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Detect and redact PII spans (e-mail, SSN-like ids, phone numbers,
-    IPv4 addresses — the C4/Dolma-style scrubbing pass): returns
+    separator-formatted card numbers, IPv4 addresses — the C4/Dolma-style
+    scrubbing pass): returns
     (id, scrubbed text, one match count per PII class, total).  Pure
     per-row regex projection — fully codegen'd, no shuffle, trivially
     scale-free; counts are of NON-OVERLAPPING matches in chain order
