@@ -1,54 +1,52 @@
-"""Standalone driver-contract simulation, runnable from ANY directory:
-entry() smoke + every queries() entry compared exactly against its
-oracle_sql() in DuckDB — the same bar as the per-round CORRECTNESS gate.
+"""Standalone driver-contract simulation: run EVERY registry query against
+its DuckDB oracle, at any parallelism/scale.
 
-Usage: python scripts/driver_sim.py [sf_dir]   (default /root/testdata/sf0.01)
+    python scripts/driver_sim.py [sf_dir] [master] [shuffle_partitions]
+
+Defaults replicate the DRIVER's conditions (sf0.01, local[32], 32
+partitions, AQE on) rather than the test fixture's local[4]/4 — the
+point is verifying the determinism contract (every oracle hash must be
+partitioning-independent) at a parallelism the unit suite never uses.
+Exits non-zero listing any mismatching query.
 """
+
 import os
 import sys
-import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
-sys.path.insert(0, os.path.join(REPO, "tests"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession  # noqa: E402
 
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    master = sys.argv[2] if len(sys.argv) > 2 else "local[32]"
+    parts = sys.argv[3] if len(sys.argv) > 3 else "32"
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(master)
+        .config("spark.sql.shuffle.partitions", parts)
+        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    import __spark_entry__ as e
-    from util import assert_matches_sql, duck
+    import __spark_entry__ as entry
+    from tests.util import assert_matches_sql, duck
 
-    df = e.entry(spark)
-    print(f"entry: {df.count()} rows, schema {[f.name for f in df.schema.fields][:4]}…")
-
-    qs, os_ = e.queries(), e.oracle_sql()
     con = duck(sf)
-    fails = []
-    t0 = time.time()
-    for name, fn in qs.items():
-        sql = os_.get(name)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    bad = []
+    for name in qs:
         try:
-            sdf = fn(spark, sf)
-            if sql is None:
-                print(f"  {name}: rows-only {sdf.count()}")
-                continue
-            assert_matches_sql(sdf, sql, con)
-        except Exception as ex:  # noqa: BLE001 - report and continue
-            fails.append(name)
-            print(f"  FAIL {name}: {str(ex)[:200]}")
-    print(f"checked {len(qs)} queries in {time.time() - t0:.0f}s; "
-          f"failures: {len(fails)} {fails}")
-    return 1 if fails else 0
+            assert_matches_sql(qs[name](spark, sf), oracles[name], con)
+        except Exception as ex:  # noqa: BLE001 — report and continue
+            bad.append((name, str(ex)[:200]))
+            print(f"FAIL {name}: {str(ex)[:200]}", flush=True)
+    print(f"{len(qs) - len(bad)}/{len(qs)} queries oracle-green "
+          f"at {master}/{parts} partitions, sf_dir={sf}")
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":
