@@ -57,77 +57,62 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
     _REGISTRY[name] = (fn, sql)
 
 
-# Round-6 rotation refresh.  _DRIVER_VERIFIED is EXACTLY the 50 names
-# CORRECTNESS_r05.json hash-verified (every one green) — those sit at the
-# TAIL of the registry so the driver's ~50-query window reaches the 57
-# entries whose freshest green is r03/r04.  All stale entries have
+# Round-7 rotation refresh.  _DRIVER_VERIFIED is EXACTLY the 50 names
+# CORRECTNESS_r06.json hash-verified (every one green) — those sit at the
+# TAIL of the registry so the driver's ~50-query window reaches the 68
+# entries whose freshest green is r04/r05.  All stale entries have
 # UNCHANGED plans and oracles since their last driver green and stay
 # green in the local full-registry gates (test_entry_contract,
 # driver_sim); this rotation is pure evidence-freshness maintenance.
 _DRIVER_VERIFIED = frozenset({
-    "binned_stat_grouped", "binned_stat_profile",
-    "dedup_components", "dedup_embed_components", "dedup_embed_pairs",
-    "dedup_exact", "dedup_jaccard", "dedup_minhash_pairs",
-    "dedup_near_keep", "dedup_simhash", "dedup_simhash_pairs",
-    "events_asof_join", "events_funnel", "events_range_join",
-    "events_session_hist", "events_sliding_hist",
-    "hist_columns_weighted", "hist_fill_arrow_path",
-    "hist_growth_categories", "hist_growth_merge", "hist_mean_storage",
-    "hist_pow_axis", "hist_rollup_weighted", "hist_weight_storage",
-    "hist_weighted", "hist_weighted_grouped_density",
-    "mm_decode_audio", "mm_decode_image", "mm_decode_meta",
-    "pipeline_curate_narrow",
-    "sample_pack_chunks", "sample_take_n", "sample_topk_group",
-    "sim_ann_indexed", "sim_ann_topk", "sim_cosine_topk", "sim_ivf_topk",
-    "sim_kmeans_refine", "sim_quantize_int8",
-    "stat_mean_2d", "stat_mean_weighted", "stat_median_2d",
-    "streaming_dedup_state", "streaming_range_join",
-    "streaming_window_hist",
-    "text_dup_ngrams", "text_fingerprint", "text_repetition",
-    "text_token_count", "text_vocabulary",
-})
-
-
-# Stale-head priority: entries whose freshest driver green is ROUND 3
-# (two rounds old) lead the window before the r04 tail, so no green ever
-# ages a third round.  The r04-stale entries follow in registry order.
-_STALE_PRIORITY = (
+    "hist_adopt_roundtrip", "hist_custom_transform_axis",
+    "sample_balanced", "text_pii_scrub", "text_url_extract",
+    "text_url_cap_domain", "sim_ann_batch", "streaming_pii_scrub",
+    "source_jsonl_roundtrip", "dedup_cluster_size_hist",
+    "events_retention", "dedup_embed_pairs", "sample_pack_chunks",
+    "mm_decode_meta",
     "hist_variable_axis", "hist_quantile_bins", "hist_join_revenue",
     "alg_project", "alg_slice_bins", "hist_bool_axis",
     "events_hourly_hist", "events_props_json_hist",
     "events_type_value_hist",
     "sample_deterministic", "sample_split", "sample_stratified",
     "text_langid", "text_quality", "hist_weighted_fastpath",
+    "hist_regular_1d", "hist_regular_flow", "hist_grouped",
+    "hist_group_month", "hist_density", "hist_density_flow",
+    "hist_variable_binary", "hist_integer_axis", "hist_intcategory",
+    "hist_strcategory", "hist_log_axis", "hist_2d", "hist_3d_grouped",
+    "hist_int64_storage", "hist_columns", "hist_sqrt_axis",
+    "hist_range_infer", "alg_normalize_after", "alg_remove_flow",
+    "alg_scale", "alg_apply_func_log",
+})
+
+
+# Stale-head priority: entries whose freshest driver green is ROUND 4
+# (two rounds old) lead the window before the r05-stale head, so no green
+# ever ages a third round.  The r05-stale entries follow in registry
+# order and fill the remainder of the ~50-query window.
+_STALE_PRIORITY = (
+    "stat_mean", "stat_var", "stat_std", "stat_moment3", "stat_median",
+    "stat_ppf90", "stat_interval80", "stat_cdf25",
+    "hist_merge_shards", "hist_rollup_multires", "hist_rollup_2d",
+    "hist_cube_multires", "hist_join_align_2var",
+    "alg_bin_coordinates", "alg_rebin",
+    "streaming_stateful_hist", "dedup_contamination",
+    "text_line_dedup", "text_top_terms", "pipeline_curate",
+    "mm_sample_frames",
 )
 
 
-# Entries whose PLAN or ORACLE changed in round 6 — never mind their past
+# Entries whose PLAN or ORACLE changed in round 7 — never mind their past
 # greens, the driver must re-check them under the new engine before
 # anything else in the stale head.  Ordered right after _NEW_THIS_ROUND.
-_CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # dedup_embed_pairs re-registered non-vacuously (r05 gate row was a
-    # 0-row == 0-row equality; now threshold/planes yield real pairs at
-    # sf0.01) — see VERDICT r05 "What's wrong" #1.
-    "dedup_embed_pairs",
-    # chunk_assignments window gained a token-count secondary sort key on
-    # both engines (ADVICE r05: duplicate-id tie determinism).
-    "sample_pack_chunks",
-    # decode_meta oracle: encode() instead of CAST(... AS BLOB), which
-    # RAISES on non-ASCII text (battery-found; ASCII fixtures masked it).
-    "mm_decode_meta",
-)
+_CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 
-# Queries REGISTERED IN ROUND 6 — never in any driver CORRECTNESS record;
+# Queries REGISTERED IN ROUND 7 — never in any driver CORRECTNESS record;
 # they lead the registry so the driver's ~50-query window is guaranteed
 # to reach them regardless of where they appear in this file.
-_NEW_THIS_ROUND: tuple[str, ...] = (
-    "hist_adopt_roundtrip", "hist_custom_transform_axis",
-    # second round-6 batch: training-data curation ops
-    "sample_balanced", "text_pii_scrub", "text_url_extract",
-    "text_url_cap_domain", "sim_ann_batch", "streaming_pii_scrub",
-    "source_jsonl_roundtrip", "dedup_cluster_size_hist", "events_retention",
-)
+_NEW_THIS_ROUND: tuple[str, ...] = ()
 
 
 def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
