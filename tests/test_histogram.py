@@ -495,7 +495,7 @@ def test_monotone_asinh_fast_vs_exact(spark, lineitem):
     discount value transforms well clear of any edge)."""
     from xarray_histogram_spark import MonotoneRegular
 
-    fast = MonotoneRegular.asinh(10, -1.0, 1.0)
+    fast = MonotoneRegular.asinh(10, -1.0, 1.0, exact=False)
     assert not fast.exact
     exact = MonotoneRegular.asinh(10, -1.0, 1.0, exact=True)
     a = histogram(lineitem, "l_discount", fast, flow=True).df.collect()
@@ -541,6 +541,19 @@ def test_monotone_error_contracts(spark):
     assert e.exact
 
 
+def test_monotone_named_constructors_exact_by_default():
+    """The named constructors honor the class's documented
+    deterministic-by-default contract even though they ship fwd_col:
+    bare logit()/asinh() must take the literal-edge path, and
+    exact=False must still opt into the fast path."""
+    from xarray_histogram_spark import MonotoneRegular
+
+    assert MonotoneRegular.logit(4, 0.1, 0.9).exact
+    assert MonotoneRegular.asinh(4, -1.0, 1.0).exact
+    assert not MonotoneRegular.logit(4, 0.1, 0.9, exact=False).exact
+    assert not MonotoneRegular.asinh(4, -1.0, 1.0, exact=False).exact
+
+
 def test_monotone_persistence_roundtrip(spark, lineitem, tmp_path):
     """to_dict serializes the resolved edges as a Variable axis; a result
     written+reloaded has identical bins and data."""
@@ -574,7 +587,7 @@ def test_monotone_asinh_negative_range(spark):
     The sign-symmetric fast path must bin large negatives correctly."""
     from xarray_histogram_spark import MonotoneRegular
 
-    spec = MonotoneRegular.asinh(10, -1e9, 1e9)
+    spec = MonotoneRegular.asinh(10, -1e9, 1e9, exact=False)
     assert not spec.exact
     vals = [-1e8, -6.7e7, -1e6, -1.0, 0.0, 1.0, 1e6, 1e8]
     df = spark.createDataFrame([(v,) for v in vals], "x double")
@@ -608,7 +621,7 @@ def test_monotone_fast_oracle_out_of_domain(spark, tmp_path):
 
     from .util import assert_matches_sql
 
-    spec = MonotoneRegular.logit(4, 0.1, 0.9)
+    spec = MonotoneRegular.logit(4, 0.1, 0.9, exact=False)
     assert not spec.exact
     rows = [(0.0,), (1.0,), (-3.0,), (2.5,), (None,), (float("nan"),),
             (0.25,), (0.5,), (0.75,), (0.15,)]

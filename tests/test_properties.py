@@ -453,7 +453,7 @@ def py_monotone_id(spec, x):
 def test_monotone_logit_fast_property(spark, values):
     from xarray_histogram_spark.binspec import MonotoneRegular
 
-    spec = MonotoneRegular.logit(6, 0.05, 0.9)
+    spec = MonotoneRegular.logit(6, 0.05, 0.9, exact=False)
     got = spark_ids(spark, spec, values)
     exp = [py_monotone_id(spec, v) for v in values]
     assert got == exp

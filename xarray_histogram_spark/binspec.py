@@ -692,13 +692,22 @@ class MonotoneRegular(Regular):
                 f"computed edges are not: {es[: min(len(es), 5)]}"
             )
 
-    # named conveniences (each ships exact fwd_col/fwd_sql mirrors) ----
+    # named conveniences (each ships exact fwd_col/fwd_sql mirrors).
+    # They default to exact=True — the class's documented deterministic
+    # default — even though they supply fwd_col; pass exact=False to opt
+    # into the O(1) libm fast path (within-1-ulp Spark/DuckDB divergence
+    # possible near bin edges).
     @classmethod
     def logit(cls, nbins: int, lo: float, hi: float, **kw) -> "MonotoneRegular":
         """log(x / (1-x)) — bins concentrating resolution at both ends of a
-        probability/ratio column.  Requires 0 < lo < hi < 1."""
+        probability/ratio column.  Requires 0 < lo < hi < 1.
+
+        Deterministic literal-edge path by default (``exact=True``);
+        pass ``exact=False`` for the O(1) transformed-bucketize fast
+        path."""
         if not (0.0 < lo < hi < 1.0):
             raise ValueError("logit axis needs 0 < lo < hi < 1")
+        kw.setdefault("exact", True)
         return cls(
             nbins, lo, hi,
             fwd=lambda x: math.log(x / (1.0 - x)),
@@ -727,12 +736,15 @@ class MonotoneRegular(Regular):
         """asinh(x) — log-like compression that stays defined through 0 and
         negatives (the standard symlog axis).
 
-        Formulated as ``sign(x)·ln(|x| + sqrt(x²+1))``: the naive
+        Deterministic literal-edge path by default (``exact=True``);
+        pass ``exact=False`` for the O(1) transformed-bucketize fast
+        path, formulated as ``sign(x)·ln(|x| + sqrt(x²+1))``: the naive
         ``ln(x + sqrt(x²+1))`` cancels catastrophically for negative x
         (at x ≤ -6.7e7 the argument rounds to 0 and ln degenerates
         entirely); the sign-symmetric form is accurate over the full
         range and its ln argument is always ≥ 1, so the SQL mirror is
         total in DuckDB too."""
+        kw.setdefault("exact", True)
         return cls(
             nbins, lo, hi,
             fwd=math.asinh,

@@ -1221,9 +1221,11 @@ def _adopt_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one session-scoped scratch dir, overwritten per call — repeated
     # bench/driver invocations must not accumulate orphan temp dirs
-    path = _ADOPT_SCRATCH.setdefault(
-        sf_dir, tempfile.mkdtemp(prefix="xhs_adopt_") + "/plain"
-    )
+    # (setdefault would still call mkdtemp eagerly each time, leaking
+    # one empty dir per invocation — guard so it runs on first use only)
+    if sf_dir not in _ADOPT_SCRATCH:
+        _ADOPT_SCRATCH[sf_dir] = tempfile.mkdtemp(prefix="xhs_adopt_") + "/plain"
+    path = _ADOPT_SCRATCH[sf_dir]
     h.df.write.mode("overwrite").parquet(path)
     return adopt_dataframe(spark.read.parquet(path)).normalize().df
 

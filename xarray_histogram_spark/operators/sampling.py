@@ -178,6 +178,7 @@ def balanced_sample(
     key_col: str,
     target: int,
     salt: str = "",
+    max_groups: int = 10_000,
 ) -> DataFrame:
     """Rebalance a skewed source/language mixture: downsample every group
     to an EXPECTED ``target`` rows (groups already at or under ``target``
@@ -197,10 +198,31 @@ def balanced_sample(
     choice for audit reruns.  NULL group keys form their own group; a
     NULL *sampling key* always drops (NULL draw fails every threshold,
     the same convention as every sampler in this module), even in a
-    group kept whole."""
+    group kept whole.
+
+    The bounded-metadata assumption is GUARDED: this operator is for
+    mixture-sized keys (languages, sources — at most ``max_groups``
+    distinct values).  Above the cap the driver-side collect and the
+    O(#groups) literal CASE would both blow up silently, so it raises
+    instead — for high-cardinality keys use ``stratified_sample`` (rates
+    you supply, nothing collected) or ``topk_per_group`` (exactly-k via
+    one window, no driver metadata)."""
     if target < 1:
         raise ValueError("target must be >= 1")
-    counts = df.groupBy(group_col).count().collect()
+    if max_groups < 1:
+        raise ValueError("max_groups must be >= 1")
+    # take() bounds driver memory even when the guard trips: we pull at
+    # most max_groups+1 count rows, never the full distinct-key set
+    counts = df.groupBy(group_col).count().take(max_groups + 1)
+    if len(counts) > max_groups:
+        raise ValueError(
+            f"balanced_sample saw more than max_groups={max_groups} "
+            f"distinct {group_col!r} values; its per-group literal CASE "
+            "filter is sized for mixture keys (languages, sources). For "
+            "high-cardinality keys use stratified_sample (explicit "
+            "rates, no driver collect) or topk_per_group (exactly-k per "
+            "group via one window)."
+        )
     d = draw_hex(F.col(key_col), salt)
     thr = None
     for row in counts:
