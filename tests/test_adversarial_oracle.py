@@ -448,6 +448,14 @@ PII_ROWS = [
      "en", "s0"),
     (16, "amex 3782 822463 10005 diners 3056-930902-5904 years 1914 1918 1939 1945",
      "en", "s1"),
+    # unseparated PANs: valid Luhn, invalid check digit, valid-but-inside
+    # a longer digit run (boundary), 15-digit Amex, 12-digit too-short,
+    # underscore-adjacent (underscore IS a word char in both engines)
+    (17, "raw 4111111111111111 bad 4111111111111112 run 94111111111111111",
+     "en", "s0"),
+    (18, "amex 378282246310005 short 411111111111 tied_4111111111111111",
+     "en", "s1"),
+    (19, "dup 5500005555555559 and 5500005555555559 twice", "en", "s0"),
 ]
 
 

@@ -1337,6 +1337,36 @@ def test_pii_scrub_redacts_each_class(spark):
     assert out[6].n_pii == 0 and out[6].text_scrubbed == "plain text, no pii"
 
 
+def test_pii_scrub_luhn_unseparated_pan(spark):
+    """The n_cc_raw step redacts bare PANs only when the Luhn checksum
+    holds: valid Visa-16/Amex-15/Mastercard-16 forms go, an off-by-one
+    check digit stays, digit runs embedded in longer runs never match
+    (word boundary), and a valid PAN appearing as a SUBSTRING of a longer
+    run elsewhere in the row is not clobbered by the redaction of its
+    standalone twin."""
+    df = spark.createDataFrame(
+        [
+            (1, "pan 4111111111111111 ok"),
+            (2, "bad 4111111111111112 no"),
+            (3, "amex 378282246310005 and mc 5500005555555559"),
+            (4, "run 94111111111111111 has 17 digits"),
+            (5, "twin 4111111111111111 inside 04111111111111111x"),
+            (6, "short 411111111111 only 12"),
+            (7, None),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {r.doc_id: r for r in tx.pii_scrub(df, "text", "doc_id").collect()}
+    assert out[1].n_cc_raw == 1 and out[1].text_scrubbed == "pan <CC> ok"
+    assert out[2].n_cc_raw == 0 and "4111111111111112" in out[2].text_scrubbed
+    assert out[3].n_cc_raw == 2 and out[3].text_scrubbed.count("<CC>") == 2
+    assert out[4].n_cc_raw == 0 and "94111111111111111" in out[4].text_scrubbed
+    assert out[5].n_cc_raw == 1
+    assert out[5].text_scrubbed == "twin <CC> inside 04111111111111111x"
+    assert out[6].n_cc_raw == 0 and "411111111111" in out[6].text_scrubbed
+    assert out[7].n_cc_raw is None and out[7].n_pii is None
+
+
 def test_pii_scrub_chain_order_no_double_fire(spark):
     # digits inside an e-mail must not ALSO fire the phone/ipv4 rules:
     # later patterns run on the already-redacted text

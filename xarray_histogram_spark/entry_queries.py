@@ -106,7 +106,14 @@ _STALE_PRIORITY = (
 # Entries whose PLAN or ORACLE changed in round 7 — never mind their past
 # greens, the driver must re-check them under the new engine before
 # anything else in the stale head.  Ordered right after _NEW_THIS_ROUND.
-_CHANGED_THIS_ROUND: tuple[str, ...] = ()
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # pii_scrub gained the Luhn-gated unseparated-PAN chain step
+    # (n_cc_raw column; VERDICT r06 next-round item 3) and the fixture
+    # augmentation now plants valid- and invalid-Luhn bare PANs; both
+    # consumers of the operator must be re-gated under the new schema.
+    "text_pii_scrub",
+    "streaming_pii_scrub",
+)
 
 
 # Queries REGISTERED IN ROUND 7 — never in any driver CORRECTNESS record;
@@ -953,7 +960,10 @@ _PII_AUG_SQL = (
     "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.0.' || "
     "CAST(doc_id % 256 AS VARCHAR) || '.7, SSN 123-45-6789, card "
     "4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
-    "|| '.'"
+    # unseparated PAN whose check digit varies with doc_id: Luhn-valid
+    # only at doc_id%10 == 1, so the n_cc_raw gate exercises BOTH the
+    # redact branch and the leave-invalid-candidates-alone branch
+    "|| '. Ref 411111111111111' || CAST(doc_id % 10 AS VARCHAR) || ' end.'"
 )
 _URL_AUG_SQL = (
     "text || ' See https://src' || CAST(doc_id % 7 AS VARCHAR) || "
@@ -974,7 +984,8 @@ def _pii_aug_col():
         F.lit(" at 10.0."), (d % 256).cast("string"),
         F.lit(".7, SSN 123-45-6789, card 4111-1111-1111-"),
         F.lpad((d % 10000).cast("string"), 4, "0"),
-        F.lit("."),
+        F.lit(". Ref 411111111111111"), (d % 10).cast("string"),
+        F.lit(" end."),
     )
 
 

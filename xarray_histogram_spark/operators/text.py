@@ -620,17 +620,64 @@ PII_PATTERNS = (
     ),
 )
 
+# Unseparated-PAN candidates — the most common leaked card form, which the
+# separator-only "cc" patterns above pass through by design.  A bare
+# digit-run regex alone is hopeless on precision, so candidates are (a)
+# word-boundary-delimited (\b is the same ASCII [A-Za-z0-9_] boundary in
+# Java regex and RE2 — still inside the shared syntax subset), (b)
+# anchored on a [3-6] first digit like the separated patterns, (c) 13-16
+# digits (every real network length), and (d) REDACTED ONLY IF the Luhn
+# checksum holds — computed engine-side as a pure integer fold over the
+# digit positions (zero Python, zero UDFs; `list_sum`/`list_filter` in
+# the DuckDB mirror).  This step runs in the chain right after "cc"
+# (order is part of the contract, see PII_PATTERNS) and reports as
+# ``n_cc_raw``.
+CC_RAW_RE = r"\b[3-6][0-9]{12,15}\b"
+
+
+def _luhn_ok(p: Column) -> Column:
+    """Luhn checksum as a JVM integer fold: 1-based position i from the
+    RIGHT, even positions doubled with the classic >9 ⇒ −9 wrap, sum
+    divisible by 10.  ``p`` is all-digits by construction (CC_RAW_RE)."""
+    rev = F.reverse(p)
+
+    def term(i: Column) -> Column:
+        d = F.ascii(rev.substr(i, F.lit(1))) - F.lit(48)
+        dbl = d * F.lit(2)
+        return F.when(
+            i % F.lit(2) == F.lit(0),
+            F.when(dbl > F.lit(9), dbl - F.lit(9)).otherwise(dbl),
+        ).otherwise(d)
+
+    s = F.aggregate(
+        F.sequence(F.lit(1), F.length(p)), F.lit(0),
+        lambda acc, i: acc + term(i),
+    )
+    return s % F.lit(10) == F.lit(0)
+
+
+def _luhn_sql(var: str) -> str:
+    """DuckDB mirror of :func:`_luhn_ok` — same fold, same wrap."""
+    d = f"ascii(substr(reverse({var}), i, 1)) - 48"
+    return (
+        f"list_sum(list_transform(generate_series(1, len({var})), i -> "
+        f"CASE WHEN i % 2 = 0 THEN "
+        f"CASE WHEN 2*({d}) > 9 THEN 2*({d}) - 9 ELSE 2*({d}) END "
+        f"ELSE {d} END)) % 10 = 0"
+    )
+
 
 def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Detect and redact PII spans (e-mail, SSN-like ids, phone numbers,
-    separator-formatted card numbers, IPv4 addresses — the C4/Dolma-style
-    scrubbing pass): returns
+    separator-formatted card numbers, Luhn-validated unseparated card
+    numbers, IPv4 addresses — the C4/Dolma-style scrubbing pass): returns
     (id, scrubbed text, one match count per PII class, total).  Pure
-    per-row regex projection — fully codegen'd, no shuffle, trivially
-    scale-free; counts are of NON-OVERLAPPING matches in chain order
-    (see ``PII_PATTERNS``), so ``n_pii`` is exactly the number of
+    per-row regex/fold projection — all JVM expressions, no shuffle,
+    trivially scale-free; counts are of NON-OVERLAPPING matches in chain
+    order (see ``PII_PATTERNS``; the Luhn step runs right after "cc" and
+    counts as ``n_cc_raw``), so ``n_pii`` is exactly the number of
     redacted spans in ``text_scrubbed``."""
-    reserved = {"text_scrubbed", "n_pii"} | {
+    reserved = {"text_scrubbed", "n_pii", "n_cc_raw"} | {
         f"n_{name}" for name, _, _ in PII_PATTERNS
     }
     if id_col in reserved:
@@ -645,6 +692,27 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         counts.append(c.alias(f"n_{name}"))
         total = c if total is None else total + c
         cur = F.regexp_replace(cur, pat, rep)
+        if name == "cc":
+            # Luhn-gated unseparated PANs: candidates that fail the
+            # checksum are left untouched (precision control), valid
+            # ones are redacted by an exact boundary-anchored pattern so
+            # a valid PAN embedded in a LONGER digit run elsewhere in
+            # the row is never clobbered.
+            valid = F.filter(
+                F.regexp_extract_all(cur, F.lit(CC_RAW_RE), F.lit(0)),
+                _luhn_ok,
+            )
+            c2 = F.size(valid).cast("bigint")
+            counts.append(c2.alias("n_cc_raw"))
+            total = total + c2
+            cur = F.aggregate(
+                valid, cur,
+                lambda acc, x: F.regexp_replace(
+                    acc,
+                    F.concat(F.lit(r"\b"), x, F.lit(r"\b")),
+                    F.lit("<CC>"),
+                ),
+            )
     return df.select(
         F.col(id_col),
         cur.alias("text_scrubbed"),
@@ -654,26 +722,52 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def pii_scrub_sql(table: str, text_col: str, id_col: str) -> str:
-    """DuckDB mirror: same chain order; counts via
-    len(regexp_extract_all), redaction via regexp_replace(..., 'g')."""
-    cur = text_col
-    counts = []
+    """DuckDB mirror: same chain order (incl. the post-"cc" Luhn step);
+    counts via len(regexp_extract_all), redaction via
+    regexp_replace(..., 'g'), Luhn via list_filter + the same integer
+    fold, reduction via list_reduce with the text prepended as the
+    accumulator seed.  Built as a LINEAR subquery chain — the previous
+    nested-expression form would re-expand the whole upstream text
+    expression at every reference, which the candidate-list step (two
+    references to the filtered list, two to the text) turns exponential."""
+    names: list[str] = []
+    q = f"SELECT {id_col}, {text_col} AS __t FROM {table}"
+
+    def carried() -> str:
+        return "".join(f"n_{n}, " for n in names)
+
     for name, pat, rep in PII_PATTERNS:
         # DuckDB string literals are escape-free (no backslash doubling);
         # the regex-level backslashes pass through verbatim
         p = pat.replace("'", "''")
-        counts.append(
-            f"CAST(len(regexp_extract_all({cur}, '{p}')) AS BIGINT) "
-            f"AS n_{name}"
+        q = (
+            f"SELECT {id_col}, {carried()}"
+            f"CAST(len(regexp_extract_all(__t, '{p}')) AS BIGINT) "
+            f"AS n_{name}, "
+            f"regexp_replace(__t, '{p}', '{rep}', 'g') AS __t "
+            f"FROM ({q}) __s{len(names)}"
         )
-        cur = f"regexp_replace({cur}, '{p}', '{rep}', 'g')"
-    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
-    inner = ", ".join([id_col, f"{cur} AS text_scrubbed", *counts])
+        names.append(name)
+        if name == "cc":
+            cr = CC_RAW_RE.replace("'", "''")
+            q = (
+                f"SELECT {id_col}, {carried()}__t, "
+                f"list_filter(regexp_extract_all(__t, '{cr}'), "
+                f"p -> {_luhn_sql('p')}) AS __v FROM ({q}) __sv"
+            )
+            q = (
+                f"SELECT {id_col}, {carried()}"
+                f"CAST(len(__v) AS BIGINT) AS n_cc_raw, "
+                f"list_reduce(list_prepend(__t, __v), (acc, x) -> "
+                f"regexp_replace(acc, '\\b' || x || '\\b', '<CC>', 'g')) "
+                f"AS __t FROM ({q}) __sr"
+            )
+            names.append("cc_raw")
+    total = " + ".join(f"n_{n}" for n in names)
     return (
-        f"SELECT {id_col}, text_scrubbed, "
-        + ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS)
-        + f", CAST({total} AS BIGINT) AS n_pii "
-        f"FROM (SELECT {inner} FROM {table}) t"
+        f"SELECT {id_col}, __t AS text_scrubbed, "
+        + ", ".join(f"n_{n}" for n in names)
+        + f", CAST({total} AS BIGINT) AS n_pii FROM ({q}) __f"
     )
 
 
