@@ -119,7 +119,10 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
 # Queries REGISTERED IN ROUND 7 — never in any driver CORRECTNESS record;
 # they lead the registry so the driver's ~50-query window is guaranteed
 # to reach them regardless of where they appear in this file.
-_NEW_THIS_ROUND: tuple[str, ...] = ()
+_NEW_THIS_ROUND: tuple[str, ...] = (
+    # PNG/JPEG header-only metadata (VERDICT r06 next-round item 4)
+    "mm_decode_png_jpeg",
+)
 
 
 def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
@@ -804,6 +807,35 @@ register(
     "CAST(px.s AS BIGINT) AS px_sum, "
     "CAST((d.doc_id*31) % 256 AS INT) AS topleft_r "
     "FROM documents d JOIN px ON px.doc_id = d.doc_id",
+)
+
+
+def _mm_png_jpeg_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL header parses of the real-corpus image formats: even doc_ids
+    # become zlib-deflated PNGs (IHDR CRC-verified by the parser), odd
+    # ones JPEG header prefixes (SOF found by walking variable-length
+    # APP0/COM/DQT segments), every 17th payload magic-corrupted into
+    # the NULL-field quarantine path.  The oracle recomputes the
+    # closed-form dimensions — a misread endianness, chunk offset or
+    # segment length hash-mismatches immediately.
+    docs = t_wide(spark, sf_dir, "documents")
+    return mm.decode_header_meta(mm.synth_png_jpeg_media(docs, "doc_id"))
+
+
+register(
+    "mm_decode_png_jpeg", _mm_png_jpeg_fn,
+    "SELECT CAST(doc_id AS BIGINT) AS media_id, "
+    "CASE WHEN doc_id % 17 = 0 THEN NULL "
+    "WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, "
+    "CASE WHEN doc_id % 17 = 0 THEN NULL "
+    "ELSE CAST(1 + doc_id % 64 AS INT) END AS width, "
+    "CASE WHEN doc_id % 17 = 0 THEN NULL "
+    "ELSE CAST(1 + (doc_id // 3) % 48 AS INT) END AS height, "
+    "CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(8 AS INT) END "
+    "AS bit_depth, "
+    "CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(3 AS INT) END "
+    "AS n_channels "
+    "FROM documents",
 )
 
 

@@ -367,6 +367,213 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(kernel, MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# PNG / JPEG header-only metadata (real-corpus formats)
+# ---------------------------------------------------------------------------
+# Real corpora ship JPEG/PNG, not BMP/PPM.  FULL decode needs codec
+# libraries absent here, but the metadata a curation pipeline filters on
+# (dimensions, bit depth, channel count) lives entirely in the headers —
+# PNG's IHDR chunk and JPEG's SOF segment — which parse with stdlib-only
+# byte walking.  Corrupt/truncated/foreign payloads yield NULL fields
+# (the decode_image quarantine convention), never a task-killing error.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type → sample channels (palette entries are 1 index/px)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_png_header(b: bytes) -> tuple:
+    """(width, height, bit_depth, n_channels) from the IHDR chunk, which
+    the spec requires FIRST; its CRC32 is verified so a bit-flipped
+    header quarantines instead of reporting garbage dimensions."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    length, ctype = struct.unpack_from(">I4s", b, 8)
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("PNG without leading IHDR")
+    if len(b) < 16 + 13 + 4:
+        raise ValueError("truncated IHDR")
+    crc = struct.unpack_from(">I", b, 16 + 13)[0]
+    if zlib.crc32(b[12 : 16 + 13]) & 0xFFFFFFFF != crc:
+        raise ValueError("IHDR CRC mismatch")
+    w, h, depth, color = struct.unpack_from(">IIBB", b, 16)
+    if w <= 0 or h <= 0 or color not in _PNG_CHANNELS:
+        raise ValueError("bad IHDR fields")
+    return w, h, depth, _PNG_CHANNELS[color]
+
+
+def _parse_jpeg_header(b: bytes) -> tuple:
+    """(width, height, precision, n_components) from the first SOF0/1/2
+    segment: walk marker segments from SOI, skipping APPn/COM/DQT/DHT
+    etc. by their big-endian lengths and tolerating 0xFF fill bytes —
+    the offsets are variable, so this is a real parse, not a fixed
+    struct read."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("desynchronised JPEG marker stream")
+        while pos < len(b) and b[pos] == 0xFF:
+            pos += 1  # fill bytes
+        if pos >= len(b):
+            break
+        marker = b[pos]
+        pos += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers, no length field
+        if marker == 0xD9 or marker == 0xDA:
+            break  # EOI / start-of-scan: no SOF seen
+        if pos + 2 > len(b):
+            raise ValueError("truncated JPEG segment length")
+        seglen = struct.unpack_from(">H", b, pos)[0]
+        if seglen < 2 or pos + seglen > len(b):
+            raise ValueError("bad JPEG segment length")
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2 (baseline/ext/prog)
+            if seglen < 8:
+                raise ValueError("truncated SOF")
+            precision, h, w, ncomp = struct.unpack_from(
+                ">BHHB", b, pos + 2
+            )
+            if w <= 0 or h <= 0 or ncomp not in (1, 3, 4):
+                raise ValueError("bad SOF fields")
+            return w, h, precision, ncomp
+        pos += seglen
+    raise ValueError("no SOF segment before scan/EOF")
+
+
+HEADER_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+    ]
+)
+
+
+def decode_header_meta(media: DataFrame) -> DataFrame:
+    """Header-only metadata for the real-corpus image formats
+    (Arrow-batched ``mapInPandas``): PNG via IHDR (CRC-verified), JPEG
+    via the SOF marker walk.  Output is (media_id, format, width,
+    height, bit_depth, n_channels); unrecognised or malformed payloads
+    keep their row with NULL fields — the same never-fail-the-job
+    quarantine contract as :func:`decode_image`."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "format", "width", "height",
+                                   "bit_depth", "n_channels")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt = w = h = d = nc = None
+                if payload is not None:
+                    bb = bytes(payload)
+                    try:
+                        if bb[:8] == _PNG_SIG:
+                            fmt, (w, h, d, nc) = "png", _parse_png_header(bb)
+                        elif bb[:2] == b"\xff\xd8":
+                            fmt, (w, h, d, nc) = "jpeg", _parse_jpeg_header(bb)
+                    except (ValueError, IndexError, struct.error):
+                        fmt = w = h = d = nc = None
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bit_depth"].append(d)
+                out["n_channels"].append(nc)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, HEADER_META_SCHEMA)
+
+
+def encode_png(width: int, height: int, pixels: bytes,
+               text: Optional[bytes] = None) -> bytes:
+    """Minimal REAL 8-bit RGB PNG encoder (stdlib zlib): signature +
+    IHDR + optional tEXt + IDAT (filter-0 scanlines, zlib-deflated) +
+    IEND, every chunk CRC'd.  ``pixels`` is ``height`` rows of
+    ``width*3`` RGB bytes, top-down."""
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        raw = ctype + data
+        return (struct.pack(">I", len(data)) + raw
+                + struct.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    rows = b"".join(
+        b"\x00" + pixels[y * width * 3 : (y + 1) * width * 3]
+        for y in range(height)
+    )
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if text is not None:
+        out += chunk(b"tEXt", b"comment\x00" + text)
+    return out + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b"")
+
+
+def encode_jpeg_header(width: int, height: int,
+                       comment: Optional[bytes] = None) -> bytes:
+    """Structurally valid JPEG PREFIX up to SOS: SOI + APP0/JFIF +
+    optional COM + DQT stub + SOF0 + SOS marker.  Header-complete (every
+    field a real decoder reads before entropy-coded data), but carries no
+    scan data — full JPEG entropy coding needs a codec library.  The
+    SOF walk in :func:`_parse_jpeg_header` reads real corpora and these
+    prefixes identically."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    if comment is not None:
+        out += b"\xff\xfe" + struct.pack(">H", 2 + len(comment)) + comment
+    dqt = bytes([0]) + bytes(64)  # table 0, all-zero stub
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    sof += bytes((1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0))  # 3 components
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    return out + b"\xff\xda"
+
+
+def synth_png_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic mixed-format media generator: even ids become real
+    zlib-deflated PNGs, odd ids JPEG header prefixes, with doc-dependent
+    dimensions ``w = 1 + k%64``, ``h = 1 + (k//3)%48`` and a
+    variable-length comment segment so header offsets differ per row;
+    every 17th id gets its magic corrupted to exercise the quarantine
+    path.  Closed-form, so a SQL oracle can recompute the expected
+    metadata without parsing bytes."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mtypes = [], []
+            for mid in pdf["media_id"]:
+                k = int(mid)
+                w, h = 1 + k % 64, 1 + (k // 3) % 48
+                note = b"k=%d " % k * (1 + k % 5)
+                if k % 2 == 0:
+                    px = bytes((k * 31 + i) % 256 for i in range(w * h * 3))
+                    b = encode_png(w, h, px, text=note)
+                    mt = "image/png"
+                else:
+                    b = encode_jpeg_header(w, h, comment=note)
+                    mt = "image/jpeg"
+                if k % 17 == 0:
+                    b = b"\x00" + b[1:]  # corrupt the magic
+                payloads.append(b)
+                mtypes.append(mt)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": mtypes,
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(F.col(id_col).cast("bigint").alias("media_id")).mapInPandas(
+        kernel, MEDIA_SCHEMA
+    )
+
+
 def synth_video_media(df: DataFrame, id_col: str, n_frames: int = 6,
                       width: int = 4, height: int = 3) -> DataFrame:
     """Deterministic "video" generator: ``n_frames`` concatenated binary-PPM
