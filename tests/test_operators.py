@@ -1443,6 +1443,34 @@ def test_pii_scrub_luhn_unseparated_pan(spark):
     assert out[7].n_cc_raw is None and out[7].n_pii is None
 
 
+def test_gopher_rules_values(spark):
+    """Each Gopher rule fires on a purpose-built document; the metric
+    values are exact (integer counts / single divisions)."""
+    base = "the words be to of and that have with " + "alpha beta " * 30
+    rows = [
+        (1, base),                                    # passes everything
+        (2, "too few words"),                         # min_words
+        (3, base + " ####" * 20),                     # symbol ratio
+        (4, base + "\n- b one\n- b two\n- b three\n- b four\n- b five"
+            + "\n- b6\n- b7\n- b8\n- b9\n- b10"),     # bullet frac > 0.9? no: 10/11
+        (5, base + "\nmore...\nagain...\nyet...",),   # ellipsis 3/4 > 0.3
+        (6, "zz " + "1 2 3 4 5 6 7 8 9 10 " * 10),    # alpha-word frac
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in
+           tx.gopher_rules(df, "text", "doc_id").collect()}
+    assert out[1].keep is True
+    assert out[1].n_required == 8
+    assert out[2].keep is False and out[2].n_words == 3
+    assert out[3].keep is False and out[3].symbol_ratio > 0.1
+    assert out[4].frac_bullet_lines == pytest.approx(10 / 11)
+    assert out[5].keep is False
+    assert out[5].frac_ellipsis_lines == pytest.approx(3 / 4)
+    assert out[6].keep is False and out[6].frac_alpha_words < 0.8
+    assert out[7].keep is None and out[7].n_words is None
+
+
 def test_pii_scrub_chain_order_no_double_fire(spark):
     # digits inside an e-mail must not ALSO fire the phone/ipv4 rules:
     # later patterns run on the already-redacted text

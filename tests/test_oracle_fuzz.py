@@ -196,6 +196,7 @@ _PII_ATOMS = [
     "123", "45", "6789", "0", "99", "255", "１２３", "naïve", "文字",
     "4111", "1111-",
     "☃", "a", "B", "zz", "%", "#", "?", "=", "&", "_", "~", ",",
+    "- ", "* ", "...", "the ", "be ", "with ", "of ",
 ]
 
 
@@ -232,6 +233,13 @@ def test_fuzzed_pii_url_mirrors(spark, seed):
     assert_matches_sql(
         tx.extract_urls(df, "text", "doc_id"),
         tx.extract_urls_sql("fuzzdocs", "text", "doc_id"),
+        con,
+    )
+    # gopher_rules shares the regex/tokenizer mirror surface (line split,
+    # anchored bullet/ellipsis classes, int/int ratios) — fuzz it too
+    assert_matches_sql(
+        tx.gopher_rules(df, "text", "doc_id", min_words=3),
+        tx.gopher_rules_sql("fuzzdocs", "text", "doc_id", min_words=3),
         con,
     )
 

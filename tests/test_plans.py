@@ -420,11 +420,14 @@ def test_balanced_sample_pure_filter(spark, sf_dir):
 def test_pii_and_urls_projection_only(spark, sf_dir):
     """PII scrub and URL extraction are per-row regex kernels: one scan,
     zero exchanges, zero joins, nothing Python."""
-    from xarray_histogram_spark.operators.text import extract_urls, pii_scrub
+    from xarray_histogram_spark.operators.text import (
+        extract_urls, gopher_rules, pii_scrub,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     for df in (pii_scrub(docs, "text", "doc_id"),
-               extract_urls(docs, "text", "doc_id")):
+               extract_urls(docs, "text", "doc_id"),
+               gopher_rules(docs, "text", "doc_id")):
         p = plan_of(df)
         assert "Exchange" not in p
         assert "Join" not in p

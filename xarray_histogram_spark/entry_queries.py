@@ -122,6 +122,8 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
 _NEW_THIS_ROUND: tuple[str, ...] = (
     # PNG/JPEG header-only metadata (VERDICT r06 next-round item 4)
     "mm_decode_png_jpeg",
+    # Gopher-style rule-based quality filtering
+    "text_gopher_rules",
 )
 
 
@@ -997,6 +999,55 @@ _PII_AUG_SQL = (
     # redact branch and the leave-invalid-candidates-alone branch
     "|| '. Ref 411111111111111' || CAST(doc_id % 10 AS VARCHAR) || ' end.'"
 )
+# Gopher-rules augmentation: the fixture text is single-line word soup,
+# so the line-structure rules (bullet / ellipsis fractions) and the
+# required-words rule would run vacuously on it.  Deterministically give
+# each doc_id%4 class a different structural tail — bullet lines,
+# ellipsis-terminated lines (plus required words to/be/that), symbol
+# spam, or a benign required-word sentence — so every metric is
+# non-zero on some rows and `keep`
+# takes both truth values at sf0.001 and sf0.01.
+_GOPHER_AUG_SQL = (
+    "text || CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN chr(10) || '- alpha beta' || chr(10) || "
+    "'- gamma delta' || chr(10) || '- epsilon' "
+    "WHEN 1 THEN chr(10) || 'to be continued...' || chr(10) || "
+    "'that part is here...' "
+    "WHEN 2 THEN ' # # # # # # # # # #' "
+    "ELSE ' to be of use with that and have the rest' END"
+)
+
+
+def _gopher_aug_col():
+    d = (F.col("doc_id") % 4).cast("int")
+    return F.concat(
+        F.col("text"),
+        F.when(d == 0, F.lit("\n- alpha beta\n- gamma delta\n- epsilon"))
+        .when(d == 1, F.lit("\nto be continued...\nthat part is here..."))
+        .when(d == 2, F.lit(" # # # # # # # # # #"))
+        .otherwise(
+            F.lit(" to be of use with that and have the rest")
+        ),
+    )
+
+
+register(
+    # Gopher-style rule-based quality filter: the seven structural
+    # metrics + keep over the augmented corpus
+    "text_gopher_rules",
+    lambda spark, sf_dir: tx.gopher_rules(
+        t_wide(spark, sf_dir, "documents").withColumn(
+            "text", _gopher_aug_col()
+        ),
+        "text", "doc_id",
+    ),
+    tx.gopher_rules_sql(
+        f"(SELECT doc_id, {_GOPHER_AUG_SQL} AS text FROM documents)",
+        "text", "doc_id",
+    ),
+)
+
+
 _URL_AUG_SQL = (
     "text || ' See https://src' || CAST(doc_id % 7 AS VARCHAR) || "
     "'.example.org/p/' || CAST(doc_id AS VARCHAR) || "

@@ -821,3 +821,164 @@ def extract_urls_sql(table: str, text_col: str, id_col: str) -> str:
         f"SELECT {id_col}, unnest({arr}) AS url, "
         f"unnest(generate_series(1, len({arr}))) AS pos FROM {table}) t"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality filtering
+# ---------------------------------------------------------------------------
+
+# The eight "required words" of the Gopher repetition/quality rule set
+# (Rae et al. 2021, table A1): a document should contain at least two.
+GOPHER_REQUIRED_WORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_words: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1, the
+    rule set C4/Dolma/RedPajama pipelines reuse): per document, the seven
+    structural metrics and ``keep`` = all rules hold.
+
+    Metrics: word count bounds; mean word length window;
+    symbol-to-word ratio ('#' or '...' occurrences per word); fraction
+    of lines starting with a bullet ('- ' or '* '); fraction of lines
+    ending in '...'; fraction of words containing an alphabetic
+    character; count of the eight required stopwords present.  All are
+    integer counts or single int/int divisions — bit-deterministic
+    across engines.  Pure per-row projection (token/line arrays never
+    leave the row): no shuffle, trivially scale-free at 100 TB.
+
+    NULL text yields NULL metrics and NULL keep; an empty/word-free text
+    fails the min-word rule, so keep is FALSE (not NULL) via three-valued
+    AND on both engines."""
+    text = F.col(text_col)
+    toks = _tok(text)
+    n_words = F.size(toks)
+    nw = F.nullif(n_words.cast("double"), F.lit(0.0))
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mean_wl = sum_len.cast("double") / nw
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / nw
+    )
+    sym = F.regexp_count(text, F.lit("#")) + F.regexp_count(
+        text, F.lit(r"\.\.\.")
+    )
+    sym_ratio = sym.cast("double") / nw
+    lines = F.split(text, "\n", -1)
+    n_lines = F.size(lines).cast("double")  # split never returns []
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike("^[-*] "))).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))).cast("double")
+        / n_lines
+    )
+    required = None
+    for w in GOPHER_REQUIRED_WORDS:
+        c = F.array_contains(toks, w).cast("int")
+        required = c if required is None else required + c
+    rules = (
+        (n_words >= F.lit(min_words))
+        & (n_words <= F.lit(max_words))
+        & (mean_wl >= F.lit(min_mean_word_len))
+        & (mean_wl <= F.lit(max_mean_word_len))
+        & (sym_ratio <= F.lit(max_symbol_ratio))
+        & (bullet_frac <= F.lit(max_bullet_frac))
+        & (ellipsis_frac <= F.lit(max_ellipsis_frac))
+        & (alpha_frac >= F.lit(min_alpha_word_frac))
+        & (required >= F.lit(min_required_words))
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("frac_alpha_words"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("frac_bullet_lines"),
+        ellipsis_frac.alias("frac_ellipsis_lines"),
+        required.cast("bigint").alias("n_required"),
+        rules.alias("keep"),
+    )
+
+
+def gopher_rules_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_words: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`gopher_rules` — same tokenizer, same
+    newline split (``string_split`` keeps trailing empties exactly like
+    Java's ``split(..., -1)``), same single int/int divisions."""
+    toks = H.tokens_sql(text_col)
+    sub = (
+        f"SELECT {id_col}, {text_col} AS __x, {toks} AS __tk, "
+        f"string_split({text_col}, chr(10)) AS __ln FROM {table}"
+    )
+    nw = "NULLIF(CAST(len(__tk) AS DOUBLE), 0.0)"
+    mean_wl = (
+        f"(CAST(coalesce(list_sum(list_transform(__tk, t -> length(t))), 0)"
+        f" AS DOUBLE) / {nw})"
+    )
+    alpha = (
+        f"(CAST(len(list_filter(__tk, t -> regexp_matches(t, '[A-Za-z]')))"
+        f" AS DOUBLE) / {nw})"
+    )
+    sym = (
+        "(CAST(len(regexp_extract_all(__x, '#')) "
+        "+ len(regexp_extract_all(__x, '\\.\\.\\.')) AS DOUBLE) "
+        f"/ {nw})"
+    )
+    bullet = (
+        "(CAST(len(list_filter(__ln, l -> regexp_matches(l, '^[-*] ')))"
+        " AS DOUBLE) / CAST(len(__ln) AS DOUBLE))"
+    )
+    ellipsis = (
+        "(CAST(len(list_filter(__ln, l -> regexp_matches(l, '\\.\\.\\.$')))"
+        " AS DOUBLE) / CAST(len(__ln) AS DOUBLE))"
+    )
+    req = " + ".join(
+        f"CAST(list_contains(__tk, {slit(w)}) AS INT)"
+        for w in GOPHER_REQUIRED_WORDS
+    )
+    keep = (
+        f"len(__tk) >= {min_words} AND len(__tk) <= {max_words} "
+        f"AND {mean_wl} >= {flit(min_mean_word_len)} "
+        f"AND {mean_wl} <= {flit(max_mean_word_len)} "
+        f"AND {sym} <= {flit(max_symbol_ratio)} "
+        f"AND {bullet} <= {flit(max_bullet_frac)} "
+        f"AND {ellipsis} <= {flit(max_ellipsis_frac)} "
+        f"AND {alpha} >= {flit(min_alpha_word_frac)} "
+        f"AND ({req}) >= {min_required_words}"
+    )
+    return (
+        f"SELECT {id_col}, CAST(len(__tk) AS BIGINT) AS n_words, "
+        f"{mean_wl} AS mean_word_len, {alpha} AS frac_alpha_words, "
+        f"{sym} AS symbol_ratio, {bullet} AS frac_bullet_lines, "
+        f"{ellipsis} AS frac_ellipsis_lines, "
+        f"CAST({req} AS BIGINT) AS n_required, "
+        f"{keep} AS keep FROM ({sub}) __g"
+    )
