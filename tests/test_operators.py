@@ -185,6 +185,33 @@ def test_dedup_components_transitive(spark, docs):
     assert keepers == [base["doc_id"]]
 
 
+def test_dedup_keep_best_prefers_quality(spark, docs):
+    """keep_best marks the per-component quality argmax, not the min id:
+    a near-dup whose copy has MORE English stopwords (higher quality
+    score) must win even with the larger doc_id; every component gets
+    exactly one keeper."""
+    base = docs.limit(1).collect()[0]
+    extra = spark.createDataFrame(
+        [
+            (base["doc_id"], base["text"] + " ## #"),  # degraded copy
+            (9000001, base["text"] + " the of and"),
+        ],
+        "doc_id: long, text: string",
+    )
+    r = {x["doc_id"]: x for x in
+         dd.dedup_keep_best(extra, "text", "doc_id").collect()}
+    assert r[base["doc_id"]]["component"] == r[9000001]["component"]
+    assert r[9000001]["keep_best"] is True  # higher quality, higher id
+    assert r[base["doc_id"]]["keep_best"] is False
+    assert r[9000001]["quality"] > r[base["doc_id"]]["quality"]
+    # whole-corpus invariant: one keeper per component
+    full = dd.dedup_keep_best(docs, "text", "doc_id")
+    per = full.groupBy("component").agg(
+        F.sum(F.col("keep_best").cast("int")).alias("n")
+    )
+    assert per.where(F.col("n") != 1).count() == 0
+
+
 def test_bmp_codec_roundtrip():
     """Pure-Python BMP encode/decode: header, stride padding, bottom-up
     rows, BGR swizzle — decode recovers exact geometry and pixel values."""

@@ -124,6 +124,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "mm_decode_png_jpeg",
     # Gopher-style rule-based quality filtering
     "text_gopher_rules",
+    # quality-argmax keeper policy over near-dup components
+    "dedup_keep_best",
 )
 
 
@@ -581,6 +583,16 @@ register(
         t_wide(spark, sf_dir, "documents"), "text", "doc_id"
     ),
     dd.dedup_components_sql("documents", "text", "doc_id"),
+)
+register(
+    # near-dup dedup keeping the highest-quality cluster member (argmax
+    # quality, min-id tiebreak) instead of the min-id one — the
+    # production keeper policy for crawled corpora
+    "dedup_keep_best",
+    lambda spark, sf_dir: dd.dedup_keep_best(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id"
+    ),
+    dd.dedup_keep_best_sql("documents", "text", "doc_id"),
 )
 register(
     "dedup_simhash",

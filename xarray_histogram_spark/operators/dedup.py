@@ -502,6 +502,71 @@ def dedup_components(
     return components_from_edges(df, edges, id_col, max_iter)
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    threshold: float = 0.8,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup dedup that keeps the highest-QUALITY member of each
+    cluster — the production alternative to min-id keeping (you want the
+    cleanest copy of a duplicated page, not the one that happened to be
+    crawled first).  Returns (id, component, quality, keep_best) where
+    ``keep_best`` marks the per-component argmax of the quality score
+    (ties broken by min id, so the selection is total and deterministic;
+    NULL quality sorts last on both engines).
+
+    Scale shape: the component map is the narrow (id, component) output
+    of label propagation over the EDGE set; quality is a projection of
+    the same corpus scan.  One equi-join on the doc id re-attaches
+    quality (co-partitioned narrow frames) and ONE window on the
+    component key picks the keeper — cluster-bounded task memory, and a
+    pathological giant cluster degrades to one sorted partition, not a
+    global sort."""
+    from .text import quality_cols
+
+    comp = dedup_components(df, text_col, id_col, k, threshold, max_iter)
+    # quality_cols returns [mean_tok_len, alpha_ratio, stop_ratio, quality];
+    # only the combined score participates in keeper selection
+    quality = df.select(F.col(id_col), quality_cols(text_col)[-1])
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc_nulls_last(), F.col(id_col)
+    )
+    return (
+        comp.join(quality, id_col)
+        .select(
+            F.col(id_col),
+            F.col("component"),
+            F.col("quality"),
+            (F.row_number().over(w) == F.lit(1)).alias("keep_best"),
+        )
+    )
+
+
+def dedup_keep_best_sql(
+    table: str, text_col: str, id_col: str, k: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB mirror: recursive-CTE components + the quality mirror +
+    the same NULLS LAST / min-id-tiebreak window."""
+    from .text import quality_score_sql
+
+    comp = dedup_components_sql(table, text_col, id_col, k, threshold)
+    q = quality_score_sql(table, text_col, id_col)
+    return (
+        f"WITH __c AS ({comp}), __q AS ({q}) "
+        f"SELECT __c.{id_col}, __c.component, __q.quality, "
+        f"ROW_NUMBER() OVER (PARTITION BY __c.component "
+        f"ORDER BY __q.quality DESC NULLS LAST, __c.{id_col}) = 1 "
+        f"AS keep_best "
+        f"FROM __c JOIN __q ON __c.{id_col} = __q.{id_col}"
+    )
+
+
 def embed_components(
     df: DataFrame,
     threshold: float = 0.95,
