@@ -300,11 +300,22 @@ def test_decode_header_meta_malformed_payloads(spark):
     """Untrusted-bytes discipline: truncation, CRC damage, desync,
     SOF-less JPEG, foreign magic and NULL payloads all yield NULL-field
     rows, never a task failure."""
+    import struct as st
+    import zlib
+
     good_png = mm.encode_png(4, 2, bytes(24))
     bad_crc = bytearray(good_png)
     bad_crc[18] ^= 0xFF  # flip a width byte under the IHDR CRC
+    # CRC-VALID IHDR claiming width 2^31: must quarantine (dimension cap),
+    # not overflow the int32 output column or fail the Arrow conversion
+    huge = bytearray(good_png)
+    st.pack_into(">I", huge, 16, 0x8000_0000)
+    st.pack_into(
+        ">I", huge, 16 + 13, zlib.crc32(bytes(huge[12 : 16 + 13])) & 0xFFFFFFFF
+    )
     good_jpeg = mm.encode_jpeg_header(9, 7)
     rows = [
+        (8, bytes(huge)),                 # oversized dims, valid CRC
         (1, good_png[:20]),               # truncated IHDR
         (2, bytes(bad_crc)),              # CRC mismatch
         (3, good_jpeg[:5]),               # truncated segment length
@@ -318,7 +329,7 @@ def test_decode_header_meta_malformed_payloads(spark):
         "media_id", F.lit("image/x").alias("media_type"), "payload"
     )
     out = {r["media_id"]: r for r in mm.decode_header_meta(media).collect()}
-    for mid in (1, 2, 3, 4, 5, 6):
+    for mid in (1, 2, 3, 4, 5, 6, 8):
         assert out[mid]["format"] is None and out[mid]["width"] is None
     assert (out[7]["format"], out[7]["width"], out[7]["height"]) == (
         "jpeg", 9, 7,
@@ -1479,7 +1490,7 @@ def test_gopher_rules_values(spark):
         (2, "too few words"),                         # min_words
         (3, base + " ####" * 20),                     # symbol ratio
         (4, base + "\n- b one\n- b two\n- b three\n- b four\n- b five"
-            + "\n- b6\n- b7\n- b8\n- b9\n- b10"),     # bullet frac > 0.9? no: 10/11
+            + "\n- b6\n- b7\n- b8\n- b9\n- b10"),     # bullets 10/11 > 0.9
         (5, base + "\nmore...\nagain...\nyet...",),   # ellipsis 3/4 > 0.3
         (6, "zz " + "1 2 3 4 5 6 7 8 9 10 " * 10),    # alpha-word frac
         (7, None),
@@ -1492,10 +1503,45 @@ def test_gopher_rules_values(spark):
     assert out[2].keep is False and out[2].n_words == 3
     assert out[3].keep is False and out[3].symbol_ratio > 0.1
     assert out[4].frac_bullet_lines == pytest.approx(10 / 11)
+    assert out[4].keep is False  # 10/11 ≈ 0.909 > max_bullet_frac=0.9
     assert out[5].keep is False
     assert out[5].frac_ellipsis_lines == pytest.approx(3 / 4)
     assert out[6].keep is False and out[6].frac_alpha_words < 0.8
     assert out[7].keep is None and out[7].n_words is None
+
+
+def test_gopher_rules_crlf_mirror(spark):
+    """Windows line endings: a '...\\r\\n' line must count (or not) the
+    SAME way on both engines.  The ellipsis rule is a plain suffix test
+    precisely because Java's '$' also matches before a trailing '\\r'
+    while RE2's does not (review-found) — so the '...\\r' line does NOT
+    count, on either engine, and the oracle hash agrees."""
+    import duckdb
+    import pandas as pd
+
+    from .util import assert_matches_sql
+
+    rows = [
+        (1, "to be continued...\r\nnext line"),
+        (2, "ends clean...\nnext"),
+        (3, "- bullet\r\n- two"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+        {"doc_id": "int64"}
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("crlfdocs", pdf)
+    assert_matches_sql(
+        tx.gopher_rules(df, "text", "doc_id", min_words=1),
+        tx.gopher_rules_sql("crlfdocs", "text", "doc_id", min_words=1),
+        con,
+    )
+    out = {r.doc_id: r for r in
+           tx.gopher_rules(df, "text", "doc_id").collect()}
+    assert out[1].frac_ellipsis_lines == 0.0  # '\r' breaks the suffix
+    assert out[2].frac_ellipsis_lines == 0.5
+    assert out[3].frac_bullet_lines == 1.0  # '^' anchoring is CRLF-safe
 
 
 def test_pii_scrub_chain_order_no_double_fire(spark):

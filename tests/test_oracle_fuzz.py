@@ -196,7 +196,7 @@ _PII_ATOMS = [
     "123", "45", "6789", "0", "99", "255", "１２３", "naïve", "文字",
     "4111", "1111-",
     "☃", "a", "B", "zz", "%", "#", "?", "=", "&", "_", "~", ",",
-    "- ", "* ", "...", "the ", "be ", "with ", "of ",
+    "- ", "* ", "...", "the ", "be ", "with ", "of ", "\r", "...\r\n",
 ]
 
 

@@ -113,6 +113,12 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # consumers of the operator must be re-gated under the new schema.
     "text_pii_scrub",
     "streaming_pii_scrub",
+    # balanced_sample's count collection changed (collect() →
+    # take(max_groups+1) under the new cardinality guard); the plan and
+    # oracle are unchanged, but the policy is that ANY implementation
+    # change re-gates at driver scale rather than inheriting the r06
+    # green (review-found).
+    "sample_balanced",
 )
 
 

@@ -399,7 +399,10 @@ def _parse_png_header(b: bytes) -> tuple:
     if zlib.crc32(b[12 : 16 + 13]) & 0xFFFFFFFF != crc:
         raise ValueError("IHDR CRC mismatch")
     w, h, depth, color = struct.unpack_from(">IIBB", b, 16)
-    if w <= 0 or h <= 0 or color not in _PNG_CHANNELS:
+    # the spec caps dimensions at 2^31-1; larger unsigned values are
+    # invalid AND would overflow the IntegerType output column (a crafted
+    # CRC-valid IHDR must quarantine, not kill the Arrow conversion)
+    if not (0 < w < 2**31 and 0 < h < 2**31) or color not in _PNG_CHANNELS:
         raise ValueError("bad IHDR fields")
     return w, h, depth, _PNG_CHANNELS[color]
 

@@ -634,6 +634,16 @@ PII_PATTERNS = (
 # ``n_cc_raw``.
 CC_RAW_RE = r"\b[3-6][0-9]{12,15}\b"
 
+# The chain entry the Luhn step is anchored after.  Guarded at import so
+# a rename/split of the separated-card entry cannot silently drop
+# bare-PAN scrubbing from BOTH mirrors at once (they would degrade
+# identically, so no oracle mismatch would fire).
+_CC_RAW_AFTER = "cc"
+assert any(n == _CC_RAW_AFTER for n, _, _ in PII_PATTERNS), (
+    "PII_PATTERNS no longer contains the %r entry the Luhn bare-PAN "
+    "step is anchored after — re-anchor _CC_RAW_AFTER" % (_CC_RAW_AFTER,)
+)
+
 
 def _luhn_ok(p: Column) -> Column:
     """Luhn checksum as a JVM integer fold: 1-based position i from the
@@ -692,7 +702,7 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         counts.append(c.alias(f"n_{name}"))
         total = c if total is None else total + c
         cur = F.regexp_replace(cur, pat, rep)
-        if name == "cc":
+        if name == _CC_RAW_AFTER:
             # Luhn-gated unseparated PANs: candidates that fail the
             # checksum are left untouched (precision control), valid
             # ones are redacted by an exact boundary-anchored pattern so
@@ -748,7 +758,7 @@ def pii_scrub_sql(table: str, text_col: str, id_col: str) -> str:
             f"FROM ({q}) __s{len(names)}"
         )
         names.append(name)
-        if name == "cc":
+        if name == _CC_RAW_AFTER:
             cr = CC_RAW_RE.replace("'", "''")
             q = (
                 f"SELECT {id_col}, {carried()}__t, "
@@ -884,8 +894,12 @@ def gopher_rules(
         F.size(F.filter(lines, lambda l: l.rlike("^[-*] "))).cast("double")
         / n_lines
     )
+    # plain suffix test, NOT a '$'-anchored regex: Java's '$' (without
+    # MULTILINE) also matches before a trailing line terminator (\r,
+    # U+0085, U+2028, U+2029) while RE2's matches only at end of string,
+    # so the mirrors would diverge on CRLF text (review-found)
     ellipsis_frac = (
-        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))).cast("double")
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("double")
         / n_lines
     )
     required = None
@@ -957,7 +971,7 @@ def gopher_rules_sql(
         " AS DOUBLE) / CAST(len(__ln) AS DOUBLE))"
     )
     ellipsis = (
-        "(CAST(len(list_filter(__ln, l -> regexp_matches(l, '\\.\\.\\.$')))"
+        "(CAST(len(list_filter(__ln, l -> ends_with(l, '...')))"
         " AS DOUBLE) / CAST(len(__ln) AS DOUBLE))"
     )
     req = " + ".join(
