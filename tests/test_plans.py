@@ -464,3 +464,19 @@ def test_retention_three_exchanges_no_join(spark, sf_dir):
     assert "Join" not in p
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 3
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_dedup_keep_best_one_window_exchange(spark, sf_dir):
+    """Keeper selection re-attaches quality to the narrow component map
+    with ONE join (broadcast at fixture scale) and picks the keeper with
+    ONE component-key window exchange — no Python, no extra shuffles.
+    (Label propagation itself runs at build time; this pins the plan of
+    the returned frame.)"""
+    from xarray_histogram_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(dedup_keep_best(docs, "text", "doc_id"))
+    assert "EvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+    assert len(re.findall(r"\(\d+\) \w*Join", p)) == 1
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
