@@ -513,3 +513,47 @@ def test_adopt_regular_roundtrip_property(spark, n, lo, span):
     assert sorted(map(tuple, h.df.collect())) == sorted(
         map(tuple, a.df.collect())
     )
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            # candidate-shaped: 13-16 digits starting 3-6
+            st.from_regex(r"[3-6][0-9]{12,15}", fullmatch=True),
+            # off-by-length / wrong first digit / embedded in longer runs
+            st.from_regex(r"[0-9]{10,20}", fullmatch=True),
+            st.from_regex(r"[12789][0-9]{12,15}", fullmatch=True),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_luhn_fold_matches_reference(spark, runs):
+    """The engine's JVM Luhn fold (and implicitly the DuckDB mirror,
+    which the fuzz/battery gates pin against it) must agree with a
+    straightforward pure-Python Luhn on arbitrary digit runs: a doc is
+    one run per line, and the n_cc_raw count equals the number of
+    candidate-shaped runs whose checksum holds."""
+    from xarray_histogram_spark.operators import text as tx
+
+    def luhn(s: str) -> bool:
+        tot = 0
+        for i, ch in enumerate(reversed(s), start=1):
+            d = int(ch)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            tot += d
+        return tot % 10 == 0
+
+    expected = sum(
+        1
+        for s in runs
+        if 13 <= len(s) <= 16 and s[0] in "3456" and luhn(s)
+    )
+    doc = "\n".join(runs)
+    df = spark.createDataFrame([(1, doc)], "doc_id INT, text STRING")
+    row = tx.pii_scrub(df, "text", "doc_id").collect()[0]
+    assert row.n_cc_raw == expected
