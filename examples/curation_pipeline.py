@@ -14,6 +14,8 @@ the operator families a 100 TB text pipeline runs, end to end —
  10. URL discovery + per-domain caps           (extract_urls + topk_per_group)
  11. mixture rebalancing to a per-language
      expected target                           (balanced_sample)
+ 12. Gopher-style rule-based quality filter    (gopher_rules)
+ 13. keep-best-quality near-dup dedup          (dedup_keep_best)
 
 Run:  python examples/curation_pipeline.py [sf_dir]
 """
@@ -33,9 +35,10 @@ from xarray_histogram_spark.operators.sampling import (
     balanced_sample, chunk_assignments, topk_per_group,
 )
 from xarray_histogram_spark.operators.dedup import simhash_pairs
+from xarray_histogram_spark.operators.dedup import dedup_keep_best
 from xarray_histogram_spark.operators.text import (
     remove_repeated_lines, token_count_cols, top_terms,
-    dup_ngram_stats, extract_urls, pii_scrub,
+    dup_ngram_stats, extract_urls, pii_scrub, gopher_rules,
 )
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -142,5 +145,23 @@ print(f"docs with detected PII: {n_pii_docs}")
 print(f"urls found: {n_urls}; kept after per-domain cap of 5: {n_capped}")
 print(f"language sizes after balancing to 100: {bal_sizes}")
 assert all(v <= 150 for v in bal_sizes.values())
+
+# 12. Gopher rule-based filter: structural metrics + keep.  The synthetic
+# word soup has no stopword-rich prose, so the required-words rule is
+# relaxed here (the registry gate exercises it on augmented text); the
+# word-count / word-length / alpha rules do real work on this corpus.
+rules = gopher_rules(docs, "text", "doc_id", min_words=30,
+                     min_required_words=0)
+n_keep = rules.where(F.col("keep")).count()
+print(f"gopher rules keep {n_keep}/{n0} docs")
+assert 0 < n_keep < n0
+
+# 13. near-dup dedup keeping the highest-QUALITY cluster member (min-id
+# keeping would keep whichever copy was crawled first)
+best = dedup_keep_best(docs, "text", "doc_id")
+n_best = best.where(F.col("keep_best")).count()
+print(f"keep-best dedup keeps {n_best}/{n0} docs")
+assert 0 < n_best <= n0
+
 print("curation pipeline walkthrough OK")
 spark.stop()
