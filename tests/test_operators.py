@@ -1665,3 +1665,30 @@ def test_retention_cohorts_values(spark):
 
     with _pt.raises(ValueError, match="period"):
         retention_cohorts_sql("events", "user_id", "ts", period="month")
+
+
+def test_corpus_report_values(spark):
+    """Report aggregates are exact on a hand-built corpus: volumes,
+    Gopher keep counts, PII incidence (docs vs spans), quality envelope;
+    NULL text contributes zero PII docs and is excluded from MIN/MAX."""
+    from xarray_histogram_spark.operators.curate import corpus_report
+
+    good = "the words be to of and that have with " + "alpha beta " * 30
+    rows = [
+        (1, "a", good),
+        (2, "a", "mail x@y.example.org and 10.0.0.1 plus 10.0.0.2"),
+        (3, "a", None),
+        (4, "b", "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, source STRING, text STRING")
+    out = {r.source: r for r in
+           corpus_report(df, "text", "doc_id", "source").collect()}
+    a, b = out["a"], out["b"]
+    assert a.n_docs == 3 and b.n_docs == 1
+    assert a.sum_tokens == 69 + 6  # good(9+60) + pii doc; NULL adds nothing
+    assert a.n_gopher_keep == 1  # only the good doc passes
+    assert a.n_docs_with_pii == 1 and a.n_pii_spans == 3  # email + 2 IPs
+    assert a.min_quality is not None and a.max_quality >= a.min_quality
+    assert b.n_gopher_keep == 0 and b.n_pii_spans == 0
+    with pytest.raises(ValueError, match="collides"):
+        corpus_report(df, "text", "doc_id", "n_docs")

@@ -480,3 +480,22 @@ def test_dedup_keep_best_one_window_exchange(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
     assert len(re.findall(r"\(\d+\) \w*Join", p)) == 1
     assert len(re.findall(r"\(\d+\) Window", p)) == 1
+
+
+def test_corpus_report_one_pass(spark, sf_dir):
+    """The per-group health report fuses every feature into the scan
+    projection: ONE column-pruned scan (text + group key only — the doc
+    id is pruned away), ONE map-combined groupBy exchange
+    (partial+final HashAggregate), no join, no Python."""
+    from xarray_histogram_spark.operators.curate import corpus_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(corpus_report(docs, "text", "doc_id", "source"))
+    assert "EvalPython" not in p
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"text", "source"}

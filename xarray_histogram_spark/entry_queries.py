@@ -132,6 +132,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_gopher_rules",
     # quality-argmax keeper policy over near-dup components
     "dedup_keep_best",
+    # per-source corpus health report (one-pass fused aggregation)
+    "pipeline_report",
 )
 
 
@@ -1113,6 +1115,36 @@ register(
         f"(SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)",
         "text", "doc_id",
     ),
+)
+
+
+def _report_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source corpus health report over PII-augmented text (so the
+    # PII columns are non-vacuous); min_required_words=1 because the
+    # synthetic word soup carries only 'the' from the required list
+    from .operators.curate import corpus_report
+
+    docs = t_wide(spark, sf_dir, "documents").withColumn(
+        "text", _pii_aug_col()
+    )
+    return corpus_report(
+        docs, "text", "doc_id", "source", min_required_words=1
+    )
+
+
+def _report_sql() -> str:
+    from .operators.curate import corpus_report_sql
+
+    return corpus_report_sql(
+        f"(SELECT doc_id, source, {_PII_AUG_SQL} AS text FROM documents)",
+        "text", "doc_id", "source", min_required_words=1,
+    )
+
+
+register(
+    # the k-row per-source ingest dashboard: ONE scan + ONE map-combined
+    # groupBy over fused feature projections
+    "pipeline_report", _report_fn, _report_sql(),
 )
 
 

@@ -149,3 +149,94 @@ def curate_documents_sql(
         f"t.n_chars{split_sel} "
         f"FROM q JOIN l USING ({id_col}) JOIN t USING ({id_col}) {where}"
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    **gopher_thresholds,
+) -> DataFrame:
+    """Per-group corpus health report — the k-row dashboard a 100 TB
+    pipeline runs after every ingest: doc/token/char volumes, Gopher-rule
+    keep counts, PII incidence (docs and spans), and the quality-score
+    envelope, grouped by ``group_col`` (source, language, shard …).
+
+    Scale shape: every feature is a fused row-level projection from the
+    shared col builders (token counts, quality, Gopher keep, PII total),
+    so the whole report is ONE scan + ONE map-combined groupBy shuffle
+    with a k-row output.  Determinism: the aggregates are COUNT/integer
+    SUM (order-independent) and MIN/MAX of the deterministic quality
+    double — never a float SUM/AVG, whose cross-engine accumulation
+    order would break the oracle hash."""
+    from .text import gopher_cols, pii_cols, quality_cols, token_count_cols
+
+    reserved = {
+        "n_docs", "sum_tokens", "sum_chars", "n_gopher_keep",
+        "n_docs_with_pii", "n_pii_spans", "min_quality", "max_quality",
+    }
+    if group_col in reserved:
+        raise ValueError(
+            f"group_col {group_col!r} collides with a corpus_report "
+            "output column"
+        )
+    tok = token_count_cols(text_col)
+    feats = df.select(
+        F.col(group_col),
+        tok[0],                                   # n_tokens
+        tok[3],                                   # n_chars
+        quality_cols(text_col)[-1],               # quality
+        gopher_cols(text_col, **gopher_thresholds)[-1],  # keep
+        pii_cols(text_col)[-1],                   # n_pii
+    )
+    return feats.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_gopher_keep"),
+        # when/otherwise (not a bare cast) so NULL-text rows contribute 0
+        # on BOTH engines even in an all-NULL group
+        F.sum(
+            F.when(F.col("n_pii") > 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("n_docs_with_pii"),
+        F.sum("n_pii").cast("bigint").alias("n_pii_spans"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )
+
+
+def corpus_report_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    **gopher_thresholds,
+) -> str:
+    """DuckDB mirror: the per-operator SQL mirrors joined on the doc id
+    (oracle-side shape only — the engine keeps the fused one-pass plan),
+    aggregated with the same order-independent functions."""
+    from .text import gopher_rules_sql, pii_scrub_sql, token_count_sql
+
+    p = pii_scrub_sql(table, text_col, id_col)
+    g = gopher_rules_sql(table, text_col, id_col, **gopher_thresholds)
+    t = token_count_sql(table, text_col, id_col)
+    q = quality_score_sql(table, text_col, id_col)
+    return (
+        f"WITH __p AS ({p}), __g AS ({g}), __t AS ({t}), __q AS ({q}), "
+        f"__d AS (SELECT {id_col}, {group_col} FROM {table}) "
+        f"SELECT __d.{group_col}, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"CAST(SUM(__t.n_tokens) AS BIGINT) AS sum_tokens, "
+        f"CAST(SUM(__t.n_chars) AS BIGINT) AS sum_chars, "
+        f"CAST(SUM(CAST(__g.keep AS INT)) AS BIGINT) AS n_gopher_keep, "
+        f"CAST(SUM(CASE WHEN __p.n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_docs_with_pii, "
+        f"CAST(SUM(__p.n_pii) AS BIGINT) AS n_pii_spans, "
+        f"MIN(__q.quality) AS min_quality, MAX(__q.quality) AS max_quality "
+        f"FROM __d "
+        f"JOIN __p ON __p.{id_col} = __d.{id_col} "
+        f"JOIN __g ON __g.{id_col} = __d.{id_col} "
+        f"JOIN __t ON __t.{id_col} = __d.{id_col} "
+        f"JOIN __q ON __q.{id_col} = __d.{id_col} "
+        f"GROUP BY __d.{group_col}"
+    )

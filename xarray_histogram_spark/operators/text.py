@@ -677,23 +677,9 @@ def _luhn_sql(var: str) -> str:
     )
 
 
-def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Detect and redact PII spans (e-mail, SSN-like ids, phone numbers,
-    separator-formatted card numbers, Luhn-validated unseparated card
-    numbers, IPv4 addresses — the C4/Dolma-style scrubbing pass): returns
-    (id, scrubbed text, one match count per PII class, total).  Pure
-    per-row regex/fold projection — all JVM expressions, no shuffle,
-    trivially scale-free; counts are of NON-OVERLAPPING matches in chain
-    order (see ``PII_PATTERNS``; the Luhn step runs right after "cc" and
-    counts as ``n_cc_raw``), so ``n_pii`` is exactly the number of
-    redacted spans in ``text_scrubbed``."""
-    reserved = {"text_scrubbed", "n_pii", "n_cc_raw"} | {
-        f"n_{name}" for name, _, _ in PII_PATTERNS
-    }
-    if id_col in reserved:
-        raise ValueError(
-            f"id_col {id_col!r} collides with a pii_scrub output column"
-        )
+def pii_cols(text_col: str) -> list:
+    """The PII-scrub Column expressions (shared by ``pii_scrub`` and the
+    composed corpus report): [text_scrubbed, n_<class>..., n_pii]."""
     cur = F.col(text_col)
     counts = []
     total = None
@@ -723,12 +709,31 @@ def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                     F.lit("<CC>"),
                 ),
             )
-    return df.select(
-        F.col(id_col),
+    return [
         cur.alias("text_scrubbed"),
         *counts,
         total.cast("bigint").alias("n_pii"),
-    )
+    ]
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Detect and redact PII spans (e-mail, SSN-like ids, phone numbers,
+    separator-formatted card numbers, Luhn-validated unseparated card
+    numbers, IPv4 addresses — the C4/Dolma-style scrubbing pass): returns
+    (id, scrubbed text, one match count per PII class, total).  Pure
+    per-row regex/fold projection — all JVM expressions, no shuffle,
+    trivially scale-free; counts are of NON-OVERLAPPING matches in chain
+    order (see ``PII_PATTERNS``; the Luhn step runs right after "cc" and
+    counts as ``n_cc_raw``), so ``n_pii`` is exactly the number of
+    redacted spans in ``text_scrubbed``."""
+    reserved = {"text_scrubbed", "n_pii", "n_cc_raw"} | {
+        f"n_{name}" for name, _, _ in PII_PATTERNS
+    }
+    if id_col in reserved:
+        raise ValueError(
+            f"id_col {id_col!r} collides with a pii_scrub output column"
+        )
+    return df.select(F.col(id_col), *pii_cols(text_col))
 
 
 def pii_scrub_sql(table: str, text_col: str, id_col: str) -> str:
@@ -844,10 +849,8 @@ GOPHER_REQUIRED_WORDS = (
 )
 
 
-def gopher_rules(
-    df: DataFrame,
+def gopher_cols(
     text_col: str,
-    id_col: str,
     min_words: int = 50,
     max_words: int = 100_000,
     min_mean_word_len: float = 3.0,
@@ -857,10 +860,11 @@ def gopher_rules(
     max_ellipsis_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_required_words: int = 2,
-) -> DataFrame:
-    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1, the
-    rule set C4/Dolma/RedPajama pipelines reuse): per document, the seven
-    structural metrics and ``keep`` = all rules hold.
+) -> list:
+    """The Gopher-rule Column expressions (shared by ``gopher_rules`` and
+    the composed corpus report): the seven structural metrics and
+    ``keep`` = all rules hold (Rae et al. 2021 §A1.1, the rule set
+    C4/Dolma/RedPajama pipelines reuse).
 
     Metrics: word count bounds; mean word length window;
     symbol-to-word ratio ('#' or '...' occurrences per word); fraction
@@ -917,8 +921,7 @@ def gopher_rules(
         & (alpha_frac >= F.lit(min_alpha_word_frac))
         & (required >= F.lit(min_required_words))
     )
-    return df.select(
-        F.col(id_col),
+    return [
         n_words.cast("bigint").alias("n_words"),
         mean_wl.alias("mean_word_len"),
         alpha_frac.alias("frac_alpha_words"),
@@ -927,7 +930,23 @@ def gopher_rules(
         ellipsis_frac.alias("frac_ellipsis_lines"),
         required.cast("bigint").alias("n_required"),
         rules.alias("keep"),
-    )
+    ]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    **thresholds,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter: per document, the seven
+    structural metrics of :func:`gopher_cols` and ``keep``.  Pure
+    per-row projection — no shuffle, trivially scale-free at 100 TB.
+
+    NULL text yields NULL metrics and NULL keep; an empty/word-free text
+    fails the min-word rule, so keep is FALSE (not NULL) via three-valued
+    AND on both engines."""
+    return df.select(F.col(id_col), *gopher_cols(text_col, **thresholds))
 
 
 def gopher_rules_sql(
