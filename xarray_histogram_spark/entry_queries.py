@@ -134,6 +134,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "dedup_keep_best",
     # per-source corpus health report (one-pass fused aggregation)
     "pipeline_report",
+    # CSV corpus source/sink with the JSONL quarantine contract
+    "source_csv_roundtrip",
 )
 
 
@@ -1218,6 +1220,30 @@ def _jsonl_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "source_jsonl_roundtrip",
     _jsonl_roundtrip_fn,
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+
+
+def _csv_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV corpus source/sink round-trip (the metadata/annotation format
+    real pipelines ingest alongside JSONL): parquet → RFC-quoted headered
+    CSV → explicit-schema PERMISSIVE read.  The oracle is the original
+    table, so the gate proves quoting, the NULL-vs-empty-string marker
+    and type restoration from text are lossless."""
+    import tempfile
+
+    from .sources.corpus import read_csv_corpus, write_csv_corpus
+
+    docs = t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="xhs_csv_") + "/docs"
+    write_csv_corpus(docs, path)
+    back = read_csv_corpus(spark, path, docs.schema)
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+register(
+    "source_csv_roundtrip",
+    _csv_roundtrip_fn,
     "SELECT doc_id, text, lang, source, n_chars FROM documents",
 )
 

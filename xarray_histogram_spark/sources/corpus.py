@@ -89,3 +89,68 @@ def corrupt_line_stats(df: DataFrame, corrupt_col: str = CORRUPT_COL) -> DataFra
         F.count(F.lit(1)).alias("n_lines"),
         F.count(F.col(corrupt_col)).alias("n_corrupt"),
     )
+
+
+def write_csv_corpus(
+    df: DataFrame, path: str, mode: str = "error", sep: str = ","
+) -> None:
+    """Export as headered CSV with RFC-4180 quoting.
+
+    Two non-default options are LOAD-BEARING for losslessness and must
+    match the reader's: ``escape='"'`` (Spark's default is backslash
+    escaping, which standard CSV tools mis-read; the double-quote escape
+    is the RFC form) and ``nullValue='\\N'`` (by default Spark writes
+    NULL as an empty field, which reads back indistinguishable from the
+    empty STRING — the classic silent NULL/'' conflation)."""
+    (
+        df.write.mode(mode)
+        .option("header", True)
+        .option("sep", sep)
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
+
+
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = CORRUPT_COL,
+    sep: str = ",",
+    multi_line: bool = False,
+) -> DataFrame:
+    """Read a CSV corpus with an EXPLICIT schema and the same quarantine
+    contract as :func:`read_jsonl_corpus`: malformed lines kept with the
+    raw line in ``corrupt_col`` and every data column NULLed, so
+    ``corrupt_col IS NULL`` ⇔ trust the data columns.
+
+    ``multi_line=False`` (default) keeps the file SPLITTABLE — each
+    ~128 MB block parses in parallel.  Only set ``multi_line=True`` when
+    fields genuinely contain newlines: Spark must then parse each file
+    as one unsplittable unit, so a 100 TB ingest degrades to
+    one-task-per-file parallelism (re-shard small or ban embedded
+    newlines upstream)."""
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(
+            f"corrupt_col {corrupt_col!r} collides with a schema field"
+        )
+    full = T.StructType(
+        schema.fields + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("header", True)
+        .option("sep", sep)
+        .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("multiLine", multi_line)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )
+    ok = F.col(corrupt_col).isNull()
+    return raw.select(
+        *[F.when(ok, F.col(f.name)).alias(f.name) for f in schema.fields],
+        F.col(corrupt_col),
+    )
