@@ -360,3 +360,31 @@ def test_examples_run_green(script):
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "OK" in r.stdout
+
+
+def test_csv_corpus_write_validation_guards(spark, tmp_path):
+    """The writer REJECTS the two shapes that cannot round-trip through
+    splittable CSV (review-found, both reproduced as silent corruption
+    before the guard): embedded newlines (a multiLine=False reader
+    trusts the truncated prefix) and a field equal to the null marker
+    (reads back as NULL — quoting cannot disambiguate, verified).
+    validate=False opts out for multi_line=True consumers."""
+    from xarray_histogram_spark.sources.corpus import (
+        read_csv_corpus, write_csv_corpus,
+    )
+
+    nl = spark.createDataFrame(
+        [(1, "line1\nline2")], "doc_id LONG, text STRING"
+    )
+    with pytest.raises(ValueError, match="embedded newlines"):
+        write_csv_corpus(nl, str(tmp_path / "a"))
+    mk = spark.createDataFrame([(1, "\\N")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="null marker"):
+        write_csv_corpus(mk, str(tmp_path / "b"))
+    # opt-out + multi_line=True reader round-trips the newline doc
+    p = str(tmp_path / "c")
+    write_csv_corpus(nl, p, validate=False)
+    back = read_csv_corpus(spark, p, nl.schema, multi_line=True)
+    rows = back.collect()
+    assert len(rows) == 1 and rows[0].text == "line1\nline2"
+    assert rows[0]._corrupt_record is None

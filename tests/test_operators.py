@@ -1692,3 +1692,60 @@ def test_corpus_report_values(spark):
     assert b.n_gopher_keep == 0 and b.n_pii_spans == 0
     with pytest.raises(ValueError, match="collides"):
         corpus_report(df, "text", "doc_id", "n_docs")
+
+
+def test_corpus_report_duplicate_and_null_ids(spark):
+    """The ingest report runs on PRE-dedup corpora: duplicate and NULL
+    doc ids must not fan out the oracle's composed-mirror joins (keyed
+    on a synthesized materialized row number) or drop rows — both
+    engines count every physical row once (review-found)."""
+    import duckdb
+    import pandas as pd
+
+    from xarray_histogram_spark.operators.curate import (
+        corpus_report, corpus_report_sql,
+    )
+
+    from .util import assert_matches_sql
+
+    rows = [
+        (1, "a", "the be to of words here now"),
+        (1, "a", "duplicate id different text body"),
+        (1, "a", "duplicate id different text body"),  # full dup row
+        (None, "a", "null id row still counts once"),
+        (2, "b", "mail x@y.example.org ok"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, source STRING, text STRING"
+    )
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"]).astype(
+        {"doc_id": "Int64"}
+    )
+    con = duckdb.connect()
+    con.register("dupdocs", pdf)
+    assert_matches_sql(
+        corpus_report(df, "text", "doc_id", "source", min_words=3),
+        corpus_report_sql("dupdocs", "text", "doc_id", "source", min_words=3),
+        con,
+    )
+    out = {r.source: r for r in
+           corpus_report(df, "text", "doc_id", "source").collect()}
+    assert out["a"].n_docs == 4 and out["b"].n_docs == 1
+
+
+def test_corpus_report_reserved_group_col(spark):
+    """Group columns shadowing output OR intermediate feature names get
+    the clear ValueError, not an AMBIGUOUS_REFERENCE analysis error
+    (review-found); the SQL builder applies the same guard."""
+    from xarray_histogram_spark.operators.curate import (
+        corpus_report, corpus_report_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, True, "words here")], "doc_id INT, keep BOOLEAN, text STRING"
+    )
+    for bad in ("keep", "n_tokens", "quality", "n_pii", "n_docs"):
+        with pytest.raises(ValueError, match="collides"):
+            corpus_report(df, "text", "doc_id", bad)
+        with pytest.raises(ValueError, match="collides"):
+            corpus_report_sql("t", "text", "doc_id", bad)

@@ -1224,27 +1224,58 @@ register(
 )
 
 
+# the fixture text carries no commas, quotes or NULLs, so a plain
+# round-trip would never exercise RFC quoting or the NULL marker (the
+# vacuous-gate trap): plant both — quoted/comma'd tails on most rows,
+# NULL text on every 7th
+_CSV_AUG_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN NULL "
+    "ELSE text || ', \"q' || CAST(doc_id % 5 AS VARCHAR) || '\" fin' END"
+)
+
+
+def _csv_aug_col():
+    d = F.col("doc_id")
+    return F.when(
+        d % 7 != 0,
+        F.concat(
+            F.col("text"), F.lit(', "q'), (d % 5).cast("string"),
+            F.lit('" fin'),
+        ),
+    )
+
+
 def _csv_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV corpus source/sink round-trip (the metadata/annotation format
     real pipelines ingest alongside JSONL): parquet → RFC-quoted headered
-    CSV → explicit-schema PERMISSIVE read.  The oracle is the original
-    table, so the gate proves quoting, the NULL-vs-empty-string marker
-    and type restoration from text are lossless."""
+    CSV → explicit-schema PERMISSIVE read, over text augmented with
+    commas, doubled quotes and NULLs so the gate actually exercises
+    quoting and the NULL-vs-empty marker (review-found vacuity).  The
+    oracle is the same augmented projection, so losslessness — including
+    type restoration from text — is exactly what the hash proves."""
     import tempfile
 
     from .sources.corpus import read_csv_corpus, write_csv_corpus
 
-    docs = t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="xhs_csv_") + "/docs"
-    write_csv_corpus(docs, path)
+    docs = t(spark, sf_dir, "documents").withColumn("text", _csv_aug_col())
+    # session-scoped scratch, overwritten per call — repeated bench/driver
+    # invocations must not accumulate full CSV copies of the corpus
+    if sf_dir not in _CSV_SCRATCH:
+        _CSV_SCRATCH[sf_dir] = tempfile.mkdtemp(prefix="xhs_csv_") + "/docs"
+    path = _CSV_SCRATCH[sf_dir]
+    write_csv_corpus(docs, path, mode="overwrite")
     back = read_csv_corpus(spark, path, docs.schema)
     return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+_CSV_SCRATCH: dict[str, str] = {}
 
 
 register(
     "source_csv_roundtrip",
     _csv_roundtrip_fn,
-    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    f"SELECT doc_id, {_CSV_AUG_SQL} AS text, lang, source, n_chars "
+    "FROM documents",
 )
 
 

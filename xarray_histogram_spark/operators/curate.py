@@ -32,8 +32,12 @@ from ..binspec import flit, slit
 from ..functions import hashing as H
 from .sampling import assign_splits, assign_splits_sql
 from .text import (
+    gopher_cols,
+    gopher_rules_sql,
     lang_id_sql,
     lang_pred_col,
+    pii_cols,
+    pii_scrub_sql,
     quality_cols,
     quality_score_sql,
     token_count_cols,
@@ -151,6 +155,16 @@ def curate_documents_sql(
     )
 
 
+# output aggregates AND the intermediate feature names corpus_report
+# selects alongside the group key — a group column shadowing either
+# would make the select ambiguous, so both are reserved
+_REPORT_RESERVED = frozenset({
+    "n_docs", "sum_tokens", "sum_chars", "n_gopher_keep",
+    "n_docs_with_pii", "n_pii_spans", "min_quality", "max_quality",
+    "n_tokens", "n_chars", "quality", "keep", "n_pii",
+})
+
+
 def corpus_report(
     df: DataFrame,
     text_col: str,
@@ -166,20 +180,17 @@ def corpus_report(
     Scale shape: every feature is a fused row-level projection from the
     shared col builders (token counts, quality, Gopher keep, PII total),
     so the whole report is ONE scan + ONE map-combined groupBy shuffle
-    with a k-row output.  Determinism: the aggregates are COUNT/integer
-    SUM (order-independent) and MIN/MAX of the deterministic quality
-    double — never a float SUM/AVG, whose cross-engine accumulation
-    order would break the oracle hash."""
-    from .text import gopher_cols, pii_cols, quality_cols, token_count_cols
-
-    reserved = {
-        "n_docs", "sum_tokens", "sum_chars", "n_gopher_keep",
-        "n_docs_with_pii", "n_pii_spans", "min_quality", "max_quality",
-    }
-    if group_col in reserved:
+    with a k-row output.  ``id_col`` is unused by the engine path (rows
+    need no identity to aggregate) but the oracle mirror keys its
+    composed per-operator mirrors on a synthesized row number, so
+    duplicate or NULL ids are fine on BOTH sides.  Determinism: the
+    aggregates are COUNT/integer SUM (order-independent) and MIN/MAX of
+    the deterministic quality double — never a float SUM/AVG, whose
+    cross-engine accumulation order would break the oracle hash."""
+    if group_col in _REPORT_RESERVED:
         raise ValueError(
             f"group_col {group_col!r} collides with a corpus_report "
-            "output column"
+            "output or intermediate feature column"
         )
     tok = token_count_cols(text_col)
     feats = df.select(
@@ -213,19 +224,31 @@ def corpus_report_sql(
     group_col: str,
     **gopher_thresholds,
 ) -> str:
-    """DuckDB mirror: the per-operator SQL mirrors joined on the doc id
-    (oracle-side shape only — the engine keeps the fused one-pass plan),
-    aggregated with the same order-independent functions."""
-    from .text import gopher_rules_sql, pii_scrub_sql, token_count_sql
-
-    p = pii_scrub_sql(table, text_col, id_col)
-    g = gopher_rules_sql(table, text_col, id_col, **gopher_thresholds)
-    t = token_count_sql(table, text_col, id_col)
-    q = quality_score_sql(table, text_col, id_col)
+    """DuckDB mirror (oracle-side shape only — the engine keeps the
+    fused one-pass plan): the table is materialized ONCE with a
+    synthesized unique row number (``AS MATERIALIZED`` pins the CTE so
+    an inlined re-evaluation cannot renumber rows), the per-operator
+    mirrors run over that base keyed on the row number, and the joins
+    are therefore exactly 1:1 even when the corpus has duplicate or
+    NULL doc ids — the pre-dedup state an ingest report runs on.
+    Aggregated with the same order-independent functions."""
+    if group_col in _REPORT_RESERVED:
+        raise ValueError(
+            f"group_col {group_col!r} collides with a corpus_report "
+            "output or intermediate feature column"
+        )
+    base = (
+        f"SELECT {group_col}, {text_col}, "
+        f"ROW_NUMBER() OVER () AS __rid FROM {table}"
+    )
+    p = pii_scrub_sql("__b", text_col, "__rid")
+    g = gopher_rules_sql("__b", text_col, "__rid", **gopher_thresholds)
+    t = token_count_sql("__b", text_col, "__rid")
+    q = quality_score_sql("__b", text_col, "__rid")
     return (
-        f"WITH __p AS ({p}), __g AS ({g}), __t AS ({t}), __q AS ({q}), "
-        f"__d AS (SELECT {id_col}, {group_col} FROM {table}) "
-        f"SELECT __d.{group_col}, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"WITH __b AS MATERIALIZED ({base}), "
+        f"__p AS ({p}), __g AS ({g}), __t AS ({t}), __q AS ({q}) "
+        f"SELECT __b.{group_col}, CAST(COUNT(*) AS BIGINT) AS n_docs, "
         f"CAST(SUM(__t.n_tokens) AS BIGINT) AS sum_tokens, "
         f"CAST(SUM(__t.n_chars) AS BIGINT) AS sum_chars, "
         f"CAST(SUM(CAST(__g.keep AS INT)) AS BIGINT) AS n_gopher_keep, "
@@ -233,10 +256,10 @@ def corpus_report_sql(
         f"AS n_docs_with_pii, "
         f"CAST(SUM(__p.n_pii) AS BIGINT) AS n_pii_spans, "
         f"MIN(__q.quality) AS min_quality, MAX(__q.quality) AS max_quality "
-        f"FROM __d "
-        f"JOIN __p ON __p.{id_col} = __d.{id_col} "
-        f"JOIN __g ON __g.{id_col} = __d.{id_col} "
-        f"JOIN __t ON __t.{id_col} = __d.{id_col} "
-        f"JOIN __q ON __q.{id_col} = __d.{id_col} "
-        f"GROUP BY __d.{group_col}"
+        f"FROM __b "
+        f"JOIN __p ON __p.__rid = __b.__rid "
+        f"JOIN __g ON __g.__rid = __b.__rid "
+        f"JOIN __t ON __t.__rid = __b.__rid "
+        f"JOIN __q ON __q.__rid = __b.__rid "
+        f"GROUP BY __b.{group_col}"
     )

@@ -92,22 +92,74 @@ def corrupt_line_stats(df: DataFrame, corrupt_col: str = CORRUPT_COL) -> DataFra
 
 
 def write_csv_corpus(
-    df: DataFrame, path: str, mode: str = "error", sep: str = ","
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    sep: str = ",",
+    null_marker: str = "\\N",
+    validate: bool = True,
 ) -> None:
     """Export as headered CSV with RFC-4180 quoting.
 
     Two non-default options are LOAD-BEARING for losslessness and must
     match the reader's: ``escape='"'`` (Spark's default is backslash
     escaping, which standard CSV tools mis-read; the double-quote escape
-    is the RFC form) and ``nullValue='\\N'`` (by default Spark writes
-    NULL as an empty field, which reads back indistinguishable from the
-    empty STRING — the classic silent NULL/'' conflation)."""
+    is the RFC form) and ``nullValue=null_marker`` (by default Spark
+    writes NULL as an empty field, which reads back indistinguishable
+    from the empty STRING — the classic silent NULL/'' conflation).
+
+    Two data shapes CANNOT round-trip through default-splittable CSV and
+    are REJECTED up front (``validate=True``, one extra scan over the
+    string columns — correctness beats the scan on an export path):
+
+    - **embedded newlines**: a default ``multiLine=False`` reader splits
+      the record mid-field and TRUSTS the truncated prefix (corrupt_col
+      stays NULL) — silent data corruption, not quarantine.  Either
+      strip newlines upstream or pass ``validate=False`` and read with
+      ``multi_line=True`` (one-task-per-file, see read_csv_corpus).
+    - **a field exactly equal to ``null_marker``**: Spark applies
+      nullValue after unquoting on read AND quotes the marker on write
+      (verified: quoteAll cannot disambiguate), so the literal string
+      would silently come back as NULL.  Pick a marker your data cannot
+      contain (it is a parameter for exactly this reason).
+    """
+    if validate:
+        str_fields = [
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, T.StringType)
+        ]
+        if str_fields:
+            checks = []
+            for f in str_fields:
+                c = F.col(f)
+                checks.append(
+                    F.max(c.contains("\n") | c.contains("\r")).alias(f"nl_{f}")
+                )
+                checks.append(F.max(c == F.lit(null_marker)).alias(f"mk_{f}"))
+            row = df.agg(*checks).first()
+            bad_nl = [f for f in str_fields if row[f"nl_{f}"]]
+            bad_mk = [f for f in str_fields if row[f"mk_{f}"]]
+            if bad_nl:
+                raise ValueError(
+                    f"columns {bad_nl} contain embedded newlines, which a "
+                    "splittable (multiLine=False) CSV reader silently "
+                    "TRUNCATES into trusted rows. Strip them upstream, or "
+                    "pass validate=False and read with multi_line=True "
+                    "(one-task-per-file parallelism)."
+                )
+            if bad_mk:
+                raise ValueError(
+                    f"columns {bad_mk} contain the literal null marker "
+                    f"{null_marker!r}, which would read back as NULL "
+                    "(Spark cannot quote-disambiguate it). Choose a "
+                    "null_marker the data cannot contain."
+                )
     (
         df.write.mode(mode)
         .option("header", True)
         .option("sep", sep)
         .option("escape", '"')
-        .option("nullValue", "\\N")
+        .option("nullValue", null_marker)
         .csv(path)
     )
 
@@ -119,18 +171,22 @@ def read_csv_corpus(
     corrupt_col: str = CORRUPT_COL,
     sep: str = ",",
     multi_line: bool = False,
+    null_marker: str = "\\N",
 ) -> DataFrame:
     """Read a CSV corpus with an EXPLICIT schema and the same quarantine
     contract as :func:`read_jsonl_corpus`: malformed lines kept with the
     raw line in ``corrupt_col`` and every data column NULLed, so
     ``corrupt_col IS NULL`` ⇔ trust the data columns.
 
-    ``multi_line=False`` (default) keeps the file SPLITTABLE — each
-    ~128 MB block parses in parallel.  Only set ``multi_line=True`` when
-    fields genuinely contain newlines: Spark must then parse each file
-    as one unsplittable unit, so a 100 TB ingest degrades to
+    ``multi_line`` is a CORRECTNESS switch, not just a parallelism
+    trade-off: with the ``False`` default each ~128 MB block parses in
+    parallel, but a record with embedded newlines is split mid-field and
+    the truncated prefix is TRUSTED (see write_csv_corpus, which rejects
+    such data by default).  Set ``multi_line=True`` only for corpora
+    that genuinely carry newlines: Spark must then parse each file as
+    one unsplittable unit, so a 100 TB ingest degrades to
     one-task-per-file parallelism (re-shard small or ban embedded
-    newlines upstream)."""
+    newlines upstream).  ``null_marker`` must match the writer's."""
     if corrupt_col in schema.fieldNames():
         raise ValueError(
             f"corrupt_col {corrupt_col!r} collides with a schema field"
@@ -143,7 +199,7 @@ def read_csv_corpus(
         .option("header", True)
         .option("sep", sep)
         .option("escape", '"')
-        .option("nullValue", "\\N")
+        .option("nullValue", null_marker)
         .option("multiLine", multi_line)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
