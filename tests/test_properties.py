@@ -557,3 +557,35 @@ def test_luhn_fold_matches_reference(spark, runs):
     df = spark.createDataFrame([(1, doc)], "doc_id INT, text STRING")
     row = tx.pii_scrub(df, "text", "doc_id").collect()[0]
     assert row.n_cc_raw == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_characters="\n\r",
+                blacklist_categories=("Cs",),
+            ),
+            max_size=40,
+        ).filter(lambda s: s != "\\N"),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_csv_roundtrip_property(spark, tmp_path_factory, texts):
+    """Any newline-free, non-marker text — quotes, commas, separators,
+    unicode, empty strings, leading/trailing spaces — must survive the
+    CSV round-trip byte-exactly, and NULL must stay NULL (the writer
+    guards reject the only two shapes excluded by construction)."""
+    from xarray_histogram_spark.sources.corpus import (
+        read_csv_corpus, write_csv_corpus,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), None)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    path = str(tmp_path_factory.mktemp("csvprop") / "c")
+    write_csv_corpus(df, path)
+    back = read_csv_corpus(spark, path, df.schema)
+    got = sorted((r.doc_id, r.text) for r in back.collect())
+    assert got == sorted(rows)

@@ -160,6 +160,11 @@ def write_csv_corpus(
         .option("sep", sep)
         .option("escape", '"')
         .option("nullValue", null_marker)
+        # the WRITER trims field whitespace by default (these two default
+        # TRUE on write, FALSE on read) — ' ' would silently come back ''
+        # (property-test-found); pin them off on both sides
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
         .csv(path)
     )
 
@@ -200,6 +205,8 @@ def read_csv_corpus(
         .option("sep", sep)
         .option("escape", '"')
         .option("nullValue", null_marker)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
         .option("multiLine", multi_line)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
