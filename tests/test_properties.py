@@ -589,3 +589,33 @@ def test_csv_roundtrip_property(spark, tmp_path_factory, texts):
     back = read_csv_corpus(spark, path, df.schema)
     got = sorted((r.doc_id, r.text) for r in back.collect())
     assert got == sorted(rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_jsonl_roundtrip_property(spark, tmp_path_factory, texts):
+    """JSONL must round-trip ARBITRARY text — including newlines, quotes
+    and backslashes, which JSON escapes (unlike CSV, which rejects
+    newlines at write time) — plus NULL, byte-exactly."""
+    from xarray_histogram_spark.sources.corpus import (
+        read_jsonl_corpus, write_jsonl_corpus,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), None)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    path = str(tmp_path_factory.mktemp("jsonlprop") / "j")
+    write_jsonl_corpus(df, path)
+    back = read_jsonl_corpus(spark, path, df.schema)
+    got = sorted(
+        (r.doc_id, r.text) for r in back.collect()
+    )
+    assert got == sorted(rows)
