@@ -1749,3 +1749,69 @@ def test_corpus_report_reserved_group_col(spark):
             corpus_report(df, "text", "doc_id", bad)
         with pytest.raises(ValueError, match="collides"):
             corpus_report_sql("t", "text", "doc_id", bad)
+
+
+def test_filter_top_fraction_semantics(spark):
+    """Exact top-fraction pruning: scores 0..99 with keep 1/4 keeps
+    exactly the 25 with score >= the rank-74 value; ties at the
+    threshold all stay; NULL/NaN always drop (even at keep-all); a
+    degenerate all-equal column keeps everything; guards raise."""
+    from xarray_histogram_spark.operators import sampling as sp
+
+    rows = [(i, float(i)) for i in range(100)]
+    rows += [(100, None), (101, float("nan"))]
+    df = spark.createDataFrame(rows, "doc_id INT, score DOUBLE")
+    kept = {r.doc_id for r in
+            sp.filter_top_fraction(df, "score", 1, 4).collect()}
+    # c=100, rank = (99*3)//4 = 74 → threshold 74.0 → keep 74..99
+    assert kept == set(range(74, 100))
+    # ties: 10 zeros + 10 ones, keep half → rank (19*1)//2 = 9 → thr 0.0
+    # → ALL rows stay (every score >= 0.0)
+    tdf = spark.createDataFrame(
+        [(i, float(i // 10)) for i in range(20)], "doc_id INT, score DOUBLE"
+    )
+    assert sp.filter_top_fraction(tdf, "score", 1, 2).count() == 20
+    # keep-all drops only NULL/NaN
+    assert sp.filter_top_fraction(df, "score", 4, 4).count() == 100
+    # degenerate all-equal
+    edf = spark.createDataFrame([(i, 5.0) for i in range(7)],
+                                "doc_id INT, score DOUBLE")
+    assert sp.filter_top_fraction(edf, "score", 1, 3).count() == 7
+    with pytest.raises(ValueError, match="keep_num"):
+        sp.filter_top_fraction(df, "score", 0, 4)
+    with pytest.raises(ValueError, match="keep_num"):
+        sp.filter_top_fraction(df, "score", 5, 4)
+    null_df = spark.createDataFrame(
+        [(1, None)], "doc_id INT, score DOUBLE"
+    )
+    with pytest.raises(ValueError, match="no non-NULL"):
+        sp.filter_top_fraction(null_df, "score", 1, 2)
+
+
+def test_filter_top_fraction_oracle_ties_and_nulls(spark, tmp_path):
+    """Mirror agreement on a hostile distribution: heavy ties around the
+    threshold, NULLs, NaNs, negative scores."""
+    import duckdb
+
+    from xarray_histogram_spark.operators import sampling as sp
+
+    from .util import assert_matches_sql
+
+    rows = [(i, float(i % 7) - 3.0) for i in range(200)]
+    rows += [(200, None), (201, float("nan")), (202, None)]
+    df = spark.createDataFrame(rows, "doc_id INT, score DOUBLE")
+    p = str(tmp_path / "scores.parquet")
+    df.coalesce(1).write.parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW scores AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    for num, den in ((1, 4), (1, 2), (2, 3), (9, 10)):
+        assert_matches_sql(
+            sp.filter_top_fraction(df, "score", num, den)
+            .select("doc_id", "score"),
+            sp.filter_top_fraction_sql(
+                "scores", ["doc_id", "score"], "score", num, den
+            ),
+            con,
+        )

@@ -119,6 +119,10 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # change re-gates at driver scale rather than inheriting the r06
     # green (review-found).
     "sample_balanced",
+    # quantile_edges' exact-rank core was factored into values_at_ranks
+    # (shared with filter_top_fraction) — behavior-preserving, but the
+    # same any-implementation-change policy applies.
+    "hist_quantile_bins",
 )
 
 
@@ -136,6 +140,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "pipeline_report",
     # CSV corpus source/sink with the JSONL quarantine contract
     "source_csv_roundtrip",
+    # quality-threshold pruning (exact-rank top-fraction filter)
+    "sample_top_quality",
 )
 
 
@@ -1147,6 +1153,28 @@ register(
     # the k-row per-source ingest dashboard: ONE scan + ONE map-combined
     # groupBy over fused feature projections
     "pipeline_report", _report_fn, _report_sql(),
+)
+
+
+def _top_quality_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quality-threshold pruning: keep the top quarter of the corpus by
+    # quality score — exact integer-rank threshold (distributed bucket
+    # rank, no global sort), then a pushable literal filter
+    from .operators.sampling import filter_top_fraction
+
+    scored = t_wide(spark, sf_dir, "documents").select(
+        F.col("doc_id"), tx.quality_cols("text")[-1]
+    )
+    return filter_top_fraction(scored, "quality", 1, 4)
+
+
+register(
+    "sample_top_quality",
+    _top_quality_fn,
+    sp.filter_top_fraction_sql(
+        f"({tx.quality_score_sql('documents', 'text', 'doc_id')})",
+        ["doc_id", "quality"], "quality", 1, 4,
+    ),
 )
 
 

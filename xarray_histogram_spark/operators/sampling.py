@@ -434,3 +434,78 @@ def deterministic_take_sql(
         f"SELECT {cols} FROM {table} "
         f"ORDER BY {d} NULLS FIRST, {key_expr} NULLS FIRST LIMIT {int(n)}"
     )
+
+
+def filter_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    keep_num: int,
+    keep_den: int,
+) -> DataFrame:
+    """Keep the TOP ``keep_num/keep_den`` fraction of rows by score —
+    the quality-threshold pruning step of a curation pipeline ("train on
+    the best quarter of the corpus").
+
+    The threshold is the EXACT value at 0-indexed ascending rank
+    ``((c-1)·(den-num)) // den`` over the ``c`` non-NULL/non-NaN scores
+    (pure integer rank arithmetic, so the DuckDB oracle's ROW_NUMBER
+    formulation lands on the identical double), computed by the same
+    distributed two-pass bucket rank as quantile_edges — no global
+    sort.  Rows with ``score >= threshold`` are kept: ties AT the
+    threshold all stay (deterministic, slightly over ``num/den``),
+    NULL/NaN scores always drop.  Degenerate all-equal scores keep
+    everything (threshold = the single value).
+
+    Scale shape: one count/min-max aggregate + the ≤256-row bucket-count
+    shuffle + one rank window per bucket to extract ONE scalar, then the
+    main scan is filtered by a literal — a pushable predicate, zero
+    joins."""
+    from ..plans.histogram import values_at_ranks
+
+    if keep_den < 1 or not (0 < keep_num <= keep_den):
+        raise ValueError("need 0 < keep_num <= keep_den")
+    sc = F.col(score_col).cast("double")
+    x = df.where(sc.isNotNull() & ~F.isnan(sc)).select(sc.alias("x"))
+    row = x.agg(F.count("x"), F.min("x"), F.max("x")).first()
+    c, lo, hi = row[0], row[1], row[2]
+    if c == 0:
+        raise ValueError(
+            f"no non-NULL/non-NaN values in score column {score_col!r}"
+        )
+    if keep_num == keep_den:
+        # keep-all still drops NULL/NaN scores (the contract)
+        return df.where(sc.isNotNull() & ~F.isnan(sc))
+    rank = ((c - 1) * (keep_den - keep_num)) // keep_den
+    if lo == hi:
+        thr = lo  # all scores equal: threshold is the single value
+    else:
+        thr = values_at_ranks(x, [rank], lo, hi)[rank]
+    # ~isnan is part of the predicate: BOTH engines order NaN above every
+    # double, so a bare >= would quietly keep NaN-scored rows
+    return df.where(~F.isnan(sc) & (sc >= F.lit(float(thr))))
+
+
+def filter_top_fraction_sql(
+    table: str,
+    select_cols: Sequence[str],
+    score_expr: str,
+    keep_num: int,
+    keep_den: int,
+) -> str:
+    """Oracle mirror: the identical integer rank over a ROW_NUMBER
+    ordering (the value AT any rank of the sorted multiset is
+    deterministic even under ties), then the same >= filter."""
+    sel = ", ".join(f"t.{c} AS {c}" for c in select_cols)
+    return (
+        f"WITH __s AS (SELECT CAST({score_expr} AS DOUBLE) AS x, "
+        f"ROW_NUMBER() OVER (ORDER BY CAST({score_expr} AS DOUBLE)) - 1 "
+        f"AS rn FROM {table} "
+        f"WHERE {score_expr} IS NOT NULL AND NOT isnan({score_expr})), "
+        f"__c AS (SELECT COUNT(*) AS n FROM __s), "
+        f"__t AS (SELECT x AS thr FROM __s, __c "
+        f"WHERE __s.rn = ((__c.n - 1) * {keep_den - keep_num}) "
+        f"// {keep_den}) "
+        f"SELECT {sel} FROM {table} t, __t "
+        f"WHERE NOT isnan(CAST({score_expr} AS DOUBLE)) "
+        f"AND CAST({score_expr} AS DOUBLE) >= __t.thr"
+    )

@@ -986,6 +986,25 @@ def quantile_edges(
             "use an Integer/Category axis instead"
         )
     targets = sorted({((c - 1) * i) // n for i in range(n + 1)})
+    edges = sorted(set(values_at_ranks(x, targets, lo, hi).values()))
+    if len(edges) < 2:
+        raise ValueError(
+            f"column {col!r} has a single distinct value "
+            f"({edges[0]!r}); equal-mass binning needs spread — "
+            "use an Integer/Category axis instead"
+        )
+    return edges
+
+
+def values_at_ranks(
+    x: DataFrame, targets: list[int], lo: float, hi: float
+) -> dict[int, float]:
+    """Exact values at the given 0-indexed ascending ranks of column
+    ``x`` (no NULL/NaN, non-degenerate [lo, hi]) — the distributed
+    two-pass bucket rank shared by quantile_edges and the top-fraction
+    filter: deterministic linear bucketing, per-bucket counts (map-side
+    combined, ≤B rows shuffled), driver prefix sums, per-bucket
+    row_number + offset = exact global rank.  No global sort."""
     B = 256
     bucket = F.least(
         F.floor(
@@ -1023,15 +1042,8 @@ def quantile_edges(
         F.row_number().over(_W.partitionBy("b").orderBy("x")).cast("bigint")
         - 1 + off
     ).alias("rn")
-    rows = bx.select("x", rn).where(F.col("rn").isin(targets)).collect()
-    edges = sorted({r["x"] for r in rows})
-    if len(edges) < 2:
-        raise ValueError(
-            f"column {col!r} has a single distinct value "
-            f"({edges[0]!r}); equal-mass binning needs spread — "
-            "use an Integer/Category axis instead"
-        )
-    return edges
+    rows = bx.select("x", rn).where(F.col("rn").isin(list(targets))).collect()
+    return {r["rn"]: r["x"] for r in rows}
 
 
 def categories_from_data(
