@@ -239,3 +239,16 @@ def test_lsh_bucket_name_collision_guard(spark):
         sim.with_lsh_bucket(df)
     with _pt.raises(ValueError, match="bucket"):
         sim.ann_topk_batch(df, [1])
+
+
+def test_filter_top_fraction_sql_guard():
+    """The SQL builder applies the same fraction guard as the Python
+    twin instead of silently emitting an empty-result query
+    (review-found mirror divergence)."""
+    from xarray_histogram_spark.operators.sampling import (
+        filter_top_fraction_sql,
+    )
+
+    for num, den in ((0, 4), (5, 4), (1, 0)):
+        with pytest.raises(ValueError, match="keep_num"):
+            filter_top_fraction_sql("t", ["id"], "score", num, den)

@@ -1753,9 +1753,10 @@ def test_corpus_report_reserved_group_col(spark):
 
 def test_filter_top_fraction_semantics(spark):
     """Exact top-fraction pruning: scores 0..99 with keep 1/4 keeps
-    exactly the 25 with score >= the rank-74 value; ties at the
-    threshold all stay; NULL/NaN always drop (even at keep-all); a
-    degenerate all-equal column keeps everything; guards raise."""
+    the 26 rows with score >= the rank-74 value (the rank floor rounds
+    toward keeping — documented); ties at the threshold all stay;
+    NULL/NaN always drop (even at keep-all); a degenerate all-equal
+    column keeps everything; guards raise."""
     from xarray_histogram_spark.operators import sampling as sp
 
     rows = [(i, float(i)) for i in range(100)]
@@ -1763,7 +1764,7 @@ def test_filter_top_fraction_semantics(spark):
     df = spark.createDataFrame(rows, "doc_id INT, score DOUBLE")
     kept = {r.doc_id for r in
             sp.filter_top_fraction(df, "score", 1, 4).collect()}
-    # c=100, rank = (99*3)//4 = 74 → threshold 74.0 → keep 74..99
+    # c=100, rank = (99*3)//4 = 74 → threshold 74.0 → 26 rows kept
     assert kept == set(range(74, 100))
     # ties: 10 zeros + 10 ones, keep half → rank (19*1)//2 = 9 → thr 0.0
     # → ALL rows stay (every score >= 0.0)

@@ -1162,9 +1162,9 @@ def _top_quality_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank, no global sort), then a pushable literal filter
     from .operators.sampling import filter_top_fraction
 
-    scored = t_wide(spark, sf_dir, "documents").select(
-        F.col("doc_id"), tx.quality_cols("text")[-1]
-    )
+    scored = tx.quality_score(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id"
+    ).select("doc_id", "quality")
     return filter_top_fraction(scored, "quality", 1, 4)
 
 

@@ -451,10 +451,13 @@ def filter_top_fraction(
     (pure integer rank arithmetic, so the DuckDB oracle's ROW_NUMBER
     formulation lands on the identical double), computed by the same
     distributed two-pass bucket rank as quantile_edges — no global
-    sort.  Rows with ``score >= threshold`` are kept: ties AT the
-    threshold all stay (deterministic, slightly over ``num/den``),
-    NULL/NaN scores always drop.  Degenerate all-equal scores keep
-    everything (threshold = the single value).
+    sort.  Rows with ``score >= threshold`` are kept, so the kept count
+    is ``c - rank`` — at least ``ceil(c·num/den)`` and usually one more
+    (the rank floor rounds toward keeping; exact for rank-divisible
+    c-1), plus every tie AT the threshold; on tiny inputs the +1
+    dominates (c=4, keep 1/4 keeps 2).  NULL/NaN scores always drop.
+    Degenerate all-equal scores keep everything (threshold = the single
+    value).
 
     Scale shape: one count/min-max aggregate + the ≤256-row bucket-count
     shuffle + one rank window per bucket to extract ONE scalar, then the
@@ -462,7 +465,7 @@ def filter_top_fraction(
     joins."""
     from ..plans.histogram import values_at_ranks
 
-    if keep_den < 1 or not (0 < keep_num <= keep_den):
+    if not (0 < keep_num <= keep_den):
         raise ValueError("need 0 < keep_num <= keep_den")
     sc = F.col(score_col).cast("double")
     x = df.where(sc.isNotNull() & ~F.isnan(sc)).select(sc.alias("x"))
@@ -479,7 +482,15 @@ def filter_top_fraction(
     if lo == hi:
         thr = lo  # all scores equal: threshold is the single value
     else:
-        thr = values_at_ranks(x, [rank], lo, hi)[rank]
+        vals = values_at_ranks(x, [rank], lo, hi)
+        if rank not in vals:  # count scan and rank scan disagreed
+            raise RuntimeError(
+                f"rank {rank} not found on the second scan of "
+                f"{score_col!r}: the input changed between passes — "
+                "top-fraction filtering needs a deterministic source "
+                "(cache() a nondeterministic one first)"
+            )
+        thr = vals[rank]
     # ~isnan is part of the predicate: BOTH engines order NaN above every
     # double, so a bare >= would quietly keep NaN-scored rows
     return df.where(~F.isnan(sc) & (sc >= F.lit(float(thr))))
@@ -494,7 +505,14 @@ def filter_top_fraction_sql(
 ) -> str:
     """Oracle mirror: the identical integer rank over a ROW_NUMBER
     ordering (the value AT any rank of the sorted multiset is
-    deterministic even under ties), then the same >= filter."""
+    deterministic even under ties), then the same >= filter.
+
+    One declared divergence: an all-NULL/NaN score column yields an
+    EMPTY result here (the threshold CTE is empty) where the Python
+    twin raises — SQL has no clean raise; both shapes drop every row,
+    so the gate cannot be fooled by it."""
+    if not (0 < keep_num <= keep_den):
+        raise ValueError("need 0 < keep_num <= keep_den")
     sel = ", ".join(f"t.{c} AS {c}" for c in select_cols)
     return (
         f"WITH __s AS (SELECT CAST({score_expr} AS DOUBLE) AS x, "
