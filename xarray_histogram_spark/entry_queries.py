@@ -57,41 +57,32 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
     _REGISTRY[name] = (fn, sql)
 
 
-# Round-7 rotation refresh.  _DRIVER_VERIFIED is EXACTLY the 50 names
-# CORRECTNESS_r06.json hash-verified (every one green) — those sit at the
-# TAIL of the registry so the driver's ~50-query window reaches the 68
-# entries whose freshest green is r04/r05.  All stale entries have
+# Round-8 rotation refresh.  _DRIVER_VERIFIED is EXACTLY the 50 names
+# CORRECTNESS_r07.json hash-verified (every one green) — those sit at the
+# TAIL of the registry so the driver's ~50-query window reaches the 74
+# entries whose freshest green is r05/r06.  All stale entries have
 # UNCHANGED plans and oracles since their last driver green and stay
 # green in the local full-registry gates (test_entry_contract,
 # driver_sim); this rotation is pure evidence-freshness maintenance.
+#
+# CAPACITY POLICY (decided round 8, per VERDICT r07 item 2): the registry
+# holds ~124 entries against a ~50-query driver window, so steady-state
+# freshness is a documented THREE-round cycle: each round re-gates (a) all
+# new/changed entries, (b) every entry whose green is two rounds old (the
+# _STALE_PRIORITY head), and (c) as many one-round-old entries as fit.
+# To keep the cycle closed, new-entry growth is capped at ~6 per round;
+# a green may be two rounds old at most — any entry about to age a THIRD
+# round leads _STALE_PRIORITY unconditionally.  We deliberately do NOT
+# consolidate the axis-variant hist_* entries: they exercise disjoint
+# BinSpec codegen classes and each has caught a distinct class of bug;
+# window headroom comes from the growth cap instead.
 _DRIVER_VERIFIED = frozenset({
-    "hist_adopt_roundtrip", "hist_custom_transform_axis",
-    "sample_balanced", "text_pii_scrub", "text_url_extract",
-    "text_url_cap_domain", "sim_ann_batch", "streaming_pii_scrub",
-    "source_jsonl_roundtrip", "dedup_cluster_size_hist",
-    "events_retention", "dedup_embed_pairs", "sample_pack_chunks",
-    "mm_decode_meta",
-    "hist_variable_axis", "hist_quantile_bins", "hist_join_revenue",
-    "alg_project", "alg_slice_bins", "hist_bool_axis",
-    "events_hourly_hist", "events_props_json_hist",
-    "events_type_value_hist",
-    "sample_deterministic", "sample_split", "sample_stratified",
-    "text_langid", "text_quality", "hist_weighted_fastpath",
-    "hist_regular_1d", "hist_regular_flow", "hist_grouped",
-    "hist_group_month", "hist_density", "hist_density_flow",
-    "hist_variable_binary", "hist_integer_axis", "hist_intcategory",
-    "hist_strcategory", "hist_log_axis", "hist_2d", "hist_3d_grouped",
-    "hist_int64_storage", "hist_columns", "hist_sqrt_axis",
-    "hist_range_infer", "alg_normalize_after", "alg_remove_flow",
-    "alg_scale", "alg_apply_func_log",
-})
-
-
-# Stale-head priority: entries whose freshest driver green is ROUND 4
-# (two rounds old) lead the window before the r05-stale head, so no green
-# ever ages a third round.  The r05-stale entries follow in registry
-# order and fill the remainder of the ~50-query window.
-_STALE_PRIORITY = (
+    # the 6 r07-new + 4 r07-changed
+    "mm_decode_png_jpeg", "text_gopher_rules", "dedup_keep_best",
+    "pipeline_report", "source_csv_roundtrip", "sample_top_quality",
+    "text_pii_scrub", "streaming_pii_scrub", "sample_balanced",
+    "hist_quantile_bins",
+    # the 21 r04-stale re-greens
     "stat_mean", "stat_var", "stat_std", "stat_moment3", "stat_median",
     "stat_ppf90", "stat_interval80", "stat_cdf25",
     "hist_merge_shards", "hist_rollup_multires", "hist_rollup_2d",
@@ -100,49 +91,49 @@ _STALE_PRIORITY = (
     "streaming_stateful_hist", "dedup_contamination",
     "text_line_dedup", "text_top_terms", "pipeline_curate",
     "mm_sample_frames",
+    # the remaining r07 window fill
+    "hist_weighted", "hist_pow_axis", "hist_growth_categories",
+    "hist_growth_merge", "hist_columns_weighted", "hist_fill_arrow_path",
+    "hist_weighted_grouped_density", "stat_mean_weighted",
+    "stat_mean_2d", "stat_median_2d",
+    "dedup_exact", "dedup_minhash_pairs", "dedup_jaccard",
+    "dedup_near_keep", "dedup_components", "dedup_simhash",
+    "dedup_simhash_pairs", "sim_cosine_topk", "sim_ann_topk",
+})
+
+
+# Stale-head priority: the 28 entries whose freshest driver green is
+# ROUND 5 (two rounds old) — they lead the window so no green ever ages
+# a THIRD round.  The 46 r06-green entries follow in registry order and
+# fill the remainder of the ~50-query window.
+_STALE_PRIORITY = (
+    "binned_stat_grouped", "binned_stat_profile",
+    "dedup_embed_components",
+    "events_asof_join", "events_funnel", "events_range_join",
+    "events_session_hist", "events_sliding_hist",
+    "hist_mean_storage", "hist_rollup_weighted", "hist_weight_storage",
+    "mm_decode_audio", "mm_decode_image",
+    "pipeline_curate_narrow",
+    "sample_take_n", "sample_topk_group",
+    "sim_ann_indexed", "sim_ivf_topk", "sim_kmeans_refine",
+    "sim_quantize_int8",
+    "streaming_dedup_state", "streaming_range_join",
+    "streaming_window_hist",
+    "text_dup_ngrams", "text_fingerprint", "text_repetition",
+    "text_token_count", "text_vocabulary",
 )
 
 
-# Entries whose PLAN or ORACLE changed in round 7 — never mind their past
+# Entries whose PLAN or ORACLE changed in round 8 — never mind their past
 # greens, the driver must re-check them under the new engine before
 # anything else in the stale head.  Ordered right after _NEW_THIS_ROUND.
-_CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # pii_scrub gained the Luhn-gated unseparated-PAN chain step
-    # (n_cc_raw column; VERDICT r06 next-round item 3) and the fixture
-    # augmentation now plants valid- and invalid-Luhn bare PANs; both
-    # consumers of the operator must be re-gated under the new schema.
-    "text_pii_scrub",
-    "streaming_pii_scrub",
-    # balanced_sample's count collection changed (collect() →
-    # take(max_groups+1) under the new cardinality guard); the plan and
-    # oracle are unchanged, but the policy is that ANY implementation
-    # change re-gates at driver scale rather than inheriting the r06
-    # green (review-found).
-    "sample_balanced",
-    # quantile_edges' exact-rank core was factored into values_at_ranks
-    # (shared with filter_top_fraction) — behavior-preserving, but the
-    # same any-implementation-change policy applies.
-    "hist_quantile_bins",
-)
+_CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 
-# Queries REGISTERED IN ROUND 7 — never in any driver CORRECTNESS record;
+# Queries REGISTERED IN ROUND 8 — never in any driver CORRECTNESS record;
 # they lead the registry so the driver's ~50-query window is guaranteed
 # to reach them regardless of where they appear in this file.
-_NEW_THIS_ROUND: tuple[str, ...] = (
-    # PNG/JPEG header-only metadata (VERDICT r06 next-round item 4)
-    "mm_decode_png_jpeg",
-    # Gopher-style rule-based quality filtering
-    "text_gopher_rules",
-    # quality-argmax keeper policy over near-dup components
-    "dedup_keep_best",
-    # per-source corpus health report (one-pass fused aggregation)
-    "pipeline_report",
-    # CSV corpus source/sink with the JSONL quarantine contract
-    "source_csv_roundtrip",
-    # quality-threshold pruning (exact-rank top-fraction filter)
-    "sample_top_quality",
-)
+_NEW_THIS_ROUND: tuple[str, ...] = ()
 
 
 def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
