@@ -1816,3 +1816,70 @@ def test_filter_top_fraction_oracle_ties_and_nulls(spark, tmp_path):
             ),
             con,
         )
+
+
+def test_incremental_dedup_verdicts(spark, docs):
+    """Shard-vs-keeper semantics: exact copies and near-dups of kept docs
+    are dup_of_kept (kept_match = MIN matching kept id); a new doc
+    near-duplicating a SURVIVING lower-id new doc is dup_within_new; a
+    new doc whose only lower-id near-dup was itself killed by the kept
+    check is NOT dup_within_new (the survivor rule)."""
+    rows = docs.limit(2).collect()
+    t_txt, u_txt = rows[0]["text"], rows[1]["text"]
+    v_txt = u_txt[::-1] + " unique shard document body"
+    kept = spark.createDataFrame(
+        [(1, t_txt), (2, u_txt)], "doc_id: long, text: string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, t_txt),            # exact copy of kept 1
+            (11, v_txt),            # unique -> keep
+            (12, v_txt + " tail"),  # near-dup of surviving 11
+            (13, t_txt + " tail"),  # near-dup of kept 1 AND of new 10
+        ],
+        "doc_id: long, text: string",
+    )
+    r = {x["doc_id"]: x for x in
+         dd.incremental_dedup(new, kept, "text", "doc_id").collect()}
+    assert len(r) == 4
+    assert r[10]["dup_of_kept"] and r[10]["kept_match"] == 1
+    assert not r[11]["dup_of_kept"] and not r[11]["dup_within_new"]
+    assert r[11]["keep"]
+    assert r[12]["dup_within_new"] and not r[12]["dup_of_kept"]
+    assert not r[12]["keep"]
+    # 13 duplicates kept 1; its lower-id nn partner 10 is itself
+    # dup_of_kept, so the survivor rule leaves dup_within_new false
+    assert r[13]["dup_of_kept"] and r[13]["kept_match"] == 1
+    assert not r[13]["dup_within_new"]
+    assert not r[13]["keep"]
+
+
+def test_incremental_dedup_kept_bands_reuse(spark, docs):
+    """Passing a precomputed band_rows index must give identical verdicts
+    to recomputing from kept text — the persisted-index path a 100 TB
+    keeper corpus uses per shard."""
+    kept = docs.where(F.col("doc_id") % 4 != 3).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 4 == 3).select("doc_id", "text")
+    idx = dd.band_rows(kept, "text", "doc_id")
+    a = dd.incremental_dedup(new, kept, "text", "doc_id").collect()
+    b = dd.incremental_dedup(
+        new, kept, "text", "doc_id", kept_bands=idx
+    ).collect()
+    key = lambda r: r["doc_id"]
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_incremental_dedup_null_text(spark):
+    """NULL-text docs never band (no fake NULL bucket) and always keep."""
+    kept = spark.createDataFrame(
+        [(1, None), (2, "some kept document text")],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        [(10, None), (11, "totally different shard text")],
+        "doc_id: long, text: string",
+    )
+    r = {x["doc_id"]: x for x in
+         dd.incremental_dedup(new, kept, "text", "doc_id").collect()}
+    assert r[10]["keep"] and not r[10]["dup_of_kept"]
+    assert r[11]["keep"]

@@ -133,7 +133,10 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = ()
 # Queries REGISTERED IN ROUND 8 — never in any driver CORRECTNESS record;
 # they lead the registry so the driver's ~50-query window is guaranteed
 # to reach them regardless of where they appear in this file.
-_NEW_THIS_ROUND: tuple[str, ...] = ()
+_NEW_THIS_ROUND: tuple[str, ...] = (
+    # shard-vs-keeper-corpus incremental dedup (VERDICT r07 item 3)
+    "dedup_incremental",
+)
 
 
 def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
@@ -615,6 +618,41 @@ register(
         t_wide(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
     ),
     dd.simhash_pairs_sql("documents", "text", "doc_id", max_hamming=3),
+)
+
+
+def _incremental_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic shard split: doc_id % 4 = 3 is the incoming shard, the
+    # rest is the keeper corpus.  The shard is AUGMENTED with two synthetic
+    # docs so BOTH verdicts take both truth values at every SF: 9000001
+    # copies kept doc 0 (guaranteed dup_of_kept) and 9000002 copies new
+    # doc 3 (guaranteed dup_within_new pair (3, 9000002)).
+    docs = t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = docs.where(F.col("doc_id").isin(0, 3)).select(
+        F.when(F.col("doc_id") == 0, F.lit(9000001).cast("long"))
+        .otherwise(F.lit(9000002).cast("long"))
+        .alias("doc_id"),
+        "text",
+    )
+    new_df = docs.where(F.col("doc_id") % 4 == 3).unionAll(synth)
+    kept_df = docs.where(F.col("doc_id") % 4 != 3)
+    return dd.incremental_dedup(new_df, kept_df, "text", "doc_id")
+
+
+register(
+    # shard-vs-keeper incremental dedup: new-vs-kept + new-vs-new verdicts,
+    # both LSH-candidate + exact-Jaccard verified
+    "dedup_incremental",
+    _incremental_fn,
+    dd.incremental_dedup_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3 "
+        "UNION ALL SELECT CAST(CASE WHEN doc_id = 0 THEN 9000001 "
+        "ELSE 9000002 END AS BIGINT) AS doc_id, text "
+        "FROM documents WHERE doc_id IN (0, 3)",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3",
+        "text",
+        "doc_id",
+    ),
 )
 
 

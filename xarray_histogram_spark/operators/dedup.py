@@ -900,3 +900,211 @@ def ngram_contamination_sql(
         f"FROM shc JOIN shb USING (sh) GROUP BY {id_col} "
         f"HAVING COUNT(*) >= {min_hits}"
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a keeper corpus
+# ---------------------------------------------------------------------------
+
+
+def band_rows(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
+    """(id, bi, bk) LSH band-key rows — ``N_BANDS`` per document, a pure
+    map stage (the signature fold is evaluated once per row; zero shuffle).
+
+    This is the REUSABLE INDEX for incremental dedup: compute it ONCE for
+    the keeper corpus, persist it (parquet, partitioned or bucketed by
+    band key), and join every incoming shard against the persisted frame —
+    the kept corpus text is never re-shingled per shard (the same
+    persisted-index pattern as ``similarity.ann_index``,
+    similarity.py:278).  NULL-text documents emit no band rows: their
+    signature is NULL, and on the oracle side a NULL band key never joins;
+    materializing them as empty-string keys would bucket every NULL-text
+    doc into one fake near-dup group."""
+    sigs = minhash_signatures(df, text_col, id_col, k)
+    bands = F.array(
+        *[
+            F.concat_ws("_", F.col(f"mh{2 * j}"), F.col(f"mh{2 * j + 1}"))
+            for j in range(N_BANDS)
+        ]
+    )
+    return (
+        sigs.where(F.col("mh0").isNotNull())
+        .select(F.col(id_col), F.posexplode(bands).alias("bi", "bk"))
+    )
+
+
+def band_rows_sql(table: str, text_col: str, id_col: str, k: int = 8) -> str:
+    """DuckDB mirror of ``band_rows`` (NULL band keys filtered the same
+    way — a NULL-signature doc has no index rows on either engine)."""
+    sigs = minhash_signatures_sql(table, text_col, id_col, k)
+    rows = " UNION ALL ".join(
+        f"SELECT {id_col}, {j} AS bi, mh{2 * j} || '_' || mh{2 * j + 1} AS bk "
+        f"FROM __sigs"
+        for j in range(N_BANDS)
+    )
+    return (
+        f"WITH __sigs AS ({sigs}) "
+        f"SELECT {id_col}, bi, bk FROM ({rows}) b WHERE bk IS NOT NULL"
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    kept_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    threshold: float = 0.8,
+    kept_bands: Optional[DataFrame] = None,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Dedup an incoming shard against an existing KEEPER corpus — the
+    production shape of crawl-pipeline dedup: each new shard is checked
+    against what is already kept, not the whole corpus against itself.
+    Returns one row per NEW document:
+
+    - ``dup_of_kept``: shares an LSH band with a kept doc AND the exact
+      shingle-set Jaccard against that kept doc is ≥ ``threshold``.
+    - ``kept_match``: the MIN kept id among verified matches (NULL when
+      ``dup_of_kept`` is false) — the canonical doc this one duplicates.
+    - ``dup_within_new``: near-duplicates (same LSH + exact-Jaccard
+      verification, via ``jaccard_pairs``) a LOWER-id new doc that itself
+      SURVIVED the kept check — the same one-level keep-first-occurrence
+      policy as ``near_dedup_keep``, not transitive closure.
+    - ``keep``: neither verdict — the doc enters the keeper corpus.
+
+    Scale shape (the kept corpus is the 100 TB side, the shard is small):
+    the shard's band rows and candidate set are BROADCAST, so the kept
+    corpus contributes exactly two map-side probed scans — its band index
+    (pass a persisted ``kept_bands`` frame to skip even that signature
+    recompute) and a scan to fetch shingle sets for the candidate kept
+    ids only.  No kept-side shuffle anywhere; the only shuffles are over
+    shard-sized frames (candidate distinct, per-new-id min, the shard's
+    own ``lsh_candidate_pairs`` band groupBy).  ``broadcast_new=False``
+    drops the hints for giant shards and lets AQE choose.
+
+    ``kept_bands``: a persisted ``band_rows(kept_df, ...)`` output; when
+    given, ``kept_df`` is only scanned to fetch candidate texts.
+    """
+    thr = F.lit(float(threshold))
+    nb = band_rows(new_df, text_col, id_col, k).withColumnRenamed(id_col, "new_id")
+    if broadcast_new:
+        nb = F.broadcast(nb)
+    kb = kept_bands if kept_bands is not None else band_rows(
+        kept_df, text_col, id_col, k
+    )
+    kb = kb.withColumnRenamed(id_col, "kept_id")
+    cand = kb.join(nb, ["bi", "bk"]).select("new_id", "kept_id").distinct()
+
+    # exact shingle-set Jaccard verification of new-vs-kept candidates
+    # (same set/size/intersection semantics as jaccard_pairs: per-row
+    # array_distinct sets, a-side nulls filtered before array_intersect,
+    # empty intersections dropped — the oracle's inner join has no row)
+    shset = F.array_distinct(H.shingles(F.col(text_col), k))
+    nsh = new_df.select(
+        F.col(id_col).alias("_nid"), shset.alias("_nset"),
+        F.size(shset).alias("_nsz"),
+    )
+    ksh = kept_df.select(
+        F.col(id_col).alias("_kid"), shset.alias("_kset"),
+        F.size(shset).alias("_ksz"),
+    )
+    small = cand.join(nsh, cand["new_id"] == nsh["_nid"])
+    if broadcast_new:
+        small = F.broadcast(small)
+    joined = small.join(ksh, small["kept_id"] == ksh["_kid"])
+    inter = F.size(
+        F.array_intersect(
+            F.filter(F.col("_nset"), lambda x: x.isNotNull()), F.col("_kset")
+        )
+    )
+    verified = joined.select(
+        "new_id", "kept_id", inter.alias("_i"), "_nsz", "_ksz"
+    ).where(
+        (F.col("_i") >= 1)
+        & (
+            F.col("_i").cast("double")
+            / (F.col("_nsz") + F.col("_ksz") - F.col("_i")).cast("double")
+            >= thr
+        )
+    )
+    kdup = verified.groupBy("new_id").agg(F.min("kept_id").alias("kept_match"))
+
+    # new-vs-new among kept-survivors: one-level min-id-first greedy
+    nn = (
+        jaccard_pairs(new_df, text_col, id_col, k)
+        .where(F.col("jaccard") >= thr)
+        .select("id_a", "id_b")
+    )
+    nn_drop = (
+        nn.join(kdup.select(F.col("new_id").alias("id_a")), "id_a", "left_anti")
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_nn", F.lit(True))
+    )
+    out = (
+        new_df.select(id_col)
+        .join(kdup.withColumnRenamed("new_id", id_col), id_col, "left")
+        .join(nn_drop, id_col, "left")
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("kept_match").isNotNull().alias("dup_of_kept"),
+        F.col("kept_match"),
+        F.coalesce(F.col("_nn"), F.lit(False)).alias("dup_within_new"),
+        (F.col("kept_match").isNull() & F.col("_nn").isNull()).alias("keep"),
+    )
+
+
+def incremental_dedup_sql(
+    new_select: str,
+    kept_select: str,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB mirror; ``new_select``/``kept_select`` are full SELECT
+    statements defining the shard and the keeper corpus (they become the
+    ``__new``/``__kept`` CTEs every sub-mirror reads)."""
+    from ..binspec import flit
+
+    nb = band_rows_sql("__new", text_col, id_col, k)
+    kb = band_rows_sql("__kept", text_col, id_col, k)
+    nsh = _shingle_rows_sql("__new", text_col, id_col, k)
+    ksh = _shingle_rows_sql("__kept", text_col, id_col, k)
+    nn = jaccard_pairs_sql("__new", text_col, id_col, k)
+    thr = flit(float(threshold))
+    return (
+        f"WITH __new AS ({new_select}), __kept AS ({kept_select}), "
+        f"__nb AS ({nb}), __kb AS ({kb}), "
+        f"__cand AS (SELECT DISTINCT n.{id_col} AS new_id, "
+        f"kx.{id_col} AS kept_id "
+        f"FROM __nb n JOIN __kb kx ON n.bi = kx.bi AND n.bk = kx.bk), "
+        f"__nsh AS ({nsh}), __ksh AS ({ksh}), "
+        f"__nsz AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS nsh "
+        f"FROM __nsh GROUP BY 1), "
+        f"__ksz AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS nsh "
+        f"FROM __ksh GROUP BY 1), "
+        f"__inter AS (SELECT c.new_id, c.kept_id, "
+        f"CAST(COUNT(*) AS BIGINT) AS inter "
+        f"FROM __cand c JOIN __nsh a ON c.new_id = a.{id_col} "
+        f"JOIN __ksh b ON c.kept_id = b.{id_col} AND a.sh = b.sh "
+        f"GROUP BY c.new_id, c.kept_id), "
+        f"__nk AS (SELECT i.new_id, i.kept_id FROM __inter i "
+        f"JOIN __nsz za ON i.new_id = za.{id_col} "
+        f"JOIN __ksz zb ON i.kept_id = zb.{id_col} "
+        f"WHERE CAST(i.inter AS DOUBLE) / "
+        f"CAST(za.nsh + zb.nsh - i.inter AS DOUBLE) >= {thr}), "
+        f"__kdup AS (SELECT new_id, MIN(kept_id) AS kept_match "
+        f"FROM __nk GROUP BY 1), "
+        f"__nn AS (SELECT id_a, id_b FROM ({nn}) jp WHERE jaccard >= {thr}), "
+        f"__nndrop AS (SELECT DISTINCT p.id_b FROM __nn p "
+        f"WHERE p.id_a NOT IN (SELECT new_id FROM __kdup)) "
+        f"SELECT d.{id_col}, (kd.new_id IS NOT NULL) AS dup_of_kept, "
+        f"kd.kept_match, "
+        f"(nd.id_b IS NOT NULL) AS dup_within_new, "
+        f"(kd.new_id IS NULL AND nd.id_b IS NULL) AS keep "
+        f"FROM __new d LEFT JOIN __kdup kd ON d.{id_col} = kd.new_id "
+        f"LEFT JOIN __nndrop nd ON d.{id_col} = nd.id_b"
+    )
