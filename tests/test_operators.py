@@ -1883,3 +1883,52 @@ def test_incremental_dedup_null_text(spark):
          dd.incremental_dedup(new, kept, "text", "doc_id").collect()}
     assert r[10]["keep"] and not r[10]["dup_of_kept"]
     assert r[11]["keep"]
+
+
+def test_report_gopher_defaults_in_sync():
+    """curate._GOPHER_DEFAULTS duplicates gopher_cols' keyword defaults
+    so the per-rule breakdown never perturbs the driver-verified
+    gopher_cols path — this pin makes a drift in EITHER a test failure."""
+    import inspect
+
+    from xarray_histogram_spark.operators.curate import (
+        _GOPHER_DEFAULTS, _RULE_FAILS,
+    )
+
+    sig = inspect.signature(tx.gopher_cols)
+    actual = {
+        n: p.default for n, p in sig.parameters.items()
+        if p.default is not inspect.Parameter.empty
+    }
+    assert actual == _GOPHER_DEFAULTS
+    # every threshold is consumed by exactly one fail rule
+    assert sorted(k for _, _, _, k in _RULE_FAILS) == sorted(_GOPHER_DEFAULTS)
+
+
+def test_corpus_report_per_rule_fails(spark):
+    """Each n_fail_<rule> counts exactly the docs whose metric violates
+    that rule; a doc failing several rules is counted once per rule;
+    NULL text fails no individual rule."""
+    from xarray_histogram_spark.operators.curate import corpus_report
+
+    good = "the words be to of and that have with " + "alpha beta " * 30
+    rows = [
+        (1, "a", good),                            # passes everything
+        (2, "a", "tiny text"),                     # min_words + required
+        (3, "a", None),                            # NULL: fails nothing
+        (4, "a", ("- the be to of list item words here\n" * 5)
+                 + ("extraordinarily " * 60)),     # all-bullet lines
+        (5, "b", "# ## ### " * 30 + "the of and be to words"),  # symbols
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, source STRING, text STRING")
+    out = {r.source: r for r in
+           corpus_report(df, "text", "doc_id", "source",
+                         max_bullet_frac=0.5).collect()}
+    a, b = out["a"], out["b"]
+    assert a.n_fail_min_words == 1          # doc 2 only
+    assert a.n_fail_required_words == 1     # doc 2 only
+    assert a.n_fail_bullet_lines == 1       # doc 4 (5/6 lines > 0.5)
+    assert a.n_fail_max_words == 0 and a.n_fail_max_word_len == 0
+    assert b.n_fail_symbol_ratio == 1       # doc 5
+    # keep consistency: failing any rule excludes from n_gopher_keep
+    assert a.n_gopher_keep == 1 and b.n_gopher_keep == 0

@@ -79,7 +79,7 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 _DRIVER_VERIFIED = frozenset({
     # the 6 r07-new + 4 r07-changed
     "mm_decode_png_jpeg", "text_gopher_rules", "dedup_keep_best",
-    "pipeline_report", "source_csv_roundtrip", "sample_top_quality",
+    "source_csv_roundtrip", "sample_top_quality",
     "text_pii_scrub", "streaming_pii_scrub", "sample_balanced",
     "hist_quantile_bins",
     # the 21 r04-stale re-greens
@@ -127,7 +127,12 @@ _STALE_PRIORITY = (
 # Entries whose PLAN or ORACLE changed in round 8 — never mind their past
 # greens, the driver must re-check them under the new engine before
 # anything else in the stale head.  Ordered right after _NEW_THIS_ROUND.
-_CHANGED_THIS_ROUND: tuple[str, ...] = ()
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # corpus_report gained the per-rule Gopher breakdown (9 n_fail_<rule>
+    # int-SUM columns from the metrics the fused scan already computes;
+    # VERDICT r07 item 4) — wider schema, so the r07 green is void.
+    "pipeline_report",
+)
 
 
 # Queries REGISTERED IN ROUND 8 — never in any driver CORRECTNESS record;

@@ -155,6 +155,38 @@ def curate_documents_sql(
     )
 
 
+# Effective Gopher thresholds for the per-rule breakdown — MUST stay equal
+# to text.gopher_cols' keyword defaults (drift-pinned by
+# tests/test_operators.py::test_report_gopher_defaults_in_sync; duplicated
+# here so the breakdown never perturbs gopher_cols' driver-verified path).
+_GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "max_bullet_frac": 0.9,
+    "max_ellipsis_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_required_words": 2,
+}
+
+# (output column, gopher_cols metric, fail comparison, threshold key):
+# '<' fails when metric < threshold (a minimum rule), '>' when metric >
+# threshold (a maximum rule).  One entry per conjunct of gopher keep.
+_RULE_FAILS = (
+    ("n_fail_min_words", "n_words", "<", "min_words"),
+    ("n_fail_max_words", "n_words", ">", "max_words"),
+    ("n_fail_min_word_len", "mean_word_len", "<", "min_mean_word_len"),
+    ("n_fail_max_word_len", "mean_word_len", ">", "max_mean_word_len"),
+    ("n_fail_symbol_ratio", "symbol_ratio", ">", "max_symbol_ratio"),
+    ("n_fail_bullet_lines", "frac_bullet_lines", ">", "max_bullet_frac"),
+    ("n_fail_ellipsis_lines", "frac_ellipsis_lines", ">",
+     "max_ellipsis_frac"),
+    ("n_fail_alpha_words", "frac_alpha_words", "<", "min_alpha_word_frac"),
+    ("n_fail_required_words", "n_required", "<", "min_required_words"),
+)
+
 # output aggregates AND the intermediate feature names corpus_report
 # selects alongside the group key — a group column shadowing either
 # would make the select ambiguous, so both are reserved
@@ -162,6 +194,10 @@ _REPORT_RESERVED = frozenset({
     "n_docs", "sum_tokens", "sum_chars", "n_gopher_keep",
     "n_docs_with_pii", "n_pii_spans", "min_quality", "max_quality",
     "n_tokens", "n_chars", "quality", "keep", "n_pii",
+    # gopher metric intermediates + the per-rule fail counts
+    "n_words", "mean_word_len", "frac_alpha_words", "symbol_ratio",
+    "frac_bullet_lines", "frac_ellipsis_lines", "n_required",
+    *(name for name, _, _, _ in _RULE_FAILS),
 })
 
 
@@ -178,34 +214,55 @@ def corpus_report(
     envelope, grouped by ``group_col`` (source, language, shard …).
 
     Scale shape: every feature is a fused row-level projection from the
-    shared col builders (token counts, quality, Gopher keep, PII total),
-    so the whole report is ONE scan + ONE map-combined groupBy shuffle
-    with a k-row output.  ``id_col`` is unused by the engine path (rows
-    need no identity to aggregate) but the oracle mirror keys its
-    composed per-operator mirrors on a synthesized row number, so
-    duplicate or NULL ids are fine on BOTH sides.  Determinism: the
-    aggregates are COUNT/integer SUM (order-independent) and MIN/MAX of
-    the deterministic quality double — never a float SUM/AVG, whose
-    cross-engine accumulation order would break the oracle hash."""
+    shared col builders (token counts, quality, Gopher metrics + keep,
+    PII total), so the whole report is ONE scan + ONE map-combined
+    groupBy shuffle with a k-row output.  ``id_col`` is unused by the
+    engine path (rows need no identity to aggregate) but the oracle
+    mirror keys its composed per-operator mirrors on a synthesized row
+    number, so duplicate or NULL ids are fine on BOTH sides.
+    Determinism: the aggregates are COUNT/integer SUM
+    (order-independent) and MIN/MAX of the deterministic quality double
+    — never a float SUM/AVG, whose cross-engine accumulation order would
+    break the oracle hash.
+
+    Per-rule Gopher breakdown: one ``n_fail_<rule>`` count per conjunct
+    of the keep predicate (which rule killed how many docs per source),
+    computed from the metric columns ``gopher_cols`` already projects in
+    the same fused scan.  A NULL-text doc has NULL metrics, fails no
+    individual rule (CASE's ELSE 0 on both engines), and is not counted
+    kept — so ``sum(n_fail_*) >= n_docs - n_gopher_keep - n_null_text``
+    with multi-rule failures counted once per rule."""
     if group_col in _REPORT_RESERVED:
         raise ValueError(
             f"group_col {group_col!r} collides with a corpus_report "
             "output or intermediate feature column"
         )
+    thr = {**_GOPHER_DEFAULTS, **gopher_thresholds}
     tok = token_count_cols(text_col)
     feats = df.select(
         F.col(group_col),
         tok[0],                                   # n_tokens
         tok[3],                                   # n_chars
         quality_cols(text_col)[-1],               # quality
-        gopher_cols(text_col, **gopher_thresholds)[-1],  # keep
+        *gopher_cols(text_col, **gopher_thresholds),  # 7 metrics + keep
         pii_cols(text_col)[-1],                   # n_pii
     )
+    fail_aggs = [
+        F.sum(
+            F.when(
+                F.col(metric) < F.lit(thr[key]) if op == "<"
+                else F.col(metric) > F.lit(thr[key]),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias(out)
+        for out, metric, op, key in _RULE_FAILS
+    ]
     return feats.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_gopher_keep"),
+        *fail_aggs,
         # when/otherwise (not a bare cast) so NULL-text rows contribute 0
         # on BOTH engines even in an all-NULL group
         F.sum(
@@ -245,6 +302,16 @@ def corpus_report_sql(
     g = gopher_rules_sql("__b", text_col, "__rid", **gopher_thresholds)
     t = token_count_sql("__b", text_col, "__rid")
     q = quality_score_sql("__b", text_col, "__rid")
+    thr = {**_GOPHER_DEFAULTS, **gopher_thresholds}
+
+    def _lit(v) -> str:
+        return flit(v) if isinstance(v, float) else str(int(v))
+
+    fails = " ".join(
+        f"CAST(SUM(CASE WHEN __g.{metric} {op} {_lit(thr[key])} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS {out},"
+        for out, metric, op, key in _RULE_FAILS
+    )
     return (
         f"WITH __b AS MATERIALIZED ({base}), "
         f"__p AS ({p}), __g AS ({g}), __t AS ({t}), __q AS ({q}) "
@@ -252,6 +319,7 @@ def corpus_report_sql(
         f"CAST(SUM(__t.n_tokens) AS BIGINT) AS sum_tokens, "
         f"CAST(SUM(__t.n_chars) AS BIGINT) AS sum_chars, "
         f"CAST(SUM(CAST(__g.keep AS INT)) AS BIGINT) AS n_gopher_keep, "
+        f"{fails} "
         f"CAST(SUM(CASE WHEN __p.n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) "
         f"AS n_docs_with_pii, "
         f"CAST(SUM(__p.n_pii) AS BIGINT) AS n_pii_spans, "
