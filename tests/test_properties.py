@@ -619,3 +619,134 @@ def test_jsonl_roundtrip_property(spark, tmp_path_factory, texts):
         (r.doc_id, r.text) for r in back.collect()
     )
     assert got == sorted(rows)
+
+
+# ---- BPE-merge token counting: engine ≡ DuckDB mirror ≡ executable spec ----
+
+def _bpe_spec_count(text, merges):
+    """Executable spec of bpe_token_cols: the documented two-pass
+    string-replace fold itself (Python str.replace is the same
+    left-to-right non-overlapping literal replace as Spark/DuckDB)."""
+    import re as _re
+
+    from xarray_histogram_spark.operators.text import BPE_PIECE_RE
+
+    if text is None:
+        return None
+    sep = "\x1f"
+    text = text.replace(sep, "")
+    total = 0
+    for p in _re.findall(BPE_PIECE_RE, text):
+        chars = [c for c in p if c != "\n"]
+        s = sep + sep.join(chars) + sep
+        for a, b in merges:
+            pat, rep = sep + a + sep + b + sep, sep + a + b + sep
+            s = s.replace(pat, rep).replace(pat, rep)
+        total += s.count(sep) - 1
+    return total
+
+
+_BPE_TOKENS = ("a", "b", "t", "h", "e", "1", ".", "é", "th", "he", "ab",
+               "aa", "the")
+_BPE_TEXT_ALPHABET = "abthe1 .,é\n\t\x1f\r-"
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.text(alphabet=_BPE_TEXT_ALPHABET, max_size=60),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(
+        st.tuples(
+            st.sampled_from(_BPE_TOKENS), st.sampled_from(_BPE_TOKENS)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_bpe_count_matches_spec_and_mirror(spark, texts, merges):
+    import duckdb
+    import pandas as pd
+
+    from xarray_histogram_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in tx.bpe_token_count(df, "text", "doc_id", merges).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "bpedocs",
+        pd.DataFrame(
+            {"doc_id": range(len(texts)),
+             "text": pd.array(texts, dtype="string")}
+        ),
+    )
+    duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            tx.bpe_token_count_sql("bpedocs", "text", "doc_id", merges)
+        ).fetchall()
+    }
+    for i, t in enumerate(texts):
+        exp = _bpe_spec_count(t, merges)
+        assert got[i] == exp, (t, merges, got[i], exp)
+        assert duck[i] == exp, (t, merges, duck[i], exp)
+
+
+def test_bpe_demo_table_equals_leftmost_first(spark, sf_dir):
+    """On the demo table over real corpus text the two-pass fold equals
+    TRUE leftmost-first BPE (the run-singleton divergence needs
+    adversarial rank-inverted tables)."""
+    import re as _re
+
+    from xarray_histogram_spark.operators import text as tx
+
+    def leftmost(text, merges):
+        if text is None:
+            return None
+        pieces = _re.findall(tx.BPE_PIECE_RE, text.replace("\x1f", ""))
+        total = 0
+        for p in pieces:
+            toks = list(p)
+            for a, b in merges:
+                i, out = 0, []
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+            total += len(toks)
+        return total
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in tx.bpe_token_count(docs, "text", "doc_id").collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        assert got[row["doc_id"]] == leftmost(row["text"], tx.DEMO_BPE_MERGES)
+    # non-vacuous: merges actually fire (count < chars of pieces)
+    assert any(v and v > 0 for v in got.values())
+
+
+def test_bpe_merge_table_validation(spark):
+    from xarray_histogram_spark.operators import text as tx
+
+    for bad in ([], [("a", "")], [("", "b")], [("a\x1f", "b")],
+                [("a", "b\x1e")]):
+        with pytest.raises(ValueError):
+            tx.bpe_token_cols("text", bad)
+        with pytest.raises(ValueError):
+            tx.bpe_token_count_sql("docs", "text", "doc_id", bad)

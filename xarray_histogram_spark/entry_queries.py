@@ -141,6 +141,8 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
 _NEW_THIS_ROUND: tuple[str, ...] = (
     # shard-vs-keeper-corpus incremental dedup (VERDICT r07 item 3)
     "dedup_incremental",
+    # BPE-merge-table token counts (VERDICT r07 item 5)
+    "text_bpe_tokens",
 )
 
 
@@ -759,6 +761,16 @@ register(
     "text_token_count",
     lambda spark, sf_dir: tx.token_count(t_wide(spark, sf_dir, "documents"), "text", "doc_id"),
     tx.token_count_sql("documents", "text", "doc_id"),
+)
+register(
+    # real BPE-merge-table token counts (demo merges; the count context
+    # packing budgets against) — one JVM merges-array fold per row,
+    # property-fuzzed against a pure-Python leftmost-first reference
+    "text_bpe_tokens",
+    lambda spark, sf_dir: tx.bpe_token_count(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id"
+    ),
+    tx.bpe_token_count_sql("documents", "text", "doc_id"),
 )
 register(
     "text_quality",

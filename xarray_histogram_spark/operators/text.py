@@ -1015,3 +1015,154 @@ def gopher_rules_sql(
         f"CAST({req} AS BIGINT) AS n_required, "
         f"{keep} AS keep FROM ({sub}) __g"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-merge token counting
+# ---------------------------------------------------------------------------
+
+# Token-sequence separator for the in-expression BPE state string.  U+001F
+# (unit separator) — stripped from the input text first, so token
+# boundaries are unambiguous.
+_BPE_SEP = "\x1f"
+
+# A small English-biased demo merge table (rank-ordered).  Real vocabularies
+# plug in their own ``merges`` list — the fold is table-size-linear and
+# stays one JVM expression regardless of length.
+DEMO_BPE_MERGES = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"), ("s", "t"), ("a", "l"), ("in", "g"),
+    ("o", "u"), ("t", "o"), ("i", "s"), ("e", "d"), ("c", "h"),
+)
+
+
+def _check_merges(merges) -> list:
+    out = []
+    for m in merges:
+        a, b = m
+        if not a or not b or any(
+            c in t for c in (_BPE_SEP, "\x1e") for t in (a, b)
+        ):
+            raise ValueError(
+                "BPE merge tokens must be non-empty and free of "
+                "U+001F/U+001E"
+            )
+        out.append((str(a), str(b)))
+    if not out:
+        raise ValueError("empty BPE merge table")
+    return out
+
+
+def bpe_token_cols(text_col: str, merges) -> list:
+    """``n_bpe_tokens``: the number of tokens a BPE tokenizer with the
+    given rank-ordered ``merges`` table produces — the count context
+    packing (``pack_chunks``) actually budgets against, unlike the
+    whitespace/heuristic counts of :func:`token_count_cols`.
+
+    Algorithm, entirely JVM-side Column expressions (zero Python, zero
+    shuffle): pre-tokenize with ``BPE_PIECE_RE`` (the GPT-2 piece shape;
+    BPE never merges across pieces), start each piece at its character
+    sequence encoded as a U+001F-delimited state string, then FOLD the
+    broadcast literal merges array over it in rank order —
+    ``aggregate(merges, state, …)`` — applying each merge as two
+    literal-``replace`` passes of ``␟a␟b␟ → ␟ab␟``.  Two passes per rank
+    reach that rank's fixpoint: a pass-1 replacement consumes the shared
+    trailing separator of an immediately following merge site, but such
+    skipped sites are isolated singletons afterwards, so pass 2 cannot
+    skip again.  Contract: this two-pass algorithm IS the executable
+    spec (property-pinned against a pure-Python implementation of it,
+    and against the DuckDB mirror).  It coincides with leftmost-first
+    BPE everywhere except inside runs of a repeated token, where the
+    per-rank merge COUNT still matches (greedy maximal matching) but the
+    singleton's position may differ — which only changes later-rank
+    counts on adversarial rank-inverted tables, not on real BPE tables
+    (whose later merges consume earlier outputs); demo-table parity with
+    true leftmost-first is test-pinned.  Piece token count =
+    separators − 1; the outer fold sums pieces.
+
+    The merges table rides INSIDE the expression as a literal array —
+    Catalyst ships it with the plan (the broadcast-small-dim pattern);
+    cost is O(|merges| · piece_len) string work per row, linear in the
+    table, no join, no UDF.  NULL text → NULL count; whitespace-only
+    text → 0.  U+001F is stripped from the text before encoding so
+    corpus bytes can't forge token boundaries."""
+    merges = _check_merges(merges)
+    sep = F.lit(_BPE_SEP)
+    text = F.regexp_replace(F.col(text_col), _BPE_SEP, "")
+    pieces = F.regexp_extract_all(text, F.lit(BPE_PIECE_RE), 0)
+    merge_arr = F.array(
+        *[F.array(F.lit(a), F.lit(b)) for a, b in merges]
+    )
+
+    def apply_merge(acc: Column, m: Column) -> Column:
+        a, b = F.element_at(m, 1), F.element_at(m, 2)
+        pat = F.concat(sep, a, sep, b, sep)
+        rep = F.concat(sep, a, b, sep)
+        return F.replace(F.replace(acc, pat, rep), pat, rep)
+
+    def piece_tokens(p: Column) -> Column:
+        chars = F.regexp_extract_all(p, F.lit(r"[^\n]"), 0)
+        init = F.concat(sep, F.array_join(chars, _BPE_SEP), sep)
+        merged = F.aggregate(merge_arr, init, apply_merge)
+        return (
+            F.length(merged)
+            - F.length(F.replace(merged, sep, F.lit("")))
+            - F.lit(1)
+        ).cast("bigint")
+
+    n_bpe = F.aggregate(
+        pieces,
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + piece_tokens(p),
+    )
+    return [n_bpe.alias("n_bpe_tokens")]
+
+
+def bpe_token_count(
+    df: DataFrame, text_col: str, id_col: str, merges=DEMO_BPE_MERGES
+) -> DataFrame:
+    """(id, n_bpe_tokens) per document — see :func:`bpe_token_cols`."""
+    return df.select(F.col(id_col), *bpe_token_cols(text_col, merges))
+
+
+def bpe_token_count_sql(
+    table: str, text_col: str, id_col: str, merges=DEMO_BPE_MERGES
+) -> str:
+    """DuckDB mirror: the same two-``replace``-per-rank fold via
+    ``list_reduce(list_prepend(state, merges), …)`` (the
+    fold-with-initial idiom — which needs a HOMOGENEOUS list, so each
+    merge pair rides as one ``a␞b`` U+001E-joined string and is split
+    back with ``split_part`` inside the lambda) nested inside a
+    piece-sum fold."""
+    merges = _check_merges(merges)
+    sep = "chr(31)"
+    mlist = "[" + ", ".join(
+        slit(a + "\x1e" + b) for a, b in merges
+    ) + "]"
+    txt = f"replace({text_col}, chr(31), '')"
+    pieces = f"regexp_extract_all({txt}, '{BPE_PIECE_RE}')"
+    chars = "regexp_extract_all(p, '[^\\n]')"
+    init = f"{sep} || array_to_string({chars}, chr(31)) || {sep}"
+    ma = "split_part(m, chr(30), 1)"
+    mb = "split_part(m, chr(30), 2)"
+    pat = f"{sep} || {ma} || {sep} || {mb} || {sep}"
+    rep = f"{sep} || {ma} || {mb} || {sep}"
+    merged = (
+        f"list_reduce(list_prepend({init}, {mlist}), "
+        f"(acc, m) -> replace(replace(acc, {pat}, {rep}), {pat}, {rep}))"
+    )
+    piece_n = (
+        f"CAST(length({merged}) - length(replace({merged}, chr(31), '')) - 1 "
+        f"AS BIGINT)"
+    )
+    total = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({pieces}, p -> {piece_n})), (a, x) -> a + x)"
+    )
+    # NULL text → NULL count (Spark's aggregate over a NULL array);
+    # DuckDB's list_prepend(0, NULL) would otherwise fold to 0
+    return (
+        f"SELECT {id_col}, CASE WHEN {text_col} IS NULL THEN NULL "
+        f"ELSE {total} END AS n_bpe_tokens FROM {table}"
+    )
