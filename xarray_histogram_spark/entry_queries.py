@@ -1508,6 +1508,22 @@ def _adopt_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ADOPT_SCRATCH: dict[str, str] = {}
 
 
+def _cleanup_scratch() -> None:
+    """Remove the session-scoped CSV/adopt scratch roots at process exit
+    (ADVICE r07: the membership guards stop per-CALL leaks, but each
+    bench/driver PROCESS still left one corpus copy under /tmp)."""
+    import os
+    import shutil
+
+    for leaf in list(_CSV_SCRATCH.values()) + list(_ADOPT_SCRATCH.values()):
+        shutil.rmtree(os.path.dirname(leaf), ignore_errors=True)
+
+
+import atexit  # noqa: E402 — registered next to the state it cleans
+
+atexit.register(_cleanup_scratch)
+
+
 register(
     "hist_adopt_roundtrip", _adopt_fn,
     orc.histogram_oracle_sql(
