@@ -143,6 +143,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "dedup_incremental",
     # BPE-merge-table token counts (VERDICT r07 item 5)
     "text_bpe_tokens",
+    # context packing budgeted on the BPE counts (the item-5 composition)
+    "sample_pack_bpe",
 )
 
 
@@ -1020,6 +1022,34 @@ def _pack_sql() -> str:
 
 
 register("sample_pack_chunks", _pack_fn, _pack_sql())
+
+
+def _pack_bpe_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the same packing bookkeeping budgeted against REAL BPE-merge token
+    # counts (what a trained tokenizer would emit) instead of the
+    # whitespace heuristic — the composition VERDICT r07 item 5 asked
+    # chunk budgets to run on; still one fused projection + one
+    # shard-partitioned window
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", *tx.bpe_token_cols("text", tx.DEMO_BPE_MERGES)
+    )
+    return sp.chunk_assignments(base, "doc_id", "n_bpe_tokens", 512, "source")
+
+
+def _pack_bpe_sql() -> str:
+    inner = tx.bpe_token_count_sql("documents", "text", "doc_id")
+    tc = (
+        f"SELECT d.source, b.doc_id, b.n_bpe_tokens "
+        f"FROM ({inner}) b JOIN documents d USING (doc_id)"
+    )
+    body = sp.chunk_assignments_sql(
+        "tc", "doc_id", "n_bpe_tokens", 512, "source"
+    )
+    return f"WITH tc AS ({tc}) {body}"
+
+
+register("sample_pack_bpe", _pack_bpe_fn, _pack_bpe_sql())
 register(
     # exactly-n global deterministic sample: per-partition top-n heaps
     # (TakeOrderedAndProject), no global sort
