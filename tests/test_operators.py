@@ -1932,3 +1932,21 @@ def test_corpus_report_per_rule_fails(spark):
     assert b.n_fail_symbol_ratio == 1       # doc 5
     # keep consistency: failing any rule excludes from n_gopher_keep
     assert a.n_gopher_keep == 1 and b.n_gopher_keep == 0
+
+
+def test_incremental_dedup_band_cap(spark, docs):
+    """max_kept_per_band drops degenerate kept band keys: with a cap of 1
+    and three identical kept docs, their shared band keys are dropped, so
+    an identical new doc is no longer flagged dup_of_kept; without the
+    cap it is."""
+    base = docs.limit(1).collect()[0]["text"]
+    kept = spark.createDataFrame(
+        [(1, base), (2, base), (3, base)], "doc_id: long, text: string"
+    )
+    new = spark.createDataFrame([(10, base)], "doc_id: long, text: string")
+    uncapped = dd.incremental_dedup(new, kept, "text", "doc_id").collect()
+    assert uncapped[0]["dup_of_kept"] and uncapped[0]["kept_match"] == 1
+    capped = dd.incremental_dedup(
+        new, kept, "text", "doc_id", max_kept_per_band=1
+    ).collect()
+    assert not capped[0]["dup_of_kept"] and capped[0]["keep"]

@@ -957,6 +957,7 @@ def incremental_dedup(
     threshold: float = 0.8,
     kept_bands: Optional[DataFrame] = None,
     broadcast_new: bool = True,
+    max_kept_per_band: Optional[int] = None,
 ) -> DataFrame:
     """Dedup an incoming shard against an existing KEEPER corpus — the
     production shape of crawl-pipeline dedup: each new shard is checked
@@ -985,6 +986,19 @@ def incremental_dedup(
 
     ``kept_bands``: a persisted ``band_rows(kept_df, ...)`` output; when
     given, ``kept_df`` is only scanned to fetch candidate texts.
+
+    ``max_kept_per_band``: drop kept band keys held by more than this
+    many kept documents before the candidate join — the incremental
+    analog of ``lsh_candidate_pairs``'s ``max_bucket`` guard.  A
+    degenerate key (boilerplate pages, templated spam) can hold millions
+    of kept docs, and ONE new doc sharing it would fan the candidate set
+    out by that million; such a key's cluster is better handled by the
+    keeper corpus's own dedup than per shard.  Costs one map-combined
+    aggregation over the band index; the oversized-key list is tiny and
+    broadcast for the anti-join.  ``None`` (default) keeps everything —
+    right for bounded corpora and the oracle gate; at 100 TB set a cap
+    (or pre-filter the persisted index once at build time, which makes
+    this per-shard pass free).
     """
     thr = F.lit(float(threshold))
     nb = band_rows(new_df, text_col, id_col, k).withColumnRenamed(id_col, "new_id")
@@ -994,6 +1008,14 @@ def incremental_dedup(
         kept_df, text_col, id_col, k
     )
     kb = kb.withColumnRenamed(id_col, "kept_id")
+    if max_kept_per_band is not None:
+        big = (
+            kb.groupBy("bi", "bk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > F.lit(int(max_kept_per_band)))
+            .select("bi", "bk")
+        )
+        kb = kb.join(F.broadcast(big), ["bi", "bk"], "left_anti")
     cand = kb.join(nb, ["bi", "bk"]).select("new_id", "kept_id").distinct()
 
     # exact shingle-set Jaccard verification of new-vs-kept candidates
