@@ -163,5 +163,34 @@ n_best = best.where(F.col("keep_best")).count()
 print(f"keep-best dedup keeps {n_best}/{n0} docs")
 assert 0 < n_best <= n0
 
+# 14. incremental ingest: dedup the NEXT crawl shard against what we
+# kept — the keeper corpus contributes only map-side probed scans; in
+# production the band index (band_rows) is persisted once and reused
+# for every shard
+from xarray_histogram_spark.operators.dedup import (  # noqa: E402
+    band_rows, incremental_dedup,
+)
+from xarray_histogram_spark.operators.text import (  # noqa: E402
+    bpe_token_count, DEMO_BPE_MERGES,
+)
+
+kept_corpus = docs.where(F.col("doc_id") % 4 != 3).select("doc_id", "text")
+shard = docs.where(F.col("doc_id") % 4 == 3).select("doc_id", "text")
+index = band_rows(kept_corpus, "text", "doc_id")  # persist this in prod
+verdicts = incremental_dedup(
+    shard, kept_corpus, "text", "doc_id", kept_bands=index,
+    max_kept_per_band=10_000,
+)
+n_new_kept = verdicts.where(F.col("keep")).count()
+n_dup_kept = verdicts.where(F.col("dup_of_kept")).count()
+print(f"incremental shard: {n_new_kept} enter the corpus, "
+      f"{n_dup_kept} duplicate kept docs")
+
+# 15. tokenizer-true budgeting: BPE-merge token counts for the packer
+bpe = bpe_token_count(docs, "text", "doc_id", DEMO_BPE_MERGES)
+total_bpe = bpe.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+print(f"corpus BPE tokens (demo merge table): {total_bpe}")
+assert total_bpe and total_bpe > 0
+
 print("curation pipeline walkthrough OK")
 spark.stop()
