@@ -1950,3 +1950,36 @@ def test_incremental_dedup_band_cap(spark, docs):
         new, kept, "text", "doc_id", max_kept_per_band=1
     ).collect()
     assert not capped[0]["dup_of_kept"] and capped[0]["keep"]
+
+
+def test_lsh_null_text_no_fake_bucket(spark, docs):
+    """Review-found latent divergence: NULL-text docs must emit NO band
+    rows, so two NULL-text docs never pair (the oracle's NULL band keys
+    never join; the old concat_ws path keyed them all to '')."""
+    extra = spark.createDataFrame(
+        [(9000001, None), (9000002, None), (9000003, None)],
+        "doc_id: long, text: string",
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    pairs = dd.lsh_candidate_pairs(both, "text", "doc_id")
+    assert pairs.where(F.col("id_a") >= 9000001).count() == 0
+    assert dd.band_rows(extra, "text", "doc_id").count() == 0
+
+
+def test_band_rows_k_mismatch_guard(spark, docs, tmp_path):
+    """A persisted band index built with a different shingle width must
+    be REFUSED (silently matching nothing would contaminate the corpus);
+    the shingle_k column metadata survives the parquet round-trip."""
+    kept = docs.limit(20).select("doc_id", "text")
+    new = docs.limit(5).select("doc_id", "text")
+    idx = dd.band_rows(kept, "text", "doc_id", k=12)
+    p = str(tmp_path / "bands")
+    idx.write.parquet(p)
+    loaded = spark.read.parquet(p)
+    with pytest.raises(ValueError, match="k=12"):
+        dd.incremental_dedup(new, kept, "text", "doc_id", kept_bands=loaded)
+    # matching k passes (and equals the recompute path)
+    ok = dd.incremental_dedup(
+        new, kept, "text", "doc_id", k=12, kept_bands=loaded
+    ).collect()
+    assert len(ok) == 5

@@ -624,30 +624,37 @@ def test_jsonl_roundtrip_property(spark, tmp_path_factory, texts):
 # ---- BPE-merge token counting: engine ≡ DuckDB mirror ≡ executable spec ----
 
 def _bpe_spec_count(text, merges):
-    """Executable spec of bpe_token_cols: the documented two-pass
-    string-replace fold itself (Python str.replace is the same
-    left-to-right non-overlapping literal replace as Spark/DuckDB)."""
+    """Executable spec of bpe_token_cols: TRUE leftmost-first BPE
+    applied rank by rank at the token level (the engine's double-
+    boundary one-replace-per-rank encoding is exactly this — the
+    review-found self-merge-run divergence of the old single-separator
+    form is what this spec guards against)."""
     import re as _re
 
     from xarray_histogram_spark.operators.text import BPE_PIECE_RE
 
     if text is None:
         return None
-    sep = "\x1f"
-    text = text.replace(sep, "")
+    text = text.replace("\x1f", "")
     total = 0
     for p in _re.findall(BPE_PIECE_RE, text):
-        chars = [c for c in p if c != "\n"]
-        s = sep + sep.join(chars) + sep
+        toks = [c for c in p if c != "\n"]
         for a, b in merges:
-            pat, rep = sep + a + sep + b + sep, sep + a + b + sep
-            s = s.replace(pat, rep).replace(pat, rep)
-        total += s.count(sep) - 1
+            i, out = 0, []
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        total += len(toks)
     return total
 
 
 _BPE_TOKENS = ("a", "b", "t", "h", "e", "1", ".", "é", "th", "he", "ab",
-               "aa", "the")
+               "aa", "the", "-", "--", "aab")  # incl. self-merges
 _BPE_TEXT_ALPHABET = "abthe1 .,é\n\t\x1f\r-"
 
 
@@ -750,3 +757,41 @@ def test_bpe_merge_table_validation(spark):
             tx.bpe_token_cols("text", bad)
         with pytest.raises(ValueError):
             tx.bpe_token_count_sql("docs", "text", "doc_id", bad)
+
+
+def test_bpe_self_merge_runs_exact(spark):
+    """Review-found regression: self-merges on runs must count like real
+    BPE ('------' with (-,-) is 3 tokens, not the 4 the old
+    single-separator two-pass replace produced); pinned for run lengths
+    1..16 and a rank-chained table."""
+    import duckdb
+    import pandas as pd
+
+    from xarray_histogram_spark.operators import text as tx
+
+    texts = ["-" * n for n in range(1, 17)] + ["--- --- -----", "aaaa aaa"]
+    merges = [("-", "-"), ("--", "--"), ("a", "a"), ("aa", "a")]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in tx.bpe_token_count(df, "text", "doc_id", merges).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "bperuns",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            tx.bpe_token_count_sql("bperuns", "text", "doc_id", merges)
+        ).fetchall()
+    }
+    for i, t in enumerate(texts):
+        exp = _bpe_spec_count(t, merges)
+        assert got[i] == exp == duck[i], (t, got[i], duck[i], exp)
+    # the review's concrete case: 6 dashes -> (--)(--)(--) -> then
+    # (--,--) chains -> (----)(--) = 2 tokens
+    assert got[5] == 2

@@ -57,13 +57,16 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
     _REGISTRY[name] = (fn, sql)
 
 
-# Round-8 rotation refresh.  _DRIVER_VERIFIED is EXACTLY the 50 names
-# CORRECTNESS_r07.json hash-verified (every one green) — those sit at the
-# TAIL of the registry so the driver's ~50-query window reaches the 74
-# entries whose freshest green is r05/r06.  All stale entries have
-# UNCHANGED plans and oracles since their last driver green and stay
-# green in the local full-registry gates (test_entry_contract,
-# driver_sim); this rotation is pure evidence-freshness maintenance.
+# Round-8 rotation refresh.  _DRIVER_VERIFIED started as the 50 names
+# CORRECTNESS_r07.json hash-verified; six of them were then moved to
+# _CHANGED_THIS_ROUND because round 8 changed their code paths
+# (pipeline_report's wider schema; the five lsh_candidate_pairs
+# descendants after the NULL-band fix), leaving 44 in the TAIL so the
+# driver's ~50-query window reaches the entries whose freshest green is
+# r05/r06.  All stale entries have UNCHANGED plans and oracles since
+# their last driver green and stay green in the local full-registry
+# gates (test_entry_contract, driver_sim); the rotation itself is pure
+# evidence-freshness maintenance.
 #
 # CAPACITY POLICY (decided round 8, per VERDICT r07 item 2): the registry
 # holds ~124 entries against a ~50-query driver window, so steady-state
@@ -77,8 +80,9 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # BinSpec codegen classes and each has caught a distinct class of bug;
 # window headroom comes from the growth cap instead.
 _DRIVER_VERIFIED = frozenset({
-    # the 6 r07-new + 4 r07-changed
-    "mm_decode_png_jpeg", "text_gopher_rules", "dedup_keep_best",
+    # the 6 r07-new + 4 r07-changed (minus pipeline_report and
+    # dedup_keep_best, re-gated this round)
+    "mm_decode_png_jpeg", "text_gopher_rules",
     "source_csv_roundtrip", "sample_top_quality",
     "text_pii_scrub", "streaming_pii_scrub", "sample_balanced",
     "hist_quantile_bins",
@@ -91,13 +95,13 @@ _DRIVER_VERIFIED = frozenset({
     "streaming_stateful_hist", "dedup_contamination",
     "text_line_dedup", "text_top_terms", "pipeline_curate",
     "mm_sample_frames",
-    # the remaining r07 window fill
+    # the remaining r07 window fill (minus the five lsh descendants,
+    # which moved to _CHANGED_THIS_ROUND after the NULL-band fix)
     "hist_weighted", "hist_pow_axis", "hist_growth_categories",
     "hist_growth_merge", "hist_columns_weighted", "hist_fill_arrow_path",
     "hist_weighted_grouped_density", "stat_mean_weighted",
     "stat_mean_2d", "stat_median_2d",
-    "dedup_exact", "dedup_minhash_pairs", "dedup_jaccard",
-    "dedup_near_keep", "dedup_components", "dedup_simhash",
+    "dedup_exact", "dedup_simhash",
     "dedup_simhash_pairs", "sim_cosine_topk", "sim_ann_topk",
 })
 
@@ -132,6 +136,17 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # int-SUM columns from the metrics the fused scan already computes;
     # VERDICT r07 item 4) — wider schema, so the r07 green is void.
     "pipeline_report",
+    # lsh_candidate_pairs now consumes band_rows, which filters
+    # NULL-signature docs — fixing the latent fake-""-bucket divergence
+    # for NULL-text corpora (review-found; fixtures carry no NULL text,
+    # so values are unchanged on the gate, but the any-implementation-
+    # change policy re-gates every descendant of the banding path).
+    "dedup_minhash_pairs",
+    "dedup_jaccard",
+    "dedup_near_keep",
+    "dedup_components",
+    "dedup_keep_best",
+    "dedup_cluster_size_hist",
 )
 
 
@@ -1030,7 +1045,9 @@ def _pack_bpe_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whitespace heuristic — the composition VERDICT r07 item 5 asked
     # chunk budgets to run on; still one fused projection + one
     # shard-partitioned window
-    docs = t(spark, sf_dir, "documents")
+    # t_wide: the BPE fold is the costliest per-row kernel in the
+    # registry and chunk_assignments is partitioning-independent
+    docs = t_wide(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", "source", *tx.bpe_token_cols("text", tx.DEMO_BPE_MERGES)
     )

@@ -176,15 +176,14 @@ def lsh_candidate_pairs(
     component it forms than by enumerating every pair.  ``None`` (the
     default) expands everything — right for bounded corpora and for the
     oracle gate; at 100 TB set a cap (e.g. 10_000: ≤5·10⁷ pairs per
-    degenerate key, a bounded task)."""
-    sigs = minhash_signatures(df, text_col, id_col, k)
-    bands = F.array(
-        *[
-            F.concat_ws("_", F.col(f"mh{2 * j}"), F.col(f"mh{2 * j + 1}"))
-            for j in range(N_BANDS)
-        ]
-    )
-    b = sigs.select(F.col(id_col), F.posexplode(bands).alias("bi", "bk"))
+    degenerate key, a bounded task).
+
+    NULL-text docs emit no band rows (via ``band_rows``): the oracle's
+    NULL band keys never join, and before round 8 the Spark side's
+    ``concat_ws`` turned NULL signatures into ``""`` keys that would
+    have bucketed every NULL-text doc into one fake near-dup group
+    (latent divergence — the fixtures carry no NULL text, review-found)."""
+    b = band_rows(df, text_col, id_col, k)
     buckets = (
         b.groupBy("bi", "bk")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
@@ -919,7 +918,13 @@ def band_rows(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFram
     similarity.py:278).  NULL-text documents emit no band rows: their
     signature is NULL, and on the oracle side a NULL band key never joins;
     materializing them as empty-string keys would bucket every NULL-text
-    doc into one fake near-dup group."""
+    doc into one fake near-dup group.  ``lsh_candidate_pairs`` consumes
+    this too, so banding lives in exactly one place per engine.
+
+    The shingle width ``k`` is recorded as ``bk`` column metadata
+    (``shingle_k``) and survives a parquet round-trip, so
+    ``incremental_dedup`` can refuse a persisted index built with a
+    different ``k`` instead of silently matching nothing."""
     sigs = minhash_signatures(df, text_col, id_col, k)
     bands = F.array(
         *[
@@ -930,6 +935,7 @@ def band_rows(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFram
     return (
         sigs.where(F.col("mh0").isNotNull())
         .select(F.col(id_col), F.posexplode(bands).alias("bi", "bk"))
+        .withMetadata("bk", {"shingle_k": int(k)})
     )
 
 
@@ -1004,9 +1010,22 @@ def incremental_dedup(
     nb = band_rows(new_df, text_col, id_col, k).withColumnRenamed(id_col, "new_id")
     if broadcast_new:
         nb = F.broadcast(nb)
-    kb = kept_bands if kept_bands is not None else band_rows(
-        kept_df, text_col, id_col, k
-    )
+    if kept_bands is not None:
+        # refuse an index built with a different shingle width — the
+        # band keys would come from disjoint shingle spaces and every
+        # true duplicate would silently get keep=True (review-found)
+        try:
+            idx_k = kept_bands.schema["bk"].metadata.get("shingle_k")
+        except Exception:  # noqa: BLE001 — foreign frame without the col
+            idx_k = None
+        if idx_k is not None and int(idx_k) != int(k):
+            raise ValueError(
+                f"kept_bands index was built with k={idx_k}, but "
+                f"incremental_dedup was called with k={k}"
+            )
+        kb = kept_bands
+    else:
+        kb = band_rows(kept_df, text_col, id_col, k)
     kb = kb.withColumnRenamed(id_col, "kept_id")
     if max_kept_per_band is not None:
         big = (
@@ -1053,8 +1072,12 @@ def incremental_dedup(
     kdup = verified.groupBy("new_id").agg(F.min("kept_id").alias("kept_match"))
 
     # new-vs-new among kept-survivors: one-level min-id-first greedy
+    # (broadcast opt-out propagates — a shard big enough to need
+    # broadcast_new=False must not broadcast its candidate-pair list
+    # inside jaccard_pairs either, review-found)
     nn = (
-        jaccard_pairs(new_df, text_col, id_col, k)
+        jaccard_pairs(new_df, text_col, id_col, k,
+                      broadcast_pairs=broadcast_new)
         .where(F.col("jaccard") >= thr)
         .select("id_a", "id_b")
     )

@@ -1063,23 +1063,24 @@ def bpe_token_cols(text_col: str, merges) -> list:
     Algorithm, entirely JVM-side Column expressions (zero Python, zero
     shuffle): pre-tokenize with ``BPE_PIECE_RE`` (the GPT-2 piece shape;
     BPE never merges across pieces), start each piece at its character
-    sequence encoded as a U+001F-delimited state string, then FOLD the
-    broadcast literal merges array over it in rank order —
-    ``aggregate(merges, state, …)`` — applying each merge as two
-    literal-``replace`` passes of ``␟a␟b␟ → ␟ab␟``.  Two passes per rank
-    reach that rank's fixpoint: a pass-1 replacement consumes the shared
-    trailing separator of an immediately following merge site, but such
-    skipped sites are isolated singletons afterwards, so pass 2 cannot
-    skip again.  Contract: this two-pass algorithm IS the executable
-    spec (property-pinned against a pure-Python implementation of it,
-    and against the DuckDB mirror).  It coincides with leftmost-first
-    BPE everywhere except inside runs of a repeated token, where the
-    per-rank merge COUNT still matches (greedy maximal matching) but the
-    singleton's position may differ — which only changes later-rank
-    counts on adversarial rank-inverted tables, not on real BPE tables
-    (whose later merges consume earlier outputs); demo-table parity with
-    true leftmost-first is test-pinned.  Piece token count =
-    separators − 1; the outer fold sums pieces.
+    sequence encoded as a state string with a DOUBLE-``␟`` boundary
+    between tokens (``␟␟a␟␟b␟␟``), then FOLD the broadcast literal
+    merges array over it in rank order — ``aggregate(merges, state, …)``
+    — applying each merge as ONE literal ``replace`` of
+    ``␟a␟␟b␟ → ␟ab␟``.  The match consumes only the INNER half of each
+    boundary, so the shared boundary of an immediately following merge
+    site stays available and left-to-right ``replace`` IS leftmost-first
+    BPE exactly: a match can only start at the second ``␟`` of a
+    boundary (the pattern's interior ``␟␟`` must align with a full
+    boundary, and tokens cannot contain ``␟``), and one pass per rank is
+    the rank's fixpoint because a merge's output token is strictly
+    longer than either input, so it can never re-match its own rank.
+    Review-found: the earlier single-separator two-pass form was NOT
+    maximal for self-merges on runs (``------`` with merge ``(-,-)``
+    gave 4 tokens, real BPE 3); this encoding is property-pinned equal
+    to a pure-Python leftmost-first BPE on random tables INCLUDING
+    self-merges (and to the DuckDB mirror).  Piece token count =
+    ``␟``-count/2 − 1; the outer fold sums pieces.
 
     The merges table rides INSIDE the expression as a literal array —
     Catalyst ships it with the plan (the broadcast-small-dim pattern);
@@ -1095,21 +1096,22 @@ def bpe_token_cols(text_col: str, merges) -> list:
         *[F.array(F.lit(a), F.lit(b)) for a, b in merges]
     )
 
+    sep2 = F.lit(_BPE_SEP * 2)
+
     def apply_merge(acc: Column, m: Column) -> Column:
         a, b = F.element_at(m, 1), F.element_at(m, 2)
-        pat = F.concat(sep, a, sep, b, sep)
+        pat = F.concat(sep, a, sep2, b, sep)
         rep = F.concat(sep, a, b, sep)
-        return F.replace(F.replace(acc, pat, rep), pat, rep)
+        return F.replace(acc, pat, rep)
 
     def piece_tokens(p: Column) -> Column:
         chars = F.regexp_extract_all(p, F.lit(r"[^\n]"), 0)
-        init = F.concat(sep, F.array_join(chars, _BPE_SEP), sep)
+        init = F.concat(sep2, F.array_join(chars, _BPE_SEP * 2), sep2)
         merged = F.aggregate(merge_arr, init, apply_merge)
-        return (
-            F.length(merged)
-            - F.length(F.replace(merged, sep, F.lit("")))
-            - F.lit(1)
-        ).cast("bigint")
+        n_sep = F.length(merged) - F.length(
+            F.replace(merged, sep, F.lit(""))
+        )
+        return (n_sep / F.lit(2) - F.lit(1)).cast("bigint")
 
     n_bpe = F.aggregate(
         pieces,
@@ -1129,32 +1131,35 @@ def bpe_token_count(
 def bpe_token_count_sql(
     table: str, text_col: str, id_col: str, merges=DEMO_BPE_MERGES
 ) -> str:
-    """DuckDB mirror: the same two-``replace``-per-rank fold via
-    ``list_reduce(list_prepend(state, merges), …)`` (the
+    """DuckDB mirror: the same one-``replace``-per-rank double-boundary
+    fold via ``list_reduce(list_prepend(state, merges), …)`` (the
     fold-with-initial idiom — which needs a HOMOGENEOUS list, so each
     merge pair rides as one ``a␞b`` U+001E-joined string and is split
     back with ``split_part`` inside the lambda) nested inside a
     piece-sum fold."""
     merges = _check_merges(merges)
     sep = "chr(31)"
+    sep2 = "chr(31) || chr(31)"
     mlist = "[" + ", ".join(
         slit(a + "\x1e" + b) for a, b in merges
     ) + "]"
     txt = f"replace({text_col}, chr(31), '')"
     pieces = f"regexp_extract_all({txt}, '{BPE_PIECE_RE}')"
     chars = "regexp_extract_all(p, '[^\\n]')"
-    init = f"{sep} || array_to_string({chars}, chr(31)) || {sep}"
+    init = (
+        f"{sep2} || array_to_string({chars}, chr(31) || chr(31)) || {sep2}"
+    )
     ma = "split_part(m, chr(30), 1)"
     mb = "split_part(m, chr(30), 2)"
-    pat = f"{sep} || {ma} || {sep} || {mb} || {sep}"
+    pat = f"{sep} || {ma} || {sep2} || {mb} || {sep}"
     rep = f"{sep} || {ma} || {mb} || {sep}"
     merged = (
         f"list_reduce(list_prepend({init}, {mlist}), "
-        f"(acc, m) -> replace(replace(acc, {pat}, {rep}), {pat}, {rep}))"
+        f"(acc, m) -> replace(acc, {pat}, {rep}))"
     )
     piece_n = (
-        f"CAST(length({merged}) - length(replace({merged}, chr(31), '')) - 1 "
-        f"AS BIGINT)"
+        f"CAST((length({merged}) - length(replace({merged}, chr(31), '')))"
+        f" // 2 - 1 AS BIGINT)"
     )
     total = (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
