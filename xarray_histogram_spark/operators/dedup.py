@@ -924,8 +924,18 @@ def band_rows(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFram
     The shingle width ``k`` is recorded as ``bk`` column metadata
     (``shingle_k``) and survives a parquet round-trip, so
     ``incremental_dedup`` can refuse a persisted index built with a
-    different ``k`` instead of silently matching nothing."""
-    sigs = minhash_signatures(df, text_col, id_col, k)
+    different ``k`` instead of silently matching nothing.
+
+    The NULL filter runs on the RAW text column BEFORE the signature
+    projection — filtering on ``mh0`` afterwards would inline the whole
+    signature fold into the Filter node, where it cannot share with the
+    projection's copy, and the hot md5 kernel would run twice per row
+    (bench-found: 0.5 s → 7 s on the sf0.1 gate).  A text-null filter is
+    a pushable scan predicate instead, and mh0 is NULL iff text is NULL
+    (the 'g'-sentinel contract in minhash_signatures)."""
+    sigs = minhash_signatures(
+        df.where(F.col(text_col).isNotNull()), text_col, id_col, k
+    )
     bands = F.array(
         *[
             F.concat_ws("_", F.col(f"mh{2 * j}"), F.col(f"mh{2 * j + 1}"))
@@ -933,8 +943,7 @@ def band_rows(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFram
         ]
     )
     return (
-        sigs.where(F.col("mh0").isNotNull())
-        .select(F.col(id_col), F.posexplode(bands).alias("bi", "bk"))
+        sigs.select(F.col(id_col), F.posexplode(bands).alias("bi", "bk"))
         .withMetadata("bk", {"shingle_k": int(k)})
     )
 
