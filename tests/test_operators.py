@@ -1983,3 +1983,16 @@ def test_band_rows_k_mismatch_guard(spark, docs, tmp_path):
         new, kept, "text", "doc_id", k=12, kept_bands=loaded
     ).collect()
     assert len(ok) == 5
+    # an index WITHOUT the stamp is refused too: a metadata-dropping
+    # round-trip is indistinguishable from a mismatched k (review-found)
+    unstamped = loaded.select(
+        "doc_id", "bi", F.col("bk").cast("string").alias("bk")
+    )
+    with pytest.raises(ValueError, match="shingle_k"):
+        dd.incremental_dedup(
+            new, kept, "text", "doc_id", k=12, kept_bands=unstamped
+        )
+    with pytest.raises(ValueError, match="band_rows index"):
+        dd.incremental_dedup(
+            new, kept, "text", "doc_id", kept_bands=new.select("doc_id")
+        )

@@ -710,32 +710,10 @@ def test_bpe_count_matches_spec_and_mirror(spark, texts, merges):
 
 
 def test_bpe_demo_table_equals_leftmost_first(spark, sf_dir):
-    """On the demo table over real corpus text the two-pass fold equals
-    TRUE leftmost-first BPE (the run-singleton divergence needs
-    adversarial rank-inverted tables)."""
-    import re as _re
-
+    """On the demo table over real corpus text the engine fold equals
+    the leftmost-first executable spec (same _bpe_spec_count the fuzz
+    uses — one spec, no inline re-implementation)."""
     from xarray_histogram_spark.operators import text as tx
-
-    def leftmost(text, merges):
-        if text is None:
-            return None
-        pieces = _re.findall(tx.BPE_PIECE_RE, text.replace("\x1f", ""))
-        total = 0
-        for p in pieces:
-            toks = list(p)
-            for a, b in merges:
-                i, out = 0, []
-                while i < len(toks):
-                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
-                        out.append(a + b)
-                        i += 2
-                    else:
-                        out.append(toks[i])
-                        i += 1
-                toks = out
-            total += len(toks)
-        return total
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
     got = {
@@ -743,7 +721,9 @@ def test_bpe_demo_table_equals_leftmost_first(spark, sf_dir):
         for r in tx.bpe_token_count(docs, "text", "doc_id").collect()
     }
     for row in docs.select("doc_id", "text").collect():
-        assert got[row["doc_id"]] == leftmost(row["text"], tx.DEMO_BPE_MERGES)
+        assert got[row["doc_id"]] == _bpe_spec_count(
+            row["text"], tx.DEMO_BPE_MERGES
+        )
     # non-vacuous: merges actually fire (count < chars of pieces)
     assert any(v and v > 0 for v in got.values())
 

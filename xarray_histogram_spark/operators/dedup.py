@@ -1022,12 +1022,22 @@ def incremental_dedup(
     if kept_bands is not None:
         # refuse an index built with a different shingle width — the
         # band keys would come from disjoint shingle spaces and every
-        # true duplicate would silently get keep=True (review-found)
-        try:
-            idx_k = kept_bands.schema["bk"].metadata.get("shingle_k")
-        except Exception:  # noqa: BLE001 — foreign frame without the col
-            idx_k = None
-        if idx_k is not None and int(idx_k) != int(k):
+        # true duplicate would silently get keep=True (review-found).
+        # The stamp is REQUIRED, not best-effort: an index round-tripped
+        # through a metadata-dropping writer is indistinguishable from a
+        # mismatched one, and silently matching nothing is exactly the
+        # contamination this guard exists to prevent (review-found).
+        if "bk" not in kept_bands.columns:
+            raise ValueError("kept_bands is not a band_rows index "
+                             "(no 'bk' column)")
+        idx_k = kept_bands.schema["bk"].metadata.get("shingle_k")
+        if idx_k is None:
+            raise ValueError(
+                "kept_bands carries no shingle_k metadata — rebuild the "
+                "index with band_rows() and persist it with a "
+                "metadata-preserving writer (Spark parquet)"
+            )
+        if int(idx_k) != int(k):
             raise ValueError(
                 f"kept_bands index was built with k={idx_k}, but "
                 f"incremental_dedup was called with k={k}"
