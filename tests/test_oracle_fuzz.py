@@ -6,6 +6,7 @@ beyond the fixed registry configurations."""
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from xarray_histogram_spark import (
     IntCategory,
@@ -413,3 +414,106 @@ def test_fuzzed_funnel_and_range_mirror(spark, seed):
     lsql = "SELECT * FROM fe WHERE ts IS NOT NULL"
     sql2 = range_join_count_sql(lsql, lsql, ["k"], "ts", w, "eid")
     assert_matches_sql(got2, sql2, con)
+
+
+def _random_corpus(rng: random.Random, n: int = 120) -> list:
+    """Random small corpus with NATURAL near-dups (tiny vocabulary),
+    planted cross-id duplicates, NULLs, empties, and degenerate repeats
+    — the shapes that stress banding, Jaccard, and NULL semantics."""
+    vocab = ["alpha", "beta", "gamma", "delta", "の", "naïve", "x9"]
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.08:
+            rows.append((i, None))
+        elif r < 0.14:
+            rows.append((i, ""))
+        elif r < 0.22 and rows:
+            # duplicate an earlier doc (exact or near)
+            src = rng.choice(rows)[1] or "fallback text body"
+            suffix = "" if rng.random() < 0.5 else " tail"
+            rows.append((i, src + suffix))
+        elif r < 0.30:
+            rows.append((i, "shared boilerplate page body"))  # degenerate
+        else:
+            n_words = rng.randint(1, 30)
+            rows.append(
+                (i, " ".join(rng.choice(vocab) for _ in range(n_words)))
+            )
+    return rows
+
+
+@pytest.mark.parametrize("seed", [7, 77, 777])
+def test_fuzzed_incremental_dedup_mirror(spark, seed):
+    """incremental_dedup vs its composed DuckDB mirror on random corpora
+    with planted cross-/within-shard duplicates, NULL/empty texts and a
+    degenerate boilerplate key — every verdict column must hash-match."""
+    import duckdb
+    import pandas as pd
+
+    from xarray_histogram_spark.operators import dedup as dd
+
+    rng = random.Random(seed)
+    rows = _random_corpus(rng)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+        {"doc_id": "int64"}
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("fuzzcorp", pdf)
+    mod = rng.choice([3, 4])
+    new_df = df.where(F.col("doc_id") % mod == 0)
+    kept_df = df.where(F.col("doc_id") % mod != 0)
+    thr = rng.choice([0.7, 0.8, 0.9])
+    assert_matches_sql(
+        dd.incremental_dedup(new_df, kept_df, "text", "doc_id",
+                             threshold=thr),
+        dd.incremental_dedup_sql(
+            f"SELECT doc_id, text FROM fuzzcorp WHERE doc_id % {mod} = 0",
+            f"SELECT doc_id, text FROM fuzzcorp WHERE doc_id % {mod} <> 0",
+            "text", "doc_id", threshold=thr,
+        ),
+        con,
+    )
+
+
+@pytest.mark.parametrize("seed", [13, 131])
+def test_fuzzed_corpus_report_mirror(spark, seed):
+    """corpus_report (with the per-rule Gopher breakdown) vs its mirror
+    under RANDOM thresholds, NULL group keys, NULL/empty texts — the
+    n_fail_<rule> comparisons must complement the keep conjuncts exactly
+    on both engines."""
+    import duckdb
+    import pandas as pd
+
+    from xarray_histogram_spark.operators.curate import (
+        corpus_report, corpus_report_sql,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.choice(["a", "b", None]), t)
+        for i, t in _random_corpus(rng, 150)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"]).astype(
+        {"doc_id": "int64"}
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, source string, text string")
+    con = duckdb.connect()
+    con.register("fuzzrep", pdf)
+    thr = dict(
+        min_words=rng.randint(1, 8),
+        max_words=rng.randint(10, 40),
+        min_mean_word_len=round(rng.uniform(1.0, 4.0), 2),
+        max_mean_word_len=round(rng.uniform(5.0, 12.0), 2),
+        max_symbol_ratio=round(rng.uniform(0.01, 0.5), 2),
+        max_bullet_frac=round(rng.uniform(0.1, 0.9), 2),
+        max_ellipsis_frac=round(rng.uniform(0.1, 0.9), 2),
+        min_alpha_word_frac=round(rng.uniform(0.1, 0.9), 2),
+        min_required_words=rng.randint(0, 2),
+    )
+    assert_matches_sql(
+        corpus_report(df, "text", "doc_id", "source", **thr),
+        corpus_report_sql("fuzzrep", "text", "doc_id", "source", **thr),
+        con,
+    )
