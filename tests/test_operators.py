@@ -1996,3 +1996,37 @@ def test_band_rows_k_mismatch_guard(spark, docs, tmp_path):
         dd.incremental_dedup(
             new, kept, "text", "doc_id", kept_bands=new.select("doc_id")
         )
+
+
+def test_chunk_windows_semantics(spark):
+    """Windows start at every stride multiple below n_tokens, clamp at
+    the end, preserve case, normalize whitespace; consecutive windows
+    share chunk-stride tokens; NULL/empty/whitespace docs emit nothing;
+    bad params raise."""
+    df = spark.createDataFrame(
+        [
+            (1, "A b c d e f g"),       # 7 tokens
+            (2, None),
+            (3, ""),
+            (4, " \t\n "),
+            (5, "only"),
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = tx.chunk_windows(df, "text", "doc_id", 4, 2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 5}
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_text"] for r in c1] == [
+        "A b c d", "c d e f", "e f g", "g",
+    ]
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 3, 1]
+    # overlap: each window shares chunk-stride=2 tokens with the previous
+    assert c1[0]["chunk_text"].split()[2:] == c1[1]["chunk_text"].split()[:2]
+    assert by_doc[5][0]["chunk_text"] == "only"
+    with pytest.raises(ValueError):
+        tx.chunk_windows(df, "text", "doc_id", 0, 2)
+    with pytest.raises(ValueError):
+        tx.chunk_windows_sql("documents", "text", "doc_id", 4, 0)

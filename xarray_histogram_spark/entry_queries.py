@@ -160,6 +160,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_bpe_tokens",
     # context packing budgeted on the BPE counts (the item-5 composition)
     "sample_pack_bpe",
+    # sliding-window chunk TEXT emission (RAG prep)
+    "text_chunk_windows",
 )
 
 
@@ -778,6 +780,16 @@ register(
     "text_token_count",
     lambda spark, sf_dir: tx.token_count(t_wide(spark, sf_dir, "documents"), "text", "doc_id"),
     tx.token_count_sql("documents", "text", "doc_id"),
+)
+register(
+    # sliding-window chunking that EMITS chunk text (RAG/embedding prep;
+    # chunk_assignments only does packing bookkeeping) — pure projection
+    # + posexplode, no shuffle
+    "text_chunk_windows",
+    lambda spark, sf_dir: tx.chunk_windows(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id", 64, 48
+    ),
+    tx.chunk_windows_sql("documents", "text", "doc_id", 64, 48),
 )
 register(
     # real BPE-merge-table token counts (demo merges; the count context

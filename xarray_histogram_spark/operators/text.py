@@ -1171,3 +1171,97 @@ def bpe_token_count_sql(
         f"SELECT {id_col}, CASE WHEN {text_col} IS NULL THEN NULL "
         f"ELSE {total} END AS n_bpe_tokens FROM {table}"
     )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window text chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int,
+    stride_tokens: int,
+) -> DataFrame:
+    """Sliding-window chunking — the RAG/embedding prep step that EMITS
+    chunk text (``chunk_assignments`` only does packing bookkeeping):
+    one row per window of ``chunk_tokens`` whitespace tokens starting at
+    every multiple of ``stride_tokens`` below the document's token count.
+    Returns (id, ``chunk_id``, ``n_chunk_tokens``, ``chunk_text``);
+    overlap = ``chunk_tokens - stride_tokens`` tokens when positive, a
+    sampling gap when negative.  The final window may be short (it
+    clamps at the document end).  Whitespace inside a chunk is
+    normalized to single spaces (token-boundary chunking, CASE
+    preserved — unlike the hashing tokenizer, no lowercasing).
+    NULL-text and token-free documents emit no rows.
+
+    Scale shape: pure per-row projection + ``posexplode`` — no shuffle,
+    no UDF; output cardinality is ceil(n_tokens/stride) per doc.  The
+    window starts come from ``sequence(0, n-1, stride)``, whose
+    inclusive-stop semantics DuckDB's ``generate_series`` shares, so the
+    mirror needs no ceil arithmetic."""
+    if chunk_tokens < 1 or stride_tokens < 1:
+        raise ValueError("chunk_tokens and stride_tokens must be >= 1")
+    text = F.col(text_col)
+    toks = F.filter(
+        F.split(text, H._WS_CLASS), lambda t: t != ""
+    )
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - F.lit(1), F.lit(int(stride_tokens)))
+    piece = F.when(n >= F.lit(1), starts).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        piece,
+        lambda s: F.struct(
+            (s / F.lit(int(stride_tokens))).cast("bigint").alias("chunk_id"),
+            F.slice(toks, s + F.lit(1), F.lit(int(chunk_tokens))).alias("_w"),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(chunks).alias("_c")
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("_c.chunk_id").alias("chunk_id"),
+        F.size(F.col("_c._w")).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(F.col("_c._w"), " ").alias("chunk_text"),
+    )
+
+
+def chunk_windows_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int,
+    stride_tokens: int,
+) -> str:
+    """DuckDB mirror: same non-lowercased whitespace split, same
+    inclusive-stop ``generate_series`` starts; ``list_slice``'s
+    end-INDEX argument is start + chunk (vs Spark ``slice``'s length)."""
+    if chunk_tokens < 1 or stride_tokens < 1:
+        raise ValueError("chunk_tokens and stride_tokens must be >= 1")
+    toks = (
+        f"list_filter(regexp_split_to_array({text_col}, "
+        f"'{H._WS_CLASS}'), t -> t != '')"
+    )
+    base = (
+        f"SELECT {id_col}, {toks} AS __tk FROM {table} "
+        f"WHERE {text_col} IS NOT NULL"
+    )
+    chunks = (
+        f"list_transform(generate_series(0, len(__tk) - 1, "
+        f"{int(stride_tokens)}), "
+        f"s -> struct_pack(chunk_id := CAST(s // {int(stride_tokens)} "
+        f"AS BIGINT), "
+        f"w := list_slice(__tk, s + 1, s + {int(chunk_tokens)})))"
+    )
+    return (
+        f"SELECT {id_col}, u.chunk_id AS chunk_id, "
+        f"CAST(len(u.w) AS BIGINT) AS n_chunk_tokens, "
+        f"array_to_string(u.w, ' ') AS chunk_text "
+        f"FROM (SELECT {id_col}, unnest({chunks}) AS u "
+        f"FROM ({base}) b WHERE len(__tk) >= 1) t"
+    )
