@@ -499,3 +499,18 @@ def test_corpus_report_one_pass(spark, sf_dir):
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"text", "source"}
+
+
+def test_chunk_windows_tokenizes_once(spark, sf_dir):
+    """The token split must be materialized in its own projection — an
+    inlined split re-tokenizes the doc once per window inside the HOF
+    lambda (no CSE in lambdas; review-found 140x on 20k-token docs).
+    Pin: exactly one split() in the optimized plan, no shuffle, no
+    Python."""
+    from xarray_histogram_spark.operators.text import chunk_windows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(chunk_windows(docs, "text", "doc_id", 64, 48))
+    assert p.count("split(") == 1, p
+    assert "Exchange" not in p
+    assert "EvalPython" not in p

@@ -1201,33 +1201,38 @@ def chunk_windows(
     no UDF; output cardinality is ceil(n_tokens/stride) per doc.  The
     window starts come from ``sequence(0, n-1, stride)``, whose
     inclusive-stop semantics DuckDB's ``generate_series`` shares, so the
-    mirror needs no ceil arithmetic."""
+    mirror needs no ceil arithmetic.  The token array is MATERIALIZED in
+    its own projection before the window transform: Spark neither hoists
+    nor CSEs subexpressions inside higher-order-function lambdas, so an
+    inlined split would re-tokenize the whole document once per window —
+    O(n_tokens × n_windows), measured 140× slower on 20k-token docs
+    (review-found); CollapseProject keeps the non-cheap multi-referenced
+    alias un-inlined, exactly like the mirror's ``__tk`` subquery.
+    ``chunk_id`` is the window's position from ``posexplode`` (starts
+    are consecutive stride multiples, so position = start/stride)."""
     if chunk_tokens < 1 or stride_tokens < 1:
         raise ValueError("chunk_tokens and stride_tokens must be >= 1")
-    text = F.col(text_col)
     toks = F.filter(
-        F.split(text, H._WS_CLASS), lambda t: t != ""
+        F.split(F.col(text_col), H._WS_CLASS), lambda t: t != ""
     )
-    n = F.size(toks)
+    base = df.select(F.col(id_col), toks.alias("__tk"))
+    tk = F.col("__tk")
+    n = F.size(tk)
     starts = F.sequence(F.lit(0), n - F.lit(1), F.lit(int(stride_tokens)))
     piece = F.when(n >= F.lit(1), starts).otherwise(
         F.array().cast("array<int>")
     )
-    chunks = F.transform(
-        piece,
-        lambda s: F.struct(
-            (s / F.lit(int(stride_tokens))).cast("bigint").alias("chunk_id"),
-            F.slice(toks, s + F.lit(1), F.lit(int(chunk_tokens))).alias("_w"),
-        ),
+    windows = F.transform(
+        piece, lambda s: F.slice(tk, s + F.lit(1), F.lit(int(chunk_tokens)))
     )
-    exploded = df.select(
-        F.col(id_col), F.explode(chunks).alias("_c")
+    exploded = base.select(
+        F.col(id_col), F.posexplode(windows).alias("chunk_id", "_w")
     )
     return exploded.select(
         F.col(id_col),
-        F.col("_c.chunk_id").alias("chunk_id"),
-        F.size(F.col("_c._w")).cast("bigint").alias("n_chunk_tokens"),
-        F.array_join(F.col("_c._w"), " ").alias("chunk_text"),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(F.col("_w")).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(F.col("_w"), " ").alias("chunk_text"),
     )
 
 
