@@ -1104,19 +1104,26 @@ def bpe_token_cols(text_col: str, merges) -> list:
         rep = F.concat(sep, a, b, sep)
         return F.replace(acc, pat, rep)
 
-    def piece_tokens(p: Column) -> Column:
+    def piece_merged(p: Column) -> Column:
         chars = F.regexp_extract_all(p, F.lit(r"[^\n]"), 0)
         init = F.concat(sep2, F.array_join(chars, _BPE_SEP * 2), sep2)
-        merged = F.aggregate(merge_arr, init, apply_merge)
-        n_sep = F.length(merged) - F.length(
-            F.replace(merged, sep, F.lit(""))
-        )
-        return (n_sep / F.lit(2) - F.lit(1)).cast("bigint")
+        return F.aggregate(merge_arr, init, apply_merge)
 
+    # Two-stage shape so each piece's merged state string is computed
+    # ONCE: the separator count references its input twice, and Spark
+    # does not CSE inside higher-order-function lambdas — counting off
+    # the fold expression directly would run the whole merges fold twice
+    # per piece (interleaved A/B: ~1.9× slower; same lambda-inlining
+    # trap as chunk_windows' split).  A lambda VARIABLE is a bound
+    # value, so referencing `m` twice below is free.
+    merged_arr = F.transform(pieces, piece_merged)
     n_bpe = F.aggregate(
-        pieces,
+        merged_arr,
         F.lit(0).cast("bigint"),
-        lambda acc, p: acc + piece_tokens(p),
+        lambda acc, m: acc + (
+            (F.length(m) - F.length(F.replace(m, sep, F.lit(""))))
+            / F.lit(2) - F.lit(1)
+        ).cast("bigint"),
     )
     return [n_bpe.alias("n_bpe_tokens")]
 
