@@ -57,16 +57,15 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
     _REGISTRY[name] = (fn, sql)
 
 
-# Round-8 rotation refresh.  _DRIVER_VERIFIED started as the 50 names
-# CORRECTNESS_r07.json hash-verified; six of them were then moved to
-# _CHANGED_THIS_ROUND because round 8 changed their code paths
-# (pipeline_report's wider schema; the five lsh_candidate_pairs
-# descendants after the NULL-band fix), leaving 44 in the TAIL so the
-# driver's ~50-query window reaches the entries whose freshest green is
-# r05/r06.  All stale entries have UNCHANGED plans and oracles since
-# their last driver green and stay green in the local full-registry
-# gates (test_entry_contract, driver_sim); the rotation itself is pure
-# evidence-freshness maintenance.
+# Round-9 rotation refresh.  _DRIVER_VERIFIED holds the 50 names
+# CORRECTNESS_r08.json hash-verified (the freshest greens), so the
+# driver's ~50-query window reaches the 34 entries whose freshest green
+# is r06 (two rounds old — they lead _STALE_PRIORITY unconditionally per
+# the capacity policy below) and then the 44 r07-green entries in
+# registry order.  All stale entries have UNCHANGED plans and oracles
+# since their last driver green and stay green in the local
+# full-registry gates (test_entry_contract, driver_sim); the rotation
+# itself is pure evidence-freshness maintenance.
 #
 # CAPACITY POLICY (decided round 8, per VERDICT r07 item 2): the registry
 # holds ~124 entries against a ~50-query driver window, so steady-state
@@ -80,89 +79,65 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # BinSpec codegen classes and each has caught a distinct class of bug;
 # window headroom comes from the growth cap instead.
 _DRIVER_VERIFIED = frozenset({
-    # the 6 r07-new + 4 r07-changed (minus pipeline_report and
-    # dedup_keep_best, re-gated this round)
-    "mm_decode_png_jpeg", "text_gopher_rules",
-    "source_csv_roundtrip", "sample_top_quality",
-    "text_pii_scrub", "streaming_pii_scrub", "sample_balanced",
-    "hist_quantile_bins",
-    # the 21 r04-stale re-greens
-    "stat_mean", "stat_var", "stat_std", "stat_moment3", "stat_median",
-    "stat_ppf90", "stat_interval80", "stat_cdf25",
-    "hist_merge_shards", "hist_rollup_multires", "hist_rollup_2d",
-    "hist_cube_multires", "hist_join_align_2var",
-    "alg_bin_coordinates", "alg_rebin",
-    "streaming_stateful_hist", "dedup_contamination",
-    "text_line_dedup", "text_top_terms", "pipeline_curate",
-    "mm_sample_frames",
-    # the remaining r07 window fill (minus the five lsh descendants,
-    # which moved to _CHANGED_THIS_ROUND after the NULL-band fix)
-    "hist_weighted", "hist_pow_axis", "hist_growth_categories",
-    "hist_growth_merge", "hist_columns_weighted", "hist_fill_arrow_path",
-    "hist_weighted_grouped_density", "stat_mean_weighted",
-    "stat_mean_2d", "stat_median_2d",
-    "dedup_exact", "dedup_simhash",
-    "dedup_simhash_pairs", "sim_cosine_topk", "sim_ann_topk",
-})
-
-
-# Stale-head priority: the 28 entries whose freshest driver green is
-# ROUND 5 (two rounds old) — they lead the window so no green ever ages
-# a THIRD round.  The 46 r06-green entries follow in registry order and
-# fill the remainder of the ~50-query window.
-_STALE_PRIORITY = (
+    # the 50 names CORRECTNESS_r08.json hash-verified
     "binned_stat_grouped", "binned_stat_profile",
-    "dedup_embed_components",
+    "dedup_cluster_size_hist", "dedup_components",
+    "dedup_embed_components", "dedup_incremental", "dedup_jaccard",
+    "dedup_keep_best", "dedup_minhash_pairs", "dedup_near_keep",
     "events_asof_join", "events_funnel", "events_range_join",
     "events_session_hist", "events_sliding_hist",
-    "hist_mean_storage", "hist_rollup_weighted", "hist_weight_storage",
+    "hist_density", "hist_density_flow", "hist_group_month",
+    "hist_grouped", "hist_intcategory", "hist_integer_axis",
+    "hist_mean_storage", "hist_regular_1d", "hist_regular_flow",
+    "hist_rollup_weighted", "hist_strcategory", "hist_variable_axis",
+    "hist_variable_binary", "hist_weight_storage",
     "mm_decode_audio", "mm_decode_image",
-    "pipeline_curate_narrow",
-    "sample_take_n", "sample_topk_group",
+    "pipeline_curate_narrow", "pipeline_report",
+    "sample_pack_bpe", "sample_take_n", "sample_topk_group",
     "sim_ann_indexed", "sim_ivf_topk", "sim_kmeans_refine",
     "sim_quantize_int8",
     "streaming_dedup_state", "streaming_range_join",
     "streaming_window_hist",
-    "text_dup_ngrams", "text_fingerprint", "text_repetition",
-    "text_token_count", "text_vocabulary",
+    "text_bpe_tokens", "text_chunk_windows", "text_dup_ngrams",
+    "text_fingerprint", "text_repetition", "text_token_count",
+    "text_vocabulary",
+})
+
+
+# Stale-head priority: the 34 entries whose freshest driver green is
+# ROUND 6 (two rounds old) — they lead the window so no green ever ages
+# a THIRD round.  The 44 r07-green entries follow in registry order and
+# fill the remainder of the ~50-query window.
+_STALE_PRIORITY = (
+    "alg_apply_func_log", "alg_normalize_after", "alg_project",
+    "alg_remove_flow", "alg_scale", "alg_slice_bins",
+    "dedup_embed_pairs",
+    "events_hourly_hist", "events_props_json_hist", "events_retention",
+    "events_type_value_hist",
+    "hist_2d", "hist_3d_grouped", "hist_adopt_roundtrip",
+    "hist_bool_axis", "hist_columns", "hist_custom_transform_axis",
+    "hist_int64_storage", "hist_join_revenue", "hist_log_axis",
+    "hist_range_infer", "hist_sqrt_axis", "hist_weighted_fastpath",
+    "mm_decode_meta",
+    "sample_deterministic", "sample_pack_chunks", "sample_split",
+    "sample_stratified",
+    "sim_ann_batch",
+    "source_jsonl_roundtrip",
+    "text_langid", "text_quality", "text_url_cap_domain",
+    "text_url_extract",
 )
 
 
-# Entries whose PLAN or ORACLE changed in round 8 — never mind their past
+# Entries whose PLAN or ORACLE changed in round 9 — never mind their past
 # greens, the driver must re-check them under the new engine before
 # anything else in the stale head.  Ordered right after _NEW_THIS_ROUND.
-_CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # corpus_report gained the per-rule Gopher breakdown (9 n_fail_<rule>
-    # int-SUM columns from the metrics the fused scan already computes;
-    # VERDICT r07 item 4) — wider schema, so the r07 green is void.
-    "pipeline_report",
-    # lsh_candidate_pairs now consumes band_rows, which filters
-    # NULL-signature docs — fixing the latent fake-""-bucket divergence
-    # for NULL-text corpora (review-found; fixtures carry no NULL text,
-    # so values are unchanged on the gate, but the any-implementation-
-    # change policy re-gates every descendant of the banding path).
-    "dedup_minhash_pairs",
-    "dedup_jaccard",
-    "dedup_near_keep",
-    "dedup_components",
-    "dedup_keep_best",
-    "dedup_cluster_size_hist",
-)
+_CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 
-# Queries REGISTERED IN ROUND 8 — never in any driver CORRECTNESS record;
+# Queries REGISTERED IN ROUND 9 — never in any driver CORRECTNESS record;
 # they lead the registry so the driver's ~50-query window is guaranteed
 # to reach them regardless of where they appear in this file.
-_NEW_THIS_ROUND: tuple[str, ...] = (
-    # shard-vs-keeper-corpus incremental dedup (VERDICT r07 item 3)
-    "dedup_incremental",
-    # BPE-merge-table token counts (VERDICT r07 item 5)
-    "text_bpe_tokens",
-    # context packing budgeted on the BPE counts (the item-5 composition)
-    "sample_pack_bpe",
-    # sliding-window chunk TEXT emission (RAG prep)
-    "text_chunk_windows",
-)
+_NEW_THIS_ROUND: tuple[str, ...] = ()
 
 
 def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
