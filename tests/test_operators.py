@@ -1999,10 +1999,12 @@ def test_band_rows_k_mismatch_guard(spark, docs, tmp_path):
 
 
 def test_chunk_windows_semantics(spark):
-    """Windows start at every stride multiple below n_tokens, clamp at
-    the end, preserve case, normalize whitespace; consecutive windows
-    share chunk-stride tokens; NULL/empty/whitespace docs emit nothing;
-    bad params raise."""
+    """Windows start at stride multiples and STOP at the first window
+    reaching the document end (no fully-contained trailing windows —
+    advice-found duplicate-content fix), clamp at the end, preserve
+    case, normalize whitespace; consecutive windows share chunk-stride
+    tokens; stride > chunk keeps its sampling gaps; NULL/empty/
+    whitespace docs emit nothing; bad params raise."""
     df = spark.createDataFrame(
         [
             (1, "A b c d e f g"),       # 7 tokens
@@ -2010,6 +2012,7 @@ def test_chunk_windows_semantics(spark):
             (3, ""),
             (4, " \t\n "),
             (5, "only"),
+            (6, "a b c d e f g h"),     # 8 tokens: last window exact-end
         ],
         "doc_id: long, text: string",
     )
@@ -2017,16 +2020,89 @@ def test_chunk_windows_semantics(spark):
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    assert set(by_doc) == {1, 5}
+    assert set(by_doc) == {1, 5, 6}
     c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    # start 6 would be 'g' fully contained in 'e f g' - not emitted
     assert [r["chunk_text"] for r in c1] == [
-        "A b c d", "c d e f", "e f g", "g",
+        "A b c d", "c d e f", "e f g",
     ]
-    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 3, 1]
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 3]
     # overlap: each window shares chunk-stride=2 tokens with the previous
     assert c1[0]["chunk_text"].split()[2:] == c1[1]["chunk_text"].split()[:2]
     assert by_doc[5][0]["chunk_text"] == "only"
+    c6 = sorted(by_doc[6], key=lambda r: r["chunk_id"])
+    # window 4-7 ends exactly at the doc end; starts 6 is not emitted
+    assert [r["chunk_text"] for r in c6] == [
+        "a b c d", "c d e f", "e f g h",
+    ]
+    # sampling-gap regime (stride > chunk) is unchanged: starts stay
+    # below n_tokens, gaps remain
+    g = sorted(
+        tx.chunk_windows(df, "text", "doc_id", 2, 5).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    assert [(r["doc_id"], r["chunk_text"]) for r in g] == [
+        (1, "A b"), (1, "f g"), (5, "only"), (6, "a b"), (6, "f g"),
+    ]
     with pytest.raises(ValueError):
         tx.chunk_windows(df, "text", "doc_id", 0, 2)
     with pytest.raises(ValueError):
         tx.chunk_windows_sql("documents", "text", "doc_id", 4, 0)
+
+
+def test_bpe_pair_counts_semantics(spark):
+    """Known corpus -> known pair counts: pairs stay within pieces,
+    whitespace contributes nothing, the empty table counts character
+    pairs, merged tokens pair as units, NULL/empty docs are ignored,
+    and bad tables raise on both engines."""
+    df = spark.createDataFrame(
+        [(1, "the the"), (2, "ab cd"), (3, None), (4, "  "), (5, "x")],
+        "doc_id: long, text: string",
+    )
+    step0 = {
+        (r["pair_left"], r["pair_right"]): r["cnt"]
+        for r in tx.bpe_pair_counts(df, "text", ()).collect()
+    }
+    # 'the' twice -> (t,h) and (h,e) twice each; no cross-piece or
+    # cross-space pairs; 1-char pieces ('x') contribute nothing
+    assert step0 == {("t", "h"): 2, ("h", "e"): 2,
+                     ("a", "b"): 1, ("c", "d"): 1}
+    merged = {
+        (r["pair_left"], r["pair_right"]): r["cnt"]
+        for r in tx.bpe_pair_counts(df, "text", (("t", "h"),)).collect()
+    }
+    # after (t,h): state of 'the' is [th, e] -> pair (th, e)
+    assert merged == {("th", "e"): 2, ("a", "b"): 1, ("c", "d"): 1}
+    with pytest.raises(ValueError):
+        tx.bpe_pair_counts(df, "text", [("a", "")])
+    with pytest.raises(ValueError):
+        tx.bpe_pair_counts_sql("documents", "text", [("a\x1f", "b")])
+
+
+def test_learn_bpe_merges_deterministic(spark):
+    """The learned table is the greedy (cnt DESC, left, right) argmax
+    sequence, is closure-ordered by construction, stops when no pair
+    repeats, and seeds from a given table."""
+    df = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "aaab")],
+        "doc_id: long, text: string",
+    )
+    # step0 pairs: (a,a) x6, (a,b) x3 -> merge (a,a)
+    # then state a|ab? no: [aa, a, b] -> pairs (aa,a) x3, (a,b) x3
+    #   -> tie on cnt, (a,b) < (aa,a) lexicographically -> (a,b)
+    # then [aa, ab] -> (aa, ab) x3 -> merge (aa, ab)
+    # then single-token pieces -> stop
+    got = tx.learn_bpe_merges(df, "text", 10)
+    assert got == [("a", "a"), ("a", "b"), ("aa", "ab")]
+    # seeding: given merges are returned as the prefix
+    seeded = tx.learn_bpe_merges(df, "text", 1, merges=(("a", "a"),))
+    assert seeded == [("a", "a"), ("a", "b")]
+    assert tx.learn_bpe_merges(df, "text", 0) == []
+    with pytest.raises(ValueError):
+        tx.learn_bpe_merges(df, "text", -1)
+    # the learned table is consumable by the encoder (closure-ordered)
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in tx.bpe_token_count(df, "text", "doc_id", got).collect()
+    }
+    assert counts == {1: 2, 2: 1}

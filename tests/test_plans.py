@@ -514,3 +514,28 @@ def test_chunk_windows_tokenizes_once(spark, sf_dir):
     assert p.count("split(") == 1, p
     assert "Exchange" not in p
     assert "EvalPython" not in p
+
+
+def test_bpe_pair_counts_fold_runs_once(spark, sf_dir):
+    """The merges fold must appear EXACTLY once in the optimized plan.
+    Exploding a materialized attribute lets InferFiltersFromGenerate
+    manufacture a `size(a) > 0` filter that PushDownPredicates inlines
+    below the projection — the whole fold then runs 3x per row in a
+    Filter that cannot CSE with the projection (plan-found in round 9;
+    the fix keeps the explode argument an inline expression, which the
+    rule skips).  Pin: one `aggregate(` (the HOF fold), one Exchange
+    (the pair-key groupBy), two HashAggregates (partial+final
+    map-side combine), no Filter, no Python."""
+    import re
+
+    from xarray_histogram_spark.operators.text import (
+        DEMO_BPE_MERGES, bpe_pair_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(bpe_pair_counts(docs, "text", DEMO_BPE_MERGES))
+    assert p.count("aggregate(") == 1, p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2
+    assert len(re.findall(r"\(\d+\) Filter", p)) == 0, p
+    assert "EvalPython" not in p

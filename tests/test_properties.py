@@ -775,3 +775,88 @@ def test_bpe_self_merge_runs_exact(spark):
     # the review's concrete case: 6 dashes -> (--)(--)(--) -> then
     # (--,--) chains -> (----)(--) = 2 tokens
     assert got[5] == 2
+
+
+def _bpe_pair_spec(texts, merges):
+    """Executable spec of bpe_pair_counts: adjacent pairs of the same
+    per-piece leftmost-first rank-by-rank merged state _bpe_spec_count
+    walks, counted corpus-wide (pairs never cross piece boundaries)."""
+    import re as _re
+    from collections import Counter
+
+    from xarray_histogram_spark.operators.text import BPE_PIECE_RE
+
+    c = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        t = t.replace("\x1f", "")
+        for p in _re.findall(BPE_PIECE_RE, t):
+            toks = [ch for ch in p if ch != "\n"]
+            for a, b in merges:
+                i, out = 0, []
+                while i < len(toks):
+                    if (i + 1 < len(toks) and toks[i] == a
+                            and toks[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+            for i in range(len(toks) - 1):
+                c[(toks[i], toks[i + 1])] += 1
+    return dict(c)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.text(alphabet=_BPE_TEXT_ALPHABET, max_size=60),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(
+        st.tuples(
+            st.sampled_from(_BPE_TOKENS), st.sampled_from(_BPE_TOKENS)
+        ),
+        min_size=0,  # empty table = character-level step-0 counting
+        max_size=8,
+    ),
+)
+def test_bpe_pair_counts_match_spec_and_mirror(spark, texts, merges):
+    """bpe_pair_counts (merge learning's per-step aggregation) equals
+    the token-level spec AND the DuckDB mirror on random tables incl.
+    self-merges and the EMPTY step-0 table."""
+    import duckdb
+    import pandas as pd
+
+    from xarray_histogram_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    got = {
+        (r["pair_left"], r["pair_right"]): r["cnt"]
+        for r in tx.bpe_pair_counts(df, "text", merges).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "bpedocs",
+        pd.DataFrame(
+            {"doc_id": range(len(texts)),
+             "text": pd.array(texts, dtype="string")}
+        ),
+    )
+    duck = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            tx.bpe_pair_counts_sql("bpedocs", "text", merges)
+        ).fetchall()
+    }
+    exp = _bpe_pair_spec(texts, merges)
+    assert got == exp, (merges, got, exp)
+    assert duck == exp, (merges, duck, exp)

@@ -98,9 +98,12 @@ _DRIVER_VERIFIED = frozenset({
     "sim_quantize_int8",
     "streaming_dedup_state", "streaming_range_join",
     "streaming_window_hist",
-    "text_bpe_tokens", "text_chunk_windows", "text_dup_ngrams",
+    "text_bpe_tokens", "text_dup_ngrams",
     "text_fingerprint", "text_repetition", "text_token_count",
     "text_vocabulary",
+    # (text_chunk_windows was r08-verified but moved to
+    # _CHANGED_THIS_ROUND: the round-9 end-coverage stop bound voids
+    # its green)
 })
 
 
@@ -131,13 +134,23 @@ _STALE_PRIORITY = (
 # Entries whose PLAN or ORACLE changed in round 9 — never mind their past
 # greens, the driver must re-check them under the new engine before
 # anything else in the stale head.  Ordered right after _NEW_THIS_ROUND.
-_CHANGED_THIS_ROUND: tuple[str, ...] = ()
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # chunk_windows now stops window starts at the first window reaching
+    # the document end (advice-found: trailing stride multiples emitted
+    # windows fully CONTAINED in their predecessor, duplicating content
+    # in RAG output) — fewer rows for overlap-mode docs, so the r08
+    # green is void.
+    "text_chunk_windows",
+)
 
 
 # Queries REGISTERED IN ROUND 9 — never in any driver CORRECTNESS record;
 # they lead the registry so the driver's ~50-query window is guaranteed
 # to reach them regardless of where they appear in this file.
-_NEW_THIS_ROUND: tuple[str, ...] = ()
+_NEW_THIS_ROUND: tuple[str, ...] = (
+    # BPE merge LEARNING's per-step aggregation (VERDICT r08 item 4)
+    "text_bpe_pair_counts",
+)
 
 
 def registry() -> dict[str, tuple[QueryFn, Optional[str]]]:
@@ -775,6 +788,17 @@ register(
         t_wide(spark, sf_dir, "documents"), "text", "doc_id"
     ),
     tx.bpe_token_count_sql("documents", "text", "doc_id"),
+)
+register(
+    # BPE merge LEARNING's per-step pair-frequency table under the demo
+    # table (the argmax of this table is the next merge;
+    # learn_bpe_merges drives the full loop) — three materialized
+    # projections + one map-combined groupBy, no Python
+    "text_bpe_pair_counts",
+    lambda spark, sf_dir: tx.bpe_pair_counts(
+        t_wide(spark, sf_dir, "documents"), "text", tx.DEMO_BPE_MERGES
+    ),
+    tx.bpe_pair_counts_sql("documents", "text", tx.DEMO_BPE_MERGES),
 )
 register(
     "text_quality",

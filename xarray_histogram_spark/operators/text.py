@@ -1087,7 +1087,19 @@ def bpe_token_cols(text_col: str, merges) -> list:
     cost is O(|merges| · piece_len) string work per row, linear in the
     table, no join, no UDF.  NULL text → NULL count; whitespace-only
     text → 0.  U+001F is stripped from the text before encoding so
-    corpus bytes can't forge token boundaries."""
+    corpus bytes can't forge token boundaries.
+
+    Two contract points (advice-found, shared by the DuckDB mirror and
+    the Python fuzz reference, so there is no cross-engine risk):
+    (1) the table must be CLOSURE-ORDERED — every merge's parts are
+    single characters or outputs of EARLIER merges — which every
+    LEARNED table is by construction (:func:`learn_bpe_merges`
+    included); each rank is applied exactly once in order, so for an
+    adversarial table where a later rank's output enables an earlier
+    rank's pair (e.g. [(ab,c), (a,b)] on 'abc') the count diverges from
+    a min-rank-rescan tokenizer.  (2) whitespace is never counted as
+    tokens (``BPE_PIECE_RE`` drops it), so counts run LOWER than
+    GPT-2-style tokenizers that carry space-prefixed pieces."""
     merges = _check_merges(merges)
     sep = F.lit(_BPE_SEP)
     text = F.regexp_replace(F.col(text_col), _BPE_SEP, "")
@@ -1181,6 +1193,199 @@ def bpe_token_count_sql(
 
 
 # ---------------------------------------------------------------------------
+# BPE merge learning: corpus-wide adjacent-pair frequencies
+# ---------------------------------------------------------------------------
+
+
+def _check_merges_maybe_empty(merges) -> list:
+    """`_check_merges` minus the non-empty requirement: pair COUNTING is
+    well-defined under an empty table (the character-level step-0 state
+    merge learning starts from), unlike token counting, where an empty
+    table is almost certainly a caller bug."""
+    return _check_merges(merges) if len(tuple(merges)) else []
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, merges=()
+) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies under the CURRENT
+    merge table — the aggregation at the heart of BPE merge LEARNING:
+    the most frequent pair of the current state is the next merge
+    (Sennrich et al. 2016), so one call per step + a 1-row argmax
+    drives :func:`learn_bpe_merges`.  Returns
+    (``pair_left``, ``pair_right``, ``cnt``) — one row per distinct
+    adjacent pair, counted within pieces only (``BPE_PIECE_RE``
+    pre-tokenization; BPE never merges across pieces, and whitespace is
+    not counted — the same convention as :func:`bpe_token_cols`).
+    ``merges=()`` counts character-level pairs (step 0).
+
+    The state encoding is deliberately IDENTICAL to
+    :func:`bpe_token_cols`' double-``␟``-boundary fold (kept
+    self-contained rather than refactored out of it so that operator's
+    driver-gated plan stays byte-untouched; the equivalence is
+    fuzz-pinned in tests/test_properties.py).  Scale shape: three
+    materialized projections (merged pieces → token arrays → pair
+    structs; each stage's expensive array is computed ONCE per row —
+    Spark does not CSE inside higher-order-function lambdas, so
+    inlining would re-run the merges fold per pair) + one explode +
+    ONE map-side-combined groupBy.  No Python, no join; the only
+    shuffle is the final pair-key aggregation, whose map-side partials
+    are bounded by the in-partition distinct-pair count, not the token
+    count.  NULL/whitespace-only documents contribute nothing."""
+    merges = _check_merges_maybe_empty(merges)
+    sep = F.lit(_BPE_SEP)
+    sep2 = F.lit(_BPE_SEP * 2)
+    text = F.regexp_replace(F.col(text_col), _BPE_SEP, "")
+    pieces = F.regexp_extract_all(text, F.lit(BPE_PIECE_RE), 0)
+    merge_arr = (
+        F.array(*[F.array(F.lit(a), F.lit(b)) for a, b in merges])
+        if merges
+        else F.array().cast("array<array<string>>")
+    )
+
+    def apply_merge(acc: Column, m: Column) -> Column:
+        a, b = F.element_at(m, 1), F.element_at(m, 2)
+        return F.replace(
+            acc,
+            F.concat(sep, a, sep2, b, sep),
+            F.concat(sep, a, b, sep),
+        )
+
+    def piece_merged(p: Column) -> Column:
+        chars = F.regexp_extract_all(p, F.lit(r"[^\n]"), 0)
+        init = F.concat(sep2, F.array_join(chars, _BPE_SEP * 2), sep2)
+        return F.aggregate(merge_arr, init, apply_merge)
+
+    def piece_pairs(a: Column) -> Column:
+        n = F.size(a)
+        return F.when(
+            n >= F.lit(2),
+            F.zip_with(
+                F.slice(a, F.lit(1), n - F.lit(1)),
+                F.slice(a, F.lit(2), n - F.lit(1)),
+                lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+    stage1 = df.select(
+        F.transform(pieces, piece_merged).alias("__mp")
+    )
+    stage2 = stage1.select(
+        F.transform(
+            F.col("__mp"),
+            lambda m: F.filter(
+                F.split(m, _BPE_SEP * 2), lambda t: t != ""
+            ),
+        ).alias("__tka")
+    )
+    # The explode argument stays an INLINE expression over the previous
+    # stage's column, never a materialized attribute of its own: explode
+    # of a bare attribute triggers InferFiltersFromGenerate's
+    # `size(a) > 0 AND isnotnull(a)` row-pruning filter, which
+    # PushDownPredicates then pushes below the projection — inlining the
+    # ENTIRE merges fold TWICE into a Filter node that cannot CSE with
+    # the projection's copy (plan-checked: the fold ran 3× per row; the
+    # rule skips non-attribute generator inputs).  Same trap family as
+    # the chunk_windows/mh0 lessons, new member: it is the OPTIMIZER
+    # that manufactures the second reference.
+    return (
+        stage2.select(
+            F.explode(
+                F.flatten(F.transform(F.col("__tka"), piece_pairs))
+            ).alias("__pr")
+        )
+        .groupBy(
+            F.col("__pr.l").alias("pair_left"),
+            F.col("__pr.r").alias("pair_right"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_pair_counts_sql(table: str, text_col: str, merges=()) -> str:
+    """DuckDB mirror: the same double-boundary state fold
+    (``list_reduce(list_prepend(init, merges), …)`` — ``list_reduce``
+    over the 1-element list an EMPTY merge table prepends to returns
+    ``init`` itself, so step-0 needs no special case), then
+    ``str_split`` on the double separator, ``generate_series`` pair
+    indexing (start > stop yields an empty list, so 1-token pieces need
+    no guard), unnest, GROUP BY."""
+    merges = _check_merges_maybe_empty(merges)
+    sep = "chr(31)"
+    sep2 = "chr(31) || chr(31)"
+    mlist = (
+        "[" + ", ".join(slit(a + "\x1e" + b) for a, b in merges) + "]"
+        if merges
+        else "CAST([] AS VARCHAR[])"
+    )
+    txt = f"replace({text_col}, chr(31), '')"
+    pcs = f"regexp_extract_all({txt}, '{BPE_PIECE_RE}')"
+    chars = "regexp_extract_all(p, '[^\\n]')"
+    init = (
+        f"{sep2} || array_to_string({chars}, chr(31) || chr(31)) || {sep2}"
+    )
+    ma = "split_part(m, chr(30), 1)"
+    mb = "split_part(m, chr(30), 2)"
+    pat = f"{sep} || {ma} || {sep2} || {mb} || {sep}"
+    rep = f"{sep} || {ma} || {mb} || {sep}"
+    merged = (
+        f"list_reduce(list_prepend({init}, {mlist}), "
+        f"(acc, m) -> replace(acc, {pat}, {rep}))"
+    )
+    return (
+        f"WITH __d AS (SELECT {pcs} AS pcs FROM {table} "
+        f"WHERE {text_col} IS NOT NULL), "
+        f"__p AS (SELECT unnest(pcs) AS p FROM __d), "
+        f"__m AS (SELECT {merged} AS m FROM __p), "
+        f"__t AS (SELECT list_filter(str_split(m, {sep2}), "
+        f"t -> t != '') AS tk FROM __m), "
+        f"__pr AS (SELECT unnest(list_transform("
+        f"generate_series(1, len(tk) - 1), "
+        f"i -> struct_pack(l := tk[i], r := tk[i + 1]))) AS pr FROM __t) "
+        f"SELECT pr.l AS pair_left, pr.r AS pair_right, "
+        f"CAST(COUNT(*) AS BIGINT) AS cnt FROM __pr GROUP BY 1, 2"
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    merges=(),
+) -> list:
+    """Learn ``n_merges`` further BPE merges from the corpus: each step
+    counts adjacent pairs under the merges so far
+    (:func:`bpe_pair_counts`) and takes the argmax with a deterministic
+    (cnt DESC, pair_left ASC, pair_right ASC) tie-break — the merge
+    tables this produces are closure-ordered by construction, exactly
+    the precondition :func:`bpe_token_cols` requires.  Stops early when
+    no pair occurs twice.  Returns the FULL merge list (given + learned).
+
+    Scale shape: ``n_merges`` sequential jobs, each one map-combined
+    shuffle + a 1-row driver fetch; driver state is O(merges).  The
+    per-step cost grows with the table (the fold is
+    O(|merges| · piece_len)), so cache ``df`` and keep step counts
+    moderate — vocabulary learning is a run-once corpus pass, not a
+    per-query path."""
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    out = list(_check_merges_maybe_empty(merges))
+    for _ in range(int(n_merges)):
+        top = (
+            bpe_pair_counts(df, text_col, out)
+            .where(F.col("cnt") >= F.lit(2))
+            .orderBy(
+                F.desc("cnt"), F.asc("pair_left"), F.asc("pair_right")
+            )
+            .first()
+        )
+        if top is None:
+            break
+        out.append((top["pair_left"], top["pair_right"]))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # sliding-window text chunking
 # ---------------------------------------------------------------------------
 
@@ -1195,7 +1400,16 @@ def chunk_windows(
     """Sliding-window chunking — the RAG/embedding prep step that EMITS
     chunk text (``chunk_assignments`` only does packing bookkeeping):
     one row per window of ``chunk_tokens`` whitespace tokens starting at
-    every multiple of ``stride_tokens`` below the document's token count.
+    every multiple of ``stride_tokens``, stopping at the FIRST start
+    whose window reaches the document end — any later stride multiple
+    would emit a window fully contained in its predecessor (7 tokens,
+    chunk 4, stride 2: starts 0/2/4, never the redundant start-6
+    ``'g'`` ⊂ ``'e f g'``), which would duplicate content in
+    RAG/embedding corpora (advice-found).  Concretely the start bound is
+    ``least(n - 1, greatest(n - chunk, 0) + stride - 1)`` under
+    ``sequence``'s inclusive stop: the first term keeps the
+    ``stride > chunk`` sampling-gap regime unchanged (starts stay
+    < n), the second stops overlap-mode starts once the end is covered.
     Returns (id, ``chunk_id``, ``n_chunk_tokens``, ``chunk_text``);
     overlap = ``chunk_tokens - stride_tokens`` tokens when positive, a
     sampling gap when negative.  The final window may be short (it
@@ -1225,7 +1439,12 @@ def chunk_windows(
     base = df.select(F.col(id_col), toks.alias("__tk"))
     tk = F.col("__tk")
     n = F.size(tk)
-    starts = F.sequence(F.lit(0), n - F.lit(1), F.lit(int(stride_tokens)))
+    stop = F.least(
+        n - F.lit(1),
+        F.greatest(n - F.lit(int(chunk_tokens)), F.lit(0))
+        + F.lit(int(stride_tokens) - 1),
+    )
+    starts = F.sequence(F.lit(0), stop, F.lit(int(stride_tokens)))
     piece = F.when(n >= F.lit(1), starts).otherwise(
         F.array().cast("array<int>")
     )
@@ -1251,8 +1470,9 @@ def chunk_windows_sql(
     stride_tokens: int,
 ) -> str:
     """DuckDB mirror: same non-lowercased whitespace split, same
-    inclusive-stop ``generate_series`` starts; ``list_slice``'s
-    end-INDEX argument is start + chunk (vs Spark ``slice``'s length)."""
+    inclusive-stop ``generate_series`` starts with the same
+    end-coverage stop bound; ``list_slice``'s end-INDEX argument is
+    start + chunk (vs Spark ``slice``'s length)."""
     if chunk_tokens < 1 or stride_tokens < 1:
         raise ValueError("chunk_tokens and stride_tokens must be >= 1")
     toks = (
@@ -1263,8 +1483,12 @@ def chunk_windows_sql(
         f"SELECT {id_col}, {toks} AS __tk FROM {table} "
         f"WHERE {text_col} IS NOT NULL"
     )
+    stop = (
+        f"least(len(__tk) - 1, greatest(len(__tk) - {int(chunk_tokens)}, 0)"
+        f" + {int(stride_tokens) - 1})"
+    )
     chunks = (
-        f"list_transform(generate_series(0, len(__tk) - 1, "
+        f"list_transform(generate_series(0, {stop}, "
         f"{int(stride_tokens)}), "
         f"s -> struct_pack(chunk_id := CAST(s // {int(stride_tokens)} "
         f"AS BIGINT), "
