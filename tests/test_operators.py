@@ -2106,3 +2106,110 @@ def test_learn_bpe_merges_deterministic(spark):
         for r in tx.bpe_token_count(df, "text", "doc_id", got).collect()
     }
     assert counts == {1: 2, 2: 1}
+
+
+def _vecs_by_id(emb, ids):
+    rows = emb.where(F.col("vec_id").isin(*ids)).collect()
+    return {r["vec_id"]: list(r["embedding"]) for r in rows}
+
+
+def test_embed_incremental_verdicts(spark, emb):
+    """Shard-vs-keeper semantics on embeddings: a copy of a kept vector
+    is dup_of_kept (kept_match = MIN matching kept id); a copy of a
+    SURVIVING lower-id new vector is dup_within_new; a copy of a new
+    vector that was itself killed by the kept check is NOT
+    dup_within_new (the survivor rule)."""
+    v = _vecs_by_id(emb, [0, 1, 2])
+    kept = spark.createDataFrame(
+        [(1, v[0]), (2, v[1])], "vec_id: long, embedding: array<float>"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, v[0]),   # copy of kept 1 -> dup_of_kept
+            (11, v[2]),   # independent -> keep (0.95 threshold)
+            (12, v[2]),   # copy of surviving 11 -> dup_within_new
+            (13, v[0]),   # dup of kept 1 AND of new 10 -> survivor rule
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    r = {x["vec_id"]: x
+         for x in dd.embed_incremental(new, kept, 0.95).collect()}
+    assert len(r) == 4
+    assert r[10]["dup_of_kept"] and r[10]["kept_match"] == 1
+    assert r[11]["keep"] and not r[11]["dup_of_kept"]
+    assert not r[11]["dup_within_new"]
+    assert r[12]["dup_within_new"] and not r[12]["dup_of_kept"]
+    assert not r[12]["keep"]
+    # 13's lower-id nn partner 10 is itself dup_of_kept -> not counted
+    assert r[13]["dup_of_kept"] and r[13]["kept_match"] == 1
+    assert not r[13]["dup_within_new"] and not r[13]["keep"]
+
+
+def test_embed_incremental_index_reuse_and_guards(spark, emb):
+    """The persisted planes-stamped embed_index path gives identical
+    verdicts to recomputing from kept vectors (incl. the
+    partitionBy(bucket) parquet metadata round-trip); a stamp-less or
+    differently-bucketized index is REFUSED; the degenerate-bucket
+    guard at a non-binding cap changes nothing."""
+    import shutil
+    import tempfile
+
+    from xarray_histogram_spark.operators import similarity as sim
+
+    new = emb.where(F.col("vec_id") % 5 == 2).select("vec_id", "embedding")
+    kept = emb.where(F.col("vec_id") % 5 != 2).select("vec_id", "embedding")
+    a = sorted(
+        dd.embed_incremental(new, kept, 0.35).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    path = tempfile.mkdtemp(prefix="xhs_embidx_test_")
+    try:
+        dd.embed_index(kept).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(path)
+        idx = spark.read.parquet(path)
+        assert idx.schema["embedding"].metadata["lsh_planes_fp"]
+        b = sorted(
+            dd.embed_incremental(
+                new, None, 0.35, kept_index=idx
+            ).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        assert a == b
+        # non-vacuous at every SF: both verdicts must be reachable
+        assert any(r["dup_of_kept"] for r in a)
+        assert any(r["keep"] for r in a)
+        with pytest.raises(ValueError, match="DIFFERENT hyperplanes"):
+            dd.embed_incremental(
+                new, None, 0.35, kept_index=idx, planes=sim.ANN_PLANES
+            )
+        with pytest.raises(ValueError, match="lsh_planes_fp"):
+            dd.embed_incremental(
+                new, None, 0.35,
+                kept_index=sim.with_lsh_bucket(kept),
+            )
+        with pytest.raises(ValueError, match="embed_index frame"):
+            dd.embed_incremental(
+                new, None, 0.35, kept_index=kept.select("vec_id")
+            )
+        c = sorted(
+            dd.embed_incremental(
+                new, kept, 0.35, max_kept_per_bucket=10**9
+            ).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        assert a == c
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_embed_incremental_max_kept_per_bucket_binds(spark, emb):
+    """A cap of 0 drops every kept bucket: nothing can be dup_of_kept,
+    and the within-shard verdicts become those of a kept-free check."""
+    new = emb.where(F.col("vec_id") % 5 == 2).select("vec_id", "embedding")
+    kept = emb.where(F.col("vec_id") % 5 != 2).select("vec_id", "embedding")
+    r = dd.embed_incremental(
+        new, kept, 0.35, max_kept_per_bucket=0
+    ).collect()
+    assert not any(x["dup_of_kept"] for x in r)
+    assert all(x["kept_match"] is None for x in r)

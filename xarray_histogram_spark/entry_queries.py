@@ -148,6 +148,9 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
 # they lead the registry so the driver's ~50-query window is guaranteed
 # to reach them regardless of where they appear in this file.
 _NEW_THIS_ROUND: tuple[str, ...] = (
+    # incremental EMBEDDING dedup vs the persisted stamped keeper index
+    # (VERDICT r08 item 3 — the top missing pipeline op)
+    "dedup_embed_incremental",
     # BPE merge LEARNING's per-step aggregation (VERDICT r08 item 4)
     "text_bpe_pair_counts",
 )
@@ -733,6 +736,70 @@ register(
     "dedup_embed_components",
     lambda spark, sf_dir: dd.embed_components(t(spark, sf_dir, "embeddings")),
     dd.embed_components_sql("embeddings"),
+)
+_EMBED_INDEX_CACHE: dict[str, str] = {}
+
+
+def _embed_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the persisted bucket-partitioned keeper
+    embed_index — the planes-fingerprint-stamped production index
+    embed_incremental probes."""
+    if sf_dir not in _EMBED_INDEX_CACHE:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="xhs_embed_index_")
+        kept = (
+            t(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") % 5 != 2)
+            .select("vec_id", "embedding")
+        )
+        dd.embed_index(kept).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(path)
+        _EMBED_INDEX_CACHE[sf_dir] = path
+    return _EMBED_INDEX_CACHE[sf_dir]
+
+
+def _embed_incremental_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic shard split: vec_id % 5 = 2 is the incoming shard,
+    # the rest is the keeper corpus (probed via the PERSISTED stamped
+    # index, exercising the metadata round-trip).  The shard is
+    # AUGMENTED with two synthetic vectors so BOTH verdicts take both
+    # truth values at every SF: 9000001 copies KEPT vec 0 (guaranteed
+    # dup_of_kept) and 9000002 copies NEW vec 2 — checked keep=True
+    # itself at sf0.001/0.01/0.1 — so the pair (2, 9000002) is a
+    # guaranteed dup_within_new.  Threshold 0.35, not the 0.95
+    # production default: the fixtures' random embeddings carry no true
+    # near-dups (the round-5 vacuity lesson), 0.35 makes the kept-check
+    # verdicts real (10/11/155 dup_of_kept rows at the three SFs).
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    synth = emb.where(F.col("vec_id").isin(0, 2)).select(
+        F.when(F.col("vec_id") == 0, F.lit(9000001).cast("long"))
+        .otherwise(F.lit(9000002).cast("long"))
+        .alias("vec_id"),
+        "embedding",
+    )
+    new_df = emb.where(F.col("vec_id") % 5 == 2).unionAll(synth)
+    idx = spark.read.parquet(_embed_index_path(spark, sf_dir))
+    return dd.embed_incremental(
+        new_df, None, threshold=0.35, kept_index=idx
+    )
+
+
+register(
+    # shard-vs-keeper incremental SEMANTIC dedup: the embedding analog
+    # of dedup_incremental, probing the persisted planes-stamped
+    # embed_index (VERDICT r08 item 3)
+    "dedup_embed_incremental",
+    _embed_incremental_fn,
+    dd.embed_incremental_sql(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 2 "
+        "UNION ALL SELECT CAST(CASE WHEN vec_id = 0 THEN 9000001 "
+        "ELSE 9000002 END AS BIGINT) AS vec_id, embedding "
+        "FROM embeddings WHERE vec_id IN (0, 2)",
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 2",
+        threshold=0.35,
+    ),
 )
 register(
     # identical result set to sim_ann_topk (same probes, same exact cosine)
@@ -1575,6 +1642,11 @@ def _cleanup_scratch() -> None:
 
     for leaf in list(_CSV_SCRATCH.values()) + list(_ADOPT_SCRATCH.values()):
         shutil.rmtree(os.path.dirname(leaf), ignore_errors=True)
+    # the ANN/embed index caches hold the scratch ROOT itself
+    for root in (
+        list(_ANN_INDEX_CACHE.values()) + list(_EMBED_INDEX_CACHE.values())
+    ):
+        shutil.rmtree(root, ignore_errors=True)
 
 
 import atexit  # noqa: E402 — registered next to the state it cleans

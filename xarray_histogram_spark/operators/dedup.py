@@ -1172,3 +1172,222 @@ def incremental_dedup_sql(
         f"FROM __new d LEFT JOIN __kdup kd ON d.{id_col} = kd.new_id "
         f"LEFT JOIN __nndrop nd ON d.{id_col} = nd.id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental EMBEDDING dedup against a keeper corpus
+# ---------------------------------------------------------------------------
+
+
+def _planes_fingerprint(planes) -> str:
+    """Deterministic digest of the hyperplane literals — the embedding
+    analog of ``band_rows``'s ``shingle_k`` stamp.  An index bucketed
+    under DIFFERENT planes would silently match nothing (every true
+    duplicate gets ``keep=True``), which is exactly the contamination
+    the stamp-refusal guard exists to prevent."""
+    import hashlib
+
+    s = ";".join(",".join(repr(float(x)) for x in p) for p in planes)
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def embed_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes=None,
+) -> DataFrame:
+    """(id, vec, ``bucket``) rows — the REUSABLE keeper-corpus index for
+    :func:`embed_incremental`: compute it ONCE, persist it
+    (``.write.partitionBy("bucket").parquet(path)`` — one directory per
+    LSH bucket, so a shard probe prunes at the FILE level; the same
+    layout as ``similarity.write_ann_index``), and probe every incoming
+    shard against the persisted frame — the kept corpus is never
+    re-bucketized per shard.
+
+    The planes fingerprint is recorded as ``vec_col`` column metadata
+    (``lsh_planes_fp``; column metadata survives a Spark parquet
+    round-trip) so ``embed_incremental`` can REFUSE an index built under
+    different hyperplanes instead of silently matching nothing.  The
+    stamp rides on the vector column, not ``bucket``: ``partitionBy``
+    turns ``bucket`` into a directory-derived partition column whose
+    metadata does NOT survive the round-trip."""
+    from .similarity import PLANES, with_lsh_bucket
+
+    planes = PLANES if planes is None else planes
+    return with_lsh_bucket(df, vec_col, planes).withMetadata(
+        vec_col, {"lsh_planes_fp": _planes_fingerprint(planes)}
+    )
+
+
+def embed_incremental(
+    new_df: DataFrame,
+    kept_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes=None,
+    kept_index: Optional[DataFrame] = None,
+    broadcast_new: bool = True,
+    max_kept_per_bucket: Optional[int] = None,
+) -> DataFrame:
+    """Semantic (embedding) dedup of an incoming shard against an
+    existing KEEPER corpus — the embedding analog of
+    :func:`incremental_dedup`, the production shape of semantic-dedup
+    pipelines: each new shard is checked against what is already kept,
+    never the whole corpus against itself.  One row per NEW vector:
+
+    - ``dup_of_kept``: shares an LSH bucket with a kept vector AND the
+      exact cosine against it is ≥ ``threshold``.
+    - ``kept_match``: the MIN kept id among verified matches (NULL when
+      ``dup_of_kept`` is false).
+    - ``dup_within_new``: same-bucket cosine ≥ ``threshold`` against a
+      LOWER-id new vector that itself SURVIVED the kept check (the same
+      one-level keep-first-occurrence policy as ``incremental_dedup``,
+      via :func:`similarity.embed_dup_pairs` — not transitive closure).
+    - ``keep``: neither verdict — the vector enters the keeper corpus.
+
+    Scale shape (the kept corpus is the 100 TB side, the shard is
+    small): the shard's bucketed vectors are BROADCAST, so the kept
+    corpus contributes exactly ONE map-side probed scan — its persisted
+    ``embed_index`` (pass ``kept_index`` to skip even the bucket
+    recompute; with the index parquet partitioned by ``bucket``,
+    Spark's dynamic partition pruning on the broadcast bucket join
+    prunes unprobed bucket directories at the file level).  No
+    kept-side shuffle anywhere; the only shuffles are over shard-sized
+    frames (the per-new-id min and the shard's own bucket self-join).
+    ``broadcast_new=False`` drops the hint for giant shards and lets
+    AQE choose.  Degenerate vectors (zero-norm / non-finite, NULL
+    cosine) match nothing on either engine.
+
+    ``kept_index``: a persisted :func:`embed_index` output; its planes
+    fingerprint stamp is REQUIRED and must match ``planes`` — a
+    mismatched or stamp-less index is refused (see
+    :func:`_planes_fingerprint`).
+
+    ``max_kept_per_bucket``: drop kept buckets holding more than this
+    many vectors before the probe join — the embedding analog of
+    ``incremental_dedup``'s ``max_kept_per_band`` degenerate-key guard
+    (one dominant embedding cluster can hold a large share of the
+    corpus, and every shard vector landing there fans out by its size).
+    Costs one map-combined aggregation over at most 2^|planes| keys;
+    ``None`` keeps everything."""
+    from .similarity import PLANES, embed_dup_pairs, with_lsh_bucket
+    from ..functions import vectors as V
+
+    planes = PLANES if planes is None else planes
+    thr = F.lit(float(threshold))
+    nb = with_lsh_bucket(new_df, vec_col, planes).select(
+        F.col(id_col).alias("new_id"), F.col(vec_col).alias("_nv"), "bucket"
+    )
+    if broadcast_new:
+        nb = F.broadcast(nb)
+    if kept_index is not None:
+        if "bucket" not in kept_index.columns or vec_col not in kept_index.columns:
+            raise ValueError(
+                f"kept_index is not an embed_index frame (needs 'bucket' "
+                f"and '{vec_col}' columns)"
+            )
+        fp = kept_index.schema[vec_col].metadata.get("lsh_planes_fp")
+        if fp is None:
+            raise ValueError(
+                "kept_index carries no lsh_planes_fp metadata — rebuild "
+                "it with embed_index() and persist it with a "
+                "metadata-preserving writer (Spark parquet)"
+            )
+        if fp != _planes_fingerprint(planes):
+            raise ValueError(
+                "kept_index was bucketized under DIFFERENT hyperplanes "
+                "than this embed_incremental call — every true duplicate "
+                "would silently get keep=True"
+            )
+        kb = kept_index
+    else:
+        kb = embed_index(kept_df, id_col, vec_col, planes)
+    kb = kb.select(
+        F.col(id_col).alias("kept_id"), F.col(vec_col).alias("_kv"), "bucket"
+    )
+    if max_kept_per_bucket is not None:
+        big = (
+            kb.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > F.lit(int(max_kept_per_bucket)))
+            .select("bucket")
+        )
+        kb = kb.join(F.broadcast(big), "bucket", "left_anti")
+    verified = (
+        kb.join(nb, "bucket")
+        .where(V.cosine(F.col("_kv"), F.col("_nv")) >= thr)
+        .select("new_id", "kept_id")
+    )
+    kdup = verified.groupBy("new_id").agg(F.min("kept_id").alias("kept_match"))
+
+    # new-vs-new among kept-survivors: one-level min-id-first greedy over
+    # the shard's own bucketed pairs (shard-sized self-join)
+    nn = embed_dup_pairs(
+        new_df, float(threshold), id_col, vec_col, planes
+    ).select("id_a", "id_b")
+    nn_drop = (
+        nn.join(kdup.select(F.col("new_id").alias("id_a")), "id_a", "left_anti")
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_nn", F.lit(True))
+    )
+    out = (
+        new_df.select(id_col)
+        .join(kdup.withColumnRenamed("new_id", id_col), id_col, "left")
+        .join(nn_drop, id_col, "left")
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("kept_match").isNotNull().alias("dup_of_kept"),
+        F.col("kept_match"),
+        F.coalesce(F.col("_nn"), F.lit(False)).alias("dup_within_new"),
+        (F.col("kept_match").isNull() & F.col("_nn").isNull()).alias("keep"),
+    )
+
+
+def embed_incremental_sql(
+    new_select: str,
+    kept_select: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes=None,
+) -> str:
+    """DuckDB mirror; ``new_select``/``kept_select`` are full SELECT
+    statements defining the shard and the keeper corpus.  The
+    survivors anti-filter uses NOT EXISTS, not NOT IN — three-valued
+    logic would silently drop every row if a NULL id ever reached the
+    pair list (the advice-found ``incremental_dedup_sql`` latent
+    divergence, avoided here from the start)."""
+    from ..binspec import flit
+    from ..functions import vectors as V
+    from .similarity import PLANES, embed_dup_pairs_sql
+
+    planes = PLANES if planes is None else planes
+    bucket = V.lsh_bucket_sql(vec_col, planes)
+    cos = V.cosine_sql("n._nv", "k._kv")
+    nn = embed_dup_pairs_sql("__new", float(threshold), id_col, vec_col, planes)
+    thr = flit(float(threshold))
+    return (
+        f"WITH __new AS ({new_select}), __kept AS ({kept_select}), "
+        f"__nb AS (SELECT {id_col} AS new_id, {vec_col} AS _nv, "
+        f"{bucket} AS bucket FROM __new), "
+        f"__kb AS (SELECT {id_col} AS kept_id, {vec_col} AS _kv, "
+        f"{bucket} AS bucket FROM __kept), "
+        f"__ver AS (SELECT n.new_id, k.kept_id FROM __nb n "
+        f"JOIN __kb k ON n.bucket = k.bucket WHERE {cos} >= {thr}), "
+        f"__kdup AS (SELECT new_id, MIN(kept_id) AS kept_match "
+        f"FROM __ver GROUP BY 1), "
+        f"__nn AS (SELECT id_a, id_b FROM ({nn}) ep), "
+        f"__nndrop AS (SELECT DISTINCT p.id_b FROM __nn p "
+        f"WHERE NOT EXISTS (SELECT 1 FROM __kdup kd "
+        f"WHERE kd.new_id = p.id_a)) "
+        f"SELECT d.{id_col}, (kd.new_id IS NOT NULL) AS dup_of_kept, "
+        f"kd.kept_match, "
+        f"(nd.id_b IS NOT NULL) AS dup_within_new, "
+        f"(kd.new_id IS NULL AND nd.id_b IS NULL) AS keep "
+        f"FROM __new d LEFT JOIN __kdup kd ON d.{id_col} = kd.new_id "
+        f"LEFT JOIN __nndrop nd ON d.{id_col} = nd.id_b"
+    )
