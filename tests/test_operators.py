@@ -2213,3 +2213,72 @@ def test_embed_incremental_max_kept_per_bucket_binds(spark, emb):
     ).collect()
     assert not any(x["dup_of_kept"] for x in r)
     assert all(x["kept_match"] is None for x in r)
+
+
+def test_chunk_dedup_semantics(spark):
+    """Identical docs share every chunk (keep only the lexicographically
+    first (doc, chunk) copy); identical chunk text across DIFFERENT
+    windows of one doc also groups; unique chunks keep; n_dups counts
+    corpus-wide copies of the text."""
+    body = " ".join(f"w{i}" for i in range(6))   # 6 tokens
+    df = spark.createDataFrame(
+        [
+            (1, body),          # chunks (chunk=4, stride=2): w0..w3, w2..w5
+            (2, body),          # exact copy of doc 1
+            (3, "x y z"),       # unique single chunk
+        ],
+        "doc_id: long, text: string",
+    )
+    r = {(x["doc_id"], x["chunk_id"]): x
+         for x in dd.chunk_dedup(df, "text", "doc_id", 4, 2).collect()}
+    assert len(r) == 5
+    assert r[(1, 0)]["keep"] and r[(1, 0)]["n_dups"] == 2
+    assert r[(1, 1)]["keep"] and r[(1, 1)]["n_dups"] == 2
+    assert not r[(2, 0)]["keep"] and not r[(2, 1)]["keep"]
+    assert r[(2, 0)]["chunk_md5"] == r[(1, 0)]["chunk_md5"]
+    assert r[(3, 0)]["keep"] and r[(3, 0)]["n_dups"] == 1
+    # within-doc duplicate chunk text: stride == chunk, repeated halves
+    rep = spark.createDataFrame(
+        [(7, "a b a b")], "doc_id: long, text: string"
+    )
+    rr = {x["chunk_id"]: x
+          for x in dd.chunk_dedup(rep, "text", "doc_id", 2, 2).collect()}
+    assert rr[0]["keep"] and not rr[1]["keep"] and rr[1]["n_dups"] == 2
+
+
+def test_chunk_dedup_uid_overflow_guard(spark):
+    """A chunk_id at/above max_chunks_per_doc must raise, not silently
+    collide into the next doc's uid range."""
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(12)))],
+        "doc_id: long, text: string",
+    )
+    with pytest.raises((PySparkRuntimeError, SparkRuntimeException),
+                       match="max_chunks_per_doc"):
+        dd.chunk_dedup(
+            df, "text", "doc_id", 2, 2, max_chunks_per_doc=3
+        ).collect()
+
+
+def test_chunk_near_pairs_semantics(spark):
+    """A lightly-edited copy of a chunk (exact-md5 misses it) surfaces
+    as a near pair; uids unpack to (doc, chunk)."""
+    base = " ".join(f"tok{i}" for i in range(16))
+    edited = base.replace("tok7", "tok7x")
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "entirely different words here")],
+        "doc_id: long, text: string",
+    )
+    k = 1 << 20
+    pairs = dd.chunk_near_pairs(
+        df, "text", "doc_id", 16, 16, k=4
+    ).collect()
+    ids = {(r["uid_a"] // k, r["uid_a"] % k, r["uid_b"] // k,
+            r["uid_b"] % k) for r in pairs}
+    assert (1, 0, 2, 0) in ids
+    assert all(r["uid_a"] < r["uid_b"] for r in pairs)
+    jac = {(r["uid_a"] // k, r["uid_b"] // k): r["jaccard"]
+           for r in pairs}
+    assert jac[(1, 2)] > 0.7

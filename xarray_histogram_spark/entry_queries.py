@@ -153,6 +153,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "dedup_embed_incremental",
     # BPE merge LEARNING's per-step aggregation (VERDICT r08 item 4)
     "text_bpe_pair_counts",
+    # chunk-granular dedup compositions (VERDICT r08 item 5)
+    "dedup_chunks",
+    "dedup_chunks_near",
 )
 
 
@@ -845,6 +848,26 @@ register(
         t_wide(spark, sf_dir, "documents"), "text", "doc_id", 64, 48
     ),
     tx.chunk_windows_sql("documents", "text", "doc_id", 64, 48),
+)
+register(
+    # CHUNK-granular exact dedup (RAG corpora dedup chunks, not docs):
+    # chunk_windows composed under md5-group min-uid verdicts — the
+    # chunk frame is shuffle-free, verdicts add ONE md5-window exchange
+    "dedup_chunks",
+    lambda spark, sf_dir: dd.chunk_dedup(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id", 64, 48
+    ),
+    dd.chunk_dedup_sql("documents", "text", "doc_id", 64, 48),
+)
+register(
+    # chunk-granular NEAR-dup pairs: chunk_windows composed straight
+    # into the banded-LSH + exact-Jaccard machinery with the packed
+    # (doc, chunk) uid as identity
+    "dedup_chunks_near",
+    lambda spark, sf_dir: dd.chunk_near_pairs(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id", 64, 48
+    ),
+    dd.chunk_near_pairs_sql("documents", "text", "doc_id", 64, 48),
 )
 register(
     # real BPE-merge-table token counts (demo merges; the count context

@@ -1391,3 +1391,156 @@ def embed_incremental_sql(
         f"FROM __new d LEFT JOIN __kdup kd ON d.{id_col} = kd.new_id "
         f"LEFT JOIN __nndrop nd ON d.{id_col} = nd.id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# chunk-level dedup: chunk_windows ∘ exact dedup / minhash
+# ---------------------------------------------------------------------------
+
+
+def _chunk_uid(id_col: str, max_chunks_per_doc: int):
+    """(doc, chunk) identity packed into one BIGINT so the generic
+    dedup machinery's single-id semantics (min-id keeps, id_a < id_b
+    pair ordering) apply chunk-wise in (doc_id, chunk_id)-lexicographic
+    order.  A document with ``chunk_id >= max_chunks_per_doc`` would
+    silently collide into a NEIGHBORING doc's uid range — raise
+    instead."""
+    k = F.lit(int(max_chunks_per_doc)).cast("bigint")
+    return F.when(
+        F.col("chunk_id") < k, F.col(id_col) * k + F.col("chunk_id")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("chunk_id overflows max_chunks_per_doc="),
+                k.cast("string"),
+                F.lit(" — raise the cap (doc has too many windows)"),
+            )
+        )
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int,
+    stride_tokens: int,
+    max_chunks_per_doc: int = 1 << 20,
+) -> DataFrame:
+    """EXACT dedup at CHUNK granularity — RAG/embedding corpora dedup
+    the chunks they index, not the parent documents (two near-identical
+    docs chunked with the same window grid share most chunk texts
+    verbatim): ``text.chunk_windows`` composed with the exact-dedup
+    md5-group semantics, per-chunk verdicts.  One row per emitted chunk:
+    (id, ``chunk_id``, ``chunk_md5``, ``keep`` — is this the
+    (doc, chunk)-lexicographically FIRST copy of its text —, ``n_dups``
+    — total copies of that text corpus-wide).
+
+    Scale shape: the chunk frame is a pure projection + posexplode (no
+    shuffle, see ``chunk_windows``); verdicts add exactly ONE exchange —
+    a window over ``chunk_md5`` (min-uid + count in the same pass, no
+    join-back).  Skew: a boilerplate chunk repeated millions of times
+    lands one md5 partition — cap it upstream with
+    ``text.remove_repeated_lines`` / per-domain caps, the same
+    degenerate-key story as ``lsh_candidate_pairs``'s ``max_bucket``."""
+    from .text import chunk_windows
+    from pyspark.sql.window import Window
+
+    ch = chunk_windows(df, text_col, id_col, chunk_tokens, stride_tokens)
+    base = ch.select(
+        F.col(id_col),
+        "chunk_id",
+        H.md5_hex(F.col("chunk_text")).alias("chunk_md5"),
+        _chunk_uid(id_col, max_chunks_per_doc).alias("__uid"),
+    )
+    w = Window.partitionBy("chunk_md5")
+    return base.select(
+        F.col(id_col),
+        "chunk_id",
+        "chunk_md5",
+        (F.col("__uid") == F.min("__uid").over(w)).alias("keep"),
+        F.count(F.lit(1)).over(w).alias("n_dups"),
+    )
+
+
+def chunk_dedup_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int,
+    stride_tokens: int,
+    max_chunks_per_doc: int = 1 << 20,
+) -> str:
+    """DuckDB mirror: ``chunk_windows_sql`` composed under the same
+    min-uid window verdicts (the fixture gate never overflows the uid
+    cap, so the engine's raise_error guard has no mirror arm)."""
+    from .text import chunk_windows_sql
+
+    cw = chunk_windows_sql(table, text_col, id_col, chunk_tokens,
+                           stride_tokens)
+    k = int(max_chunks_per_doc)
+    return (
+        f"WITH __ch AS ({cw}), "
+        f"__b AS (SELECT {id_col}, chunk_id, "
+        f"{H.md5_hex_sql('chunk_text')} AS chunk_md5, "
+        f"({id_col} * {k} + chunk_id) AS __uid FROM __ch) "
+        f"SELECT {id_col}, chunk_id, chunk_md5, "
+        f"(__uid = MIN(__uid) OVER (PARTITION BY chunk_md5)) AS keep, "
+        f"CAST(COUNT(*) OVER (PARTITION BY chunk_md5) AS BIGINT) "
+        f"AS n_dups FROM __b"
+    )
+
+
+def chunk_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int,
+    stride_tokens: int,
+    k: int = 8,
+    max_chunks_per_doc: int = 1 << 20,
+) -> DataFrame:
+    """NEAR-duplicate chunk pairs: ``chunk_windows`` composed straight
+    into the LSH + exact-Jaccard machinery (``jaccard_pairs``) over
+    ``chunk_text`` with the packed (doc, chunk) uid as identity —
+    chunk-granular fuzzy dedup for RAG corpora where exact-md5 misses
+    lightly-edited boilerplate.  Returns (``uid_a``, ``uid_b``,
+    ``jaccard``) with ``uid_a < uid_b``; unpack doc/chunk with
+    ``uid DIV/MOD max_chunks_per_doc``.  Same scale story as
+    ``jaccard_pairs`` (banded candidates, never all-pairs), on the
+    shuffle-free chunk projection."""
+    from .text import chunk_windows
+
+    ch = chunk_windows(df, text_col, id_col, chunk_tokens, stride_tokens)
+    chu = ch.select(
+        _chunk_uid(id_col, max_chunks_per_doc).alias("chunk_uid"),
+        "chunk_text",
+    )
+    return (
+        jaccard_pairs(chu, "chunk_text", "chunk_uid", k)
+        .withColumnRenamed("id_a", "uid_a")
+        .withColumnRenamed("id_b", "uid_b")
+    )
+
+
+def chunk_near_pairs_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int,
+    stride_tokens: int,
+    k: int = 8,
+    max_chunks_per_doc: int = 1 << 20,
+) -> str:
+    from .text import chunk_windows_sql
+
+    cw = chunk_windows_sql(table, text_col, id_col, chunk_tokens,
+                           stride_tokens)
+    kk = int(max_chunks_per_doc)
+    jp = jaccard_pairs_sql("__chu", "chunk_text", "chunk_uid", k)
+    return (
+        f"WITH __ch AS ({cw}), "
+        f"__chu AS (SELECT ({id_col} * {kk} + chunk_id) AS chunk_uid, "
+        f"chunk_text FROM __ch) "
+        f"SELECT id_a AS uid_a, id_b AS uid_b, jaccard FROM ({jp}) jp"
+    )
