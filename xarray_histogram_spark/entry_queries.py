@@ -141,6 +141,19 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # in RAG output) — fewer rows for overlap-mode docs, so the r08
     # green is void.
     "text_chunk_windows",
+    # jaccard_pairs' empty-intersection drop became an arrays_overlap
+    # PRECHECK before the projection (VERDICT r08 "what's wrong" #2:
+    # the projected-__inter filter re-inlined the intersect into the
+    # Filter node; measured ~7% whole-query at sf0.1, results
+    # bit-identical) — any-implementation-change policy re-gates every
+    # jaccard descendant, incl. incremental_dedup (same fix in its
+    # verify step + the NOT IN → NOT EXISTS oracle robustness fix).
+    "dedup_jaccard",
+    "dedup_near_keep",
+    "dedup_components",
+    "dedup_keep_best",
+    "dedup_cluster_size_hist",
+    "dedup_incremental",
 )
 
 

@@ -247,12 +247,26 @@ def jaccard_pairs(
     Exactness vs the inner-join formulation (and the unchanged DuckDB
     oracle): a candidate pair with an EMPTY shingle intersection produces
     no row there — the inner join on ``sa.sh = sb.sh`` has nothing to
-    match — so this form filters ``intersection >= 1`` rather than
-    emitting jaccard = 0.0.  Null faithfulness: a null-text document's
-    shingle array is ``[null]`` (size 1) and the old join never matched
-    null shingles, so the a-side set is null-filtered before
-    ``array_intersect`` (whose own null-matching semantics must not leak
-    in) — a null-null candidate pair is dropped, not scored 1.0.
+    match — so this form drops empty intersections rather than emitting
+    jaccard = 0.0.  That drop is an ``arrays_overlap`` PRECHECK placed
+    BEFORE the projection (round 9): filtering on a projected
+    ``size(array_intersect(...)) >= 1`` alias re-inlines the whole
+    intersect into the Filter node — PushPredicateThroughNonJoin
+    substitutes aliases even across a dedicated materializing
+    projection (probe-verified; the CollapseProject multi-reference
+    trick does NOT apply to Filters), so the intersect ran once in the
+    Filter and once in the Project per candidate row.  ``arrays_overlap``
+    is equivalent here (a-side null-filtered: true iff a common non-null
+    element exists; the no-common-plus-null NULL result drops the row
+    exactly like intersection 0) and early-exits on the first shared
+    shingle — band candidates share many — leaving the projection's
+    single in-node-CSE'd intersect as the only full computation
+    (interleaved A/B at sf0.1: ~7% whole-query).  Null faithfulness: a
+    null-text document's shingle array is ``[null]`` (size 1) and the
+    old join never matched null shingles, so the a-side set is
+    null-filtered before ``array_intersect``/``arrays_overlap`` (whose
+    own null-matching semantics must not leak in) — a null-null
+    candidate pair is dropped, not scored 1.0.
 
     ``broadcast_pairs=False`` drops the broadcast hint for corpora whose
     candidate set exceeds driver/broadcast memory and lets AQE pick the
@@ -270,24 +284,15 @@ def jaccard_pairs(
         pairs.join(shs.alias("a"), pairs["id_a"] == F.col("a._sid"))
         .join(shs.alias("b"), pairs["id_b"] == F.col("b._sid"))
     )
-    inter = F.size(
-        F.array_intersect(
-            F.filter(F.col("a.shset"), lambda x: x.isNotNull()),
-            F.col("b.shset"),
-        )
-    )
-    return (
-        joined.select(
-            "id_a",
-            "id_b",
-            inter.alias("__inter"),
-            (
-                inter.cast("double")
-                / (F.col("a.nsh") + F.col("b.nsh") - inter).cast("double")
-            ).alias("jaccard"),
-        )
-        .where(F.col("__inter") >= 1)
-        .drop("__inter")
+    a_nn = F.filter(F.col("a.shset"), lambda x: x.isNotNull())
+    inter = F.size(F.array_intersect(a_nn, F.col("b.shset")))
+    return joined.where(F.arrays_overlap(a_nn, F.col("b.shset"))).select(
+        "id_a",
+        "id_b",
+        (
+            inter.cast("double")
+            / (F.col("a.nsh") + F.col("b.nsh") - inter).cast("double")
+        ).alias("jaccard"),
     )
 
 
@@ -1073,21 +1078,23 @@ def incremental_dedup(
     if broadcast_new:
         small = F.broadcast(small)
     joined = small.join(ksh, small["kept_id"] == ksh["_kid"])
-    inter = F.size(
-        F.array_intersect(
-            F.filter(F.col("_nset"), lambda x: x.isNotNull()), F.col("_kset")
-        )
-    )
-    verified = joined.select(
-        "new_id", "kept_id", inter.alias("_i"), "_nsz", "_ksz"
-    ).where(
-        (F.col("_i") >= 1)
+    # one Filter, no projected _i: the former select(_i)-then-where
+    # shape re-inlined the intersect into the pushed Filter (it cannot
+    # CSE with the projection's copy — see jaccard_pairs' round-9 note);
+    # here the verdict columns don't need _i at all, so the whole
+    # verification is a single short-circuiting Filter — arrays_overlap
+    # early-exits non-overlapping candidates, the in-node-CSE'd
+    # intersect runs ONCE for the rest.
+    a_nn = F.filter(F.col("_nset"), lambda x: x.isNotNull())
+    inter = F.size(F.array_intersect(a_nn, F.col("_kset")))
+    verified = joined.where(
+        F.arrays_overlap(a_nn, F.col("_kset"))
         & (
-            F.col("_i").cast("double")
-            / (F.col("_nsz") + F.col("_ksz") - F.col("_i")).cast("double")
+            inter.cast("double")
+            / (F.col("_nsz") + F.col("_ksz") - inter).cast("double")
             >= thr
         )
-    )
+    ).select("new_id", "kept_id")
     kdup = verified.groupBy("new_id").agg(F.min("kept_id").alias("kept_match"))
 
     # new-vs-new among kept-survivors: one-level min-id-first greedy
@@ -1163,8 +1170,13 @@ def incremental_dedup_sql(
         f"__kdup AS (SELECT new_id, MIN(kept_id) AS kept_match "
         f"FROM __nk GROUP BY 1), "
         f"__nn AS (SELECT id_a, id_b FROM ({nn}) jp WHERE jaccard >= {thr}), "
+        # NOT EXISTS, not NOT IN: three-valued logic would return NO
+        # rows if a NULL id ever reached the pair list, silently
+        # diverging from the Spark path's anti-join (advice-found;
+        # unreachable with non-NULL-id corpora but latent).
         f"__nndrop AS (SELECT DISTINCT p.id_b FROM __nn p "
-        f"WHERE p.id_a NOT IN (SELECT new_id FROM __kdup)) "
+        f"WHERE NOT EXISTS (SELECT 1 FROM __kdup kd "
+        f"WHERE kd.new_id = p.id_a)) "
         f"SELECT d.{id_col}, (kd.new_id IS NOT NULL) AS dup_of_kept, "
         f"kd.kept_match, "
         f"(nd.id_b IS NOT NULL) AS dup_within_new, "
