@@ -2282,3 +2282,53 @@ def test_chunk_near_pairs_semantics(spark):
     jac = {(r["uid_a"] // k, r["uid_b"] // k): r["jaccard"]
            for r in pairs}
     assert jac[(1, 2)] > 0.7
+
+
+def test_bpe_pair_counts_one_shot_iterable(spark):
+    """A generator merge table must count under the REQUESTED table, not
+    silently fall back to step-0 after the length probe exhausted it
+    (review-found)."""
+    df = spark.createDataFrame([(1, "the the")], "doc_id: long, text: string")
+    got = {
+        (r["pair_left"], r["pair_right"]): r["cnt"]
+        for r in tx.bpe_pair_counts(
+            df, "text", iter([("t", "h")])
+        ).collect()
+    }
+    assert got == {("th", "e"): 2}
+
+
+def test_learn_bpe_merges_skips_reserved_bytes(spark):
+    """A corpus carrying U+001E in punctuation runs must not teach a
+    merge the encoder itself rejects (review-found: the next learning
+    step would crash in _check_merges)."""
+    df = spark.createDataFrame(
+        [(1, "\x1e\x1e \x1e\x1e ab ab")], "doc_id: long, text: string"
+    )
+    got = tx.learn_bpe_merges(df, "text", 5)
+    assert got == [("a", "b")]
+    # and the learned table is consumable
+    tx.bpe_token_count(df, "text", "doc_id", got).collect()
+
+
+def test_chunk_uid_doc_id_overflow_guard(spark):
+    """Snowflake-scale doc ids beyond 2^63/cap must raise, not wrap the
+    bigint multiply into another doc's uid range (review-found)."""
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(2**60, "a b c d")], "doc_id: long, text: string"
+    )
+    with pytest.raises((PySparkRuntimeError, SparkRuntimeException),
+                       match="uid overflow"):
+        dd.chunk_dedup(df, "text", "doc_id", 2, 2).collect()
+    # renumbering or lowering the cap clears it: 2^60 < 2^63/4
+    assert dd.chunk_dedup(
+        df, "text", "doc_id", 2, 2, max_chunks_per_doc=4
+    ).count() == 2
+
+
+def test_embed_incremental_requires_kept_side(spark, emb):
+    new = emb.limit(3).select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="kept_df"):
+        dd.embed_incremental(new, None)

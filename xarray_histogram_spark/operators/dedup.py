@@ -1287,6 +1287,11 @@ def embed_incremental(
     from .similarity import PLANES, embed_dup_pairs, with_lsh_bucket
     from ..functions import vectors as V
 
+    if kept_df is None and kept_index is None:
+        raise ValueError(
+            "pass kept_df (vectors, bucketized here) or kept_index "
+            "(a persisted embed_index frame)"
+        )
     planes = PLANES if planes is None else planes
     thr = F.lit(float(threshold))
     nb = with_lsh_bucket(new_df, vec_col, planes).select(
@@ -1414,18 +1419,27 @@ def _chunk_uid(id_col: str, max_chunks_per_doc: int):
     """(doc, chunk) identity packed into one BIGINT so the generic
     dedup machinery's single-id semantics (min-id keeps, id_a < id_b
     pair ordering) apply chunk-wise in (doc_id, chunk_id)-lexicographic
-    order.  A document with ``chunk_id >= max_chunks_per_doc`` would
-    silently collide into a NEIGHBORING doc's uid range — raise
-    instead."""
-    k = F.lit(int(max_chunks_per_doc)).cast("bigint")
+    order.  Both overflow directions RAISE instead of colliding
+    (review-found: the first cut guarded only chunk_id): a document
+    with ``chunk_id >= max_chunks_per_doc`` would silently land in a
+    NEIGHBORING doc's uid range, and a doc id beyond
+    ``(2^63-1) / max_chunks_per_doc`` (snowflake-style ids at the
+    default cap) would wrap the bigint multiply under Spark's
+    non-ANSI arithmetic and collide across UNRELATED docs."""
+    kv = int(max_chunks_per_doc)
+    k = F.lit(kv).cast("bigint")
+    id_bound = F.lit((2**63 - 1) // kv).cast("bigint")
     return F.when(
-        F.col("chunk_id") < k, F.col(id_col) * k + F.col("chunk_id")
+        (F.col("chunk_id") < k) & (F.abs(F.col(id_col)) < id_bound),
+        F.col(id_col) * k + F.col("chunk_id"),
     ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("chunk_id overflows max_chunks_per_doc="),
+                F.lit("(doc_id, chunk_id) uid overflow at "
+                      "max_chunks_per_doc="),
                 k.cast("string"),
-                F.lit(" — raise the cap (doc has too many windows)"),
+                F.lit(": need chunk_id < cap (raise the cap) and "
+                      "|doc_id| < 2^63/cap (renumber or lower the cap)"),
             )
         )
     )

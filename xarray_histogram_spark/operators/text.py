@@ -1201,8 +1201,11 @@ def _check_merges_maybe_empty(merges) -> list:
     """`_check_merges` minus the non-empty requirement: pair COUNTING is
     well-defined under an empty table (the character-level step-0 state
     merge learning starts from), unlike token counting, where an empty
-    table is almost certainly a caller bug."""
-    return _check_merges(merges) if len(tuple(merges)) else []
+    table is almost certainly a caller bug.  Materialized ONCE up front:
+    measuring a one-shot iterator's length and then re-iterating it
+    would silently validate the empty remainder (review-found)."""
+    merges = tuple(merges)
+    return _check_merges(merges) if merges else []
 
 
 def bpe_pair_counts(
@@ -1361,6 +1364,13 @@ def learn_bpe_merges(
     the precondition :func:`bpe_token_cols` requires.  Stops early when
     no pair occurs twice.  Returns the FULL merge list (given + learned).
 
+    Pairs whose tokens contain the U+001E/U+001F control bytes are
+    EXCLUDED from the argmax (review-found): the state encoding reserves
+    them (``_check_merges`` rejects such tables), so learning one from a
+    corpus that happens to carry chr(30) in punctuation runs would
+    produce a table the encoder itself refuses — and crash the next
+    learning step.  Such bytes are corpus noise, not vocabulary.
+
     Scale shape: ``n_merges`` sequential jobs, each one map-combined
     shuffle + a 1-row driver fetch; driver state is O(merges).  The
     per-step cost grows with the table (the fold is
@@ -1370,10 +1380,15 @@ def learn_bpe_merges(
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
     out = list(_check_merges_maybe_empty(merges))
+    reserved = "[\x1e\x1f]"
     for _ in range(int(n_merges)):
         top = (
             bpe_pair_counts(df, text_col, out)
-            .where(F.col("cnt") >= F.lit(2))
+            .where(
+                (F.col("cnt") >= F.lit(2))
+                & ~F.col("pair_left").rlike(reserved)
+                & ~F.col("pair_right").rlike(reserved)
+            )
             .orderBy(
                 F.desc("cnt"), F.asc("pair_left"), F.asc("pair_right")
             )
