@@ -106,14 +106,21 @@ SELECTION: dict[str, tuple[list[str], str]] = {
         "this is scan-bounded, embarrassingly parallel work.",
     ),
     "dedup_jaccard": (
-        ["BroadcastHashJoin", "array_intersect", "array_distinct"],
-        "Exact Jaccard on LSH candidates (round-5 shape): each document's "
-        "shingle SET is a per-row `array_distinct` array with its size in "
-        "the same row — no corpus-wide explode+distinct relation at all "
-        "(the old shape evaluated that shuffle three times: sizes, side a, "
-        "side b). The output-bounded candidate pairs broadcast; the two "
-        "joins probe map-side and the intersection is a per-pair-row "
-        "`array_intersect`. Exactly the TWO exchanges of candidate "
+        ["BroadcastHashJoin", "array_intersect", "array_distinct",
+         "arrays_overlap"],
+        "Exact Jaccard on LSH candidates (round-5 shape + round-9 filter "
+        "fix): each document's shingle SET is a per-row `array_distinct` "
+        "array with its size in the same row — no corpus-wide "
+        "explode+distinct relation at all (the old shape evaluated that "
+        "shuffle three times: sizes, side a, side b). The output-bounded "
+        "candidate pairs broadcast; the two joins probe map-side and the "
+        "intersection is a per-pair-row `array_intersect` computed ONCE — "
+        "the empty-intersection drop is an early-exit `arrays_overlap` "
+        "PRECHECK before the projection, because filtering on a projected "
+        "`size(array_intersect)` alias re-inlines the intersect into the "
+        "Filter node (PushPredicateThroughNonJoin substitutes aliases even "
+        "across a materializing projection — measured 2× intersect/row, "
+        "~7% whole-query). Exactly the TWO exchanges of candidate "
         "generation survive (band buckets, pair dedup) — verification adds "
         "zero.",
     ),
@@ -182,6 +189,64 @@ SELECTION: dict[str, tuple[list[str], str]] = {
         "same operators behind a StateStore.) Watermarked windowed groupBy: "
         "state is (window, group, bin) → count, bounded by the watermark "
         "horizon; the spine join for labels is stream-static broadcast.",
+    ),
+    "sample_balanced": (
+        ["Filter", "CASE WHEN"],
+        "Mixture rebalancing: group counts are ONE k-row aggregate "
+        "collected at build time; the main plan is the literal CASE "
+        "threshold as a bare Filter over the scan — zero joins, zero "
+        "exchanges, pushable with any downstream plan.",
+    ),
+    "sim_ann_batch": (
+        ["BroadcastHashJoin", "WindowGroupLimit"],
+        "Batched multiprobe ANN (3 queries, one plan): probe ranking is "
+        "a window over the tiny queries×masks frame; the corpus is "
+        "touched by ONE BroadcastHashJoin on the bucket key; the "
+        "per-query top-k compiles to WindowGroupLimit — per-partition "
+        "k-pruning BEFORE the candidate exchange, so at scale only ~k "
+        "rows per query per partition cross the wire.",
+    ),
+    "events_retention": (
+        ["Window", "HashAggregate"],
+        "Cohort retention with no first-seen join: distinct (user, "
+        "period) is the only input-sized exchange; the cohort comes "
+        "from a user-partitioned window MIN over the already-small "
+        "distinct frame; the final (cohort, offset) count is "
+        "output-bounded with a map-side partial. A naive "
+        "first-seen-table formulation adds a join and a fourth "
+        "exchange.",
+    ),
+    "dedup_embed_incremental": (
+        ["BroadcastHashJoin", "SortMergeJoin LeftAnti"],
+        "Incremental semantic dedup, the 100 TB asymmetry made visible: "
+        "the kept corpus's persisted bucket-partitioned index appears "
+        "ONLY as the probe side of a BroadcastHashJoin whose build side "
+        "is the broadcast shard (no kept-side Exchange anywhere in the "
+        "plan); every Exchange below the verdict joins is over "
+        "shard-sized frames (per-new-id min, the shard's own bucket "
+        "self-join, the survivor LeftAnti). The gate runs the REAL "
+        "persisted-index path, so the plan includes the metadata-stamped "
+        "index scan.",
+    ),
+    "text_bpe_pair_counts": (
+        ["HashAggregate", "Generate"],
+        "BPE merge learning's per-step aggregation: the merges fold "
+        "appears ONCE (Project → Generate → partial/final HashAggregate "
+        "around one Exchange). The explode argument is an INLINE "
+        "expression deliberately — exploding a materialized attribute "
+        "triggers InferFiltersFromGenerate's `size(a) > 0` filter, which "
+        "predicate pushdown inlines below the projection and the whole "
+        "fold runs 3× per row in a Filter that cannot CSE with the "
+        "Project (plan-found in round 9, pinned in test_plans.py).",
+    ),
+    "dedup_chunks": (
+        ["Window", "Generate"],
+        "Chunk-granular exact dedup: the chunk frame is the shuffle-free "
+        "chunk_windows projection+Generate; verdicts add exactly ONE "
+        "Exchange — a window over chunk_md5 computing min-uid and count "
+        "in the same pass (no groupBy + join-back, which would cross the "
+        "chunk relation twice). The packed (doc, chunk) uid raises on "
+        "both overflow directions rather than colliding ranges.",
     ),
 }
 
