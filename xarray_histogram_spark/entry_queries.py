@@ -58,14 +58,18 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 
 
 # Round-9 rotation refresh.  _DRIVER_VERIFIED holds the 50 names
-# CORRECTNESS_r08.json hash-verified (the freshest greens), so the
-# driver's ~50-query window reaches the 34 entries whose freshest green
-# is r06 (two rounds old — they lead _STALE_PRIORITY unconditionally per
-# the capacity policy below) and then the 44 r07-green entries in
-# registry order.  All stale entries have UNCHANGED plans and oracles
-# since their last driver green and stay green in the local
-# full-registry gates (test_entry_contract, driver_sim); the rotation
-# itself is pure evidence-freshness maintenance.
+# CORRECTNESS_r08.json hash-verified (the freshest greens), minus
+# text_chunk_windows (moved to _CHANGED_THIS_ROUND), so the driver's
+# ~50-query window reaches the 34 entries whose freshest green is r06
+# (two rounds old — they lead _STALE_PRIORITY unconditionally per the
+# capacity policy below) and then the 44 r07-green entries in registry
+# order.  Window arithmetic this round: 4 new + 7 changed + 34 stale +
+# ~5 r07 fills = 50 — which leaves ~39 r07 names for round 10's stale
+# head, so ROUND 10 MUST KEEP NEW+CHANGED ≤ ~11 to close the cycle.
+# All stale entries have UNCHANGED plans and oracles since their last
+# driver green and stay green in the local full-registry gates
+# (test_entry_contract, driver_sim); the rotation itself is pure
+# evidence-freshness maintenance.
 #
 # CAPACITY POLICY (decided round 8, per VERDICT r07 item 2): the registry
 # holds ~124 entries against a ~50-query driver window, so steady-state
