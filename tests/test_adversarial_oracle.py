@@ -657,3 +657,94 @@ def test_adv_ann_indexed_degenerate_vectors(spark, tmp_path):
     assert [(r.vec_id, r.cos) for r in got.collect()] == [
         (r.vec_id, r.cos) for r in mem
     ]
+
+
+def test_adv_chunk_windows(spark, adv):
+    df, con = adv
+    for chunk, stride in ((4, 2), (2, 5), (3, 3)):
+        _check(tx.chunk_windows(df, "text", "doc_id", chunk, stride),
+               tx.chunk_windows_sql("adocs", "text", "doc_id",
+                                    chunk, stride), con)
+
+
+def test_adv_chunk_dedup(spark, adv):
+    df, con = adv
+    _check(dd.chunk_dedup(df, "text", "doc_id", 4, 2),
+           dd.chunk_dedup_sql("adocs", "text", "doc_id", 4, 2), con)
+    _check(dd.chunk_near_pairs(df, "text", "doc_id", 4, 2, k=4),
+           dd.chunk_near_pairs_sql("adocs", "text", "doc_id", 4, 2, k=4),
+           con)
+
+
+def test_adv_bpe_pair_counts(spark, adv):
+    df, con = adv
+    for merges in ((), tx.DEMO_BPE_MERGES, (("a", "a"), ("-", "-"))):
+        _check(tx.bpe_pair_counts(df, "text", merges),
+               tx.bpe_pair_counts_sql("adocs", "text", merges), con)
+
+
+def test_adv_incremental_dedup(spark, adv):
+    df, con = adv
+    new = df.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    kept = df.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    _check(
+        dd.incremental_dedup(new, kept, "text", "doc_id"),
+        dd.incremental_dedup_sql(
+            "SELECT doc_id, text FROM adocs WHERE doc_id % 2 = 0",
+            "SELECT doc_id, text FROM adocs WHERE doc_id % 2 = 1",
+            "text", "doc_id",
+        ),
+        con,
+    )
+
+
+def test_adv_embed_incremental(spark, tmp_path_factory):
+    """embed_incremental parity on crafted DEGENERATE vectors the
+    fixtures never contain: NULL embedding, zero-norm, NaN element,
+    exact copies straddling the shard split."""
+    import math
+
+    from xarray_histogram_spark.operators.similarity import DIM
+
+    def vec(seed):
+        return [float((seed * 31 + i * 7) % 13 - 6) for i in range(DIM)]
+
+    # split below: even ids = incoming shard, odd ids = keeper corpus
+    rows = [
+        (0, vec(1)), (2, vec(1)),                   # new-new dup pair
+        (1, vec(2)), (6, vec(2)),                   # new 6 copies kept 1
+        (3, None),                                  # NULL embedding (kept)
+        (4, [0.0] * DIM),                           # zero norm (new)
+        (5, vec(3)[:-1] + [float("nan")]),          # NaN element (kept)
+        (7, vec(4)), (8, vec(4)),                   # new 8 copies kept 7
+    ]
+    p = str(tmp_path_factory.mktemp("advemb") / "emb.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW aemb AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    new = df.where(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    kept = df.where(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    res = dd.embed_incremental(new, kept, threshold=0.99)
+    _check(
+        res,
+        dd.embed_incremental_sql(
+            "SELECT vec_id, embedding FROM aemb WHERE vec_id % 2 = 0",
+            "SELECT vec_id, embedding FROM aemb WHERE vec_id % 2 = 1",
+            threshold=0.99,
+        ),
+        con,
+    )
+    r = {x["vec_id"]: x for x in res.collect()}
+    # copies across the split verify; the new-new pair (0, 2) is caught
+    # one way or the other (dup_within_new if 0 survived the kept check,
+    # dup_of_kept otherwise — the structured vectors may legitimately
+    # clear 0.99 against a kept vector); zero-norm NULL cosine keeps
+    assert r[6]["dup_of_kept"]
+    assert r[8]["dup_of_kept"]
+    assert not r[2]["keep"]
+    assert r[4]["keep"]
