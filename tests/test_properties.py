@@ -860,3 +860,68 @@ def test_bpe_pair_counts_match_spec_and_mirror(spark, texts, merges):
     exp = _bpe_pair_spec(texts, merges)
     assert got == exp, (merges, got, exp)
     assert duck == exp, (merges, duck, exp)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.text(alphabet="ab c\t\nd-é", max_size=40), st.none()
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=7),
+)
+def test_chunk_windows_matches_spec_and_mirror(spark, texts, chunk, stride):
+    """chunk_windows (round-9 end-coverage stop) equals the executable
+    spec and the DuckDB mirror for random texts and window geometries,
+    incl. stride > chunk sampling gaps; every emitted window extends
+    strictly past its predecessor (no contained trailing windows)."""
+    import duckdb
+    import pandas as pd
+
+    from xarray_histogram_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in tx.chunk_windows(df, "text", "doc_id", chunk, stride).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "cdocs",
+        pd.DataFrame(
+            {"doc_id": range(len(texts)),
+             "text": pd.array(texts, dtype="string")}
+        ),
+    )
+    duck = sorted(
+        tuple(r)
+        for r in con.execute(
+            tx.chunk_windows_sql("cdocs", "text", "doc_id", chunk, stride)
+        ).fetchall()
+    )
+    ref = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        toks = t.split()
+        n = len(toks)
+        if n == 0:
+            continue
+        stop = min(n - 1, max(n - chunk, 0) + stride - 1)
+        for s in range(0, stop + 1, stride):
+            w = toks[s:s + chunk]
+            ref.append((i, s // stride, len(w), " ".join(w)))
+    assert got == sorted(ref), (chunk, stride, got, sorted(ref))
+    assert duck == sorted(ref)
+    ends = {}
+    for (i, cid, nw, _t) in got:
+        ends.setdefault(i, []).append(cid * stride + nw)
+    for ee in ends.values():
+        ee.sort()
+        assert all(a < b for a, b in zip(ee, ee[1:]))
