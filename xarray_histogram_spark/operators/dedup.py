@@ -1534,7 +1534,14 @@ def chunk_near_pairs(
     ``jaccard``) with ``uid_a < uid_b``; unpack doc/chunk with
     ``uid DIV/MOD max_chunks_per_doc``.  Same scale story as
     ``jaccard_pairs`` (banded candidates, never all-pairs), on the
-    shuffle-free chunk projection."""
+    shuffle-free chunk projection — with one honest caveat: the chunk
+    frame is a SUBTREE consumed three times inside the jaccard
+    machinery (band rows, a-side sets, b-side sets) and Spark does not
+    share duplicate subtrees, so the corpus is re-chunked ~3× within
+    the one plan.  Fine at gate scale; for very large corpora or
+    repeated runs, MATERIALIZE the chunk frame (parquet/cache) once and
+    run ``jaccard_pairs`` on the materialized table — the same
+    persisted-intermediate pattern as ``band_rows``."""
     from .text import chunk_windows
 
     ch = chunk_windows(df, text_col, id_col, chunk_tokens, stride_tokens)
