@@ -2326,6 +2326,22 @@ def test_chunk_uid_doc_id_overflow_guard(spark):
     assert dd.chunk_dedup(
         df, "text", "doc_id", 2, 2, max_chunks_per_doc=4
     ).count() == 2
+    # abs(Long.MIN_VALUE) wraps negative — the guard must use direct
+    # two-ended comparisons, or -2^63 sails through (review-found)
+    dfmin = spark.createDataFrame(
+        [(-(2**63), "a b c d")], "doc_id: long, text: string"
+    )
+    with pytest.raises((PySparkRuntimeError, SparkRuntimeException),
+                       match="uid overflow"):
+        dd.chunk_dedup(dfmin, "text", "doc_id", 2, 2).collect()
+    # NULL doc id has no chunk identity: raise with the cause NAMED,
+    # not a misleading cap complaint (review-found)
+    dfnull = spark.createDataFrame(
+        [(None, "a b c d")], "doc_id: long, text: string"
+    )
+    with pytest.raises((PySparkRuntimeError, SparkRuntimeException),
+                       match="non-NULL doc id"):
+        dd.chunk_dedup(dfnull, "text", "doc_id", 2, 2).collect()
 
 
 def test_embed_incremental_requires_kept_side(spark, emb):

@@ -1419,18 +1419,25 @@ def _chunk_uid(id_col: str, max_chunks_per_doc: int):
     """(doc, chunk) identity packed into one BIGINT so the generic
     dedup machinery's single-id semantics (min-id keeps, id_a < id_b
     pair ordering) apply chunk-wise in (doc_id, chunk_id)-lexicographic
-    order.  Both overflow directions RAISE instead of colliding
-    (review-found: the first cut guarded only chunk_id): a document
-    with ``chunk_id >= max_chunks_per_doc`` would silently land in a
-    NEIGHBORING doc's uid range, and a doc id beyond
+    order.  Every unpackable input RAISES instead of colliding
+    (review-found, twice): a document with
+    ``chunk_id >= max_chunks_per_doc`` would silently land in a
+    NEIGHBORING doc's uid range; a doc id beyond
     ``(2^63-1) / max_chunks_per_doc`` (snowflake-style ids at the
     default cap) would wrap the bigint multiply under Spark's
-    non-ANSI arithmetic and collide across UNRELATED docs."""
+    non-ANSI arithmetic and collide across UNRELATED docs — and the
+    bound is checked with direct comparisons on BOTH ends, never
+    ``abs()``, because ``abs(Long.MIN_VALUE)`` itself wraps negative
+    and would sail through an ``abs < bound`` guard; a NULL doc id
+    (no chunk identity at all) also lands in the raise arm via the
+    condition's NULL, with the message naming it."""
     kv = int(max_chunks_per_doc)
     k = F.lit(kv).cast("bigint")
     id_bound = F.lit((2**63 - 1) // kv).cast("bigint")
     return F.when(
-        (F.col("chunk_id") < k) & (F.abs(F.col(id_col)) < id_bound),
+        (F.col("chunk_id") < k)
+        & (F.col(id_col) > -id_bound)
+        & (F.col(id_col) < id_bound),
         F.col(id_col) * k + F.col("chunk_id"),
     ).otherwise(
         F.raise_error(
@@ -1438,8 +1445,9 @@ def _chunk_uid(id_col: str, max_chunks_per_doc: int):
                 F.lit("(doc_id, chunk_id) uid overflow at "
                       "max_chunks_per_doc="),
                 k.cast("string"),
-                F.lit(": need chunk_id < cap (raise the cap) and "
-                      "|doc_id| < 2^63/cap (renumber or lower the cap)"),
+                F.lit(": need a non-NULL doc id, chunk_id < cap "
+                      "(raise the cap), and |doc_id| < 2^63/cap "
+                      "(renumber or lower the cap)"),
             )
         )
     )
