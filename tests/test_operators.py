@@ -2348,3 +2348,65 @@ def test_embed_incremental_requires_kept_side(spark, emb):
     new = emb.limit(3).select("vec_id", "embedding")
     with pytest.raises(ValueError, match="kept_df"):
         dd.embed_incremental(new, None)
+
+
+def test_extend_band_index_roundtrip(spark, docs, tmp_path):
+    """Closing the incremental loop: index(kept) + append(shard keepers)
+    must equal band_rows(kept UNION keepers) — so shard N+1 probes see
+    shard N's admissions; the shingle width comes from the stamp and a
+    stampless index is refused."""
+    kept = docs.where(F.col("doc_id") % 4 != 3).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 4 == 3).select("doc_id", "text")
+    path = str(tmp_path / "bandidx")
+    dd.band_rows(kept, "text", "doc_id").write.parquet(path)
+    verdicts = dd.incremental_dedup(new, kept, "text", "doc_id")
+    dd.extend_band_index(new, verdicts, path, "text", "doc_id")
+    keep_ids = {r["doc_id"] for r in verdicts.where("keep").collect()}
+    expected_docs = kept.unionAll(
+        new.where(F.col("doc_id").isin(*keep_ids) if keep_ids else F.lit(False))
+    )
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    exp = sorted(map(tuple, dd.band_rows(
+        expected_docs, "text", "doc_id").collect()))
+    assert got == exp and len(got) > 0
+    # the stamp survives the append (read back, probe with the index)
+    idx = spark.read.parquet(path)
+    assert idx.schema["bk"].metadata["shingle_k"] == 8
+    with pytest.raises(ValueError, match="keep"):
+        dd.extend_band_index(new, verdicts.drop("keep"), path,
+                             "text", "doc_id")
+    bare = str(tmp_path / "bare")
+    spark.read.parquet(path).withMetadata("bk", {}).write.parquet(bare)
+    with pytest.raises(ValueError, match="shingle_k"):
+        dd.extend_band_index(new, verdicts, bare, "text", "doc_id")
+
+
+def test_extend_embed_index_roundtrip(spark, emb, tmp_path):
+    """Embedding analog: extended index == embed_index(kept UNION
+    keepers) with partition layout and stamp intact; wrong planes are
+    refused BEFORE any write."""
+    from xarray_histogram_spark.operators import similarity as sim
+
+    kept = emb.where(F.col("vec_id") % 5 != 2).select("vec_id", "embedding")
+    new = emb.where(F.col("vec_id") % 5 == 2).select("vec_id", "embedding")
+    path = str(tmp_path / "embidx")
+    dd.embed_index(kept).write.partitionBy("bucket").parquet(path)
+    verdicts = dd.embed_incremental(new, kept, 0.35)
+    dd.extend_embed_index(new, verdicts, path)
+    keep_ids = {r["vec_id"] for r in verdicts.where("keep").collect()}
+    assert keep_ids
+    got = sorted(
+        (r["vec_id"], r["bucket"], tuple(r["embedding"]))
+        for r in spark.read.parquet(path).collect()
+    )
+    exp_docs = kept.unionAll(new.where(F.col("vec_id").isin(*keep_ids)))
+    exp = sorted(
+        (r["vec_id"], r["bucket"], tuple(r["embedding"]))
+        for r in dd.embed_index(exp_docs).collect()
+    )
+    assert got == exp
+    # the extended index still drives embed_incremental (stamp intact)
+    idx = spark.read.parquet(path)
+    dd.embed_incremental(new.limit(3), None, 0.35, kept_index=idx).collect()
+    with pytest.raises(ValueError, match="stamp"):
+        dd.extend_embed_index(new, verdicts, path, planes=sim.ANN_PLANES)

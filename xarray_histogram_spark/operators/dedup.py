@@ -1585,3 +1585,93 @@ def chunk_near_pairs_sql(
         f"chunk_text FROM __ch) "
         f"SELECT id_a AS uid_a, id_b AS uid_b, jaccard FROM ({jp}) jp"
     )
+
+
+# ---------------------------------------------------------------------------
+# keeper-index maintenance: close the incremental-dedup production loop
+# ---------------------------------------------------------------------------
+
+
+def _kept_new(new_df: DataFrame, verdicts: DataFrame, id_col: str) -> DataFrame:
+    """The shard rows whose verdict is ``keep`` — the docs that enter the
+    keeper corpus after :func:`incremental_dedup` / :func:`embed_incremental`."""
+    if "keep" not in verdicts.columns:
+        raise ValueError("verdicts frame has no 'keep' column — pass the "
+                         "output of incremental_dedup / embed_incremental")
+    keep_ids = verdicts.where(F.col("keep")).select(id_col)
+    return new_df.join(F.broadcast(keep_ids), id_col)
+
+
+def extend_band_index(
+    new_df: DataFrame,
+    verdicts: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+) -> None:
+    """APPEND the kept shard docs' band rows to the persisted
+    ``band_rows`` index at ``path`` — the step that closes the
+    incremental-dedup production loop (shard N's keepers must be in the
+    index before shard N+1 probes it; without this, cross-shard
+    duplicates admitted in different shards never see each other).
+
+    The shingle width comes FROM the index's own ``shingle_k`` stamp —
+    never from a parameter that could drift from it — and the appended
+    rows are written through :func:`band_rows`, which re-stamps it, so
+    the extended index stays self-describing.  Scale shape: one
+    shard-sized map stage + append write; the existing index is read
+    only for its schema (no data scan)."""
+    spark = new_df.sparkSession
+    idx_schema = spark.read.parquet(path).schema
+    if "bk" not in idx_schema.names:
+        raise ValueError(f"{path} is not a band_rows index (no 'bk')")
+    k = idx_schema["bk"].metadata.get("shingle_k")
+    if k is None:
+        raise ValueError(
+            f"{path} carries no shingle_k metadata — rebuild with "
+            "band_rows() and a metadata-preserving writer"
+        )
+    rows = band_rows(_kept_new(new_df, verdicts, id_col), text_col,
+                     id_col, int(k))
+    rows.write.mode("append").parquet(path)
+
+
+def extend_embed_index(
+    new_df: DataFrame,
+    verdicts: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes=None,
+) -> None:
+    """APPEND the kept shard vectors to the persisted :func:`embed_index`
+    at ``path`` (bucket-partitioned parquet) — the embedding analog of
+    :func:`extend_band_index`.  The hyperplanes must reproduce the
+    index's ``lsh_planes_fp`` stamp; a mismatch is refused BEFORE any
+    write (appending rows bucketized under different planes would
+    corrupt the index silently).  The append lands in the existing
+    ``bucket=`` directories, preserving partition pruning."""
+    from .similarity import PLANES
+
+    planes = PLANES if planes is None else planes
+    spark = new_df.sparkSession
+    idx_schema = spark.read.parquet(path).schema
+    if "bucket" not in idx_schema.names or vec_col not in idx_schema.names:
+        raise ValueError(f"{path} is not an embed_index (needs 'bucket' "
+                         f"and '{vec_col}')")
+    fp = idx_schema[vec_col].metadata.get("lsh_planes_fp")
+    if fp is None:
+        raise ValueError(
+            f"{path} carries no lsh_planes_fp metadata — rebuild with "
+            "embed_index() and a metadata-preserving writer"
+        )
+    if fp != _planes_fingerprint(planes):
+        raise ValueError(
+            "the given planes do not reproduce the index's stamp — "
+            "appending under different hyperplanes would corrupt it"
+        )
+    rows = embed_index(
+        _kept_new(new_df, verdicts, id_col).select(id_col, vec_col),
+        id_col, vec_col, planes,
+    )
+    rows.write.mode("append").partitionBy("bucket").parquet(path)
