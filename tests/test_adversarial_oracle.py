@@ -748,3 +748,11 @@ def test_adv_embed_incremental(spark, tmp_path_factory):
     assert r[8]["dup_of_kept"]
     assert not r[2]["keep"]
     assert r[4]["keep"]
+
+
+def test_adv_pack_sequences(spark, adv):
+    df, con = adv
+    for k in (3, 7, 64):
+        _check(sp.pack_sequences(df, "text", "doc_id", "source", k),
+               sp.pack_sequences_sql("adocs", "text", "doc_id",
+                                     "source", k), con)

@@ -2410,3 +2410,61 @@ def test_extend_embed_index_roundtrip(spark, emb, tmp_path):
     dd.embed_incremental(new.limit(3), None, 0.35, kept_index=idx).collect()
     with pytest.raises(ValueError, match="stamp"):
         dd.extend_embed_index(new, verdicts, path, planes=sim.ANN_PLANES)
+
+
+def test_pack_sequences_semantics(spark):
+    from xarray_histogram_spark.operators import sampling as sp
+
+    """Packed-sequence emission: per-shard document streams slice into
+    exact context-token windows (short final window only), concatenation
+    round-trips the stream, NULL/empty docs shift nothing, chunk ids are
+    contiguous from 0, and bad context raises."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e", "s0"),
+            (2, "f g", "s0"),
+            (3, None, "s0"),
+            (4, "", "s0"),
+            (5, "x y z", "s1"),
+        ],
+        "doc_id: long, text: string, source: string",
+    )
+    got = sorted(
+        map(tuple, sp.pack_sequences(df, "text", "doc_id", "source", 4).collect())
+    )
+    assert got == [
+        ("s0", 0, 4, "a b c d"), ("s0", 1, 3, "e f g"),
+        ("s1", 0, 3, "x y z"),
+    ]
+    # stream round-trip at another geometry: every full window exact,
+    # flattened text equals the in-order document stream
+    seqs = sorted(
+        sp.pack_sequences(df, "text", "doc_id", "source", 3).collect(),
+        key=lambda r: (r["source"], r["chunk_id"]),
+    )
+    s0 = [r for r in seqs if r["source"] == "s0"]
+    assert " ".join(r["seq_text"] for r in s0).split() == list("abcdefg")
+    assert [r["n_seq_tokens"] for r in s0] == [3, 3, 1]
+    with pytest.raises(ValueError):
+        sp.pack_sequences(df, "text", "doc_id", "source", 0)
+    with pytest.raises(ValueError):
+        sp.pack_sequences_sql("documents", "text", "doc_id", "source", -1)
+
+
+def test_pack_sequences_duplicate_id_determinism(spark):
+    from xarray_histogram_spark.operators import sampling as sp
+
+    """Two same-id same-count docs with DIFFERENT text pack in the
+    deterministic (id, n, text) order on any partitioning — the
+    tertiary key chunk_assignments doesn't need but text emission
+    does."""
+    rows = [(7, "b b", "s0"), (7, "a a", "s0")]
+    a = sorted(map(tuple, sp.pack_sequences(
+        spark.createDataFrame(rows, "doc_id: long, text: string, source: string"),
+        "text", "doc_id", "source", 3).collect()))
+    b = sorted(map(tuple, sp.pack_sequences(
+        spark.createDataFrame(rows[::-1], "doc_id: long, text: string, source: string")
+        .repartition(5),
+        "text", "doc_id", "source", 3).collect()))
+    assert a == b
+    assert a == [("s0", 0, 3, "a a b"), ("s0", 1, 1, "b")]

@@ -539,3 +539,19 @@ def test_bpe_pair_counts_fold_runs_once(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2
     assert len(re.findall(r"\(\d+\) Filter", p)) == 0, p
     assert "EvalPython" not in p
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """Packed-sequence emission is ONE total shuffle: the (shard, chunk)
+    aggregation's group keys contain the window's shard partitioning
+    key, so Catalyst reuses the exchange (no re-shuffle between the
+    window and the aggregate); tokenization runs once; no Python."""
+    import re
+
+    from xarray_histogram_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(pack_sequences(docs, "text", "doc_id", "source", 128))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert p.count("split(") == 1, p
+    assert "EvalPython" not in p

@@ -173,6 +173,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     # chunk-granular dedup compositions (VERDICT r08 item 5)
     "dedup_chunks",
     "dedup_chunks_near",
+    # packed-sequence EMISSION (chunk_assignments only bookkeeps)
+    "sample_pack_emit",
 )
 
 
@@ -1185,6 +1187,17 @@ def _pack_bpe_sql() -> str:
 
 
 register("sample_pack_bpe", _pack_bpe_fn, _pack_bpe_sql())
+register(
+    # the EMISSION step the two bookkeeping entries above stop short
+    # of: materialized GPT-style packed sequences (per-source token
+    # streams sliced into fixed 128-token windows, actual text out) —
+    # one shard window + one context-bounded (shard, chunk) aggregation
+    "sample_pack_emit",
+    lambda spark, sf_dir: sp.pack_sequences(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id", "source", 128
+    ),
+    sp.pack_sequences_sql("documents", "text", "doc_id", "source", 128),
+)
 register(
     # exactly-n global deterministic sample: per-partition top-n heaps
     # (TakeOrderedAndProject), no global sort

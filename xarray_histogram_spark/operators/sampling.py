@@ -527,3 +527,162 @@ def filter_top_fraction_sql(
         f"WHERE NOT isnan(CAST({score_expr} AS DOUBLE)) "
         f"AND CAST({score_expr} AS DOUBLE) >= __t.thr"
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shard_col: str,
+    context: int,
+) -> DataFrame:
+    """MATERIALIZE the GPT-style packed training sequences that
+    :func:`chunk_assignments` only does the bookkeeping for: documents
+    are concatenated in per-shard (id, token count, text) order and the
+    token stream is sliced into fixed ``context``-token windows; one row
+    per (shard, window) with the actual sequence text — the
+    training-ready emission step.  Returns
+    (shard, ``chunk_id``, ``n_seq_tokens``, ``seq_text``); every
+    sequence is exactly ``context`` tokens except each shard's final
+    one.  Tokens are the same whitespace split as ``chunk_windows``
+    (case preserved, whitespace normalized to single spaces).
+    NULL/token-free documents contribute nothing (and shift no
+    offsets).
+
+    Determinism: the packing order carries the full (id, n, text)
+    tertiary key, so the output is bit-identical on any partitioning
+    EVEN IF ids repeat — with only ``chunk_assignments``' (id, count)
+    key, two same-id same-count docs with different text would pack in
+    engine-dependent order.  Ids unique per shard (the normal contract)
+    never reach the tertiary comparison.
+
+    Scale shape: ONE window shuffle partitioned by SHARD (the same
+    corpus-global-order argument as ``chunk_assignments``) + ONE
+    (shard, chunk) aggregation whose groups are context-bounded; the
+    chunk explode is an inline-expression ``sequence`` (never a
+    materialized attribute — the InferFiltersFromGenerate trap), and a
+    document's token array is materialized once.  A document spanning
+    many windows emits one piece row per window — output-bounded fan-out
+    of ceil(n/context) + 1."""
+    from ..functions.hashing import _WS_CLASS
+
+    if context <= 0:
+        raise ValueError("context must be > 0")
+    k = int(context)
+    toks = F.filter(F.split(F.col(text_col), _WS_CLASS), lambda t: t != "")
+    base = df.select(
+        F.col(shard_col),
+        F.col(id_col),
+        F.col(text_col),
+        toks.alias("__tk"),
+    ).select(
+        shard_col,
+        id_col,
+        text_col,
+        "__tk",
+        F.when(F.col("__tk").isNotNull(), F.size("__tk"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("__n"),
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(
+            F.col(id_col).asc(), F.col("__n").asc(), F.col(text_col).asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = (F.sum("__n").over(w) - F.col("__n")).cast("bigint")
+    e = (
+        base.select(shard_col, "__tk", "__n", off.alias("__off"))
+        .where(F.col("__n") >= 1)
+    )
+    first = F.expr(f"__off DIV {k}")
+    last = F.expr(f"(__off + __n - 1) DIV {k}")
+    e = e.select(
+        shard_col, "__tk", "__n", "__off",
+        F.explode(F.sequence(first, last)).alias("__c"),
+    )
+    ps = F.greatest(F.lit(0).cast("bigint"), F.col("__c") * k - F.col("__off"))
+    pe = (
+        F.least(F.col("__off") + F.col("__n"), (F.col("__c") + 1) * k)
+        - F.col("__off")
+    )
+    p = e.select(
+        shard_col,
+        F.col("__c"),
+        F.col("__off"),
+        (pe - ps).alias("__plen"),
+        F.array_join(
+            F.slice(F.col("__tk"), ps + F.lit(1), pe - ps), " "
+        ).alias("__ptxt"),
+    )
+    return (
+        p.groupBy(F.col(shard_col), F.col("__c").cast("bigint").alias("chunk_id"))
+        .agg(
+            F.sum("__plen").cast("bigint").alias("n_seq_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__off").alias("o"),
+                                F.col("__ptxt").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda x: x["t"],
+                ),
+                " ",
+            ).alias("seq_text"),
+        )
+    )
+
+
+def pack_sequences_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    shard_col: str,
+    context: int,
+) -> str:
+    """DuckDB mirror: same split, same ROWS-framed running sum with the
+    (id, n, text) NULLS FIRST order, ``generate_series`` window ids,
+    ``list_slice`` 1-based inclusive end = start0 + length, and an
+    ORDER BY-ed ``string_agg`` (offsets are unique within a (shard,
+    window) group — zero-token docs never emit — so the order is
+    total)."""
+    from ..functions.hashing import _WS_CLASS
+
+    if context <= 0:
+        raise ValueError("context must be > 0")
+    k = int(context)
+    toks = (
+        f"list_filter(regexp_split_to_array({text_col}, '{_WS_CLASS}'), "
+        f"t -> t != '')"
+    )
+    cum = (
+        f"SUM(nt) OVER (PARTITION BY {shard_col} "
+        f"ORDER BY {id_col} NULLS FIRST, nt, {text_col} NULLS FIRST "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        f"WITH __b AS (SELECT {shard_col}, {id_col}, {text_col}, "
+        f"{toks} AS tk FROM {table}), "
+        f"__n AS (SELECT *, CAST(CASE WHEN tk IS NULL THEN 0 "
+        f"ELSE len(tk) END AS BIGINT) AS nt FROM __b), "
+        # SUM() is HUGEINT in DuckDB; generate_series needs BIGINT
+        f"__o AS (SELECT *, CAST({cum} - nt AS BIGINT) AS off FROM __n), "
+        f"__e AS (SELECT {shard_col}, tk, nt, off, "
+        f"unnest(generate_series(off // {k}, (off + nt - 1) // {k})) AS c "
+        f"FROM __o WHERE nt >= 1), "
+        f"__p AS (SELECT {shard_col}, c, off, "
+        f"least(off + nt, (c + 1) * {k}) - off "
+        f"- greatest(0, c * {k} - off) AS plen, "
+        f"array_to_string(list_slice(tk, greatest(0, c * {k} - off) + 1, "
+        f"least(off + nt, (c + 1) * {k}) - off), ' ') AS ptxt FROM __e) "
+        f"SELECT {shard_col}, CAST(c AS BIGINT) AS chunk_id, "
+        f"CAST(SUM(plen) AS BIGINT) AS n_seq_tokens, "
+        f"string_agg(ptxt, ' ' ORDER BY off) AS seq_text "
+        f"FROM __p GROUP BY 1, 2"
+    )
