@@ -63,9 +63,9 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # ~50-query window reaches the 34 entries whose freshest green is r06
 # (two rounds old — they lead _STALE_PRIORITY unconditionally per the
 # capacity policy below) and then the 44 r07-green entries in registry
-# order.  Window arithmetic this round: 4 new + 7 changed + 34 stale +
-# ~5 r07 fills = 50 — which leaves ~39 r07 names for round 10's stale
-# head, so ROUND 10 MUST KEEP NEW+CHANGED ≤ ~11 to close the cycle.
+# order.  Window arithmetic this round: 5 new + 7 changed + 34 stale +
+# ~4 r07 fills = 50 — which leaves ~40 r07 names for round 10's stale
+# head, so ROUND 10 MUST KEEP NEW+CHANGED ≤ ~10 to close the cycle.
 # All stale entries have UNCHANGED plans and oracles since their last
 # driver green and stay green in the local full-registry gates
 # (test_entry_contract, driver_sim); the rotation itself is pure
