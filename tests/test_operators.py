@@ -2379,6 +2379,13 @@ def test_extend_band_index_roundtrip(spark, docs, tmp_path):
     spark.read.parquet(path).withMetadata("bk", {}).write.parquet(bare)
     with pytest.raises(ValueError, match="shingle_k"):
         dd.extend_band_index(new, verdicts, bare, "text", "doc_id")
+    # id-column-name mismatch refused BEFORE writing mixed-schema files
+    with pytest.raises(ValueError, match="id column"):
+        dd.extend_band_index(
+            new.withColumnRenamed("doc_id", "uid"),
+            verdicts.withColumnRenamed("doc_id", "uid"),
+            path, "text", "uid",
+        )
 
 
 def test_extend_embed_index_roundtrip(spark, emb, tmp_path):
@@ -2410,15 +2417,34 @@ def test_extend_embed_index_roundtrip(spark, emb, tmp_path):
     dd.embed_incremental(new.limit(3), None, 0.35, kept_index=idx).collect()
     with pytest.raises(ValueError, match="stamp"):
         dd.extend_embed_index(new, verdicts, path, planes=sim.ANN_PLANES)
+    with pytest.raises(ValueError, match="id column"):
+        dd.extend_embed_index(
+            new.withColumnRenamed("vec_id", "uid"),
+            verdicts.withColumnRenamed("vec_id", "uid"),
+            path, id_col="uid",
+        )
+    # FLAT-written (stamp-valid, prune-less) index: the append must
+    # match the layout, not brick it with bucket= dirs next to root
+    # files (review-found)
+    flat = str(tmp_path / "flatidx")
+    dd.embed_index(kept).write.parquet(flat)
+    dd.extend_embed_index(new, verdicts, flat)
+    back = spark.read.parquet(flat)   # readable, one schema
+    fgot = sorted(
+        (r["vec_id"], r["bucket"], tuple(r["embedding"]))
+        for r in back.collect()
+    )
+    assert fgot == exp
+    assert not any("/bucket=" in f for f in back.inputFiles())
 
 
 def test_pack_sequences_semantics(spark):
-    from xarray_histogram_spark.operators import sampling as sp
-
     """Packed-sequence emission: per-shard document streams slice into
     exact context-token windows (short final window only), concatenation
     round-trips the stream, NULL/empty docs shift nothing, chunk ids are
     contiguous from 0, and bad context raises."""
+    from xarray_histogram_spark.operators import sampling as sp
+
     df = spark.createDataFrame(
         [
             (1, "a b c d e", "s0"),
@@ -2452,12 +2478,12 @@ def test_pack_sequences_semantics(spark):
 
 
 def test_pack_sequences_duplicate_id_determinism(spark):
-    from xarray_histogram_spark.operators import sampling as sp
-
     """Two same-id same-count docs with DIFFERENT text pack in the
     deterministic (id, n, text) order on any partitioning — the
     tertiary key chunk_assignments doesn't need but text emission
     does."""
+    from xarray_histogram_spark.operators import sampling as sp
+
     rows = [(7, "b b", "s0"), (7, "a a", "s0")]
     a = sorted(map(tuple, sp.pack_sequences(
         spark.createDataFrame(rows, "doc_id: long, text: string, source: string"),

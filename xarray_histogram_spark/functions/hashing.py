@@ -75,6 +75,21 @@ def tokens_sql(expr: str) -> str:
     )
 
 
+def tokens_raw(text: Column) -> Column:
+    """Case-PRESERVING whitespace tokens — the text-emitting operators'
+    split (chunk windows, packed sequences), shared so their 'same
+    tokenization' contract is one expression, not synced copies
+    (review-found)."""
+    return F.filter(F.split(text, _WS_CLASS), lambda t: t != "")
+
+
+def tokens_raw_sql(expr: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array({expr}, '{_WS_CLASS}'), "
+        "t -> t != '')"
+    )
+
+
 # ---- hex nibble value (for SimHash bits) ----
 def nibble_val(c: Column) -> Column:
     """Value 0-15 of a single lowercase hex char (conv is JVM-side)."""

@@ -1625,6 +1625,15 @@ def extend_band_index(
     idx_schema = spark.read.parquet(path).schema
     if "bk" not in idx_schema.names:
         raise ValueError(f"{path} is not a band_rows index (no 'bk')")
+    if id_col not in idx_schema.names:
+        # appending under a different id column name writes mixed-schema
+        # files: the union read NULLs the old id on new files and every
+        # appended keeper silently stops matching (review-found)
+        raise ValueError(
+            f"index at {path} has id column(s) "
+            f"{[n for n in idx_schema.names if n not in ('bi', 'bk')]}, "
+            f"not '{id_col}'"
+        )
     k = idx_schema["bk"].metadata.get("shingle_k")
     if k is None:
         raise ValueError(
@@ -1645,20 +1654,33 @@ def extend_embed_index(
     planes=None,
 ) -> None:
     """APPEND the kept shard vectors to the persisted :func:`embed_index`
-    at ``path`` (bucket-partitioned parquet) — the embedding analog of
-    :func:`extend_band_index`.  The hyperplanes must reproduce the
-    index's ``lsh_planes_fp`` stamp; a mismatch is refused BEFORE any
-    write (appending rows bucketized under different planes would
-    corrupt the index silently).  The append lands in the existing
-    ``bucket=`` directories, preserving partition pruning."""
+    at ``path`` — the embedding analog of :func:`extend_band_index`.
+    The hyperplanes must reproduce the index's ``lsh_planes_fp`` stamp;
+    a mismatch is refused BEFORE any write (appending rows bucketized
+    under different planes would corrupt the index silently).  The
+    append MATCHES the existing on-disk layout (review-found): a
+    bucket-partitioned index gets ``partitionBy("bucket")`` rows into
+    its existing ``bucket=`` directories, preserving partition pruning;
+    a flat-written index (stamp-valid, prune-less — legal for
+    ``embed_incremental``) gets a flat append — blindly partitioning
+    next to flat root files would make the WHOLE index unreadable
+    (conflicting directory structures) after a write this function
+    promises to refuse up front."""
     from .similarity import PLANES
 
     planes = PLANES if planes is None else planes
     spark = new_df.sparkSession
-    idx_schema = spark.read.parquet(path).schema
+    idx = spark.read.parquet(path)
+    idx_schema = idx.schema
     if "bucket" not in idx_schema.names or vec_col not in idx_schema.names:
         raise ValueError(f"{path} is not an embed_index (needs 'bucket' "
                          f"and '{vec_col}')")
+    if id_col not in idx_schema.names:
+        raise ValueError(
+            f"index at {path} has columns {idx_schema.names}, "
+            f"not id column '{id_col}' — appending would write "
+            "mixed-schema files whose ids read back NULL"
+        )
     fp = idx_schema[vec_col].metadata.get("lsh_planes_fp")
     if fp is None:
         raise ValueError(
@@ -1674,4 +1696,11 @@ def extend_embed_index(
         _kept_new(new_df, verdicts, id_col).select(id_col, vec_col),
         id_col, vec_col, planes,
     )
-    rows.write.mode("append").partitionBy("bucket").parquet(path)
+    # layout detection without a raw filesystem API: a partitioned
+    # index's data files live under bucket=<n>/ directories, which
+    # inputFiles() exposes verbatim on any Hadoop-compatible FS
+    partitioned = any("/bucket=" in f for f in idx.inputFiles())
+    writer = rows.write.mode("append")
+    if partitioned:
+        writer = writer.partitionBy("bucket")
+    writer.parquet(path)

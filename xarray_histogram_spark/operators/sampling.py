@@ -564,12 +564,12 @@ def pack_sequences(
     document's token array is materialized once.  A document spanning
     many windows emits one piece row per window — output-bounded fan-out
     of ceil(n/context) + 1."""
-    from ..functions.hashing import _WS_CLASS
+    from ..functions.hashing import tokens_raw
 
     if context <= 0:
         raise ValueError("context must be > 0")
     k = int(context)
-    toks = F.filter(F.split(F.col(text_col), _WS_CLASS), lambda t: t != "")
+    toks = tokens_raw(F.col(text_col))
     base = df.select(
         F.col(shard_col),
         F.col(id_col),
@@ -652,15 +652,12 @@ def pack_sequences_sql(
     ORDER BY-ed ``string_agg`` (offsets are unique within a (shard,
     window) group — zero-token docs never emit — so the order is
     total)."""
-    from ..functions.hashing import _WS_CLASS
+    from ..functions.hashing import tokens_raw_sql
 
     if context <= 0:
         raise ValueError("context must be > 0")
     k = int(context)
-    toks = (
-        f"list_filter(regexp_split_to_array({text_col}, '{_WS_CLASS}'), "
-        f"t -> t != '')"
-    )
+    toks = tokens_raw_sql(text_col)
     cum = (
         f"SUM(nt) OVER (PARTITION BY {shard_col} "
         f"ORDER BY {id_col} NULLS FIRST, nt, {text_col} NULLS FIRST "

@@ -1448,9 +1448,7 @@ def chunk_windows(
     are consecutive stride multiples, so position = start/stride)."""
     if chunk_tokens < 1 or stride_tokens < 1:
         raise ValueError("chunk_tokens and stride_tokens must be >= 1")
-    toks = F.filter(
-        F.split(F.col(text_col), H._WS_CLASS), lambda t: t != ""
-    )
+    toks = H.tokens_raw(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("__tk"))
     tk = F.col("__tk")
     n = F.size(tk)
@@ -1490,10 +1488,7 @@ def chunk_windows_sql(
     start + chunk (vs Spark ``slice``'s length)."""
     if chunk_tokens < 1 or stride_tokens < 1:
         raise ValueError("chunk_tokens and stride_tokens must be >= 1")
-    toks = (
-        f"list_filter(regexp_split_to_array({text_col}, "
-        f"'{H._WS_CLASS}'), t -> t != '')"
-    )
+    toks = H.tokens_raw_sql(text_col)
     base = (
         f"SELECT {id_col}, {toks} AS __tk FROM {table} "
         f"WHERE {text_col} IS NOT NULL"
