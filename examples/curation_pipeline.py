@@ -16,6 +16,13 @@ the operator families a 100 TB text pipeline runs, end to end —
      expected target                           (balanced_sample)
  12. Gopher-style rule-based quality filter    (gopher_rules)
  13. keep-best-quality near-dup dedup          (dedup_keep_best)
+ 14. incremental shard-vs-keeper dedup         (incremental_dedup)
+ 15. tokenizer-true token budgeting            (bpe_token_count)
+ 16. chunk-level dedup for RAG                 (chunk_dedup + near pairs)
+ 17. BPE merge learning                        (learn_bpe_merges)
+ 18. packed-sequence emission                  (pack_sequences)
+ 19. semantic incremental dedup + index upkeep (embed_incremental +
+                                                extend_embed_index)
 
 Run:  python examples/curation_pipeline.py [sf_dir]
 """
@@ -191,6 +198,79 @@ bpe = bpe_token_count(docs, "text", "doc_id", DEMO_BPE_MERGES)
 total_bpe = bpe.agg(F.sum("n_bpe_tokens")).collect()[0][0]
 print(f"corpus BPE tokens (demo merge table): {total_bpe}")
 assert total_bpe and total_bpe > 0
+
+# 16. chunk-level dedup (RAG corpora dedup the CHUNKS they index, not
+# docs): sliding windows -> md5 min-uid keep verdicts; near-dup chunk
+# pairs reuse the banded LSH + exact-Jaccard machinery
+from xarray_histogram_spark.operators.dedup import (  # noqa: E402
+    chunk_dedup, chunk_near_pairs,
+)
+
+cd = chunk_dedup(docs, "text", "doc_id", 64, 48)
+n_chunks = cd.count()
+n_dup_chunks = cd.where(~F.col("keep")).count()
+cn = chunk_near_pairs(docs, "text", "doc_id", 64, 48).count()
+print(f"chunks: {n_chunks}; exact-dup chunks dropped: {n_dup_chunks}; "
+      f"near-dup chunk pairs: {cn}")
+assert n_chunks > 0
+
+# 17. BPE merge LEARNING: the greedy pair-frequency argmax loop emits a
+# closure-ordered table the encoder consumes directly
+from xarray_histogram_spark.operators.text import (  # noqa: E402
+    bpe_pair_counts, learn_bpe_merges,
+)
+
+learned = learn_bpe_merges(docs, "text", 3, merges=DEMO_BPE_MERGES)
+assert len(learned) == len(DEMO_BPE_MERGES) + 3
+step_pairs = bpe_pair_counts(docs, "text", learned).count()
+print(f"learned merges: {learned[-3:]}; next-step distinct pairs: "
+      f"{step_pairs}")
+
+# 18. packed-sequence EMISSION: the training-ready materialization the
+# chunk_assignments bookkeeping (step 7) describes — per-source token
+# streams sliced into fixed 256-token windows, actual text out
+from xarray_histogram_spark.operators.sampling import (  # noqa: E402
+    pack_sequences,
+)
+
+seqs = pack_sequences(docs, "text", "doc_id", "source", 256)
+full = seqs.where(F.col("n_seq_tokens") == 256).count()
+print(f"packed sequences: {seqs.count()} ({full} full 256-token windows)")
+assert full > 0
+
+# 19. incremental SEMANTIC dedup + keeper-index maintenance — the
+# embedding production loop: persist the stamped index once, probe each
+# shard against it, append the shard's keepers so the NEXT shard sees
+# them
+import shutil  # noqa: E402
+import tempfile  # noqa: E402
+
+from xarray_histogram_spark.operators.dedup import (  # noqa: E402
+    embed_incremental, embed_index, extend_embed_index,
+)
+
+emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+    "vec_id", "embedding"
+)
+kept_vecs = emb.where(F.col("vec_id") % 5 != 2)
+shard_vecs = emb.where(F.col("vec_id") % 5 == 2)
+idx_path = tempfile.mkdtemp(prefix="xhs_example_embidx_")
+try:
+    embed_index(kept_vecs).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(idx_path)
+    ev = embed_incremental(
+        shard_vecs, None, threshold=0.35,
+        kept_index=spark.read.parquet(idx_path),
+    )
+    n_sem_dup = ev.where(F.col("dup_of_kept")).count()
+    extend_embed_index(shard_vecs, ev, idx_path)
+    n_idx = spark.read.parquet(idx_path).count()
+    print(f"semantic shard: {n_sem_dup} duplicate kept vectors; index "
+          f"now holds {n_idx} vectors (keepers appended)")
+    assert n_idx == kept_vecs.count() + ev.where(F.col("keep")).count()
+finally:
+    shutil.rmtree(idx_path, ignore_errors=True)
 
 print("curation pipeline walkthrough OK")
 spark.stop()
