@@ -756,3 +756,21 @@ def test_adv_pack_sequences(spark, adv):
         _check(sp.pack_sequences(df, "text", "doc_id", "source", k),
                sp.pack_sequences_sql("adocs", "text", "doc_id",
                                      "source", k), con)
+
+
+def test_adv_bpe_encode(spark, adv):
+    df, con = adv
+    for merges in (tx.DEMO_BPE_MERGES, (("-", "-"), ("--", "--"))):
+        _check(
+            tx.bpe_encode(df, "text", "doc_id", merges).select(
+                "doc_id",
+                F.array_join("bpe_tokens", " ").alias("bpe_text"),
+                "n_bpe_tokens",
+            ),
+            "SELECT doc_id, CASE WHEN bpe_tokens IS NULL THEN NULL "
+            "ELSE COALESCE(array_to_string(bpe_tokens, ' '), '') END "
+            "AS bpe_text, n_bpe_tokens FROM ("
+            + tx.bpe_encode_sql("adocs", "text", "doc_id", merges)
+            + ") e",
+            con,
+        )

@@ -2494,3 +2494,30 @@ def test_pack_sequences_duplicate_id_determinism(spark):
         "text", "doc_id", "source", 3).collect()))
     assert a == b
     assert a == [("s0", 0, 3, "a a b"), ("s0", 1, 1, "b")]
+
+
+def test_bpe_encode_semantics(spark):
+    """The emitted sequence is the merged state's tokens in order,
+    consistent with bpe_token_count; NULL text -> NULL tokens/count,
+    whitespace-only -> empty; bad tables raise."""
+    df = spark.createDataFrame(
+        [(1, "the theory"), (2, None), (3, "   "), (4, "a-b")],
+        "doc_id: long, text: string",
+    )
+    r = {x["doc_id"]: x for x in
+         tx.bpe_encode(df, "text", "doc_id").collect()}
+    # 'the' -> [the]; 'theory' -> the|o|r|y -> (o,r)? not in demo ranks
+    # applied after 'the'; demo table has (o,r): th,e -> the; o r y with
+    # (o,r) rank 11 -> or, y
+    assert list(r[1]["bpe_tokens"])[:1] == ["the"]
+    assert r[1]["n_bpe_tokens"] == len(r[1]["bpe_tokens"])
+    assert r[2]["bpe_tokens"] is None and r[2]["n_bpe_tokens"] is None
+    assert list(r[3]["bpe_tokens"]) == [] and r[3]["n_bpe_tokens"] == 0
+    assert list(r[4]["bpe_tokens"]) == ["a", "-", "b"]
+    counts = {x["doc_id"]: x["n_bpe_tokens"] for x in
+              tx.bpe_token_count(df, "text", "doc_id").collect()}
+    assert {k: v["n_bpe_tokens"] for k, v in r.items()} == counts
+    with pytest.raises(ValueError):
+        tx.bpe_encode(df, "text", "doc_id", [])
+    with pytest.raises(ValueError):
+        tx.bpe_encode_sql("documents", "text", "doc_id", [("a", "")])

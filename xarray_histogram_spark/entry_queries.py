@@ -63,9 +63,9 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # ~50-query window reaches the 34 entries whose freshest green is r06
 # (two rounds old — they lead _STALE_PRIORITY unconditionally per the
 # capacity policy below) and then the 44 r07-green entries in registry
-# order.  Window arithmetic this round: 5 new + 7 changed + 34 stale +
-# ~4 r07 fills = 50 — which leaves ~40 r07 names for round 10's stale
-# head, so ROUND 10 MUST KEEP NEW+CHANGED ≤ ~10 to close the cycle.
+# order.  Window arithmetic this round: 6 new + 7 changed + 34 stale +
+# ~3 r07 fills = 50 — which leaves ~41 r07 names for round 10's stale
+# head, so ROUND 10 MUST KEEP NEW+CHANGED ≤ ~9 to close the cycle.
 # All stale entries have UNCHANGED plans and oracles since their last
 # driver green and stay green in the local full-registry gates
 # (test_entry_contract, driver_sim); the rotation itself is pure
@@ -175,6 +175,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "dedup_chunks_near",
     # packed-sequence EMISSION (chunk_assignments only bookkeeps)
     "sample_pack_emit",
+    # BPE token-sequence ENCODING (count/learn existed; the sequence is
+    # what packing consumes) — this fills the round's ≤6 new-entry cap
+    "text_bpe_encode",
 )
 
 
@@ -897,6 +900,30 @@ register(
         t_wide(spark, sf_dir, "documents"), "text", "doc_id"
     ),
     tx.bpe_token_count_sql("documents", "text", "doc_id"),
+)
+register(
+    # the ENCODING step (counting budgets, learning builds the table,
+    # this emits the token sequence a pipeline actually packs) — gated
+    # on the lossless space-joined rendering because the hash compare
+    # sorts rows by value, which array columns can't do; tokens never
+    # contain whitespace so the join loses nothing
+    "text_bpe_encode",
+    lambda spark, sf_dir: tx.bpe_encode(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id"
+    ).select(
+        "doc_id",
+        F.array_join("bpe_tokens", " ").alias("bpe_text"),
+        "n_bpe_tokens",
+    ),
+    # DuckDB array_to_string([]) is NULL while Spark array_join([]) is
+    # '' — COALESCE restores the empty string for non-NULL empty arrays
+    # (adversarial-battery-found; fixture docs are never token-free, but
+    # the mirror must not carry the latent divergence)
+    "SELECT doc_id, CASE WHEN bpe_tokens IS NULL THEN NULL "
+    "ELSE COALESCE(array_to_string(bpe_tokens, ' '), '') END AS bpe_text, "
+    "n_bpe_tokens FROM ("
+    + tx.bpe_encode_sql("documents", "text", "doc_id")
+    + ") e",
 )
 register(
     # BPE merge LEARNING's per-step pair-frequency table under the demo

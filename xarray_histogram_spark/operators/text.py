@@ -1192,6 +1192,105 @@ def bpe_token_count_sql(
     )
 
 
+def bpe_encode(
+    df: DataFrame, text_col: str, id_col: str, merges=DEMO_BPE_MERGES
+) -> DataFrame:
+    """(id, ``bpe_tokens``, ``n_bpe_tokens``): the actual TOKEN SEQUENCE
+    a BPE tokenizer with the given closure-ordered ``merges`` table
+    emits — counting (:func:`bpe_token_count`) budgets, learning
+    (:func:`learn_bpe_merges`) builds the table, this is the encoding
+    step whose output a training pipeline actually packs.  Tokens never
+    contain whitespace or the reserved U+001F/U+001E bytes (pieces
+    exclude whitespace; the state encoding strips U+001F), so
+    ``array_join(bpe_tokens, ' ')`` is a lossless rendering.
+
+    Same state machinery as :func:`bpe_token_cols` (double-boundary
+    one-replace-per-rank fold = exact leftmost-first BPE incl.
+    self-merges), same whitespace-excluded convention, same
+    closure-ordered-table precondition.  Pure two-projection shape —
+    the merged-piece array is materialized ONCE, then split/flattened —
+    zero shuffle, zero Python, NULL text → NULL tokens, whitespace-only
+    → empty array."""
+    merges = _check_merges(merges)
+    sep = F.lit(_BPE_SEP)
+    sep2 = F.lit(_BPE_SEP * 2)
+    text = F.regexp_replace(F.col(text_col), _BPE_SEP, "")
+    pieces = F.regexp_extract_all(text, F.lit(BPE_PIECE_RE), 0)
+    merge_arr = F.array(*[F.array(F.lit(a), F.lit(b)) for a, b in merges])
+
+    def apply_merge(acc: Column, m: Column) -> Column:
+        a, b = F.element_at(m, 1), F.element_at(m, 2)
+        return F.replace(
+            acc,
+            F.concat(sep, a, sep2, b, sep),
+            F.concat(sep, a, b, sep),
+        )
+
+    def piece_merged(p: Column) -> Column:
+        chars = F.regexp_extract_all(p, F.lit(r"[^\n]"), 0)
+        init = F.concat(sep2, F.array_join(chars, _BPE_SEP * 2), sep2)
+        return F.aggregate(merge_arr, init, apply_merge)
+
+    stage1 = df.select(
+        F.col(id_col),
+        F.transform(pieces, piece_merged).alias("__mp"),
+    )
+    toks = F.flatten(
+        F.transform(
+            F.col("__mp"),
+            lambda m: F.filter(
+                F.split(m, _BPE_SEP * 2), lambda t: t != ""
+            ),
+        )
+    )
+    return stage1.select(
+        F.col(id_col),
+        toks.alias("bpe_tokens"),
+        F.when(F.col("__mp").isNotNull(), F.size(toks))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def bpe_encode_sql(
+    table: str, text_col: str, id_col: str, merges=DEMO_BPE_MERGES
+) -> str:
+    """DuckDB mirror of :func:`bpe_encode` (same fold-with-initial
+    idiom as ``bpe_token_count_sql``; ``flatten`` of the per-piece token
+    lists)."""
+    merges = _check_merges(merges)
+    sep2 = "chr(31) || chr(31)"
+    mlist = "[" + ", ".join(
+        slit(a + "\x1e" + b) for a, b in merges
+    ) + "]"
+    txt = f"replace({text_col}, chr(31), '')"
+    pieces = f"regexp_extract_all({txt}, '{BPE_PIECE_RE}')"
+    chars = "regexp_extract_all(p, '[^\\n]')"
+    init = (
+        f"{sep2} || array_to_string({chars}, chr(31) || chr(31)) || {sep2}"
+    )
+    ma = "split_part(m, chr(30), 1)"
+    mb = "split_part(m, chr(30), 2)"
+    pat = f"chr(31) || {ma} || {sep2} || {mb} || chr(31)"
+    rep = f"chr(31) || {ma} || {mb} || chr(31)"
+    merged = (
+        f"list_reduce(list_prepend({init}, {mlist}), "
+        f"(acc, m) -> replace(acc, {pat}, {rep}))"
+    )
+    toks = (
+        f"flatten(list_transform({pieces}, "
+        f"p -> list_filter(str_split({merged}, {sep2}), t -> t != '')))"
+    )
+    return (
+        f"SELECT {id_col}, "
+        f"CASE WHEN {text_col} IS NULL THEN NULL ELSE {toks} END "
+        f"AS bpe_tokens, "
+        f"CASE WHEN {text_col} IS NULL THEN NULL "
+        f"ELSE CAST(len({toks}) AS BIGINT) END AS n_bpe_tokens "
+        f"FROM {table}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE merge learning: corpus-wide adjacent-pair frequencies
 # ---------------------------------------------------------------------------
