@@ -555,3 +555,19 @@ def test_pack_sequences_single_exchange(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert p.count("split(") == 1, p
     assert "EvalPython" not in p
+
+
+def test_bpe_encode_split_runs_once(spark, sf_dir):
+    """bpe_encode's final projection must read the materialized token
+    attribute for the count, not inline the flatten/split expression
+    twice (lambda-bearing expressions are excluded from codegen CSE —
+    review-found).  Pin: one flatten, one fold, no exchange, no
+    Python."""
+    from xarray_histogram_spark.operators.text import bpe_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(bpe_encode(docs, "text", "doc_id"))
+    assert p.count("flatten(") == 1, p
+    assert p.count("aggregate(") == 1, p
+    assert "Exchange" not in p
+    assert "EvalPython" not in p

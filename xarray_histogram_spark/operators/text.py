@@ -1243,10 +1243,18 @@ def bpe_encode(
             ),
         )
     )
-    return stage1.select(
+    # the token array is materialized in its own projection and the
+    # count reads the ATTRIBUTE: lambda-bearing expressions are excluded
+    # from codegen subexpression elimination, so an inline `toks` in
+    # both output columns would run the per-piece split twice per row
+    # (review-found; CollapseProject keeps the non-cheap multi-referenced
+    # alias un-inlined — the chunk_windows pattern).  toks is NULL iff
+    # __mp is NULL, so the NULL-count contract is unchanged.
+    stage2 = stage1.select(F.col(id_col), toks.alias("bpe_tokens"))
+    return stage2.select(
         F.col(id_col),
-        toks.alias("bpe_tokens"),
-        F.when(F.col("__mp").isNotNull(), F.size(toks))
+        "bpe_tokens",
+        F.when(F.col("bpe_tokens").isNotNull(), F.size("bpe_tokens"))
         .cast("bigint")
         .alias("n_bpe_tokens"),
     )
