@@ -1054,6 +1054,136 @@ def _check_merges(merges) -> list:
     return out
 
 
+# -- the shared BPE state-fold core -----------------------------------------
+#
+# Counting (`bpe_token_cols`), encoding (`bpe_encode`) and pair counting
+# (`bpe_pair_counts`) all run the SAME double-␟-boundary fold; until round
+# 10 each carried a verbatim copy per engine (the round-9 verdict's #1
+# maintenance hazard).  The helpers below are the single source of truth:
+# they return composable EXPRESSIONS (a Spark Column / a SQL fragment), so
+# each consumer still shapes its own projections — the plan-pinned
+# materialization staging (one fold per row, inline explode inputs) is the
+# CONSUMER's responsibility and unchanged by this extraction.  The
+# cross-engine/cross-consumer equivalence is fuzz-pinned in
+# tests/test_properties.py.
+
+
+def _bpe_merge_lit(merges: list) -> Column:
+    """The validated merge table as a literal ``array<array<string>>`` —
+    Catalyst ships it with the plan (the broadcast-small-dim pattern); an
+    EMPTY table (pair counting's step 0) needs the explicit cast because
+    ``F.array()`` alone types as ``array<null>``."""
+    if merges:
+        return F.array(*[F.array(F.lit(a), F.lit(b)) for a, b in merges])
+    return F.array().cast("array<array<string>>")
+
+
+def _bpe_merged_pieces(text_col: str, merges: list) -> Column:
+    """``array<string>``: one double-boundary state string per
+    ``BPE_PIECE_RE`` piece of ``text_col``, after folding the validated
+    ``merges`` in rank order — the shared core of BPE counting, encoding
+    and pair counting.
+
+    Encoding/correctness (see :func:`bpe_token_cols` for the full
+    argument): each piece starts as its character sequence with a
+    DOUBLE-``␟`` boundary between tokens (``␟␟a␟␟b␟␟``); each merge rank
+    is ONE literal ``replace`` of ``␟a␟␟b␟ → ␟ab␟`` whose match consumes
+    only the INNER half of each boundary, so left-to-right ``replace`` is
+    exactly leftmost-first BPE (self-merges included) and one pass per
+    rank is that rank's fixpoint.  U+001F is stripped from the text first
+    so corpus bytes can't forge boundaries.  NULL text → NULL array;
+    whitespace-only text → empty array.
+
+    Consumers must keep this expression's materialization discipline:
+    compute it ONCE per row (Spark does not CSE inside
+    higher-order-function lambdas) and never hand it to
+    ``explode``/``Filter`` as a bare materialized attribute (the two
+    plan-pinned Catalyst alias-inlining traps)."""
+    sep = F.lit(_BPE_SEP)
+    sep2 = F.lit(_BPE_SEP * 2)
+    text = F.regexp_replace(F.col(text_col), _BPE_SEP, "")
+    pieces = F.regexp_extract_all(text, F.lit(BPE_PIECE_RE), 0)
+    merge_arr = _bpe_merge_lit(merges)
+
+    def apply_merge(acc: Column, m: Column) -> Column:
+        a, b = F.element_at(m, 1), F.element_at(m, 2)
+        return F.replace(
+            acc,
+            F.concat(sep, a, sep2, b, sep),
+            F.concat(sep, a, b, sep),
+        )
+
+    def piece_merged(p: Column) -> Column:
+        chars = F.regexp_extract_all(p, F.lit(r"[^\n]"), 0)
+        init = F.concat(sep2, F.array_join(chars, _BPE_SEP * 2), sep2)
+        return F.aggregate(merge_arr, init, apply_merge)
+
+    return F.transform(pieces, piece_merged)
+
+
+def _bpe_piece_token_arrays(mp: Column) -> Column:
+    """``array<array<string>>``: per-piece token lists split back out of
+    the merged state strings (``mp`` = a :func:`_bpe_merged_pieces`
+    expression or its materialized column).  Kept per-piece because BPE
+    never merges across pieces — pair counting reads adjacency WITHIN a
+    piece; flatten for the corpus token sequence."""
+    return F.transform(
+        mp,
+        lambda m: F.filter(F.split(m, _BPE_SEP * 2), lambda t: t != ""),
+    )
+
+
+# DuckDB mirrors of the same core.  `m` is the reserved lambda variable
+# for a merge pair inside the fold; a piece is bound to `piece_var`.
+
+def _bpe_mlist_sql(merges: list) -> str:
+    """The merge table as a DuckDB list literal — each pair rides as one
+    ``a␞b`` U+001E-joined string because ``list_reduce``'s
+    fold-with-initial idiom (``list_prepend(state, merges)``) needs a
+    HOMOGENEOUS list; the lambda splits it back with ``split_part``."""
+    if merges:
+        return "[" + ", ".join(slit(a + "\x1e" + b) for a, b in merges) + "]"
+    return "CAST([] AS VARCHAR[])"
+
+
+def _bpe_pieces_sql(text_col: str) -> str:
+    """``BPE_PIECE_RE`` pieces of ``text_col``, U+001F pre-stripped."""
+    return (
+        f"regexp_extract_all(replace({text_col}, chr(31), ''), "
+        f"'{BPE_PIECE_RE}')"
+    )
+
+
+def _bpe_merged_sql(merges: list, piece_var: str = "p") -> str:
+    """The merged double-boundary state string for the piece bound to
+    ``piece_var``: ``list_reduce(list_prepend(init, merges), …)`` — the
+    fold-with-initial idiom; ``list_reduce`` over the 1-element list an
+    EMPTY merge table prepends to returns ``init`` itself, so pair
+    counting's step 0 needs no special case."""
+    sep = "chr(31)"
+    sep2 = "chr(31) || chr(31)"
+    chars = f"regexp_extract_all({piece_var}, '[^\\n]')"
+    init = (
+        f"{sep2} || array_to_string({chars}, chr(31) || chr(31)) || {sep2}"
+    )
+    ma = "split_part(m, chr(30), 1)"
+    mb = "split_part(m, chr(30), 2)"
+    pat = f"{sep} || {ma} || {sep2} || {mb} || {sep}"
+    rep = f"{sep} || {ma} || {mb} || {sep}"
+    return (
+        f"list_reduce(list_prepend({init}, {_bpe_mlist_sql(merges)}), "
+        f"(acc, m) -> replace(acc, {pat}, {rep}))"
+    )
+
+
+def _bpe_tokens_sql(merged: str) -> str:
+    """Token list split back out of one merged state string."""
+    return (
+        f"list_filter(str_split({merged}, chr(31) || chr(31)), "
+        f"t -> t != '')"
+    )
+
+
 def bpe_token_cols(text_col: str, merges) -> list:
     """``n_bpe_tokens``: the number of tokens a BPE tokenizer with the
     given rank-ordered ``merges`` table produces — the count context
@@ -1102,24 +1232,6 @@ def bpe_token_cols(text_col: str, merges) -> list:
     GPT-2-style tokenizers that carry space-prefixed pieces."""
     merges = _check_merges(merges)
     sep = F.lit(_BPE_SEP)
-    text = F.regexp_replace(F.col(text_col), _BPE_SEP, "")
-    pieces = F.regexp_extract_all(text, F.lit(BPE_PIECE_RE), 0)
-    merge_arr = F.array(
-        *[F.array(F.lit(a), F.lit(b)) for a, b in merges]
-    )
-
-    sep2 = F.lit(_BPE_SEP * 2)
-
-    def apply_merge(acc: Column, m: Column) -> Column:
-        a, b = F.element_at(m, 1), F.element_at(m, 2)
-        pat = F.concat(sep, a, sep2, b, sep)
-        rep = F.concat(sep, a, b, sep)
-        return F.replace(acc, pat, rep)
-
-    def piece_merged(p: Column) -> Column:
-        chars = F.regexp_extract_all(p, F.lit(r"[^\n]"), 0)
-        init = F.concat(sep2, F.array_join(chars, _BPE_SEP * 2), sep2)
-        return F.aggregate(merge_arr, init, apply_merge)
 
     # Two-stage shape so each piece's merged state string is computed
     # ONCE: the separator count references its input twice, and Spark
@@ -1128,7 +1240,7 @@ def bpe_token_cols(text_col: str, merges) -> list:
     # per piece (interleaved A/B: ~1.9× slower; same lambda-inlining
     # trap as chunk_windows' split).  A lambda VARIABLE is a bound
     # value, so referencing `m` twice below is free.
-    merged_arr = F.transform(pieces, piece_merged)
+    merged_arr = _bpe_merged_pieces(text_col, merges)
     n_bpe = F.aggregate(
         merged_arr,
         F.lit(0).cast("bigint"),
@@ -1157,25 +1269,8 @@ def bpe_token_count_sql(
     back with ``split_part`` inside the lambda) nested inside a
     piece-sum fold."""
     merges = _check_merges(merges)
-    sep = "chr(31)"
-    sep2 = "chr(31) || chr(31)"
-    mlist = "[" + ", ".join(
-        slit(a + "\x1e" + b) for a, b in merges
-    ) + "]"
-    txt = f"replace({text_col}, chr(31), '')"
-    pieces = f"regexp_extract_all({txt}, '{BPE_PIECE_RE}')"
-    chars = "regexp_extract_all(p, '[^\\n]')"
-    init = (
-        f"{sep2} || array_to_string({chars}, chr(31) || chr(31)) || {sep2}"
-    )
-    ma = "split_part(m, chr(30), 1)"
-    mb = "split_part(m, chr(30), 2)"
-    pat = f"{sep} || {ma} || {sep2} || {mb} || {sep}"
-    rep = f"{sep} || {ma} || {mb} || {sep}"
-    merged = (
-        f"list_reduce(list_prepend({init}, {mlist}), "
-        f"(acc, m) -> replace(acc, {pat}, {rep}))"
-    )
+    pieces = _bpe_pieces_sql(text_col)
+    merged = _bpe_merged_sql(merges)
     piece_n = (
         f"CAST((length({merged}) - length(replace({merged}, chr(31), '')))"
         f" // 2 - 1 AS BIGINT)"
@@ -1212,37 +1307,11 @@ def bpe_encode(
     zero shuffle, zero Python, NULL text → NULL tokens, whitespace-only
     → empty array."""
     merges = _check_merges(merges)
-    sep = F.lit(_BPE_SEP)
-    sep2 = F.lit(_BPE_SEP * 2)
-    text = F.regexp_replace(F.col(text_col), _BPE_SEP, "")
-    pieces = F.regexp_extract_all(text, F.lit(BPE_PIECE_RE), 0)
-    merge_arr = F.array(*[F.array(F.lit(a), F.lit(b)) for a, b in merges])
-
-    def apply_merge(acc: Column, m: Column) -> Column:
-        a, b = F.element_at(m, 1), F.element_at(m, 2)
-        return F.replace(
-            acc,
-            F.concat(sep, a, sep2, b, sep),
-            F.concat(sep, a, b, sep),
-        )
-
-    def piece_merged(p: Column) -> Column:
-        chars = F.regexp_extract_all(p, F.lit(r"[^\n]"), 0)
-        init = F.concat(sep2, F.array_join(chars, _BPE_SEP * 2), sep2)
-        return F.aggregate(merge_arr, init, apply_merge)
-
     stage1 = df.select(
         F.col(id_col),
-        F.transform(pieces, piece_merged).alias("__mp"),
+        _bpe_merged_pieces(text_col, merges).alias("__mp"),
     )
-    toks = F.flatten(
-        F.transform(
-            F.col("__mp"),
-            lambda m: F.filter(
-                F.split(m, _BPE_SEP * 2), lambda t: t != ""
-            ),
-        )
-    )
+    toks = F.flatten(_bpe_piece_token_arrays(F.col("__mp")))
     # the token array is materialized in its own projection and the
     # count reads the ATTRIBUTE: lambda-bearing expressions are excluded
     # from codegen subexpression elimination, so an inline `toks` in
@@ -1267,27 +1336,10 @@ def bpe_encode_sql(
     idiom as ``bpe_token_count_sql``; ``flatten`` of the per-piece token
     lists)."""
     merges = _check_merges(merges)
-    sep2 = "chr(31) || chr(31)"
-    mlist = "[" + ", ".join(
-        slit(a + "\x1e" + b) for a, b in merges
-    ) + "]"
-    txt = f"replace({text_col}, chr(31), '')"
-    pieces = f"regexp_extract_all({txt}, '{BPE_PIECE_RE}')"
-    chars = "regexp_extract_all(p, '[^\\n]')"
-    init = (
-        f"{sep2} || array_to_string({chars}, chr(31) || chr(31)) || {sep2}"
-    )
-    ma = "split_part(m, chr(30), 1)"
-    mb = "split_part(m, chr(30), 2)"
-    pat = f"chr(31) || {ma} || {sep2} || {mb} || chr(31)"
-    rep = f"chr(31) || {ma} || {mb} || chr(31)"
-    merged = (
-        f"list_reduce(list_prepend({init}, {mlist}), "
-        f"(acc, m) -> replace(acc, {pat}, {rep}))"
-    )
+    pieces = _bpe_pieces_sql(text_col)
     toks = (
         f"flatten(list_transform({pieces}, "
-        f"p -> list_filter(str_split({merged}, {sep2}), t -> t != '')))"
+        f"p -> {_bpe_tokens_sql(_bpe_merged_sql(merges))}))"
     )
     return (
         f"SELECT {id_col}, "
@@ -1329,11 +1381,11 @@ def bpe_pair_counts(
     not counted — the same convention as :func:`bpe_token_cols`).
     ``merges=()`` counts character-level pairs (step 0).
 
-    The state encoding is deliberately IDENTICAL to
-    :func:`bpe_token_cols`' double-``␟``-boundary fold (kept
-    self-contained rather than refactored out of it so that operator's
-    driver-gated plan stays byte-untouched; the equivalence is
-    fuzz-pinned in tests/test_properties.py).  Scale shape: three
+    The state encoding IS :func:`bpe_token_cols`' double-``␟``-boundary
+    fold — all three consumers share :func:`_bpe_merged_pieces` /
+    :func:`_bpe_merged_sql` since round 10 (the equivalence across
+    consumers and engines stays fuzz-pinned in
+    tests/test_properties.py).  Scale shape: three
     materialized projections (merged pieces → token arrays → pair
     structs; each stage's expensive array is computed ONCE per row —
     Spark does not CSE inside higher-order-function lambdas, so
@@ -1343,28 +1395,6 @@ def bpe_pair_counts(
     are bounded by the in-partition distinct-pair count, not the token
     count.  NULL/whitespace-only documents contribute nothing."""
     merges = _check_merges_maybe_empty(merges)
-    sep = F.lit(_BPE_SEP)
-    sep2 = F.lit(_BPE_SEP * 2)
-    text = F.regexp_replace(F.col(text_col), _BPE_SEP, "")
-    pieces = F.regexp_extract_all(text, F.lit(BPE_PIECE_RE), 0)
-    merge_arr = (
-        F.array(*[F.array(F.lit(a), F.lit(b)) for a, b in merges])
-        if merges
-        else F.array().cast("array<array<string>>")
-    )
-
-    def apply_merge(acc: Column, m: Column) -> Column:
-        a, b = F.element_at(m, 1), F.element_at(m, 2)
-        return F.replace(
-            acc,
-            F.concat(sep, a, sep2, b, sep),
-            F.concat(sep, a, b, sep),
-        )
-
-    def piece_merged(p: Column) -> Column:
-        chars = F.regexp_extract_all(p, F.lit(r"[^\n]"), 0)
-        init = F.concat(sep2, F.array_join(chars, _BPE_SEP * 2), sep2)
-        return F.aggregate(merge_arr, init, apply_merge)
 
     def piece_pairs(a: Column) -> Column:
         n = F.size(a)
@@ -1378,15 +1408,10 @@ def bpe_pair_counts(
         ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
 
     stage1 = df.select(
-        F.transform(pieces, piece_merged).alias("__mp")
+        _bpe_merged_pieces(text_col, merges).alias("__mp")
     )
     stage2 = stage1.select(
-        F.transform(
-            F.col("__mp"),
-            lambda m: F.filter(
-                F.split(m, _BPE_SEP * 2), lambda t: t != ""
-            ),
-        ).alias("__tka")
+        _bpe_piece_token_arrays(F.col("__mp")).alias("__tka")
     )
     # The explode argument stays an INLINE expression over the previous
     # stage's column, never a materialized attribute of its own: explode
@@ -1421,27 +1446,9 @@ def bpe_pair_counts_sql(table: str, text_col: str, merges=()) -> str:
     indexing (start > stop yields an empty list, so 1-token pieces need
     no guard), unnest, GROUP BY."""
     merges = _check_merges_maybe_empty(merges)
-    sep = "chr(31)"
     sep2 = "chr(31) || chr(31)"
-    mlist = (
-        "[" + ", ".join(slit(a + "\x1e" + b) for a, b in merges) + "]"
-        if merges
-        else "CAST([] AS VARCHAR[])"
-    )
-    txt = f"replace({text_col}, chr(31), '')"
-    pcs = f"regexp_extract_all({txt}, '{BPE_PIECE_RE}')"
-    chars = "regexp_extract_all(p, '[^\\n]')"
-    init = (
-        f"{sep2} || array_to_string({chars}, chr(31) || chr(31)) || {sep2}"
-    )
-    ma = "split_part(m, chr(30), 1)"
-    mb = "split_part(m, chr(30), 2)"
-    pat = f"{sep} || {ma} || {sep2} || {mb} || {sep}"
-    rep = f"{sep} || {ma} || {mb} || {sep}"
-    merged = (
-        f"list_reduce(list_prepend({init}, {mlist}), "
-        f"(acc, m) -> replace(acc, {pat}, {rep}))"
-    )
+    pcs = _bpe_pieces_sql(text_col)
+    merged = _bpe_merged_sql(merges)
     return (
         f"WITH __d AS (SELECT {pcs} AS pcs FROM {table} "
         f"WHERE {text_col} IS NOT NULL), "
