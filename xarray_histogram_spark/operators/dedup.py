@@ -335,9 +335,14 @@ def near_dedup_keep_sql(
     from ..binspec import flit
 
     j = jaccard_pairs_sql(table, text_col, id_col, k)
+    # NOT EXISTS, not NOT IN: three-valued logic would return NO rows if
+    # a NULL id ever reached the drop list, silently diverging from the
+    # Spark path's anti-join (the same latent divergence ADVICE r09 had
+    # incremental_dedup_sql fix; unreachable with non-NULL-id corpora).
     return (
-        f"SELECT {id_col} FROM {table} WHERE {id_col} NOT IN "
-        f"(SELECT DISTINCT id_b FROM ({j}) jp WHERE jaccard >= {flit(threshold)})"
+        f"SELECT {id_col} FROM {table} __t WHERE NOT EXISTS "
+        f"(SELECT 1 FROM ({j}) jp WHERE jp.jaccard >= {flit(threshold)} "
+        f"AND jp.id_b = __t.{id_col})"
     )
 
 
