@@ -2348,6 +2348,11 @@ def test_embed_incremental_requires_kept_side(spark, emb):
     new = emb.limit(3).select("vec_id", "embedding")
     with pytest.raises(ValueError, match="kept_df"):
         dd.embed_incremental(new, None)
+    # and EXACTLY one keeper side: a stale index + fresh kept vectors
+    # previously won silently on the index (advice-found)
+    idx = dd.embed_index(new)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        dd.embed_incremental(new, new, 0.35, kept_index=idx)
 
 
 def test_extend_band_index_roundtrip(spark, docs, tmp_path):
@@ -2436,6 +2441,54 @@ def test_extend_embed_index_roundtrip(spark, emb, tmp_path):
     )
     assert fgot == exp
     assert not any("/bucket=" in f for f in back.inputFiles())
+
+
+def test_extend_embed_index_layout_detection_edge_cases(spark, emb, tmp_path):
+    """Layout detection is footer-based (advice-found): a literal
+    'bucket=' segment in the index ROOT path must not flip a flat index
+    to a partitioned append (which would brick the directory), and a
+    partitioned index under such a root must still be detected as
+    partitioned."""
+    root = tmp_path / "bucket=7"
+    root.mkdir()
+    kept = emb.where(F.col("vec_id") % 5 != 2).select("vec_id", "embedding")
+    new = emb.where(F.col("vec_id") % 5 == 2).select("vec_id", "embedding")
+    verdicts = dd.embed_incremental(new, kept, 0.35)
+    keep_ids = {r["vec_id"] for r in verdicts.where("keep").collect()}
+    assert keep_ids
+    exp_docs = kept.unionAll(new.where(F.col("vec_id").isin(*keep_ids)))
+    exp = sorted(
+        (r["vec_id"], r["bucket"], tuple(r["embedding"]))
+        for r in dd.embed_index(exp_docs).collect()
+    )
+
+    flat = str(root / "flatidx")
+    dd.embed_index(kept).write.parquet(flat)
+    dd.extend_embed_index(new, verdicts, flat)
+    back = spark.read.parquet(flat)
+    fgot = sorted(
+        (r["vec_id"], r["bucket"], tuple(r["embedding"]))
+        for r in back.collect()
+    )
+    assert fgot == exp
+    # still flat: no bucket= dirs BELOW the index root (the root's own
+    # 'bucket=' segment is the trap)
+    assert not any(
+        "/bucket=" in f.split("flatidx", 1)[1] for f in back.inputFiles()
+    )
+
+    part = str(root / "partidx")
+    dd.embed_index(kept).write.partitionBy("bucket").parquet(part)
+    dd.extend_embed_index(new, verdicts, part)
+    back2 = spark.read.parquet(part)
+    pgot = sorted(
+        (r["vec_id"], r["bucket"], tuple(r["embedding"]))
+        for r in back2.collect()
+    )
+    assert pgot == exp
+    assert all(
+        "/bucket=" in f.split("partidx", 1)[1] for f in back2.inputFiles()
+    )
 
 
 def test_pack_sequences_semantics(spark):

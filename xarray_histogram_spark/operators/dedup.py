@@ -1280,7 +1280,10 @@ def embed_incremental(
     ``kept_index``: a persisted :func:`embed_index` output; its planes
     fingerprint stamp is REQUIRED and must match ``planes`` — a
     mismatched or stamp-less index is refused (see
-    :func:`_planes_fingerprint`).
+    :func:`_planes_fingerprint`).  Mutually exclusive with ``kept_df``:
+    exactly one of the two defines the keeper corpus (advice-found — a
+    caller supplying a stale index AND fresh kept vectors previously got
+    the index with the kept_df silently ignored).
 
     ``max_kept_per_bucket``: drop kept buckets holding more than this
     many vectors before the probe join — the embedding analog of
@@ -1296,6 +1299,13 @@ def embed_incremental(
         raise ValueError(
             "pass kept_df (vectors, bucketized here) or kept_index "
             "(a persisted embed_index frame)"
+        )
+    if kept_df is not None and kept_index is not None:
+        raise ValueError(
+            "kept_df and kept_index are mutually exclusive — exactly one "
+            "defines the keeper corpus (the index would win and the "
+            "kept_df be silently ignored; if the index is current, drop "
+            "kept_df, else rebuild/extend the index first)"
         )
     planes = PLANES if planes is None else planes
     thr = F.lit(float(threshold))
@@ -1511,8 +1521,15 @@ def chunk_dedup_sql(
     max_chunks_per_doc: int = 1 << 20,
 ) -> str:
     """DuckDB mirror: ``chunk_windows_sql`` composed under the same
-    min-uid window verdicts (the fixture gate never overflows the uid
-    cap, so the engine's raise_error guard has no mirror arm)."""
+    min-uid window verdicts.  The engine's ``_chunk_uid`` raise arm has
+    NO mirror: the fixture gate never overflows the uid cap, and on
+    inputs that DO violate the contract the engines diverge in failure
+    MODE, not in any successful answer — bigint overflow errors in
+    DuckDB too (loudly, different message), but a NULL doc id yields
+    NULL uid here, making ``keep``/``n_dups`` silently NULL where Spark
+    raises (advice-found).  Callers running this mirror on untrusted
+    corpora should pre-filter ``{id_col} IS NOT NULL`` or accept the
+    divergence; the gate's fixtures carry no NULL ids."""
     from .text import chunk_windows_sql
 
     cw = chunk_windows_sql(table, text_col, id_col, chunk_tokens,
@@ -1578,6 +1595,11 @@ def chunk_near_pairs_sql(
     k: int = 8,
     max_chunks_per_doc: int = 1 << 20,
 ) -> str:
+    """DuckDB mirror of :func:`chunk_near_pairs` (same no-mirror-arm
+    caveat as ``chunk_dedup_sql``: a NULL doc id NULLs the packed uid
+    here where the Spark path raises, and both uids of such a pair drop
+    out of the inner joins — pre-filter NULL ids on untrusted
+    corpora)."""
     from .text import chunk_windows_sql
 
     cw = chunk_windows_sql(table, text_col, id_col, chunk_tokens,
@@ -1701,10 +1723,24 @@ def extend_embed_index(
         _kept_new(new_df, verdicts, id_col).select(id_col, vec_col),
         id_col, vec_col, planes,
     )
-    # layout detection without a raw filesystem API: a partitioned
-    # index's data files live under bucket=<n>/ directories, which
-    # inputFiles() exposes verbatim on any Hadoop-compatible FS
-    partitioned = any("/bucket=" in f for f in idx.inputFiles())
+    # Layout detection from a data file's FOOTER, not its path: a
+    # bucket-partitioned index stores 'bucket' only in directory names
+    # (reading one leaf FILE directly yields just the physical columns —
+    # the default basePath is the file's parent, so no partition
+    # discovery runs), while a flat index stores it as a physical
+    # column.  The previous substring match of '/bucket=' over
+    # inputFiles() misfired both ways (advice-found): an index ROOT path
+    # containing a literal 'bucket=' segment flagged a flat index as
+    # partitioned, and an EMPTY partitioned index (zero data files) was
+    # silently misdetected as flat — either append bricks the directory.
+    files = idx.inputFiles()
+    if not files:
+        raise ValueError(
+            f"{path} has no data files — an empty index's layout is "
+            "undetectable and an append could brick it; write the "
+            "initial index with embed_index() first"
+        )
+    partitioned = "bucket" not in spark.read.parquet(files[0]).schema.names
     writer = rows.write.mode("append")
     if partitioned:
         writer = writer.partitionBy("bucket")
