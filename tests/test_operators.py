@@ -2284,6 +2284,43 @@ def test_chunk_near_pairs_semantics(spark):
     assert jac[(1, 2)] > 0.7
 
 
+def test_chunk_near_pairs_materialize_and_chunks_paths(spark, docs):
+    """The three input paths agree bit-for-bit: default (re-chunk 3×
+    in-plan), materialize=True (one tokenize pass into a scratch
+    parquet), and a caller-supplied pre-chunked frame.  The
+    materialized plan must contain NO chunk tokenization — only scans
+    of the scratch — and exactly-one-of df/chunks is enforced."""
+    import pytest as _pytest
+    from xarray_histogram_spark.operators.text import chunk_windows
+
+    sub = docs.select("doc_id", "text").limit(200)
+    base = dd.chunk_near_pairs(sub, "text", "doc_id", 32, 24)
+    mat = dd.chunk_near_pairs(sub, "text", "doc_id", 32, 24,
+                              materialize=True)
+    pre = dd.chunk_near_pairs(None, "text", "doc_id", 32, 24,
+                              chunks=chunk_windows(sub, "text", "doc_id",
+                                                   32, 24))
+    got = sorted(map(tuple, base.collect()))
+    assert got == sorted(map(tuple, mat.collect()))
+    assert got == sorted(map(tuple, pre.collect()))
+    assert len(got) > 0
+    # the materialized plan re-chunks nothing: the chunk_text assembly
+    # (`array_join` of the sliced window — unique to chunk_windows; the
+    # band posexplode, shingle sequence and in-bucket pair slice are
+    # jaccard's own and legitimately remain) ran once at scratch-write
+    # time, the pair plan only scans the scratch back
+    mplan = mat._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_join(" not in mplan
+    dplan = base._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_join(" in dplan
+    with _pytest.raises(ValueError, match="exactly one"):
+        dd.chunk_near_pairs(sub, "text", "doc_id", 32, 24,
+                            chunks=chunk_windows(sub, "text", "doc_id",
+                                                 32, 24))
+    with _pytest.raises(ValueError, match="exactly one"):
+        dd.chunk_near_pairs(None, "text", "doc_id", 32, 24)
+
+
 def test_bpe_pair_counts_one_shot_iterable(spark):
     """A generator merge table must count under the REQUESTED table, not
     silently fall back to step-0 after the length probe exhausted it

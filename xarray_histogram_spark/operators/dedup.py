@@ -23,6 +23,7 @@ deterministic hashing substrate as the histogram oracle gate.
 
 from __future__ import annotations
 
+import atexit
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -1547,14 +1548,50 @@ def chunk_dedup_sql(
     )
 
 
+# scratch roots for materialize=True chunk frames, reaped at process
+# exit (the entry_queries CSV-root atexit pattern, operator-local)
+_CHUNK_SCRATCH: list = []
+
+
+def _materialize_scratch(df: DataFrame) -> DataFrame:
+    """Write ``df`` once to a session-scoped scratch parquet and read it
+    back — the persisted-intermediate pattern for plans that would
+    otherwise re-evaluate an expensive subtree (Spark does not share
+    duplicate subtrees within one plan, and for FILTER consumers there
+    is no in-plan fix — see the round-9 alias-inlining lessons).
+    Parquet, not ``cache()``: at 100 TB an evicted cache block silently
+    re-runs the subtree mid-job, while a parquet scratch is spill-free,
+    survives stage retries, and reads back column-pruned.  One
+    directory per call, removed at process exit."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="xhs_chunks_")
+    _CHUNK_SCRATCH.append(root)
+    path = root + "/data"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _cleanup_chunk_scratch() -> None:
+    import shutil
+
+    for root in _CHUNK_SCRATCH:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+atexit.register(_cleanup_chunk_scratch)
+
+
 def chunk_near_pairs(
-    df: DataFrame,
+    df: Optional[DataFrame],
     text_col: str,
     id_col: str,
     chunk_tokens: int,
     stride_tokens: int,
     k: int = 8,
     max_chunks_per_doc: int = 1 << 20,
+    chunks: Optional[DataFrame] = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """NEAR-duplicate chunk pairs: ``chunk_windows`` composed straight
     into the LSH + exact-Jaccard machinery (``jaccard_pairs``) over
@@ -1564,18 +1601,44 @@ def chunk_near_pairs(
     ``jaccard``) with ``uid_a < uid_b``; unpack doc/chunk with
     ``uid DIV/MOD max_chunks_per_doc``.  Same scale story as
     ``jaccard_pairs`` (banded candidates, never all-pairs), on the
-    shuffle-free chunk projection — with one honest caveat: the chunk
-    frame is a SUBTREE consumed three times inside the jaccard
-    machinery (band rows, a-side sets, b-side sets) and Spark does not
-    share duplicate subtrees, so the corpus is re-chunked ~3× within
-    the one plan.  Fine at gate scale; for very large corpora or
-    repeated runs, MATERIALIZE the chunk frame (parquet/cache) once and
-    run ``jaccard_pairs`` on the materialized table — the same
-    persisted-intermediate pattern as ``band_rows``."""
+    shuffle-free chunk projection — with one caveat the two keyword
+    paths exist to manage: the chunk frame is a SUBTREE consumed three
+    times inside the jaccard machinery (band rows, a-side sets, b-side
+    sets) and Spark does not share duplicate subtrees, so by default
+    the corpus is re-chunked ~3× within the one plan.
+
+    ``materialize=True`` tokenizes the corpus ONCE into a scratch
+    parquet (atexit-reaped) and runs the pair machinery over the
+    re-read — at 100 TB that trades 2 extra full-corpus tokenize passes
+    for one chunk-frame write + 3 column-pruned scans, a clear win for
+    large corpora or wide documents.  It stays OFF by default because
+    the default must serve the common interactive case: measured
+    interleaved at sf0.1 (~60k chunks) the scratch write costs more
+    than the re-chunking it saves (see PLANS.md / the bench ledger);
+    flip it on when the corpus outgrows gate scale.
+
+    ``chunks``: a pre-built :func:`text.chunk_windows` output for the
+    same corpus (``id_col``/``chunk_id``/``chunk_text``), mutually
+    exclusive with ``df`` — pass it when several chunk-granular
+    operators share one materialized chunk frame (e.g.
+    :func:`chunk_near_keep` and this under the same grid);
+    ``text_col``/``chunk_tokens``/``stride_tokens`` are then unused and
+    ``materialize`` is the caller's business."""
     from .text import chunk_windows
 
-    ch = chunk_windows(df, text_col, id_col, chunk_tokens, stride_tokens)
-    chu = ch.select(
+    if (df is None) == (chunks is None):
+        raise ValueError(
+            "pass exactly one of df (chunked here) or chunks (a "
+            "chunk_windows output for the same corpus)"
+        )
+    if chunks is None:
+        chunks = chunk_windows(df, text_col, id_col, chunk_tokens,
+                               stride_tokens)
+        if materialize:
+            chunks = _materialize_scratch(
+                chunks.select(id_col, "chunk_id", "chunk_text")
+            )
+    chu = chunks.select(
         _chunk_uid(id_col, max_chunks_per_doc).alias("chunk_uid"),
         "chunk_text",
     )
