@@ -2284,6 +2284,38 @@ def test_chunk_near_pairs_semantics(spark):
     assert jac[(1, 2)] > 0.7
 
 
+def test_chunk_near_keep_semantics(spark):
+    """Keep-first-occurrence at chunk granularity: the lightly-edited
+    copy (higher doc id) drops, the original keeps, the unrelated doc
+    keeps; materialize=True agrees bit-for-bit."""
+    base = " ".join(f"tok{i}" for i in range(16))
+    edited = base.replace("tok7", "tok7x")
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "entirely different words here")],
+        "doc_id: long, text: string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): r["keep"]
+        for r in dd.chunk_near_keep(
+            df, "text", "doc_id", 16, 16, k=4, threshold=0.7
+        ).collect()
+    }
+    assert got == {(1, 0): True, (2, 0): False, (3, 0): True}
+    mat = {
+        (r["doc_id"], r["chunk_id"]): r["keep"]
+        for r in dd.chunk_near_keep(
+            df, "text", "doc_id", 16, 16, k=4, threshold=0.7,
+            materialize=True,
+        ).collect()
+    }
+    assert mat == got
+    # above the pair's jaccard everything keeps (policy reads evidence)
+    all_keep = dd.chunk_near_keep(
+        df, "text", "doc_id", 16, 16, k=4, threshold=0.999
+    ).where(~F.col("keep")).count()
+    assert all_keep == 0
+
+
 def test_chunk_near_pairs_materialize_and_chunks_paths(spark, docs):
     """The three input paths agree bit-for-bit: default (re-chunk 3×
     in-plan), materialize=True (one tokenize pass into a scratch

@@ -900,6 +900,18 @@ register(
     dd.chunk_near_pairs_sql("documents", "text", "doc_id", 64, 48),
 )
 register(
+    # chunk-level near-dup KEEP verdicts (VERDICT r09 item 4): the
+    # greedy keep-first-occurrence policy over chunk_near_pairs' packed
+    # uids — both verdict values occur naturally at every SF with this
+    # grid/threshold (37/668 F/T at sf0.001, 32/662 at sf0.01,
+    # 331/6592 at sf0.1 — no synthetic augmentation needed)
+    "dedup_chunks_keep",
+    lambda spark, sf_dir: dd.chunk_near_keep(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id", 64, 48
+    ),
+    dd.chunk_near_keep_sql("documents", "text", "doc_id", 64, 48),
+)
+register(
     # real BPE-merge-table token counts (demo merges; the count context
     # packing budgets against) — one JVM merges-array fold per row,
     # property-fuzzed against a pure-Python leftmost-first reference

@@ -1677,6 +1677,96 @@ def chunk_near_pairs_sql(
     )
 
 
+def chunk_near_keep(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int,
+    stride_tokens: int,
+    k: int = 8,
+    threshold: float = 0.8,
+    max_chunks_per_doc: int = 1 << 20,
+    materialize: bool = False,
+) -> DataFrame:
+    """Greedy chunk-level near-dedup KEEP verdicts — the decision a RAG
+    pipeline actually consumes (``chunk_near_pairs`` emits evidence,
+    this applies the policy): one row per emitted chunk
+    (id, ``chunk_id``, ``keep``), with ``keep=False`` iff a
+    (doc, chunk)-lexicographically LOWER chunk is near-identical (exact
+    shingle-Jaccard ≥ ``threshold`` on banded-LSH candidates) — the
+    same one-level keep-first-occurrence policy as
+    :func:`near_dedup_keep`, at chunk granularity via the packed uid,
+    without iterative connected components.
+
+    Scale shape: ``chunk_near_pairs``' story (banded candidates, never
+    all-pairs) + ONE left join of the chunk frame against the flagged
+    uid set (the flagged set is pair-output-sized; AQE broadcasts it
+    when small).  The chunk frame feeds BOTH the pair machinery and the
+    verdict join, so ``materialize=True`` (recommended beyond gate
+    scale — see ``chunk_near_pairs``) tokenizes the corpus once instead
+    of 4×."""
+    from .text import chunk_windows
+
+    ch = chunk_windows(df, text_col, id_col, chunk_tokens, stride_tokens)
+    if materialize:
+        ch = _materialize_scratch(
+            ch.select(id_col, "chunk_id", "chunk_text")
+        )
+    pairs = chunk_near_pairs(
+        None, text_col, id_col, chunk_tokens, stride_tokens, k=k,
+        max_chunks_per_doc=max_chunks_per_doc, chunks=ch,
+    )
+    drop = (
+        pairs.where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select(F.col("uid_b").alias("__drop_uid"))
+        .distinct()
+    )
+    base = ch.select(
+        F.col(id_col), "chunk_id",
+        _chunk_uid(id_col, max_chunks_per_doc).alias("__uid"),
+    )
+    return base.join(
+        drop, base["__uid"] == drop["__drop_uid"], "left"
+    ).select(
+        F.col(id_col), "chunk_id",
+        F.col("__drop_uid").isNull().alias("keep"),
+    )
+
+
+def chunk_near_keep_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int,
+    stride_tokens: int,
+    k: int = 8,
+    threshold: float = 0.8,
+    max_chunks_per_doc: int = 1 << 20,
+) -> str:
+    """DuckDB mirror of :func:`chunk_near_keep` (reuses
+    ``chunk_near_pairs_sql``; NOT EXISTS, not NOT IN — the
+    ``near_dedup_keep_sql`` three-valued-logic lesson; same NULL-doc-id
+    mirror-arm caveat as ``chunk_dedup_sql``)."""
+    from ..binspec import flit
+    from .text import chunk_windows_sql
+
+    cw = chunk_windows_sql(table, text_col, id_col, chunk_tokens,
+                           stride_tokens)
+    cnp = chunk_near_pairs_sql(table, text_col, id_col, chunk_tokens,
+                               stride_tokens, k, max_chunks_per_doc)
+    kk = int(max_chunks_per_doc)
+    return (
+        f"WITH __cb AS ({cw}), "
+        f"__u AS (SELECT {id_col}, chunk_id, "
+        f"({id_col} * {kk} + chunk_id) AS __uid FROM __cb), "
+        f"__drop AS (SELECT DISTINCT uid_b FROM ({cnp}) cp "
+        f"WHERE jaccard >= {flit(float(threshold))}) "
+        f"SELECT {id_col}, chunk_id, "
+        f"NOT EXISTS (SELECT 1 FROM __drop d WHERE d.uid_b = __u.__uid) "
+        f"AS keep FROM __u"
+    )
+
+
 # ---------------------------------------------------------------------------
 # keeper-index maintenance: close the incremental-dedup production loop
 # ---------------------------------------------------------------------------
