@@ -2486,9 +2486,19 @@ def test_extend_embed_index_roundtrip(spark, emb, tmp_path):
         for r in dd.embed_index(exp_docs).collect()
     )
     assert got == exp
-    # the extended index still drives embed_incremental (stamp intact)
+    # the extended index still drives embed_incremental (stamp intact),
+    # and a shard-2 EXACT COPY of a shard-1 KEEPER flags dup_of_kept —
+    # the cross-shard visibility extend_embed_index exists to provide
     idx = spark.read.parquet(path)
-    dd.embed_incremental(new.limit(3), None, 0.35, kept_index=idx).collect()
+    a_keeper = min(keep_ids)
+    shard2 = new.where(F.col("vec_id") == a_keeper).select(
+        F.lit(9000077).cast("long").alias("vec_id"), "embedding"
+    )
+    v2 = {r["vec_id"]: r for r in dd.embed_incremental(
+        shard2, None, 0.35, kept_index=idx
+    ).collect()}
+    assert v2[9000077]["dup_of_kept"]
+    assert v2[9000077]["kept_match"] == a_keeper
     with pytest.raises(ValueError, match="stamp"):
         dd.extend_embed_index(new, verdicts, path, planes=sim.ANN_PLANES)
     with pytest.raises(ValueError, match="id column"):
@@ -2558,6 +2568,30 @@ def test_extend_embed_index_layout_detection_edge_cases(spark, emb, tmp_path):
     assert all(
         "/bucket=" in f.split("partidx", 1)[1] for f in back2.inputFiles()
     )
+
+
+def test_extend_loop_entry_sentinel_causality(spark, sf_dir):
+    """The dedup_extend_loop entry's defining property: shard 2's copy
+    (9000002) of the shard-1 sentinel keeper (9000001) flags
+    dup_of_kept with kept_match=9000001 — visible ONLY through
+    extend_band_index, because the sentinel text exists nowhere in the
+    initial keeper corpus (it is synthetic and unique).  Plus the
+    standard both-truth-values coverage for the other verdicts."""
+    from xarray_histogram_spark.entry_queries import (
+        _extend_loop_fn, _LOOP_SENTINEL,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert docs.where(
+        F.col("text").contains(_LOOP_SENTINEL.split()[0])
+    ).count() == 0, "sentinel vocabulary must not occur in the corpus"
+    rows = {r["doc_id"]: r for r in _extend_loop_fn(spark, sf_dir).collect()}
+    s = rows[9000002]
+    assert s["dup_of_kept"] and s["kept_match"] == 9000001
+    assert not s["keep"]
+    w = rows[9000003]
+    assert w["dup_within_new"] and not w["keep"]
+    assert any(r["keep"] for r in rows.values())
 
 
 def test_pack_sequences_semantics(spark):

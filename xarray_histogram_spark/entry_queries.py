@@ -706,6 +706,117 @@ register(
 )
 
 
+# --- multi-shard production loop: dedup shard 1 → extend the persisted
+# band index with its keepers → shard 2 probes the EXTENDED index
+# (VERDICT r09 item 6: the exact bug class extend_band_index exists to
+# prevent — cross-shard duplicates admitted in different shards never
+# seeing each other).  The sentinel doc 9000001 (unique synthetic text,
+# guaranteed shard-1 keeper) is copied into shard 2 as 9000002, so
+# dup_of_kept=true for 9000002 is CAUSALLY a shard-1 admission being
+# visible through the index extension, not through any initial corpus.
+_LOOP_SENTINEL = (
+    "zq glorp vexix wubble frandle keeper sentinel nine thousand one "
+    "shard loop marker phrase"
+)
+_EXTEND_LOOP_CACHE: dict[str, str] = {}
+
+
+def _loop_kept0(docs: DataFrame) -> DataFrame:
+    return docs.where((F.col("doc_id") % 4).isin(0, 2))
+
+
+def _loop_shard1(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    synth = spark.createDataFrame(
+        [(9000001, _LOOP_SENTINEL)], "doc_id: long, text: string"
+    )
+    return docs.where(F.col("doc_id") % 4 == 1).unionAll(synth)
+
+
+def _extend_loop_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the production-loop scratch state: the
+    persisted band index seeded from the initial keeper corpus and then
+    EXTENDED with shard 1's admitted keepers via extend_band_index, plus
+    the keeper TEXT corpus parquet (initial ∪ shard-1 keepers) the
+    verify step scans — exactly what a crawl pipeline persists between
+    shards."""
+    if sf_dir not in _EXTEND_LOOP_CACHE:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="xhs_band_loop_")
+        docs = t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+        kept0 = _loop_kept0(docs)
+        shard1 = _loop_shard1(spark, docs)
+        dd.band_rows(kept0, "text", "doc_id").write.parquet(root + "/idx")
+        v1 = dd.incremental_dedup(
+            shard1, kept0, "text", "doc_id",
+            kept_bands=spark.read.parquet(root + "/idx"),
+        )
+        dd.extend_band_index(shard1, v1, root + "/idx", "text", "doc_id")
+        keep1 = v1.where(F.col("keep")).select("doc_id")
+        kept0.unionAll(shard1.join(keep1, "doc_id")).write.parquet(
+            root + "/kept"
+        )
+        _EXTEND_LOOP_CACHE[sf_dir] = root
+    return _EXTEND_LOOP_CACHE[sf_dir]
+
+
+def _extend_loop_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _extend_loop_root(spark, sf_dir)
+    docs = t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    # shard 2 = %4==3, augmented so every verdict takes both values:
+    # 9000002 copies the SHARD-1 sentinel keeper (dup_of_kept via the
+    # index extension only), 9000003 copies shard-2 doc 3 (dup_within_new
+    # pair (3, 9000003) — the dedup_incremental fixture pattern)
+    synth = docs.where(F.col("doc_id") == 3).select(
+        F.lit(9000003).cast("long").alias("doc_id"), "text"
+    ).unionAll(spark.createDataFrame(
+        [(9000002, _LOOP_SENTINEL)], "doc_id: long, text: string"
+    ))
+    shard2 = docs.where(F.col("doc_id") % 4 == 3).unionAll(synth)
+    return dd.incremental_dedup(
+        shard2,
+        spark.read.parquet(root + "/kept"),
+        "text", "doc_id",
+        kept_bands=spark.read.parquet(root + "/idx"),
+    )
+
+
+def _extend_loop_sql() -> str:
+    """Oracle: the whole loop composed in SQL — shard-1 verdicts via
+    incremental_dedup_sql, keepers joined back to texts, union with the
+    initial corpus as shard 2's keeper side (DuckDB allows WITH inside
+    derived tables; the inner mirrors' __new/__kept CTEs shadow the
+    outer ones within their scope)."""
+    sent = _LOOP_SENTINEL
+    kept0 = "SELECT doc_id, text FROM documents WHERE doc_id % 4 IN (0, 2)"
+    shard1 = (
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1 "
+        f"UNION ALL SELECT CAST(9000001 AS BIGINT) AS doc_id, "
+        f"'{sent}' AS text"
+    )
+    v1 = dd.incremental_dedup_sql(shard1, kept0, "text", "doc_id")
+    kept_union = (
+        f"{kept0} UNION ALL "
+        f"SELECT s.doc_id, s.text FROM ({shard1}) s "
+        f"JOIN ({v1}) v ON s.doc_id = v.doc_id WHERE v.keep"
+    )
+    shard2 = (
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3 "
+        "UNION ALL SELECT CAST(9000003 AS BIGINT) AS doc_id, text "
+        "FROM documents WHERE doc_id = 3 "
+        f"UNION ALL SELECT CAST(9000002 AS BIGINT) AS doc_id, "
+        f"'{sent}' AS text"
+    )
+    return dd.incremental_dedup_sql(shard2, kept_union, "text", "doc_id")
+
+
+register(
+    "dedup_extend_loop",
+    _extend_loop_fn,
+    _extend_loop_sql(),
+)
+
+
 def _contamination_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decontamination primitive: docs from other sources sharing ≥40
     # distinct 12-gram shingles with the src14 "benchmark" slice
@@ -1742,9 +1853,11 @@ def _cleanup_scratch() -> None:
 
     for leaf in list(_CSV_SCRATCH.values()) + list(_ADOPT_SCRATCH.values()):
         shutil.rmtree(os.path.dirname(leaf), ignore_errors=True)
-    # the ANN/embed index caches hold the scratch ROOT itself
+    # the ANN/embed/band-loop caches hold the scratch ROOT itself
     for root in (
-        list(_ANN_INDEX_CACHE.values()) + list(_EMBED_INDEX_CACHE.values())
+        list(_ANN_INDEX_CACHE.values())
+        + list(_EMBED_INDEX_CACHE.values())
+        + list(_EXTEND_LOOP_CACHE.values())
     ):
         shutil.rmtree(root, ignore_errors=True)
 
