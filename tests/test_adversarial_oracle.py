@@ -676,6 +676,55 @@ def test_adv_chunk_dedup(spark, adv):
            con)
 
 
+def test_adv_chunk_near_keep(spark, adv):
+    df, con = adv
+    for thr in (0.5, 0.8):
+        _check(
+            dd.chunk_near_keep(df, "text", "doc_id", 4, 2, k=4,
+                               threshold=thr),
+            dd.chunk_near_keep_sql("adocs", "text", "doc_id", 4, 2, k=4,
+                                   threshold=thr),
+            con,
+        )
+
+
+def test_adv_extend_loop_composition(spark, adv, tmp_path):
+    """The dedup_extend_loop entry's shape on the CRAFTED corpus: seed
+    index from odd ids, dedup even ids against it, extend with their
+    keepers, verify a second shard against the extended state — vs the
+    same double-composition of incremental_dedup_sql (nested WITH
+    shadowing) in DuckDB.  Exercises NULL/empty/whitespace text through
+    band_rows, extend_band_index and the index-probed verify path."""
+    df, con = adv
+    docs = df.select("doc_id", "text")
+    kept0 = docs.where(F.col("doc_id") % 3 == 0)
+    shard1 = docs.where(F.col("doc_id") % 3 == 1)
+    shard2 = docs.where(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "advloop")
+    dd.band_rows(kept0, "text", "doc_id").write.parquet(path)
+    v1 = dd.incremental_dedup(
+        shard1, kept0, "text", "doc_id",
+        kept_bands=spark.read.parquet(path),
+    )
+    dd.extend_band_index(shard1, v1, path, "text", "doc_id")
+    kept_union = kept0.unionAll(
+        shard1.join(v1.where(F.col("keep")).select("doc_id"), "doc_id")
+    )
+    got = dd.incremental_dedup(
+        shard2, kept_union, "text", "doc_id",
+        kept_bands=spark.read.parquet(path),
+    )
+    k0 = "SELECT doc_id, text FROM adocs WHERE doc_id % 3 = 0"
+    s1 = "SELECT doc_id, text FROM adocs WHERE doc_id % 3 = 1"
+    s2 = "SELECT doc_id, text FROM adocs WHERE doc_id % 3 = 2"
+    v1_sql = dd.incremental_dedup_sql(s1, k0, "text", "doc_id")
+    ku = (
+        f"{k0} UNION ALL SELECT s.doc_id, s.text FROM ({s1}) s "
+        f"JOIN ({v1_sql}) v ON s.doc_id = v.doc_id WHERE v.keep"
+    )
+    _check(got, dd.incremental_dedup_sql(s2, ku, "text", "doc_id"), con)
+
+
 def test_adv_bpe_pair_counts(spark, adv):
     df, con = adv
     for merges in ((), tx.DEMO_BPE_MERGES, (("a", "a"), ("-", "-"))):

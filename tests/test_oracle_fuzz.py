@@ -477,6 +477,38 @@ def test_fuzzed_incremental_dedup_mirror(spark, seed):
     )
 
 
+@pytest.mark.parametrize("seed", [19, 191])
+def test_fuzzed_chunk_near_keep_mirror(spark, seed):
+    """chunk_near_keep vs its composed DuckDB mirror on random corpora
+    under RANDOM window grids (incl. stride>chunk gap mode) and
+    thresholds — the packed-uid keep policy must hash-match, NULL/empty
+    texts and planted near-dups included."""
+    import duckdb
+    import pandas as pd
+
+    from xarray_histogram_spark.operators import dedup as dd
+
+    rng = random.Random(seed)
+    rows = _random_corpus(rng, 80)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+        {"doc_id": "int64"}
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("fuzzcorp", pdf)
+    for _ in range(3):
+        chunk = rng.randint(1, 8)
+        stride = rng.randint(1, 10)
+        thr = rng.choice([0.6, 0.8, 0.95])
+        assert_matches_sql(
+            dd.chunk_near_keep(df, "text", "doc_id", chunk, stride, k=4,
+                               threshold=thr),
+            dd.chunk_near_keep_sql("fuzzcorp", "text", "doc_id", chunk,
+                                   stride, k=4, threshold=thr),
+            con,
+        )
+
+
 @pytest.mark.parametrize("seed", [13, 131])
 def test_fuzzed_corpus_report_mirror(spark, seed):
     """corpus_report (with the per-rule Gopher breakdown) vs its mirror
