@@ -248,6 +248,40 @@ SELECTION: dict[str, tuple[list[str], str]] = {
         "chunk relation twice). The packed (doc, chunk) uid raises on "
         "both overflow directions rather than colliding ranges.",
     ),
+    "dedup_chunks_keep": (
+        ["LeftOuter", "HashAggregate"],
+        "Chunk-level near-dup KEEP policy: chunk_near_pairs' banded "
+        "candidates + exact-Jaccard evidence feeds one DISTINCT over the "
+        "flagged uids (the HashAggregate pair) and ONE LeftOuter join of "
+        "the chunk frame against that set — no iterative components; the "
+        "verdict is `flagged IS NULL`. The flagged set is "
+        "pair-output-sized, so at runtime AQE converts the static "
+        "sort-merge to a broadcast in the common sparse-duplicate case. "
+        "Default path re-chunks the corpus inside the pair machinery "
+        "(the documented 3× subtree); materialize=True on the operator "
+        "tokenizes once into an atexit-reaped scratch parquet and feeds "
+        "BOTH the pairs and the verdict join from it — measured at sf0.1 "
+        "the scratch write only pays for itself beyond gate scale "
+        "(interleaved A/B: default min 1.63 s vs materialize 2.07 s), so "
+        "the gate pins the default and the flag is the 100 TB path.",
+    ),
+    "dedup_extend_loop": (
+        ["BroadcastHashJoin", "LeftAnti", "LeftOuter"],
+        "The multi-shard production loop: shard 2's verdicts against a "
+        "persisted band index that extend_band_index grew with shard 1's "
+        "admitted keepers. The plan is incremental_dedup's audited shape "
+        "twice over (the kept-union side embeds shard 1's verdict dag): "
+        "the shard's band rows broadcast into the index probe "
+        "(BroadcastHashJoin — the kept index is never shuffled), the "
+        "candidate kept texts are fetched by a broadcast semi-probe, "
+        "new-vs-new survivors anti-join (LeftAnti) the kept-duplicate "
+        "set, and the final verdict assembly is two LeftOuter joins on "
+        "the shard spine. Every Exchange is shard-sized; the 100 TB "
+        "keeper corpus appears only as the probed parquet index + the "
+        "candidate-id text fetch, and the index stays current "
+        "shard-over-shard via the append — no rebuild, no kept-side "
+        "shuffle, no cartesian.",
+    ),
 }
 
 
