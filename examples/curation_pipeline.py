@@ -23,6 +23,10 @@ the operator families a 100 TB text pipeline runs, end to end —
  18. packed-sequence emission                  (pack_sequences)
  19. semantic incremental dedup + index upkeep (embed_incremental +
                                                 extend_embed_index)
+ 20. chunk-level near-dup KEEP verdicts        (chunk_near_keep,
+                                                materialize=True)
+ 21. multi-shard text loop: index seed →
+     shard dedup → keeper append → next shard (extend_band_index)
 
 Run:  python examples/curation_pipeline.py [sf_dir]
 """
@@ -271,6 +275,54 @@ try:
     assert n_idx == kept_vecs.count() + ev.where(F.col("keep")).count()
 finally:
     shutil.rmtree(idx_path, ignore_errors=True)
+
+# 20. chunk-level near-dup KEEP verdicts (round 10) — the decision a
+# RAG pipeline consumes: keep a chunk unless a lexicographically lower
+# (doc, chunk) is near-identical.  materialize=True tokenizes the
+# corpus once for both the pair evidence and the verdict join — the
+# 100 TB path (the in-plan default is faster at this scale).
+from xarray_histogram_spark.operators.dedup import (  # noqa: E402
+    chunk_near_keep,
+)
+
+ck = chunk_near_keep(docs, "text", "doc_id", 64, 48, materialize=True)
+n_drop = ck.where(~F.col("keep")).count()
+print(f"chunk-level keep: {ck.count()} chunks, {n_drop} near-dup drops")
+assert n_drop > 0
+
+# 21. the TEXT multi-shard production loop (round 10): seed the band
+# index from the keeper corpus, dedup shard 1 against it, APPEND shard
+# 1's admitted keepers, and shard 2's probe then sees them — the
+# invariant extend_band_index exists to provide.
+from xarray_histogram_spark.operators.dedup import (  # noqa: E402
+    band_rows, extend_band_index, incremental_dedup,
+)
+
+texts = docs.select("doc_id", "text")
+kept0 = texts.where((F.col("doc_id") % 4).isin(0, 2))
+shard1 = texts.where(F.col("doc_id") % 4 == 1)
+shard2 = texts.where(F.col("doc_id") % 4 == 3)
+band_root = tempfile.mkdtemp(prefix="xhs_example_bandidx_")
+band_path = band_root + "/idx"
+try:
+    band_rows(kept0, "text", "doc_id").write.parquet(band_path)
+    v1 = incremental_dedup(
+        shard1, kept0, "text", "doc_id",
+        kept_bands=spark.read.parquet(band_path),
+    )
+    extend_band_index(shard1, v1, band_path, "text", "doc_id")
+    kept_union = kept0.unionAll(
+        shard1.join(v1.where(F.col("keep")).select("doc_id"), "doc_id")
+    )
+    v2 = incremental_dedup(
+        shard2, kept_union, "text", "doc_id",
+        kept_bands=spark.read.parquet(band_path),
+    )
+    print(f"shard 2 verdicts: {v2.where(F.col('keep')).count()} keep, "
+          f"{v2.where(F.col('dup_of_kept')).count()} dup-of-kept "
+          f"(shard-1 admissions visible through the index append)")
+finally:
+    shutil.rmtree(band_root, ignore_errors=True)
 
 print("curation pipeline walkthrough OK")
 spark.stop()
