@@ -2309,6 +2309,39 @@ def test_chunk_near_keep_semantics(spark):
         ).collect()
     }
     assert mat == got
+    # the shared pre-chunked path (a shard loop's zero-retokenize shape)
+    from xarray_histogram_spark.operators.text import chunk_windows
+
+    pre = {
+        (r["doc_id"], r["chunk_id"]): r["keep"]
+        for r in dd.chunk_near_keep(
+            None, "text", "doc_id", 16, 16, k=4, threshold=0.7,
+            chunks=chunk_windows(df, "text", "doc_id", 16, 16),
+        ).collect()
+    }
+    assert pre == got
+    with pytest.raises(ValueError, match="exactly one"):
+        dd.chunk_near_keep(None, "text", "doc_id", 16, 16)
+    # a caller-owned scratch_dir gets a unique subdir (and is NOT
+    # atexit-tracked — the caller deletes it)
+    import tempfile
+
+    sd = tempfile.mkdtemp(prefix="xhs_test_scratch_")
+    try:
+        own = {
+            (r["doc_id"], r["chunk_id"]): r["keep"]
+            for r in dd.chunk_near_keep(
+                df, "text", "doc_id", 16, 16, k=4, threshold=0.7,
+                materialize=True, scratch_dir=sd,
+            ).collect()
+        }
+        assert own == got
+        import os
+        assert any(n.startswith("xhs_chunks_") for n in os.listdir(sd))
+        assert not any(p.startswith(sd) for p in dd._CHUNK_SCRATCH)
+    finally:
+        import shutil
+        shutil.rmtree(sd, ignore_errors=True)
     # above the pair's jaccard everything keeps (policy reads evidence)
     all_keep = dd.chunk_near_keep(
         df, "text", "doc_id", 16, 16, k=4, threshold=0.999

@@ -67,9 +67,12 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # green is r07 (two rounds old — they lead _STALE_PRIORITY
 # unconditionally per the capacity policy below) and then the 43
 # r08-green entries in registry order.  Window arithmetic this round:
-# 2 new + 7 changed + 41 stale = 50 exactly — which leaves the 43
-# r08 names for round 11's stale head, so ROUND 11 MUST KEEP
-# NEW+CHANGED ≤ ~7 to close the cycle.  All stale entries have
+# 2 new + 7 changed + 41 stale = 50 exactly — which leaves the 43 r08
+# names MINUS the two re-gated here (text_bpe_tokens, sample_pack_bpe
+# are r08-freshest AND in _CHANGED_THIS_ROUND, so they get r10 greens)
+# = 41 names for round 11's stale head, so ROUND 11 MUST KEEP
+# NEW+CHANGED ≤ ~9 to close the cycle (review-found: an earlier draft
+# said 43/≤7).  All stale entries have
 # UNCHANGED plans and oracles since their last driver green and stay
 # green in the local full-registry gates (test_entry_contract,
 # driver_sim); the rotation itself is pure evidence-freshness
@@ -118,7 +121,9 @@ _DRIVER_VERIFIED = frozenset({
 # they lead the window so no green ever ages a THIRD round.  The 43
 # r08-green entries follow in registry order and fill the remainder of
 # the ~50-query window (with 2 new + 7 changed + 41 stale = 50, none
-# are expected to fit this round; they lead round 11's stale head).
+# are expected to fit this round; the 41 of them NOT re-gated via
+# _CHANGED — text_bpe_tokens and sample_pack_bpe are — lead round 11's
+# stale head).
 _STALE_PRIORITY = (
     "alg_bin_coordinates", "alg_rebin",
     "dedup_contamination", "dedup_exact",

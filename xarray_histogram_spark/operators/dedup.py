@@ -1553,23 +1553,50 @@ def chunk_dedup_sql(
 _CHUNK_SCRATCH: list = []
 
 
-def _materialize_scratch(df: DataFrame) -> DataFrame:
-    """Write ``df`` once to a session-scoped scratch parquet and read it
-    back — the persisted-intermediate pattern for plans that would
-    otherwise re-evaluate an expensive subtree (Spark does not share
-    duplicate subtrees within one plan, and for FILTER consumers there
-    is no in-plan fix — see the round-9 alias-inlining lessons).
-    Parquet, not ``cache()``: at 100 TB an evicted cache block silently
-    re-runs the subtree mid-job, while a parquet scratch is spill-free,
-    survives stage retries, and reads back column-pruned.  One
-    directory per call, removed at process exit."""
-    import tempfile
+def _materialize_scratch(
+    df: DataFrame, scratch_dir: Optional[str] = None
+) -> DataFrame:
+    """Write ``df`` once to a scratch parquet and read it back — the
+    persisted-intermediate pattern for plans that would otherwise
+    re-evaluate an expensive subtree (Spark does not share duplicate
+    subtrees within one plan, and for FILTER consumers there is no
+    in-plan fix — see the round-9 alias-inlining lessons).  Parquet,
+    not ``cache()``: at 100 TB an evicted cache block silently re-runs
+    the subtree mid-job, while a parquet scratch is spill-free,
+    survives stage retries, and reads back column-pruned.
 
-    root = tempfile.mkdtemp(prefix="xhs_chunks_")
-    _CHUNK_SCRATCH.append(root)
-    path = root + "/data"
+    Scratch placement (review-found): the default ``tempfile.mkdtemp``
+    is DRIVER-LOCAL, which is only correct in local mode — on a real
+    cluster each executor would write its partitions to its own
+    node-local /tmp and the read-back would silently see a fraction of
+    the data — so a non-local master REFUSES to run without
+    ``scratch_dir``, a cluster-visible location (HDFS/S3/NFS).  Local
+    default scratch is reaped at process exit (one new directory per
+    call — loop over shards via the ``chunks=`` parameter instead of
+    repeated ``materialize=True`` calls); a caller-supplied
+    ``scratch_dir`` gets a unique subdirectory the CALLER owns deleting
+    (the ``components_from_edges`` cc-final-* precedent — a local
+    ``shutil.rmtree`` cannot delete remote-FS paths at exit)."""
+    spark = df.sparkSession
+    if scratch_dir is None:
+        if not spark.sparkContext.master.startswith("local"):
+            raise ValueError(
+                "materialize=True on a non-local master needs "
+                "scratch_dir= (a cluster-visible path): the default "
+                "driver-local tempdir would scatter partitions across "
+                "executor-local filesystems and silently drop data"
+            )
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="xhs_chunks_")
+        _CHUNK_SCRATCH.append(root)
+        path = root + "/data"
+    else:
+        import uuid
+
+        path = scratch_dir.rstrip("/") + "/xhs_chunks_" + uuid.uuid4().hex
     df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    return spark.read.parquet(path)
 
 
 def _cleanup_chunk_scratch() -> None:
@@ -1592,6 +1619,7 @@ def chunk_near_pairs(
     max_chunks_per_doc: int = 1 << 20,
     chunks: Optional[DataFrame] = None,
     materialize: bool = False,
+    scratch_dir: Optional[str] = None,
 ) -> DataFrame:
     """NEAR-duplicate chunk pairs: ``chunk_windows`` composed straight
     into the LSH + exact-Jaccard machinery (``jaccard_pairs``) over
@@ -1608,22 +1636,27 @@ def chunk_near_pairs(
     the corpus is re-chunked ~3× within the one plan.
 
     ``materialize=True`` tokenizes the corpus ONCE into a scratch
-    parquet (atexit-reaped) and runs the pair machinery over the
-    re-read — at 100 TB that trades 2 extra full-corpus tokenize passes
-    for one chunk-frame write + 3 column-pruned scans, a clear win for
-    large corpora or wide documents.  It stays OFF by default because
-    the default must serve the common interactive case: measured
-    interleaved at sf0.1 (~60k chunks) the scratch write costs more
-    than the re-chunking it saves (see PLANS.md / the bench ledger);
-    flip it on when the corpus outgrows gate scale.
+    parquet and runs the pair machinery over the re-read — at 100 TB
+    that trades 2 extra full-corpus tokenize passes for one chunk-frame
+    write + 3 column-pruned scans, a clear win for large corpora or
+    wide documents.  It stays OFF by default because the default must
+    serve the common interactive case: measured interleaved at sf0.1
+    (~89k pairs) the scratch write costs more than the re-chunking it
+    saves (see PLANS.md / the bench ledger); flip it on when the corpus
+    outgrows gate scale.  On a non-local master ``scratch_dir`` (a
+    cluster-visible path) is REQUIRED and the caller owns deleting its
+    unique subdirectory; the local default is atexit-reaped, one new
+    directory per call — a loop over shards should pre-chunk once and
+    pass ``chunks=`` rather than re-materializing per call (see
+    :func:`_materialize_scratch`).
 
     ``chunks``: a pre-built :func:`text.chunk_windows` output for the
     same corpus (``id_col``/``chunk_id``/``chunk_text``), mutually
     exclusive with ``df`` — pass it when several chunk-granular
     operators share one materialized chunk frame (e.g.
-    :func:`chunk_near_keep` and this under the same grid);
-    ``text_col``/``chunk_tokens``/``stride_tokens`` are then unused and
-    ``materialize`` is the caller's business."""
+    :func:`chunk_near_keep` via its own ``chunks=`` and this under the
+    same grid); ``text_col``/``chunk_tokens``/``stride_tokens`` are
+    then unused and materialization is the caller's business."""
     from .text import chunk_windows
 
     if (df is None) == (chunks is None):
@@ -1636,7 +1669,8 @@ def chunk_near_pairs(
                                stride_tokens)
         if materialize:
             chunks = _materialize_scratch(
-                chunks.select(id_col, "chunk_id", "chunk_text")
+                chunks.select(id_col, "chunk_id", "chunk_text"),
+                scratch_dir,
             )
     chu = chunks.select(
         _chunk_uid(id_col, max_chunks_per_doc).alias("chunk_uid"),
@@ -1678,7 +1712,7 @@ def chunk_near_pairs_sql(
 
 
 def chunk_near_keep(
-    df: DataFrame,
+    df: Optional[DataFrame],
     text_col: str,
     id_col: str,
     chunk_tokens: int,
@@ -1687,6 +1721,8 @@ def chunk_near_keep(
     threshold: float = 0.8,
     max_chunks_per_doc: int = 1 << 20,
     materialize: bool = False,
+    chunks: Optional[DataFrame] = None,
+    scratch_dir: Optional[str] = None,
 ) -> DataFrame:
     """Greedy chunk-level near-dedup KEEP verdicts — the decision a RAG
     pipeline actually consumes (``chunk_near_pairs`` emits evidence,
@@ -1703,15 +1739,28 @@ def chunk_near_keep(
     uid set (the flagged set is pair-output-sized; AQE broadcasts it
     when small).  The chunk frame feeds BOTH the pair machinery and the
     verdict join, so ``materialize=True`` (recommended beyond gate
-    scale — see ``chunk_near_pairs``) tokenizes the corpus once instead
-    of 4×."""
+    scale; ``scratch_dir`` required on a non-local master — see
+    ``chunk_near_pairs``) tokenizes the corpus once instead of 4×, and
+    ``chunks=`` (mutually exclusive with ``df``, same contract as
+    ``chunk_near_pairs``) lets a shard loop or a sibling operator share
+    one pre-built chunk frame with zero re-tokenization here."""
     from .text import chunk_windows
 
-    ch = chunk_windows(df, text_col, id_col, chunk_tokens, stride_tokens)
-    if materialize:
-        ch = _materialize_scratch(
-            ch.select(id_col, "chunk_id", "chunk_text")
+    if (df is None) == (chunks is None):
+        raise ValueError(
+            "pass exactly one of df (chunked here) or chunks (a "
+            "chunk_windows output for the same corpus)"
         )
+    if chunks is None:
+        ch = chunk_windows(df, text_col, id_col, chunk_tokens,
+                           stride_tokens)
+        if materialize:
+            ch = _materialize_scratch(
+                ch.select(id_col, "chunk_id", "chunk_text"),
+                scratch_dir,
+            )
+    else:
+        ch = chunks
     pairs = chunk_near_pairs(
         None, text_col, id_col, chunk_tokens, stride_tokens, k=k,
         max_chunks_per_doc=max_chunks_per_doc, chunks=ch,
