@@ -2384,6 +2384,21 @@ def test_chunk_near_pairs_materialize_and_chunks_paths(spark, docs):
                                                  32, 24))
     with _pytest.raises(ValueError, match="exactly one"):
         dd.chunk_near_pairs(None, "text", "doc_id", 32, 24)
+    # chunks= + materialize/scratch_dir raises instead of silently
+    # ignoring the flags (the embed_incremental kept-sides lesson)
+    with _pytest.raises(ValueError, match="silently ignored"):
+        dd.chunk_near_pairs(None, "text", "doc_id", 32, 24,
+                            chunks=chunk_windows(sub, "text", "doc_id",
+                                                 32, 24),
+                            materialize=True)
+    # eager scratch reap: roots tracked by materialize=True disappear
+    # and the tracking list empties
+    import os
+    roots = list(dd._CHUNK_SCRATCH)
+    assert roots and all(os.path.isdir(r) for r in roots)
+    assert dd.clear_chunk_scratch() == len(roots)
+    assert not dd._CHUNK_SCRATCH
+    assert not any(os.path.isdir(r) for r in roots)
 
 
 def test_bpe_pair_counts_one_shot_iterable(spark):

@@ -1599,14 +1599,67 @@ def _materialize_scratch(
     return spark.read.parquet(path)
 
 
-def _cleanup_chunk_scratch() -> None:
+def clear_chunk_scratch() -> int:
+    """Eagerly delete every atexit-tracked LOCAL scratch root written by
+    ``materialize=True`` calls and return how many were removed.  The
+    atexit reaper bounds nothing in a long-lived driver (notebook,
+    service, shard loop) — each call writes a fresh chunk-frame copy —
+    so call this between batches once their results are consumed.
+    DataFrames returned by earlier ``materialize=True`` calls read from
+    these roots and become invalid.  Caller-supplied ``scratch_dir``
+    subdirectories are never tracked here; their lifecycle is the
+    caller's."""
     import shutil
 
+    n = len(_CHUNK_SCRATCH)
     for root in _CHUNK_SCRATCH:
         shutil.rmtree(root, ignore_errors=True)
+    _CHUNK_SCRATCH.clear()
+    return n
 
 
-atexit.register(_cleanup_chunk_scratch)
+atexit.register(clear_chunk_scratch)
+
+
+def _resolve_chunks(
+    df: Optional[DataFrame],
+    chunks: Optional[DataFrame],
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int,
+    stride_tokens: int,
+    materialize: bool,
+    scratch_dir: Optional[str],
+) -> DataFrame:
+    """Exactly-one-of df/chunks input resolution shared by
+    ``chunk_near_pairs`` and ``chunk_near_keep`` (review-found: two
+    verbatim copies would drift).  ``materialize``/``scratch_dir``
+    apply only to the internally-built frame; combining them with
+    ``chunks=`` RAISES rather than silently ignoring the flags (the
+    embed_incremental kept_df+kept_index lesson) — the caller of a
+    pre-built frame owns its materialization."""
+    from .text import chunk_windows
+
+    if (df is None) == (chunks is None):
+        raise ValueError(
+            "pass exactly one of df (chunked here) or chunks (a "
+            "chunk_windows output for the same corpus)"
+        )
+    if chunks is not None:
+        if materialize or scratch_dir is not None:
+            raise ValueError(
+                "materialize/scratch_dir apply to the internally-built "
+                "chunk frame and would be silently ignored with "
+                "chunks= — materialize the pre-built frame yourself "
+                "(persist it, or pass the read-back of a parquet write)"
+            )
+        return chunks
+    ch = chunk_windows(df, text_col, id_col, chunk_tokens, stride_tokens)
+    if materialize:
+        ch = _materialize_scratch(
+            ch.select(id_col, "chunk_id", "chunk_text"), scratch_dir
+        )
+    return ch
 
 
 def chunk_near_pairs(
@@ -1657,21 +1710,8 @@ def chunk_near_pairs(
     :func:`chunk_near_keep` via its own ``chunks=`` and this under the
     same grid); ``text_col``/``chunk_tokens``/``stride_tokens`` are
     then unused and materialization is the caller's business."""
-    from .text import chunk_windows
-
-    if (df is None) == (chunks is None):
-        raise ValueError(
-            "pass exactly one of df (chunked here) or chunks (a "
-            "chunk_windows output for the same corpus)"
-        )
-    if chunks is None:
-        chunks = chunk_windows(df, text_col, id_col, chunk_tokens,
-                               stride_tokens)
-        if materialize:
-            chunks = _materialize_scratch(
-                chunks.select(id_col, "chunk_id", "chunk_text"),
-                scratch_dir,
-            )
+    chunks = _resolve_chunks(df, chunks, text_col, id_col, chunk_tokens,
+                             stride_tokens, materialize, scratch_dir)
     chu = chunks.select(
         _chunk_uid(id_col, max_chunks_per_doc).alias("chunk_uid"),
         "chunk_text",
@@ -1744,23 +1784,8 @@ def chunk_near_keep(
     ``chunks=`` (mutually exclusive with ``df``, same contract as
     ``chunk_near_pairs``) lets a shard loop or a sibling operator share
     one pre-built chunk frame with zero re-tokenization here."""
-    from .text import chunk_windows
-
-    if (df is None) == (chunks is None):
-        raise ValueError(
-            "pass exactly one of df (chunked here) or chunks (a "
-            "chunk_windows output for the same corpus)"
-        )
-    if chunks is None:
-        ch = chunk_windows(df, text_col, id_col, chunk_tokens,
-                           stride_tokens)
-        if materialize:
-            ch = _materialize_scratch(
-                ch.select(id_col, "chunk_id", "chunk_text"),
-                scratch_dir,
-            )
-    else:
-        ch = chunks
+    ch = _resolve_chunks(df, chunks, text_col, id_col, chunk_tokens,
+                         stride_tokens, materialize, scratch_dir)
     pairs = chunk_near_pairs(
         None, text_col, id_col, chunk_tokens, stride_tokens, k=k,
         max_chunks_per_doc=max_chunks_per_doc, chunks=ch,
