@@ -306,10 +306,14 @@ band_root = tempfile.mkdtemp(prefix="xhs_example_bandidx_")
 band_path = band_root + "/idx"
 try:
     band_rows(kept0, "text", "doc_id").write.parquet(band_path)
-    v1 = incremental_dedup(
+    # persist shard 1's verdicts once — extend_band_index and the kept
+    # union below both consume them, and a lazy frame would re-run the
+    # whole verdict plan twice
+    incremental_dedup(
         shard1, kept0, "text", "doc_id",
         kept_bands=spark.read.parquet(band_path),
-    )
+    ).write.parquet(band_root + "/v1")
+    v1 = spark.read.parquet(band_root + "/v1")
     extend_band_index(shard1, v1, band_path, "text", "doc_id")
     kept_union = kept0.unionAll(
         shard1.join(v1.where(F.col("keep")).select("doc_id"), "doc_id")

@@ -2630,9 +2630,12 @@ def test_extend_loop_entry_sentinel_causality(spark, sf_dir):
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the causality argument needs the sentinel PHRASE absent from the
+    # corpus (checking a single word like 'zq' would be both over-strict
+    # — a random token could contain it — and under-checked)
     assert docs.where(
-        F.col("text").contains(_LOOP_SENTINEL.split()[0])
-    ).count() == 0, "sentinel vocabulary must not occur in the corpus"
+        F.col("text").contains(_LOOP_SENTINEL)
+    ).count() == 0, "the sentinel phrase must not occur in the corpus"
     rows = {r["doc_id"]: r for r in _extend_loop_fn(spark, sf_dir).collect()}
     s = rows[9000002]
     assert s["dup_of_kept"] and s["kept_match"] == 9000001

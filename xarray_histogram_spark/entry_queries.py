@@ -745,22 +745,39 @@ def _extend_loop_root(spark: SparkSession, sf_dir: str) -> str:
     verify step scans — exactly what a crawl pipeline persists between
     shards."""
     if sf_dir not in _EXTEND_LOOP_CACHE:
+        import shutil
         import tempfile
 
         root = tempfile.mkdtemp(prefix="xhs_band_loop_")
-        docs = t_wide(spark, sf_dir, "documents").select("doc_id", "text")
-        kept0 = _loop_kept0(docs)
-        shard1 = _loop_shard1(spark, docs)
-        dd.band_rows(kept0, "text", "doc_id").write.parquet(root + "/idx")
-        v1 = dd.incremental_dedup(
-            shard1, kept0, "text", "doc_id",
-            kept_bands=spark.read.parquet(root + "/idx"),
-        )
-        dd.extend_band_index(shard1, v1, root + "/idx", "text", "doc_id")
-        keep1 = v1.where(F.col("keep")).select("doc_id")
-        kept0.unionAll(shard1.join(keep1, "doc_id")).write.parquet(
-            root + "/kept"
-        )
+        try:
+            docs = t_wide(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            kept0 = _loop_kept0(docs)
+            shard1 = _loop_shard1(spark, docs)
+            dd.band_rows(kept0, "text", "doc_id").write.parquet(
+                root + "/idx"
+            )
+            # persist the shard-1 verdicts ONCE (review-found: a lazy v1
+            # would re-run the costliest plan in the loop twice — once
+            # inside extend_band_index's keeper join, once for the kept
+            # union below); the read-back feeds both consumers
+            dd.incremental_dedup(
+                shard1, kept0, "text", "doc_id",
+                kept_bands=spark.read.parquet(root + "/idx"),
+            ).write.parquet(root + "/v1")
+            v1 = spark.read.parquet(root + "/v1")
+            dd.extend_band_index(shard1, v1, root + "/idx", "text",
+                                 "doc_id")
+            keep1 = v1.where(F.col("keep")).select("doc_id")
+            kept0.unionAll(shard1.join(keep1, "doc_id")).write.parquet(
+                root + "/kept"
+            )
+        except BaseException:
+            # a failed build must not leak the half-written root: only
+            # _EXTEND_LOOP_CACHE entries are atexit-reaped (review-found)
+            shutil.rmtree(root, ignore_errors=True)
+            raise
         _EXTEND_LOOP_CACHE[sf_dir] = root
     return _EXTEND_LOOP_CACHE[sf_dir]
 

@@ -1654,6 +1654,12 @@ def _resolve_chunks(
                 "(persist it, or pass the read-back of a parquet write)"
             )
         return chunks
+    if scratch_dir is not None and not materialize:
+        raise ValueError(
+            "scratch_dir without materialize=True would be silently "
+            "ignored — the 4× re-chunk default would still run; pass "
+            "materialize=True to enable the single-tokenize scratch"
+        )
     ch = chunk_windows(df, text_col, id_col, chunk_tokens, stride_tokens)
     if materialize:
         ch = _materialize_scratch(
@@ -1760,8 +1766,8 @@ def chunk_near_keep(
     k: int = 8,
     threshold: float = 0.8,
     max_chunks_per_doc: int = 1 << 20,
-    materialize: bool = False,
     chunks: Optional[DataFrame] = None,
+    materialize: bool = False,
     scratch_dir: Optional[str] = None,
 ) -> DataFrame:
     """Greedy chunk-level near-dedup KEEP verdicts — the decision a RAG
