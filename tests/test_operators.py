@@ -2328,17 +2328,28 @@ def test_chunk_near_keep_semantics(spark):
 
     sd = tempfile.mkdtemp(prefix="xhs_test_scratch_")
     try:
+        own_df = dd.chunk_near_keep(
+            df, "text", "doc_id", 16, 16, k=4, threshold=0.7,
+            materialize=True, scratch_dir=sd,
+        )
         own = {
             (r["doc_id"], r["chunk_id"]): r["keep"]
-            for r in dd.chunk_near_keep(
-                df, "text", "doc_id", 16, 16, k=4, threshold=0.7,
-                materialize=True, scratch_dir=sd,
-            ).collect()
+            for r in own_df.collect()
         }
         assert own == got
         import os
         assert any(n.startswith("xhs_chunks_") for n in os.listdir(sd))
         assert not any(p.startswith(sd) for p in dd._CHUNK_SCRATCH)
+        # the caller-owned subdirectory is surfaced on the result — the
+        # deletion contract is actionable (review-found); a
+        # non-materialized call carries no such attribute
+        sp = own_df.xhs_scratch_path
+        assert sp.startswith(sd + "/xhs_chunks_") and os.path.isdir(sp)
+        assert not hasattr(
+            dd.chunk_near_keep(df, "text", "doc_id", 16, 16, k=4,
+                               threshold=0.7),
+            "xhs_scratch_path",
+        )
     finally:
         import shutil
         shutil.rmtree(sd, ignore_errors=True)
@@ -2378,6 +2389,12 @@ def test_chunk_near_pairs_materialize_and_chunks_paths(spark, docs):
     assert "array_join(" not in mplan
     dplan = base._jdf.queryExecution().optimizedPlan().toString()
     assert "array_join(" in dplan
+    # the local-default scratch path is surfaced on the result and is
+    # one of the atexit-tracked roots; the in-plan default carries none
+    import os
+    assert os.path.isdir(mat.xhs_scratch_path)
+    assert any(mat.xhs_scratch_path.startswith(r) for r in dd._CHUNK_SCRATCH)
+    assert not hasattr(base, "xhs_scratch_path")
     with _pytest.raises(ValueError, match="exactly one"):
         dd.chunk_near_pairs(sub, "text", "doc_id", 32, 24,
                             chunks=chunk_windows(sub, "text", "doc_id",
@@ -2393,7 +2410,6 @@ def test_chunk_near_pairs_materialize_and_chunks_paths(spark, docs):
                             materialize=True)
     # eager scratch reap: roots tracked by materialize=True disappear
     # and the tracking list empties
-    import os
     roots = list(dd._CHUNK_SCRATCH)
     assert roots and all(os.path.isdir(r) for r in roots)
     assert dd.clear_chunk_scratch() == len(roots)

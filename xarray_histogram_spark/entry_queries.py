@@ -79,7 +79,9 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # maintenance.
 #
 # CAPACITY POLICY (decided round 8, per VERDICT r07 item 2): the registry
-# holds ~124 entries against a ~50-query driver window, so steady-state
+# holds 136 entries against a ~50-query driver window (86 non-fresh
+# names at any instant — recount this when planning a round's
+# new+changed budget), so steady-state
 # freshness is a documented THREE-round cycle: each round re-gates (a) all
 # new/changed entries, (b) every entry whose green is two rounds old (the
 # _STALE_PRIORITY head), and (c) as many one-round-old entries as fit.

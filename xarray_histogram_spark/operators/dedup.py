@@ -1576,7 +1576,13 @@ def _materialize_scratch(
     repeated ``materialize=True`` calls); a caller-supplied
     ``scratch_dir`` gets a unique subdirectory the CALLER owns deleting
     (the ``components_from_edges`` cc-final-* precedent — a local
-    ``shutil.rmtree`` cannot delete remote-FS paths at exit)."""
+    ``shutil.rmtree`` cannot delete remote-FS paths at exit).  The
+    written path is surfaced as ``xhs_scratch_path`` on the returned
+    DataFrame (and propagated to the operator results built from it) —
+    without it the caller-owned-deletion contract would be
+    unactionable: concurrent jobs sharing one scratch root could not
+    tell which ``xhs_chunks_*`` subdirectory is theirs
+    (review-found)."""
     spark = df.sparkSession
     if scratch_dir is None:
         if not spark.sparkContext.master.startswith("local"):
@@ -1596,7 +1602,9 @@ def _materialize_scratch(
 
         path = scratch_dir.rstrip("/") + "/xhs_chunks_" + uuid.uuid4().hex
     df.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    out = spark.read.parquet(path)
+    out.xhs_scratch_path = path
+    return out
 
 
 def clear_chunk_scratch() -> int:
@@ -1619,6 +1627,17 @@ def clear_chunk_scratch() -> int:
 
 
 atexit.register(clear_chunk_scratch)
+
+
+def _carry_scratch_path(out: DataFrame, chunks: DataFrame) -> DataFrame:
+    """Propagate a materialized chunk frame's ``xhs_scratch_path`` onto
+    the operator result the caller actually holds — the scratch
+    subdirectory a caller-supplied ``scratch_dir`` owns deleting is
+    otherwise unknowable to it (review-found)."""
+    path = getattr(chunks, "xhs_scratch_path", None)
+    if path is not None:
+        out.xhs_scratch_path = path
+    return out
 
 
 def _resolve_chunks(
@@ -1657,8 +1676,9 @@ def _resolve_chunks(
     if scratch_dir is not None and not materialize:
         raise ValueError(
             "scratch_dir without materialize=True would be silently "
-            "ignored — the 4× re-chunk default would still run; pass "
-            "materialize=True to enable the single-tokenize scratch"
+            "ignored — the multi-pass in-plan re-chunk default would "
+            "still run; pass materialize=True to enable the "
+            "single-tokenize scratch"
         )
     ch = chunk_windows(df, text_col, id_col, chunk_tokens, stride_tokens)
     if materialize:
@@ -1704,7 +1724,8 @@ def chunk_near_pairs(
     saves (see PLANS.md / the bench ledger); flip it on when the corpus
     outgrows gate scale.  On a non-local master ``scratch_dir`` (a
     cluster-visible path) is REQUIRED and the caller owns deleting its
-    unique subdirectory; the local default is atexit-reaped, one new
+    unique subdirectory — surfaced as ``xhs_scratch_path`` on the
+    returned DataFrame; the local default is atexit-reaped, one new
     directory per call — a loop over shards should pre-chunk once and
     pass ``chunks=`` rather than re-materializing per call (see
     :func:`_materialize_scratch`).
@@ -1722,11 +1743,12 @@ def chunk_near_pairs(
         _chunk_uid(id_col, max_chunks_per_doc).alias("chunk_uid"),
         "chunk_text",
     )
-    return (
+    out = (
         jaccard_pairs(chu, "chunk_text", "chunk_uid", k)
         .withColumnRenamed("id_a", "uid_a")
         .withColumnRenamed("id_b", "uid_b")
     )
+    return _carry_scratch_path(out, chunks)
 
 
 def chunk_near_pairs_sql(
@@ -1805,12 +1827,13 @@ def chunk_near_keep(
         F.col(id_col), "chunk_id",
         _chunk_uid(id_col, max_chunks_per_doc).alias("__uid"),
     )
-    return base.join(
+    out = base.join(
         drop, base["__uid"] == drop["__drop_uid"], "left"
     ).select(
         F.col(id_col), "chunk_id",
         F.col("__drop_uid").isNull().alias("keep"),
     )
+    return _carry_scratch_path(out, ch)
 
 
 def chunk_near_keep_sql(
@@ -1823,23 +1846,28 @@ def chunk_near_keep_sql(
     threshold: float = 0.8,
     max_chunks_per_doc: int = 1 << 20,
 ) -> str:
-    """DuckDB mirror of :func:`chunk_near_keep` (reuses
-    ``chunk_near_pairs_sql``; NOT EXISTS, not NOT IN — the
-    ``near_dedup_keep_sql`` three-valued-logic lesson; same NULL-doc-id
-    mirror-arm caveat as ``chunk_dedup_sql``)."""
+    """DuckDB mirror of :func:`chunk_near_keep` (NOT EXISTS, not NOT IN
+    — the ``near_dedup_keep_sql`` three-valued-logic lesson; same
+    NULL-doc-id mirror-arm caveat as ``chunk_dedup_sql``).  The pair
+    machinery is composed INLINE from the one ``__cb`` chunk CTE rather
+    than by embedding ``chunk_near_pairs_sql`` whole — the latter
+    carries its own copy of the chunk-window subquery, so the oracle
+    would tokenize the corpus twice and a future grid-parameter edit
+    could silently desynchronize the two copies (review-found)."""
     from ..binspec import flit
     from .text import chunk_windows_sql
 
     cw = chunk_windows_sql(table, text_col, id_col, chunk_tokens,
                            stride_tokens)
-    cnp = chunk_near_pairs_sql(table, text_col, id_col, chunk_tokens,
-                               stride_tokens, k, max_chunks_per_doc)
     kk = int(max_chunks_per_doc)
+    jp = jaccard_pairs_sql("__chu", "chunk_text", "chunk_uid", k)
     return (
         f"WITH __cb AS ({cw}), "
+        f"__chu AS (SELECT ({id_col} * {kk} + chunk_id) AS chunk_uid, "
+        f"chunk_text FROM __cb), "
         f"__u AS (SELECT {id_col}, chunk_id, "
         f"({id_col} * {kk} + chunk_id) AS __uid FROM __cb), "
-        f"__drop AS (SELECT DISTINCT uid_b FROM ({cnp}) cp "
+        f"__drop AS (SELECT DISTINCT id_b AS uid_b FROM ({jp}) cp "
         f"WHERE jaccard >= {flit(float(threshold))}) "
         f"SELECT {id_col}, chunk_id, "
         f"NOT EXISTS (SELECT 1 FROM __drop d WHERE d.uid_b = __u.__uid) "
