@@ -725,6 +725,81 @@ def test_adv_extend_loop_composition(spark, adv, tmp_path):
     _check(got, dd.incremental_dedup_sql(s2, ku, "text", "doc_id"), con)
 
 
+def test_adv_embed_extend_loop(spark, tmp_path):
+    """The EMBEDDING twin of the band-loop composition: seed a persisted
+    embed index, verdict shard 1 against it, extend_embed_index with
+    shard 1's admitted keepers, verdict shard 2 against the EXTENDED
+    index — vs the same double-composition of embed_incremental_sql in
+    DuckDB.  Crafted vectors force every verdict arm: a cross-shard
+    exact copy AND a near-copy of a SHARD-1 keeper (dup_of_kept only
+    via the extension), a dup of an ORIGINAL keeper, a within-shard
+    dup, and a zero-norm vector (NULL cosine → keeps)."""
+    import math
+
+    import duckdb
+
+    DIM = 64
+
+    def vec(seed, eps=0.0):
+        return [math.sin(seed * 13.7 + k) + (eps if k == 0 else 0.0)
+                for k in range(DIM)]
+
+    rows = (
+        [(i, vec(i), 0) for i in range(6)]               # kept0
+        + [(10, vec(0), 1),                              # dup of kept 0
+           (11, vec(30), 1), (12, vec(31), 1),
+           (13, vec(32), 1),
+           (14, vec(30), 1),                             # dup within shard 1
+           (15, vec(99), 1)]                             # SHARD-1 keeper
+        + [(20, vec(99), 2),                             # exact copy of 15
+           (25, vec(99, 1e-4), 2),                       # near-copy of 15
+           (21, vec(3), 2),                              # dup of kept 3
+           (22, vec(50), 2),
+           (23, vec(50), 2),                             # dup within shard 2
+           (24, [0.0] * DIM, 2)]                         # zero norm
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    p = str(tmp_path / "aemb.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW aemb AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    src = spark.read.parquet(p)
+    kept0 = src.where("label = 0").select("vec_id", "embedding")
+    shard1 = src.where("label = 1").select("vec_id", "embedding")
+    shard2 = src.where("label = 2").select("vec_id", "embedding")
+    idx = str(tmp_path / "aeidx")
+    dd.embed_index(kept0).write.parquet(idx)
+    thr = 0.95
+    v1 = dd.embed_incremental(
+        shard1, None, thr, kept_index=spark.read.parquet(idx)
+    )
+    dd.extend_embed_index(shard1, v1, idx)
+    got = dd.embed_incremental(
+        shard2, None, thr, kept_index=spark.read.parquet(idx)
+    )
+    # causality: 20 (exact) and 25 (near) match the SHARD-1 admission 15,
+    # visible only through the extension; 21 matches the original index
+    g = {r["vec_id"]: r for r in got.collect()}
+    assert g[20]["dup_of_kept"] and g[20]["kept_match"] == 15
+    assert g[25]["dup_of_kept"] and g[25]["kept_match"] == 15
+    assert g[21]["dup_of_kept"] and g[21]["kept_match"] == 3
+    assert g[23]["dup_within_new"] and not g[23]["keep"]
+    assert g[24]["keep"] and not g[24]["dup_of_kept"]
+    k0 = "SELECT vec_id, embedding FROM aemb WHERE label = 0"
+    s1 = "SELECT vec_id, embedding FROM aemb WHERE label = 1"
+    s2 = "SELECT vec_id, embedding FROM aemb WHERE label = 2"
+    v1_sql = dd.embed_incremental_sql(s1, k0, thr)
+    ku = (
+        f"{k0} UNION ALL SELECT s.vec_id, s.embedding FROM ({s1}) s "
+        f"JOIN ({v1_sql}) v ON s.vec_id = v.vec_id WHERE v.keep"
+    )
+    _check(got, dd.embed_incremental_sql(s2, ku, thr), con)
+
+
 def test_adv_bpe_pair_counts(spark, adv):
     df, con = adv
     for merges in ((), tx.DEMO_BPE_MERGES, (("a", "a"), ("-", "-"))):
