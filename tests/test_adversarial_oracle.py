@@ -725,6 +725,75 @@ def test_adv_extend_loop_composition(spark, adv, tmp_path):
     _check(got, dd.incremental_dedup_sql(s2, ku, "text", "doc_id"), con)
 
 
+def test_adv_linear_quality_score(spark, adv):
+    """Hashed-linear-model scoring vs its mirror on the crafted corpus:
+    NULL / empty / whitespace-only / U+000B / multibyte texts must agree
+    bit-for-bit (same bucket per token, same left-to-right double fold),
+    under two weight-table sizes and a non-zero bias."""
+    df, con = adv
+    for n, bias in ((256, 0.25), (64, -1.5)):
+        w = tx.demo_quality_weights(n, seed=n)
+        _check(
+            tx.linear_quality_score(df, "text", "doc_id", w, bias=bias),
+            tx.linear_quality_score_sql("adocs", "text", "doc_id", w,
+                                        bias=bias),
+            con,
+        )
+
+
+def test_adv_mixture_weights(spark, adv):
+    """Mixture rebalancing weights vs the mirror: a target naming an
+    UNOBSERVED group, observed groups ABSENT from the target (weight
+    0.0), doc-count and token-mass modes, and an un-normalized target
+    (normalized identically in Python for both engines)."""
+    df, con = adv
+    target = {"s0": 3.0, "s1": 1.0, "never_seen": 2.0}
+    _check(
+        sp.mixture_weights(df, "source", target),
+        sp.mixture_weights_sql("adocs", "source", target),
+        con,
+    )
+    tokd = df.withColumn("ntok", F.size(F.split(F.coalesce(
+        F.col("text"), F.lit("")), " ")).cast("bigint"))
+    con.execute(
+        "CREATE OR REPLACE VIEW adocs_tok AS SELECT *, CAST(len("
+        "str_split(COALESCE(text, ''), ' ')) AS BIGINT) AS ntok FROM adocs"
+    )
+    _check(
+        sp.mixture_weights(tokd, "lang", {"en": 1.0, "de": 1.0},
+                           weight_col="ntok"),
+        sp.mixture_weights_sql("adocs_tok", "lang", {"en": 1.0, "de": 1.0},
+                               weight_col="ntok"),
+        con,
+    )
+
+
+def test_mixture_weights_semantics(spark):
+    """Hand-checked weights: shares normalize, over-represented sources
+    cap at keep_rate 1.0 only when UNDER target, absent-from-target
+    groups get 0.0, zero-mass groups get NULL."""
+    df = spark.createDataFrame(
+        [(1, "a", 30), (2, "a", 30), (3, "b", 20), (4, "c", 20),
+         (5, "z", 0)],
+        "doc_id long, source string, ntok long",
+    )
+    got = {r["source"]: r for r in sp.mixture_weights(
+        df, "source", {"a": 1.0, "b": 1.0}, weight_col="ntok"
+    ).collect()}
+    assert got["a"]["mass"] == 60 and got["a"]["share"] == 0.6
+    assert got["a"]["target_share"] == 0.5
+    assert got["a"]["mix_weight"] == 0.5 / 0.6
+    assert got["a"]["keep_rate"] == 0.5 / 0.6          # downsample
+    assert got["b"]["mix_weight"] == 0.5 / 0.2
+    assert got["b"]["keep_rate"] == 1.0                # capped
+    assert got["c"]["target_share"] == 0.0 and got["c"]["mix_weight"] == 0.0
+    assert got["z"]["mix_weight"] is None and got["z"]["keep_rate"] is None
+    with pytest.raises(ValueError, match="non-empty"):
+        sp.mixture_weights(df, "source", {})
+    with pytest.raises(ValueError, match="non-negative"):
+        sp.mixture_weights(df, "source", {"a": -1.0})
+
+
 def test_adv_embed_extend_loop(spark, tmp_path):
     """The EMBEDDING twin of the band-loop composition: seed a persisted
     embed index, verdict shard 1 against it, extend_embed_index with

@@ -2417,6 +2417,45 @@ def test_chunk_near_pairs_materialize_and_chunks_paths(spark, docs):
     assert not any(os.path.isdir(r) for r in roots)
 
 
+def test_linear_quality_score_shape(spark, docs):
+    """The hashed-linear scorer is a PURE PROJECTION (zero Exchange, no
+    Python eval) and ranks an English sentence above token noise under
+    the demo weights' intended use (scores are deterministic, so the
+    assertion is on determinism + shape, not on the demo table's
+    arbitrary ordering)."""
+    w = tx.demo_quality_weights()
+    out = tx.linear_quality_score(
+        docs.select("doc_id", "text").limit(50), "text", "doc_id", w
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, tx.linear_quality_score(
+        docs.select("doc_id", "text").limit(50), "text", "doc_id", w
+    ).collect()))
+    assert a == b and len(a) == 50
+    with pytest.raises(ValueError, match="2..4096"):
+        tx.linear_quality_score(docs, "text", "doc_id", [0.1])
+
+
+def test_mixture_weights_shape(spark, docs):
+    """mixture_weights touches the corpus ONCE: one map-combined
+    groupBy exchange plus the k-row single-partition window exchange —
+    never a join, never a per-row Python eval."""
+    from xarray_histogram_spark.operators import sampling as sp
+
+    out = sp.mixture_weights(
+        docs.select("doc_id", "source"), "source", {"src0": 1.0, "src1": 3.0}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = out.collect()
+    assert len(rows) == len(set(r[0] for r in rows))  # one row per group
+
+
 def test_bpe_pair_counts_one_shot_iterable(spark):
     """A generator merge table must count under the REQUESTED table, not
     silently fall back to step-0 after the length probe exhausted it

@@ -509,6 +509,77 @@ def test_fuzzed_chunk_near_keep_mirror(spark, seed):
         )
 
 
+@pytest.mark.parametrize("seed", [29, 291])
+def test_fuzzed_linear_quality_score_mirror(spark, seed):
+    """linear_quality_score vs its mirror on random corpora under RANDOM
+    weight tables / sizes / biases — bucket assignment and the
+    left-to-right double fold must be bit-identical, NULL/empty/unicode
+    texts included."""
+    import duckdb
+    import pandas as pd
+
+    from xarray_histogram_spark.operators import text as tx
+
+    rng = random.Random(seed)
+    rows = _random_corpus(rng, 70)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+        {"doc_id": "int64"}
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("lqcorp", pdf)
+    for _ in range(3):
+        n = rng.choice([2, 17, 64, 256])
+        w = [rng.uniform(-1, 1) for _ in range(n)]
+        bias = rng.uniform(-2, 2)
+        assert_matches_sql(
+            tx.linear_quality_score(df, "text", "doc_id", w, bias=bias),
+            tx.linear_quality_score_sql("lqcorp", "text", "doc_id", w,
+                                        bias=bias),
+            con,
+        )
+
+
+@pytest.mark.parametrize("seed", [31, 311])
+def test_fuzzed_mixture_weights_mirror(spark, seed):
+    """mixture_weights vs its mirror under RANDOM group assignments,
+    random integral masses (including zero-mass groups) and random
+    un-normalized targets that cover a random subset of the groups."""
+    import duckdb
+    import pandas as pd
+
+    from xarray_histogram_spark.operators import sampling as sp
+
+    rng = random.Random(seed)
+    groups = ["g%d" % i for i in range(rng.randint(2, 8))] + [None]
+    rows = [
+        (i, rng.choice(groups),
+         0 if rng.random() < 0.15 else rng.randint(0, 500))
+        for i in range(120)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "src", "ntok"]).astype(
+        {"doc_id": "int64", "ntok": "int64"}
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, src string, ntok long")
+    con = duckdb.connect()
+    con.register("mxcorp", pdf)
+    for _ in range(3):
+        named = [g for g in groups if g is not None]
+        tgt = {
+            g: rng.uniform(0.0, 5.0)
+            for g in rng.sample(named, rng.randint(1, len(named)))
+        }
+        tgt["phantom"] = rng.uniform(0.0, 2.0)
+        if not sum(tgt.values()) > 0:
+            tgt["phantom"] = 1.0
+        for wc in (None, "ntok"):
+            assert_matches_sql(
+                sp.mixture_weights(df, "src", tgt, weight_col=wc),
+                sp.mixture_weights_sql("mxcorp", "src", tgt, weight_col=wc),
+                con,
+            )
+
+
 @pytest.mark.parametrize("seed", [23, 231])
 def test_fuzzed_extend_loop_mirror(spark, seed, tmp_path):
     """The multi-shard band-index production loop on RANDOM corpora

@@ -98,3 +98,34 @@ def nibble_val(c: Column) -> Column:
 
 def nibble_val_sql(expr: str) -> str:
     return f"(strpos('{HEX}', {expr}) - 1)"
+
+
+# ---- hashed feature bucket (for linear-model scoring) ----
+def hex4_bucket(c: Column, n: int) -> Column:
+    """Deterministic bucket 0..n-1 from the FIRST FOUR hex chars of
+    md5(c) — the hashing-trick feature index for linear text models.
+    JVM side converts the 4-char slice in one ``conv``; the SQL mirror
+    (no ``conv`` in DuckDB) recomposes the same value from four nibble
+    positions, so both engines bucket every string identically.  The
+    modulo over a 65,536-value space carries a ≤ n/65536 bias toward
+    low buckets — identical in both engines, and irrelevant for the
+    determinism the oracle gate checks; keep n ≤ 4096."""
+    if not 2 <= n <= 4096:
+        raise ValueError("hex4_bucket needs 2 <= n <= 4096")
+    return (
+        F.conv(F.substring(F.md5(c.cast("binary")), 1, 4), 16, 10)
+        .cast("int") % F.lit(n)
+    )
+
+
+def hex4_val_sql(hex4: str) -> str:
+    """Value 0..65535 of a FOUR-hex-char expression.  ``hex4`` is read
+    four times (one per nibble), so it MUST be a bound lambda variable
+    or a plain column reference, never an expression that recomputes a
+    hash — bind ``substr(md5(...), 1, 4)`` with ``list_transform``
+    first when hashing inside a list fold (the BPE lambda-variable
+    lesson: variable references are free, inline expressions are not)."""
+    nib = [
+        f"(strpos('{HEX}', substr({hex4}, {i}, 1)) - 1)" for i in (1, 2, 3, 4)
+    ]
+    return f"({nib[0]} * 4096 + {nib[1]} * 256 + {nib[2]} * 16 + {nib[3]})"

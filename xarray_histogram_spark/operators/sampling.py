@@ -683,3 +683,138 @@ def pack_sequences_sql(
         f"string_agg(ptxt, ' ' ORDER BY off) AS seq_text "
         f"FROM __p GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# token-weighted mixture rebalancing weights (data-mixing bookkeeping)
+# ---------------------------------------------------------------------------
+#
+# The per-source weight computation a pretraining pipeline runs before
+# sampling a mixture toward a target token distribution (cf. the domain
+# reweighting in DoReMi / The Pile's per-source epochs): observed mass
+# per source → weight = target_share / observed_share.  Composes with
+# the existing samplers: feed ``keep_rate`` per group into
+# ``stratified_sample`` (rates you supply, nothing collected).
+# Round-11 gate candidate: registration deferred because the round-10
+# driver window is exactly full; cross-engine pinned in
+# tests/test_adversarial_oracle.py + tests/test_oracle_fuzz.py.
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    target: Dict[str, float],
+    weight_col: str = None,
+) -> DataFrame:
+    """Per-group mixture rebalancing weights toward ``target`` (a
+    group → relative-share dict; normalized here in PYTHON so both
+    engines see identical literals).  Returns one row per observed
+    group: (group, n_docs, mass, share, target_share, mix_weight,
+    keep_rate) where ``mass`` is SUM(``weight_col``) — token counts in
+    the intended use — or the row count when ``weight_col`` is None,
+    ``share`` = mass/total, ``mix_weight`` = target_share/share and
+    ``keep_rate`` = min(1, mix_weight) (the downsample rate for
+    ``stratified_sample``; upsampling beyond 1 is the trainer's
+    epoch-repeat decision, not a row filter's).
+
+    Determinism across engines: ``mass`` is an INTEGER sum (order-
+    independent — a double mass would hash-diverge on partition order),
+    ``weight_col`` is therefore REQUIRED to be integral; the grand
+    total is an integer window sum over the k group rows; every double
+    is then derived by the same IEEE +,×,/ expression shape in both
+    engines from exact integers and Python-normalized target literals.
+    Groups observed but absent from ``target`` get target_share 0.0 →
+    mix_weight 0.0 (dropped by the composed sampler — explicit, never
+    silent); a NULL group key forms its own group and can only get the
+    absent-arm 0.0 (dict keys are strings).  Zero-mass groups get NULL
+    mix_weight in BOTH engines (guarded — double x/0 semantics differ
+    between engines).
+
+    Scale shape: ONE map-combined groupBy to k mixture-sized rows plus
+    one k-row window — no join, no driver collect, no literal blowup
+    beyond the target dict; the 100 TB corpus is touched exactly once."""
+    if not target:
+        raise ValueError("target must be a non-empty {group: share} dict")
+    tot = float(sum(float(v) for v in target.values()))
+    if not tot > 0 or any(float(v) < 0 for v in target.values()):
+        raise ValueError("target shares must be non-negative with a "
+                         "positive sum")
+    shares = {str(k): float(v) / tot for k, v in target.items()}
+    mass = (
+        F.sum(F.col(weight_col).cast("bigint"))
+        if weight_col is not None
+        else F.count(F.lit(1))
+    )
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(mass, F.lit(0)).cast("bigint").alias("mass"),
+    )
+    total = F.sum("mass").over(Window.partitionBy())
+    tgt: Column = F.lit(0.0)
+    for k, s in shares.items():
+        tgt = F.when(F.col(group_col) == F.lit(k), F.lit(s)).otherwise(tgt)
+    share = F.col("mass").cast("double") / total.cast("double")
+    mix = F.when(F.col("mass") > 0, F.col("target_share") / F.col("share"))
+    return (
+        g.select(
+            group_col, "n_docs", "mass",
+            share.alias("share"), tgt.alias("target_share"),
+        )
+        .select(
+            group_col, "n_docs", "mass", "share", "target_share",
+            mix.alias("mix_weight"),
+        )
+        # both engines' least() SKIPS NULLs, so least(1.0, NULL) would
+        # silently keep a zero-mass group whole — guard to NULL instead
+        .withColumn(
+            "keep_rate",
+            F.when(
+                F.col("mix_weight").isNotNull(),
+                F.least(F.lit(1.0), F.col("mix_weight")),
+            ),
+        )
+    )
+
+
+def mixture_weights_sql(
+    table: str,
+    group_col: str,
+    target: Dict[str, float],
+    weight_col: str = None,
+) -> str:
+    """DuckDB mirror: identical normalized-share literals (computed by
+    the same Python), integer mass + integer window total, the same
+    guarded division shapes."""
+    from ..binspec import flit, slit
+
+    if not target:
+        raise ValueError("target must be a non-empty {group: share} dict")
+    tot = float(sum(float(v) for v in target.values()))
+    if not tot > 0 or any(float(v) < 0 for v in target.values()):
+        raise ValueError("target shares must be non-negative with a "
+                         "positive sum")
+    shares = {str(k): float(v) / tot for k, v in target.items()}
+    mass = (
+        f"COALESCE(SUM(CAST({weight_col} AS BIGINT)), 0)"
+        if weight_col is not None
+        else "COUNT(*)"
+    )
+    arms = " ".join(
+        f"WHEN {group_col} = {slit(k)} THEN {flit(s)}"
+        for k, s in shares.items()
+    )
+    tgt = f"CASE {arms} ELSE {flit(0.0)} END"
+    return (
+        f"WITH __g AS (SELECT {group_col}, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"CAST({mass} AS BIGINT) AS mass FROM {table} GROUP BY 1), "
+        f"__t AS (SELECT *, SUM(mass) OVER () AS total, {tgt} AS "
+        f"target_share FROM __g), "
+        f"__s AS (SELECT {group_col}, n_docs, mass, "
+        f"CAST(mass AS DOUBLE) / CAST(total AS DOUBLE) AS share, "
+        f"target_share FROM __t) "
+        f"SELECT {group_col}, n_docs, mass, share, target_share, "
+        f"CASE WHEN mass > 0 THEN target_share / share END AS mix_weight, "
+        f"CASE WHEN mass > 0 THEN least({flit(1.0)}, "
+        f"target_share / share) END AS keep_rate FROM __s"
+    )

@@ -1625,3 +1625,120 @@ def chunk_windows_sql(
         f"FROM (SELECT {id_col}, unnest({chunks}) AS u "
         f"FROM ({base}) b WHERE len(__tk) >= 1) t"
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier-based quality scoring (hashing-trick linear model)
+# ---------------------------------------------------------------------------
+#
+# The third standard curation filter family alongside the heuristic
+# panel (quality_score) and the rule battery (gopher_rules): a LINEAR
+# text classifier over hashed bag-of-words features — the fastText
+# shape used for quality/ domain filtering in large pretraining
+# pipelines (CCNet, GPT-3's quality classifier).  Round-11 gate
+# candidate: registration deferred because the round-10 driver window
+# is exactly full (2 new + 7 changed + 41 stale = 50); cross-engine
+# pinned in tests/test_adversarial_oracle.py + tests/test_oracle_fuzz.py
+# meanwhile.
+
+
+def demo_quality_weights(n: int = 256, seed: int = 7) -> list:
+    """A deterministic demo weight table (seeded standard normal, scaled
+    0.1) — the stand-in for a trained model's weights, embedded as plan
+    literals in BOTH engines exactly like the LSH hyperplanes."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(n) * 0.1).tolist()
+
+
+def linear_quality_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights,
+    bias: float = 0.0,
+) -> DataFrame:
+    """Hashing-trick linear model score: mean over whitespace tokens of
+    ``weights[hex4_bucket(token)]``, plus ``bias`` — one JVM fold per
+    row, weights shipped as a plan literal (the broadcast-small-dim
+    pattern; same as the LSH hyperplanes).  Returns (id, n_tokens,
+    lin_score); ``lin_score`` is the RAW linear activation — the
+    logistic is monotone, so thresholding the raw score is equivalent
+    to thresholding the probability, and emitting it raw keeps the
+    cross-engine contract exact (``exp`` may differ between libm
+    implementations in the last ulp; +, ×, / are IEEE-exact and
+    fold order is left-to-right in both engines).
+
+    Zero-token or NULL text → NULL score (no evidence; the
+    ``quality_score`` NULLIF convention).  Scale shape: a pure
+    projection — no shuffle, no join, no driver state; the fold is
+    O(tokens) per row with an O(1) literal lookup per token."""
+    w = [float(x) for x in weights]
+    n = len(w)
+    if not 2 <= n <= 4096:
+        raise ValueError("weights must have 2..4096 entries")
+    toks = H.tokens(F.col(text_col))
+    warr = F.array(*[F.lit(x) for x in w])
+    # two-stage: per-token weight array first, then a homogeneous
+    # left-to-right double fold — DuckDB's fold-with-initial idiom
+    # (list_prepend) needs the initial and the items to share a type,
+    # and an identically-ordered double sum is what keeps the engines
+    # bit-identical
+    wtok = F.transform(
+        toks,
+        lambda t: F.element_at(
+            warr,
+            (
+                F.conv(F.substring(F.md5(t.cast("binary")), 1, 4), 16, 10)
+                .cast("int") % F.lit(n)
+            ) + 1,
+        ),
+    )
+    total = F.aggregate(wtok, F.lit(0.0), lambda acc, x: acc + x)
+    n_tok = F.size(toks)
+    score = F.when(
+        n_tok > 0, total / n_tok.cast("double") + F.lit(float(bias))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        score.alias("lin_score"),
+    )
+
+
+def linear_quality_score_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    weights,
+    bias: float = 0.0,
+) -> str:
+    """DuckDB mirror: the same left-to-right double fold over the same
+    md5-slice buckets (``hex4_val_sql`` on a bound lambda variable — the
+    md5 is computed once per token in a ``list_transform``, never
+    re-derived inside the fold)."""
+    w = [float(x) for x in weights]
+    n = len(w)
+    if not 2 <= n <= 4096:
+        raise ValueError("weights must have 2..4096 entries")
+    toks = H.tokens_sql(text_col)
+    hexes = f"list_transform({toks}, t -> substr(md5(t), 1, 4))"
+    wlist = "[" + ", ".join(flit(x) for x in w) + "]"
+    # same two-stage shape as the Spark path: per-token weights (the
+    # md5 slice bound to the lambda variable h — computed once per
+    # token), then a homogeneous left-to-right double fold
+    wtok = (
+        f"list_transform({hexes}, "
+        f"h -> ({wlist})[({H.hex4_val_sql('h')} % {n}) + 1])"
+    )
+    total = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {wtok}), "
+        f"(acc, x) -> acc + x)"
+    )
+    n_tok = f"len({toks})"
+    return (
+        f"SELECT {id_col}, CAST({n_tok} AS BIGINT) AS n_tokens, "
+        f"({total} / CAST(NULLIF({n_tok}, 0) AS DOUBLE)) + {flit(bias)} "
+        f"AS lin_score FROM {table}"
+    )
