@@ -792,6 +792,32 @@ def test_mixture_weights_semantics(spark):
         sp.mixture_weights(df, "source", {})
     with pytest.raises(ValueError, match="non-negative"):
         sp.mixture_weights(df, "source", {"a": -1.0})
+    # review-found divergence guards: a non-integral weight column is
+    # REFUSED (bigint casts truncate in Spark but round in DuckDB)...
+    dbl = df.withColumn("w", F.col("ntok") + F.lit(0.7))
+    with pytest.raises(ValueError, match="integral"):
+        sp.mixture_weights(dbl, "source", {"a": 1.0}, weight_col="w")
+    # ...and an ALL-zero total mass yields NULL share/weight rows in
+    # both engines instead of erroring under ANSI Spark
+    import duckdb
+    import pandas as pd
+
+    zpdf = pd.DataFrame(
+        {"doc_id": [1, 2], "source": ["a", "b"], "ntok": [0, 0]}
+    ).astype({"doc_id": "int64", "ntok": "int64"})
+    zdf = spark.createDataFrame(zpdf)
+    zcon = duckdb.connect()
+    zcon.register("zcorp", zpdf)
+    assert_matches_sql(
+        sp.mixture_weights(zdf, "source", {"a": 1.0}, weight_col="ntok"),
+        sp.mixture_weights_sql("zcorp", "source", {"a": 1.0},
+                               weight_col="ntok"),
+        zcon,
+    )
+    zrows = {r["source"]: r for r in sp.mixture_weights(
+        zdf, "source", {"a": 1.0}, weight_col="ntok"
+    ).collect()}
+    assert zrows["a"]["share"] is None and zrows["a"]["keep_rate"] is None
 
 
 def test_adv_embed_extend_loop(spark, tmp_path):

@@ -125,7 +125,5 @@ def hex4_val_sql(hex4: str) -> str:
     hash — bind ``substr(md5(...), 1, 4)`` with ``list_transform``
     first when hashing inside a list fold (the BPE lambda-variable
     lesson: variable references are free, inline expressions are not)."""
-    nib = [
-        f"(strpos('{HEX}', substr({hex4}, {i}, 1)) - 1)" for i in (1, 2, 3, 4)
-    ]
+    nib = [nibble_val_sql(f"substr({hex4}, {i}, 1)") for i in (1, 2, 3, 4)]
     return f"({nib[0]} * 4096 + {nib[1]} * 256 + {nib[2]} * 16 + {nib[3]})"

@@ -700,6 +700,21 @@ def pack_sequences_sql(
 # tests/test_adversarial_oracle.py + tests/test_oracle_fuzz.py.
 
 
+def _normalized_target(target: Dict[str, float]) -> Dict[str, float]:
+    """Validate + normalize the target dict ONCE for both engine paths —
+    the cross-engine contract depends on the Spark literals and the SQL
+    literals coming from byte-identical Python doubles, so the
+    normalization must not exist as two drift-prone copies
+    (review-found)."""
+    if not target:
+        raise ValueError("target must be a non-empty {group: share} dict")
+    tot = float(sum(float(v) for v in target.values()))
+    if not tot > 0 or any(float(v) < 0 for v in target.values()):
+        raise ValueError("target shares must be non-negative with a "
+                         "positive sum")
+    return {str(k): float(v) / tot for k, v in target.items()}
+
+
 def mixture_weights(
     df: DataFrame,
     group_col: str,
@@ -726,25 +741,31 @@ def mixture_weights(
     Groups observed but absent from ``target`` get target_share 0.0 →
     mix_weight 0.0 (dropped by the composed sampler — explicit, never
     silent); a NULL group key forms its own group and can only get the
-    absent-arm 0.0 (dict keys are strings).  Zero-mass groups get NULL
-    mix_weight in BOTH engines (guarded — double x/0 semantics differ
-    between engines).
+    absent-arm 0.0 (dict keys are strings).  Zero-mass groups — and
+    every group when the TOTAL mass is zero — get NULL share/
+    mix_weight/keep_rate in BOTH engines (review-found, both guarded:
+    an unguarded double x/0 ERRORS under ANSI Spark and its semantics
+    differ across engines anyway; a non-integral ``weight_col`` is
+    REFUSED up front because bigint casts TRUNCATE in Spark but ROUND
+    in DuckDB — the same value would silently produce different
+    masses).
 
     Scale shape: ONE map-combined groupBy to k mixture-sized rows plus
     one k-row window — no join, no driver collect, no literal blowup
     beyond the target dict; the 100 TB corpus is touched exactly once."""
-    if not target:
-        raise ValueError("target must be a non-empty {group: share} dict")
-    tot = float(sum(float(v) for v in target.values()))
-    if not tot > 0 or any(float(v) < 0 for v in target.values()):
-        raise ValueError("target shares must be non-negative with a "
-                         "positive sum")
-    shares = {str(k): float(v) / tot for k, v in target.items()}
-    mass = (
-        F.sum(F.col(weight_col).cast("bigint"))
-        if weight_col is not None
-        else F.count(F.lit(1))
-    )
+    shares = _normalized_target(target)
+    if weight_col is not None:
+        dt = df.schema[weight_col].dataType.simpleString()
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"weight_col {weight_col!r} is {dt}, not an integral "
+                "type — bigint casts TRUNCATE in Spark but ROUND in "
+                "DuckDB, so a fractional mass would silently diverge "
+                "between the engines; pre-round it explicitly"
+            )
+        mass = F.sum(F.col(weight_col).cast("bigint"))
+    else:
+        mass = F.count(F.lit(1))
     g = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(mass, F.lit(0)).cast("bigint").alias("mass"),
@@ -753,8 +774,16 @@ def mixture_weights(
     tgt: Column = F.lit(0.0)
     for k, s in shares.items():
         tgt = F.when(F.col(group_col) == F.lit(k), F.lit(s)).otherwise(tgt)
-    share = F.col("mass").cast("double") / total.cast("double")
-    mix = F.when(F.col("mass") > 0, F.col("target_share") / F.col("share"))
+    # total > 0 guard: an unguarded double division ERRORS under ANSI
+    # Spark when total = 0 while the mirror would return rows
+    share = F.when(
+        total > F.lit(0),
+        F.col("mass").cast("double") / total.cast("double"),
+    )
+    mix = F.when(
+        (F.col("mass") > 0) & F.col("share").isNotNull(),
+        F.col("target_share") / F.col("share"),
+    )
     return (
         g.select(
             group_col, "n_docs", "mass",
@@ -782,18 +811,18 @@ def mixture_weights_sql(
     target: Dict[str, float],
     weight_col: str = None,
 ) -> str:
-    """DuckDB mirror: identical normalized-share literals (computed by
-    the same Python), integer mass + integer window total, the same
-    guarded division shapes."""
+    """DuckDB mirror: identical normalized-share literals (the SAME
+    ``_normalized_target`` call as the engine path), integer mass +
+    integer window total, and the same guard conditions on every
+    division — including ``share IS NOT NULL`` on both mix_weight AND
+    keep_rate (review-found: guarding keep_rate on ``mass > 0`` alone
+    would let DuckDB's NULL-skipping ``least(1.0, NULL)`` silently emit
+    1.0 where the engine emits NULL).  ``weight_col`` must reference an
+    integral column per the engine-side contract (unvalidatable from a
+    SQL string; the engine path raises for both)."""
     from ..binspec import flit, slit
 
-    if not target:
-        raise ValueError("target must be a non-empty {group: share} dict")
-    tot = float(sum(float(v) for v in target.values()))
-    if not tot > 0 or any(float(v) < 0 for v in target.values()):
-        raise ValueError("target shares must be non-negative with a "
-                         "positive sum")
-    shares = {str(k): float(v) / tot for k, v in target.items()}
+    shares = _normalized_target(target)
     mass = (
         f"COALESCE(SUM(CAST({weight_col} AS BIGINT)), 0)"
         if weight_col is not None
@@ -804,6 +833,7 @@ def mixture_weights_sql(
         for k, s in shares.items()
     )
     tgt = f"CASE {arms} ELSE {flit(0.0)} END"
+    guard = "mass > 0 AND share IS NOT NULL"
     return (
         f"WITH __g AS (SELECT {group_col}, "
         f"CAST(COUNT(*) AS BIGINT) AS n_docs, "
@@ -811,10 +841,11 @@ def mixture_weights_sql(
         f"__t AS (SELECT *, SUM(mass) OVER () AS total, {tgt} AS "
         f"target_share FROM __g), "
         f"__s AS (SELECT {group_col}, n_docs, mass, "
-        f"CAST(mass AS DOUBLE) / CAST(total AS DOUBLE) AS share, "
+        f"CASE WHEN total > 0 THEN "
+        f"CAST(mass AS DOUBLE) / CAST(total AS DOUBLE) END AS share, "
         f"target_share FROM __t) "
         f"SELECT {group_col}, n_docs, mass, share, target_share, "
-        f"CASE WHEN mass > 0 THEN target_share / share END AS mix_weight, "
-        f"CASE WHEN mass > 0 THEN least({flit(1.0)}, "
+        f"CASE WHEN {guard} THEN target_share / share END AS mix_weight, "
+        f"CASE WHEN {guard} THEN least({flit(1.0)}, "
         f"target_share / share) END AS keep_rate FROM __s"
     )

@@ -1684,16 +1684,12 @@ def linear_quality_score(
     # left-to-right double fold — DuckDB's fold-with-initial idiom
     # (list_prepend) needs the initial and the items to share a type,
     # and an identically-ordered double sum is what keeps the engines
-    # bit-identical
+    # bit-identical.  The bucket is the SHARED H.hex4_bucket primitive,
+    # never an inline copy (review-found: a drifting copy of the
+    # cross-engine bucketing contract is the BPE three-copies hazard
+    # all over again).
     wtok = F.transform(
-        toks,
-        lambda t: F.element_at(
-            warr,
-            (
-                F.conv(F.substring(F.md5(t.cast("binary")), 1, 4), 16, 10)
-                .cast("int") % F.lit(n)
-            ) + 1,
-        ),
+        toks, lambda t: F.element_at(warr, H.hex4_bucket(t, n) + 1)
     )
     total = F.aggregate(wtok, F.lit(0.0), lambda acc, x: acc + x)
     n_tok = F.size(toks)
