@@ -27,6 +27,9 @@ the operator families a 100 TB text pipeline runs, end to end —
                                                 materialize=True)
  21. multi-shard text loop: index seed →
      shard dedup → keeper append → next shard (extend_band_index)
+ 22. classifier-based quality scoring         (linear_quality_score)
+ 23. token-weighted mixture rebalancing       (mixture_weights →
+                                               stratified_sample)
 
 Run:  python examples/curation_pipeline.py [sf_dir]
 """
@@ -327,6 +330,46 @@ try:
           f"(shard-1 admissions visible through the index append)")
 finally:
     shutil.rmtree(band_root, ignore_errors=True)
+
+# 22. classifier-based quality scoring (round 10, gate queued): a
+# hashing-trick linear model — the fastText-style filter stage; the
+# demo weight table stands in for a trained model's.  Raw linear
+# activation: threshold it directly (the logistic is monotone).
+from xarray_histogram_spark.operators.text import (  # noqa: E402
+    demo_quality_weights, linear_quality_score,
+)
+
+lin = linear_quality_score(docs, "text", "doc_id",
+                           demo_quality_weights(), bias=0.0)
+n_scored = lin.where(F.col("lin_score").isNotNull()).count()
+print(f"classifier-scored docs: {n_scored}/{n0}")
+assert n_scored > 0
+
+# 23. mixture rebalancing toward a TARGET token distribution (round 10,
+# gate queued): per-source weights from integer token masses; keep_rate
+# composes with stratified_sample for the actual row filter.
+from xarray_histogram_spark.operators.sampling import (  # noqa: E402
+    mixture_weights, stratified_sample,
+)
+from xarray_histogram_spark.operators.text import token_count  # noqa: E402
+
+with_tokens = docs.join(
+    token_count(docs, "text", "doc_id").select("doc_id", "n_tokens"),
+    "doc_id",
+)
+mix = mixture_weights(with_tokens, "source",
+                      {"src0": 2.0, "src1": 1.0, "src2": 1.0},
+                      weight_col="n_tokens")
+rates = {
+    r["source"]: r["keep_rate"]
+    for r in mix.collect()
+    if r["source"] is not None and r["keep_rate"] is not None
+}
+rebalanced = stratified_sample(docs, "source", "doc_id", rates,
+                               default_rate=0.0)
+print(f"mixture weights over {mix.count()} sources; "
+      f"rebalanced corpus: {rebalanced.count()} docs "
+      f"(sources outside the target drop via default_rate=0)")
 
 print("curation pipeline walkthrough OK")
 spark.stop()

@@ -72,7 +72,11 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # are r08-freshest AND in _CHANGED_THIS_ROUND, so they get r10 greens)
 # = 41 names for round 11's stale head, so ROUND 11 MUST KEEP
 # NEW+CHANGED ≤ ~9 to close the cycle (review-found: an earlier draft
-# said 43/≤7).  All stale entries have
+# said 43/≤7).  Two round-11 new-entry candidates already ship tested
+# but unregistered (window full this round): text.linear_quality_score
+# (hashed-linear classifier scoring) and sampling.mixture_weights
+# (token-weighted mixture rebalancing) — both have adversarial + fuzzed
+# DuckDB mirrors ready to register.  All stale entries have
 # UNCHANGED plans and oracles since their last driver green and stay
 # green in the local full-registry gates (test_entry_contract,
 # driver_sim); the rotation itself is pure evidence-freshness
