@@ -57,28 +57,28 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
     _REGISTRY[name] = (fn, sql)
 
 
-# Round-10 rotation refresh.  _DRIVER_VERIFIED holds the 50 names
-# CORRECTNESS_r09.json hash-verified (the freshest greens), minus the
-# five moved to _CHANGED_THIS_ROUND (the BPE fold-helper refactor voids
-# text_bpe_encode/text_bpe_pair_counts; the NOT EXISTS mirror fix voids
-# dedup_near_keep; the materialized-chunk default voids
-# dedup_chunks_near; the both-inputs guard voids dedup_embed_incremental),
-# so the driver's ~50-query window reaches the 41 entries whose freshest
-# green is r07 (two rounds old — they lead _STALE_PRIORITY
-# unconditionally per the capacity policy below) and then the 43
-# r08-green entries in registry order.  Window arithmetic this round:
-# 2 new + 7 changed + 41 stale = 50 exactly — which leaves the 43 r08
-# names MINUS the two re-gated here (text_bpe_tokens, sample_pack_bpe
-# are r08-freshest AND in _CHANGED_THIS_ROUND, so they get r10 greens)
-# = 41 names for round 11's stale head, so ROUND 11 MUST KEEP
-# NEW+CHANGED ≤ ~9 to close the cycle (review-found: an earlier draft
-# said 43/≤7).  Two round-11 new-entry candidates already ship tested
-# but unregistered (window full this round): text.linear_quality_score
-# (hashed-linear classifier scoring) and sampling.mixture_weights
-# (token-weighted mixture rebalancing) — both have adversarial + fuzzed
-# DuckDB mirrors ready to register.  All stale entries have
-# UNCHANGED plans and oracles since their last driver green and stay
-# green in the local full-registry gates (test_entry_contract,
+# Round-11 rotation refresh.  _DRIVER_VERIFIED holds the 50 names
+# CORRECTNESS_r10.json hash-verified (the freshest greens), minus the
+# two moved to _CHANGED_THIS_ROUND (the scratch-path registry added to
+# _materialize_scratch — ADVICE r10 item 1 — touches code on
+# dedup_chunks_near's and dedup_chunks_keep's execution path, and the
+# any-implementation-change policy re-gates them even though the plans
+# and oracles are byte-identical), so the driver's ~50-query window
+# reaches the 41 entries whose freshest green is r08 (two rounds old —
+# they lead _STALE_PRIORITY unconditionally per the capacity policy
+# below) and then the 45 r09-green entries in registry order.  Window
+# arithmetic this round: 4 new + 2 changed + 41 stale = 47, leaving ~3
+# slots for the oldest r09 names — so ROUND 12's stale head is the
+# ~42 r09 names not refreshed here, and ROUND 12 MUST KEEP NEW+CHANGED
+# ≤ ~8 to close the cycle.  The 4 new entries execute VERDICT r10 items
+# 2-5 in order: text_quality_linear and sample_mixture_weights register
+# the two operators staged (tested + mirrored) in round 10;
+# pipeline_curate_mixture gates the composed score → threshold →
+# rebalance → sample loop a training-data run actually executes;
+# dedup_embed_extend_loop closes the embedding-side multi-shard
+# index-extension loop the band side gated in r10.  All stale entries
+# have UNCHANGED plans and oracles since their last driver green and
+# stay green in the local full-registry gates (test_entry_contract,
 # driver_sim); the rotation itself is pure evidence-freshness
 # maintenance.
 #
@@ -96,107 +96,96 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # BinSpec codegen classes and each has caught a distinct class of bug;
 # window headroom comes from the growth cap instead.
 _DRIVER_VERIFIED = frozenset({
-    # the 50 names CORRECTNESS_r09.json hash-verified, minus the five
-    # moved to _CHANGED_THIS_ROUND (text_bpe_encode,
-    # text_bpe_pair_counts, dedup_near_keep, dedup_chunks_near,
-    # dedup_embed_incremental)
-    "alg_apply_func_log", "alg_normalize_after", "alg_project",
-    "alg_remove_flow", "alg_scale", "alg_slice_bins",
-    "dedup_chunks", "dedup_cluster_size_hist", "dedup_components",
-    "dedup_embed_pairs", "dedup_incremental", "dedup_jaccard",
-    "dedup_keep_best",
-    "events_hourly_hist", "events_props_json_hist", "events_retention",
-    "events_type_value_hist",
-    "hist_2d", "hist_3d_grouped", "hist_adopt_roundtrip",
-    "hist_bool_axis", "hist_columns", "hist_custom_transform_axis",
-    "hist_growth_categories", "hist_int64_storage", "hist_join_revenue",
-    "hist_log_axis", "hist_pow_axis", "hist_range_infer",
-    "hist_sqrt_axis", "hist_weighted", "hist_weighted_fastpath",
-    "mm_decode_meta",
-    "sample_deterministic", "sample_pack_chunks", "sample_pack_emit",
-    "sample_split", "sample_stratified",
-    "sim_ann_batch",
-    "source_jsonl_roundtrip",
-    "text_chunk_windows", "text_langid", "text_quality",
-    "text_url_cap_domain", "text_url_extract",
-})
-
-
-# Stale-head priority: the 41 entries whose freshest driver green is
-# ROUND 7 (two rounds old — recomputed from CORRECTNESS_r01..r09) —
-# they lead the window so no green ever ages a THIRD round.  The 43
-# r08-green entries follow in registry order and fill the remainder of
-# the ~50-query window (with 2 new + 7 changed + 41 stale = 50, none
-# are expected to fit this round; the 41 of them NOT re-gated via
-# _CHANGED — text_bpe_tokens and sample_pack_bpe are — lead round 11's
-# stale head).
-_STALE_PRIORITY = (
+    # the 50 names CORRECTNESS_r10.json hash-verified, minus the two
+    # moved to _CHANGED_THIS_ROUND (dedup_chunks_near, dedup_chunks_keep)
     "alg_bin_coordinates", "alg_rebin",
-    "dedup_contamination", "dedup_exact",
-    "dedup_simhash", "dedup_simhash_pairs",
-    "hist_columns_weighted", "hist_cube_multires",
-    "hist_fill_arrow_path", "hist_growth_merge",
-    "hist_join_align_2var", "hist_merge_shards",
+    "dedup_contamination", "dedup_embed_incremental", "dedup_exact",
+    "dedup_extend_loop", "dedup_near_keep", "dedup_simhash",
+    "dedup_simhash_pairs",
+    "hist_columns_weighted", "hist_cube_multires", "hist_fill_arrow_path",
+    "hist_growth_merge", "hist_join_align_2var", "hist_merge_shards",
     "hist_quantile_bins", "hist_rollup_2d", "hist_rollup_multires",
     "hist_weighted_grouped_density",
     "mm_decode_png_jpeg", "mm_sample_frames",
     "pipeline_curate",
-    "sample_balanced", "sample_top_quality",
+    "sample_balanced", "sample_pack_bpe", "sample_top_quality",
     "sim_ann_topk", "sim_cosine_topk",
     "source_csv_roundtrip",
     "stat_cdf25", "stat_interval80", "stat_mean", "stat_mean_2d",
     "stat_mean_weighted", "stat_median", "stat_median_2d",
     "stat_moment3", "stat_ppf90", "stat_std", "stat_var",
     "streaming_pii_scrub", "streaming_stateful_hist",
+    "text_bpe_encode", "text_bpe_pair_counts", "text_bpe_tokens",
     "text_gopher_rules", "text_line_dedup", "text_pii_scrub",
     "text_top_terms",
+})
+
+
+# Stale-head priority: the 41 entries whose freshest driver green is
+# ROUND 8 (two rounds old — recomputed from CORRECTNESS_r01..r10) —
+# they lead the window so no green ever ages a THIRD round.  The 45
+# r09-green entries follow in registry order and fill the remainder of
+# the ~50-query window (with 4 new + 2 changed + 41 stale = 47, about
+# 3 of them fit this round; the rest lead round 12's stale head).
+_STALE_PRIORITY = (
+    "binned_stat_grouped", "binned_stat_profile",
+    "dedup_embed_components", "dedup_minhash_pairs",
+    "events_asof_join", "events_funnel", "events_range_join",
+    "events_session_hist", "events_sliding_hist",
+    "hist_density", "hist_density_flow", "hist_group_month",
+    "hist_grouped", "hist_intcategory", "hist_integer_axis",
+    "hist_mean_storage", "hist_regular_1d", "hist_regular_flow",
+    "hist_rollup_weighted", "hist_strcategory", "hist_variable_axis",
+    "hist_variable_binary", "hist_weight_storage",
+    "mm_decode_audio", "mm_decode_image",
+    "pipeline_curate_narrow", "pipeline_report",
+    "sample_take_n", "sample_topk_group",
+    "sim_ann_indexed", "sim_ivf_topk", "sim_kmeans_refine",
+    "sim_quantize_int8",
+    "streaming_dedup_state", "streaming_range_join",
+    "streaming_window_hist",
+    "text_dup_ngrams", "text_fingerprint", "text_repetition",
+    "text_token_count", "text_vocabulary",
 )
 
 
-# Entries whose PLAN or ORACLE changed in round 9 — never mind their past
-# greens, the driver must re-check them under the new engine before
+# Entries whose PLAN or ORACLE changed in round 11 — never mind their
+# past greens, the driver must re-check them under the new engine before
 # anything else in the stale head.  Ordered right after _NEW_THIS_ROUND.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # the BPE double-boundary state fold was extracted into ONE shared
-    # Spark builder + ONE shared SQL builder (it existed as three
-    # verbatim copies per engine — VERDICT r09 item 2 / the round-9
-    # queued refactor); every entry whose plan or oracle embeds the fold
-    # re-gates under the any-implementation-change policy even though
-    # the composed expression trees are equivalent (fuzz-pinned).
-    "text_bpe_tokens",
-    "sample_pack_bpe",
-    "text_bpe_encode",
-    "text_bpe_pair_counts",
-    # near_dedup_keep_sql: NOT IN → NOT EXISTS (VERDICT r09 "what's
-    # wrong" #2 — the sibling of the r09 incremental_dedup_sql fix;
-    # three-valued logic would silently return zero rows if a NULL id
-    # ever reached the drop list).
-    "dedup_near_keep",
-    # chunk_near_pairs grew a materialize= parameter so the chunk
-    # subtree is tokenized once, not 3×, inside the jaccard machinery
-    # (VERDICT r09 item 5) — re-gated regardless of the default chosen.
+    # _materialize_scratch now records caller-supplied scratch
+    # subdirectories in a stable per-root registry (ADVICE r10 item 1:
+    # the ad-hoc xhs_scratch_path DataFrame attribute is silently
+    # dropped by any subsequent transformation).  The entries' plans and
+    # oracles are byte-identical — the registry is bookkeeping on the
+    # side — but both chunk entries execute the touched function, so the
+    # any-implementation-change policy re-gates them (the
+    # dedup_embed_incremental precedent from round 10).
     "dedup_chunks_near",
-    # embed_incremental now REFUSES kept_df and kept_index together
-    # (advice-found: the kept_df was silently ignored) — unreached by
-    # the entry's call shape, but the any-implementation-change policy
-    # re-gates it.
-    "dedup_embed_incremental",
+    "dedup_chunks_keep",
 )
 
 
-# Queries REGISTERED IN ROUND 10 — never in any driver CORRECTNESS record;
+# Queries REGISTERED IN ROUND 11 — never in any driver CORRECTNESS record;
 # they lead the registry so the driver's ~50-query window is guaranteed
 # to reach them regardless of where they appear in this file.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # chunk-granular near-dup KEEP verdicts: near_dedup_keep's greedy
-    # policy over chunk_near_pairs' packed uids (VERDICT r09 item 4 —
-    # what a RAG pipeline actually consumes)
-    "dedup_chunks_keep",
-    # end-to-end multi-shard production loop: dedup shard 1, extend the
-    # persisted band index with its keepers, verify a shard-2 duplicate
-    # OF A SHARD-1 KEEPER flags dup_of_kept (VERDICT r09 item 6 — the
-    # exact bug class extend_band_index exists to prevent)
-    "dedup_extend_loop",
+    # hashed-linear classifier quality scoring (VERDICT r10 item 2 —
+    # staged tested+mirrored in round 10, window was full)
+    "text_quality_linear",
+    # token-weighted mixture rebalancing weights (VERDICT r10 item 3),
+    # with the absent-group 0.0 arm AND the zero-mass NULL arm both
+    # exercised by the fixture construction
+    "sample_mixture_weights",
+    # the composed curation loop a training-data run actually executes:
+    # linear score → threshold filter → mixture_weights → in-plan
+    # per-group Bernoulli sample (VERDICT r10 item 4)
+    "pipeline_curate_mixture",
+    # embedding-side multi-shard production loop: dedup shard 1, extend
+    # the persisted embed index with its keepers, verify a shard-2 copy
+    # OF A SHARD-1 KEEPER flags dup_of_kept through extend_embed_index
+    # alone (VERDICT r10 item 5 — the band-side twin gated in r10)
+    "dedup_embed_extend_loop",
 )
 
 
