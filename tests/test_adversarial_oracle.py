@@ -739,6 +739,16 @@ def test_adv_linear_quality_score(spark, adv):
                                         bias=bias),
             con,
         )
+    # keep_cols carries pass-through columns (incl. NULL group keys)
+    # identically in both engines — the curation-composition channel
+    w = tx.demo_quality_weights(128, seed=3)
+    _check(
+        tx.linear_quality_score(df, "text", "doc_id", w,
+                                keep_cols=("lang", "source")),
+        tx.linear_quality_score_sql("adocs", "text", "doc_id", w,
+                                    keep_cols=("lang", "source")),
+        con,
+    )
 
 
 def test_adv_mixture_weights(spark, adv):
@@ -818,6 +828,23 @@ def test_mixture_weights_semantics(spark):
         zdf, "source", {"a": 1.0}, weight_col="ntok"
     ).collect()}
     assert zrows["a"]["share"] is None and zrows["a"]["keep_rate"] is None
+    # a NEGATIVE group mass raises in BOTH engines (advice-found: it was
+    # silently conflated with the zero-mass NULL arm, and a negative
+    # grand total NULLed every share)
+    npdf = pd.DataFrame(
+        {"doc_id": [1, 2], "source": ["a", "b"], "ntok": [5, -3]}
+    ).astype({"doc_id": "int64", "ntok": "int64"})
+    with pytest.raises(Exception, match="negative mass"):
+        sp.mixture_weights(
+            spark.createDataFrame(npdf), "source", {"a": 1.0},
+            weight_col="ntok",
+        ).collect()
+    ncon = duckdb.connect()
+    ncon.register("ncorp", npdf)
+    with pytest.raises(Exception, match="negative mass"):
+        ncon.execute(sp.mixture_weights_sql(
+            "ncorp", "source", {"a": 1.0}, weight_col="ntok"
+        )).fetchall()
 
 
 def test_adv_embed_extend_loop(spark, tmp_path):

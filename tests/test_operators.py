@@ -2350,6 +2350,13 @@ def test_chunk_near_keep_semantics(spark):
                                threshold=0.7),
             "xhs_scratch_path",
         )
+        # the attribute is best-effort (any transformation drops it —
+        # advice-found), so the path is ALSO in the stable per-root
+        # registry; trailing-slash normalization matches
+        assert not hasattr(own_df.where(F.lit(True)), "xhs_scratch_path")
+        assert dd.scratch_paths(sd) == [sp]
+        assert dd.scratch_paths(sd + "/") == [sp]
+        assert dd.scratch_paths(sd + "_nothing") == []
     finally:
         import shutil
         shutil.rmtree(sd, ignore_errors=True)

@@ -1552,6 +1552,27 @@ def chunk_dedup_sql(
 # exit (the entry_queries CSV-root atexit pattern, operator-local)
 _CHUNK_SCRATCH: list = []
 
+# caller-supplied scratch_dir → subdirectories this process wrote under
+# it (advice-found: the ``xhs_scratch_path`` DataFrame attribute is
+# best-effort only — any transformation of the returned frame silently
+# drops it — so the caller-owned-deletion contract needs a channel that
+# survives; this registry is that channel)
+_SCRATCH_PATHS: dict = {}
+
+
+def scratch_paths(scratch_dir: str) -> list:
+    """The ``xhs_chunks_*`` subdirectories THIS process has written under
+    the caller-supplied ``scratch_dir`` (oldest first) — the stable
+    channel for the caller-owned-deletion contract.  The
+    ``xhs_scratch_path`` attribute on a returned DataFrame identifies
+    which entry belongs to a specific result, but it is an ad-hoc Python
+    attribute that any subsequent transformation (``.where``,
+    ``.select``, ``.cache``) silently drops; this registry never loses a
+    path.  Entries are never removed automatically: remote-FS scratch
+    cannot be reaped by a local atexit hook, so deletion — and calling
+    this to enumerate what to delete — is the caller's."""
+    return list(_SCRATCH_PATHS.get(scratch_dir.rstrip("/"), ()))
+
 
 def _materialize_scratch(
     df: DataFrame, scratch_dir: Optional[str] = None
@@ -1581,8 +1602,11 @@ def _materialize_scratch(
     DataFrame (and propagated to the operator results built from it) —
     without it the caller-owned-deletion contract would be
     unactionable: concurrent jobs sharing one scratch root could not
-    tell which ``xhs_chunks_*`` subdirectory is theirs
-    (review-found)."""
+    tell which ``xhs_chunks_*`` subdirectory is theirs (review-found).
+    The attribute is BEST-EFFORT: any transformation of the returned
+    frame yields a new DataFrame without it (advice-found), so every
+    caller-supplied path is ALSO recorded in the stable per-root
+    registry — see :func:`scratch_paths`."""
     spark = df.sparkSession
     if scratch_dir is None:
         if not spark.sparkContext.master.startswith("local"):
@@ -1601,6 +1625,7 @@ def _materialize_scratch(
         import uuid
 
         path = scratch_dir.rstrip("/") + "/xhs_chunks_" + uuid.uuid4().hex
+        _SCRATCH_PATHS.setdefault(scratch_dir.rstrip("/"), []).append(path)
     df.write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)
     out.xhs_scratch_path = path

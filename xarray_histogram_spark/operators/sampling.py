@@ -30,7 +30,7 @@ Each has an `_sql` twin for the oracle gate.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -719,7 +719,7 @@ def mixture_weights(
     df: DataFrame,
     group_col: str,
     target: Dict[str, float],
-    weight_col: str = None,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Per-group mixture rebalancing weights toward ``target`` (a
     group → relative-share dict; normalized here in PYTHON so both
@@ -748,7 +748,11 @@ def mixture_weights(
     differ across engines anyway; a non-integral ``weight_col`` is
     REFUSED up front because bigint casts TRUNCATE in Spark but ROUND
     in DuckDB — the same value would silently produce different
-    masses).
+    masses).  A NEGATIVE group mass RAISES in both engines
+    (advice-found: it would otherwise be silently conflated with the
+    zero-mass NULL arm, and a negative grand total would NULL every
+    share) — the check is a k-row CASE on the aggregate, so it costs
+    nothing; ``weight_col`` is therefore required to be non-negative.
 
     Scale shape: ONE map-combined groupBy to k mixture-sized rows plus
     one k-row window — no join, no driver collect, no literal blowup
@@ -769,6 +773,22 @@ def mixture_weights(
     g = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(mass, F.lit(0)).cast("bigint").alias("mass"),
+    )
+    # negative mass RAISES (advice-found): downstream it would be
+    # indistinguishable from the zero-mass NULL arm, and a negative
+    # TOTAL would silently NULL every share — a k-row check
+    g = g.select(
+        group_col, "n_docs",
+        F.when(
+            F.col("mass") < 0,
+            F.raise_error(F.concat(
+                F.lit("mixture_weights: negative mass "),
+                F.col("mass").cast("string"),
+                F.lit(" in group "),
+                F.coalesce(F.col(group_col).cast("string"), F.lit("NULL")),
+                F.lit(" — weight_col must be non-negative"),
+            )),
+        ).otherwise(F.col("mass")).alias("mass"),
     )
     total = F.sum("mass").over(Window.partitionBy())
     tgt: Column = F.lit(0.0)
@@ -809,7 +829,7 @@ def mixture_weights_sql(
     table: str,
     group_col: str,
     target: Dict[str, float],
-    weight_col: str = None,
+    weight_col: Optional[str] = None,
 ) -> str:
     """DuckDB mirror: identical normalized-share literals (the SAME
     ``_normalized_target`` call as the engine path), integer mass +
@@ -819,7 +839,9 @@ def mixture_weights_sql(
     would let DuckDB's NULL-skipping ``least(1.0, NULL)`` silently emit
     1.0 where the engine emits NULL).  ``weight_col`` must reference an
     integral column per the engine-side contract (unvalidatable from a
-    SQL string; the engine path raises for both)."""
+    SQL string; the engine path raises for both).  A negative group
+    mass raises via ``error()`` exactly like the engine path's
+    ``raise_error`` arm."""
     from ..binspec import flit, slit
 
     shares = _normalized_target(target)
@@ -835,9 +857,17 @@ def mixture_weights_sql(
     tgt = f"CASE {arms} ELSE {flit(0.0)} END"
     guard = "mass > 0 AND share IS NOT NULL"
     return (
-        f"WITH __g AS (SELECT {group_col}, "
+        f"WITH __g0 AS (SELECT {group_col}, "
         f"CAST(COUNT(*) AS BIGINT) AS n_docs, "
         f"CAST({mass} AS BIGINT) AS mass FROM {table} GROUP BY 1), "
+        # negative mass raises (the engine path's raise_error twin) —
+        # a k-row CASE over the aggregate
+        f"__g AS (SELECT {group_col}, n_docs, "
+        f"CASE WHEN mass < 0 THEN CAST(error('mixture_weights: "
+        f"negative mass ' || mass || ' in group ' || "
+        f"COALESCE(CAST({group_col} AS VARCHAR), 'NULL') || "
+        f"' — weight_col must be non-negative') AS BIGINT) "
+        f"ELSE mass END AS mass FROM __g0), "
         f"__t AS (SELECT *, SUM(mass) OVER () AS total, {tgt} AS "
         f"target_share FROM __g), "
         f"__s AS (SELECT {group_col}, n_docs, mass, "

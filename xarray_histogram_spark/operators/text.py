@@ -4,6 +4,8 @@ shuffle except where aggregation is inherent) with exact DuckDB mirrors."""
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1658,6 +1660,7 @@ def linear_quality_score(
     id_col: str,
     weights,
     bias: float = 0.0,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Hashing-trick linear model score: mean over whitespace tokens of
     ``weights[hex4_bucket(token)]``, plus ``bias`` — one JVM fold per
@@ -1671,7 +1674,10 @@ def linear_quality_score(
     fold order is left-to-right in both engines).
 
     Zero-token or NULL text → NULL score (no evidence; the
-    ``quality_score`` NULLIF convention).  Scale shape: a pure
+    ``quality_score`` NULLIF convention).  ``keep_cols`` carries extra
+    input columns (e.g. the group key a downstream ``mixture_weights``
+    rebalances on) through the projection, so composing the curation
+    loop never needs a join back on the id.  Scale shape: a pure
     projection — no shuffle, no join, no driver state; the fold is
     O(tokens) per row with an O(1) literal lookup per token."""
     w = [float(x) for x in weights]
@@ -1698,6 +1704,7 @@ def linear_quality_score(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_tok.cast("bigint").alias("n_tokens"),
         score.alias("lin_score"),
     )
@@ -1709,11 +1716,16 @@ def linear_quality_score_sql(
     id_col: str,
     weights,
     bias: float = 0.0,
+    keep_cols: Sequence[str] = (),
 ) -> str:
     """DuckDB mirror: the same left-to-right double fold over the same
     md5-slice buckets (``hex4_val_sql`` on a bound lambda variable — the
     md5 is computed once per token in a ``list_transform``, never
-    re-derived inside the fold)."""
+    re-derived inside the fold).  The weight list is BOUND ONCE as a
+    single-row cross join (advice-found: embedding the up-to-4096-entry
+    literal inside the lambda may rebuild the list per token) and the
+    lambda indexes the bound name — the same binding idiom as the md5
+    slice."""
     w = [float(x) for x in weights]
     n = len(w)
     if not 2 <= n <= 4096:
@@ -1726,15 +1738,17 @@ def linear_quality_score_sql(
     # token), then a homogeneous left-to-right double fold
     wtok = (
         f"list_transform({hexes}, "
-        f"h -> ({wlist})[({H.hex4_val_sql('h')} % {n}) + 1])"
+        f"h -> __xhs_w[({H.hex4_val_sql('h')} % {n}) + 1])"
     )
     total = (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {wtok}), "
         f"(acc, x) -> acc + x)"
     )
     n_tok = f"len({toks})"
+    keep = "".join(f"{c}, " for c in keep_cols)
     return (
-        f"SELECT {id_col}, CAST({n_tok} AS BIGINT) AS n_tokens, "
+        f"SELECT {id_col}, {keep}CAST({n_tok} AS BIGINT) AS n_tokens, "
         f"({total} / CAST(NULLIF({n_tok}, 0) AS DOUBLE)) + {flit(bias)} "
-        f"AS lin_score FROM {table}"
+        f"AS lin_score FROM {table} "
+        f"CROSS JOIN (SELECT {wlist} AS __xhs_w)"
     )
