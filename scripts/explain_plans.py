@@ -265,6 +265,41 @@ SELECTION: dict[str, tuple[list[str], str]] = {
         "(interleaved A/B: default min 1.63 s vs materialize 2.07 s), so "
         "the gate pins the default and the flag is the 100 TB path.",
     ),
+    "pipeline_curate_mixture": (
+        ["BroadcastHashJoin", "HashAggregate",
+         "PushedFilters: \\[IsNotNull\\(lin_score\\)"],
+        "The composed curation loop (score → threshold filter → mixture "
+        "rebalance → per-group Bernoulli sample). The hashed-linear fold "
+        "runs ONCE EVER — the score pass persists the scored corpus to "
+        "parquet (the production pattern: scores kept for audit), so the "
+        "two downstream consumers never re-run it and the threshold "
+        "filter pushes into the scan (`PushedFilters` on lin_score; "
+        "filtering the projected score alias in-plan would re-inline the "
+        "whole fold into the pushed Filter — the Catalyst alias-inlining "
+        "trap). Group masses are ONE partial+final HashAggregate to k "
+        "mixture-sized rows plus a k-row window; the per-group keep_rate "
+        "joins back via BroadcastHashJoin and the row draw (an exact "
+        "integer via one JVM conv) compares against floor(keep_rate·2³²) "
+        "derived IN-PLAN — no rate round-trips through the driver, no "
+        "collect anywhere. At 100 TB: one scored-corpus write, one "
+        "k-row aggregate scan, one sample scan — all filter-pruned.",
+    ),
+    "dedup_embed_extend_loop": (
+        ["BroadcastHashJoin", "LeftAnti", "LeftOuter"],
+        "The embedding twin of dedup_extend_loop: shard 2's semantic "
+        "verdicts against a bucket-PARTITIONED planes-stamped embed "
+        "index that extend_embed_index grew with shard 1's admitted "
+        "keepers (the append detects the partitioned layout from a data "
+        "file's footer and writes into the existing bucket= directories, "
+        "preserving partition pruning). The shard's bucketed vectors "
+        "broadcast into the index probe (the kept corpus is never "
+        "shuffled), exact-cosine verification runs on the pruned "
+        "candidates, new-vs-new survivors anti-join the kept-duplicate "
+        "set, and verdict assembly is two LeftOuter joins on the shard "
+        "spine. Every Exchange is shard-sized; the index stays current "
+        "shard-over-shard via the footer-checked append — no rebuild, "
+        "no kept-side shuffle.",
+    ),
     "dedup_extend_loop": (
         ["BroadcastHashJoin", "LeftAnti", "LeftOuter"],
         "The multi-shard production loop: shard 2's verdicts against a "

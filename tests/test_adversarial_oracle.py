@@ -922,6 +922,31 @@ def test_adv_embed_extend_loop(spark, tmp_path):
     _check(got, dd.embed_incremental_sql(s2, ku, thr), con)
 
 
+def test_adv_hex8_val_parity(spark, adv):
+    """hex8_val (one JVM conv) vs hex8_val_sql (eight-nibble
+    recomposition) agree on every draw, including values above INT32
+    max — the primitive that turns a data-derived keep_rate into an
+    in-plan sampling threshold (pipeline_curate_mixture).  The draw is
+    bound to a column first per the binding rule."""
+    from xarray_histogram_spark.functions import hashing as H
+
+    df, con = adv
+    got = df.select(
+        "doc_id",
+        H.hex8_val(sp.draw_hex(F.col("doc_id"), salt="adv")).alias("dv"),
+    )
+    d8 = sp.draw_hex_sql("doc_id", salt="adv")
+    _check(
+        got,
+        f"SELECT doc_id, {H.hex8_val_sql('__d8')} AS dv "
+        f"FROM (SELECT doc_id, {d8} AS __d8 FROM adocs)",
+        con,
+    )
+    vals = [r["dv"] for r in got.collect()]
+    assert all(0 <= v < 2**32 for v in vals)
+    assert any(v > 2**31 for v in vals), "no draw above INT32 max"
+
+
 def test_adv_bpe_pair_counts(spark, adv):
     df, con = adv
     for merges in ((), tx.DEMO_BPE_MERGES, (("a", "a"), ("-", "-"))):

@@ -962,6 +962,135 @@ register(
         threshold=0.35,
     ),
 )
+# --- embedding-side multi-shard production loop (VERDICT r10 item 5:
+# the twin of dedup_extend_loop, second index family).  Sentinel vector
+# 9000001 — small exact-in-float32 integers (π digits), max cosine
+# against any fixture vector ≤ 0.45 at every SF — is a guaranteed
+# shard-1 keeper at threshold 0.8 (natural pair cosines top out at 0.61
+# at sf0.1), so its shard-2 copy 9000002 flags dup_of_kept CAUSALLY
+# through extend_embed_index alone.  9000004 copies ORIGINAL keeper
+# vec 0 (the pre-extension index rows still match after the
+# partitioned-layout append) and 9000003 copies shard-2 vec 3 (the
+# dup_within_new pair) — every verdict column takes both truth values.
+_EMB_LOOP_SENTINEL = [
+    float(d) for d in (3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3) * 4
+]
+_EMB_LOOP_THR = 0.8
+_EMBED_LOOP_CACHE: dict[str, str] = {}
+
+
+def _emb_loop_sentinel_df(spark: SparkSession, vec_id: int) -> DataFrame:
+    return spark.createDataFrame(
+        [(vec_id, _EMB_LOOP_SENTINEL)],
+        "vec_id: long, embedding: array<float>",
+    )
+
+
+def _embed_loop_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the embed-loop scratch state: the
+    bucket-PARTITIONED planes-stamped keeper index seeded from the
+    initial corpus, then EXTENDED with shard 1's admitted keepers via
+    extend_embed_index — which must detect the partitioned layout from
+    a data-file footer and append into the existing bucket=
+    directories.  Unlike the band loop no keeper-text parquet is
+    needed: the embed index itself carries the vectors the verify step
+    probes."""
+    if sf_dir not in _EMBED_LOOP_CACHE:
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="xhs_embed_loop_")
+        try:
+            emb = t(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+            kept0 = emb.where((F.col("vec_id") % 5).isin(0, 2))
+            dd.embed_index(kept0).write.partitionBy("bucket").parquet(
+                root + "/idx"
+            )
+            shard1 = emb.where(F.col("vec_id") % 5 == 1).unionAll(
+                _emb_loop_sentinel_df(spark, 9000001)
+            )
+            # persist shard-1 verdicts ONCE (the band-loop lesson: a lazy
+            # frame would run the costliest plan twice — once in
+            # extend_embed_index's keeper join, once wherever else read)
+            dd.embed_incremental(
+                shard1, None, _EMB_LOOP_THR,
+                kept_index=spark.read.parquet(root + "/idx"),
+            ).write.parquet(root + "/v1")
+            dd.extend_embed_index(
+                shard1, spark.read.parquet(root + "/v1"), root + "/idx"
+            )
+        except BaseException:
+            # a failed build must not leak the half-written root: only
+            # _EMBED_LOOP_CACHE entries are atexit-reaped
+            shutil.rmtree(root, ignore_errors=True)
+            raise
+        _EMBED_LOOP_CACHE[sf_dir] = root
+    return _EMBED_LOOP_CACHE[sf_dir]
+
+
+def _embed_loop_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _embed_loop_root(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    synth = (
+        emb.where(F.col("vec_id") == 3).select(
+            F.lit(9000003).cast("long").alias("vec_id"), "embedding"
+        )
+        .unionAll(emb.where(F.col("vec_id") == 0).select(
+            F.lit(9000004).cast("long").alias("vec_id"), "embedding"
+        ))
+        .unionAll(_emb_loop_sentinel_df(spark, 9000002))
+    )
+    shard2 = emb.where((F.col("vec_id") % 5).isin(3, 4)).unionAll(synth)
+    return dd.embed_incremental(
+        shard2, None, _EMB_LOOP_THR,
+        kept_index=spark.read.parquet(root + "/idx"),
+    )
+
+
+def _embed_loop_sql() -> str:
+    """Oracle: the whole loop composed in SQL — shard-1 verdicts via
+    embed_incremental_sql, keepers joined back to vectors, union with
+    the initial corpus as shard 2's keeper side (the dedup_extend_loop
+    oracle pattern; the inner mirror's CTEs shadow the outer's within
+    their derived-table scope)."""
+    sent = (
+        "CAST(["
+        + ", ".join(str(int(x)) for x in _EMB_LOOP_SENTINEL)
+        + "] AS FLOAT[])"
+    )
+    kept0 = (
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 IN (0, 2)"
+    )
+    shard1 = (
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 1 "
+        f"UNION ALL SELECT CAST(9000001 AS BIGINT) AS vec_id, "
+        f"{sent} AS embedding"
+    )
+    v1 = dd.embed_incremental_sql(shard1, kept0, _EMB_LOOP_THR)
+    kept_union = (
+        f"{kept0} UNION ALL "
+        f"SELECT s.vec_id, s.embedding FROM ({shard1}) s "
+        f"JOIN ({v1}) v ON s.vec_id = v.vec_id WHERE v.keep"
+    )
+    shard2 = (
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 IN (3, 4) "
+        "UNION ALL SELECT CAST(9000003 AS BIGINT) AS vec_id, embedding "
+        "FROM embeddings WHERE vec_id = 3 "
+        "UNION ALL SELECT CAST(9000004 AS BIGINT) AS vec_id, embedding "
+        "FROM embeddings WHERE vec_id = 0 "
+        f"UNION ALL SELECT CAST(9000002 AS BIGINT) AS vec_id, "
+        f"{sent} AS embedding"
+    )
+    return dd.embed_incremental_sql(shard2, kept_union, _EMB_LOOP_THR)
+
+
+register(
+    "dedup_embed_extend_loop",
+    _embed_loop_fn,
+    _embed_loop_sql(),
+)
 register(
     # identical result set to sim_ann_topk (same probes, same exact cosine)
     # but executed against the persisted partitionBy(bucket) index with
@@ -1406,6 +1535,175 @@ register(
         t_wide(spark, sf_dir, "documents"), "text", "doc_id", k=100, min_df=2
     ),
     tx.vocabulary_sql("documents", "text", "doc_id", k=100, min_df=2),
+)
+
+# --- classifier scoring → mixture rebalancing → per-group sampling ---
+# (VERDICT r10 items 2-4: the two operators staged in round 10 plus the
+# composed loop a training-data curation run actually executes.)
+
+# the demo weight table stands in for a trained model's weights — a
+# fixed public literal, identical in both engines (the LSH-hyperplane
+# pattern); seed/size are part of the entry's contract
+_QL_WEIGHTS = tx.demo_quality_weights(256, seed=7)
+
+
+def _quality_linear_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # t_wide: the per-row tokenize+fold kernel is compute-bound on the
+    # single-file fixture scan (the token_count precedent).  The corpus
+    # is AUGMENTED with an empty-text and a NULL-text row so the
+    # zero-evidence NULL-score arm is exercised at every SF alongside
+    # the real multi-valued scores (the vacuity lesson).
+    docs = t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = spark.createDataFrame(
+        [(9000001, ""), (9000002, None)], "doc_id: long, text: string"
+    )
+    return tx.linear_quality_score(
+        docs.unionAll(synth), "text", "doc_id", _QL_WEIGHTS, bias=0.25
+    )
+
+
+register(
+    "text_quality_linear",
+    _quality_linear_fn,
+    tx.linear_quality_score_sql(
+        "(SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT CAST(9000001 AS BIGINT) AS doc_id, '' AS text "
+        "UNION ALL SELECT CAST(9000002 AS BIGINT) AS doc_id, NULL AS text)",
+        "text", "doc_id", _QL_WEIGHTS, bias=0.25,
+    ),
+)
+
+# target shares hit every arm of the weight computation at every SF:
+# es is OBSERVED but absent from the target (target_share 0.0 →
+# mix_weight 0.0), de's derived mass is forced to ZERO (share 0.0 →
+# NULL mix_weight/keep_rate — the zero-mass guard), fr is
+# under-represented (mix_weight > 1 → keep_rate clamps at 1.0) and
+# en over-represented (fractional keep_rate)
+_MW_TARGET = {"en": 0.4, "fr": 0.3, "zh": 0.3}
+
+
+def _mixture_weights_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("lang") == "de", F.lit(0))
+        .otherwise(F.col("n_chars"))
+        .cast("bigint")
+    )
+    return sp.mixture_weights(
+        docs.select("lang", w.alias("w")), "lang", _MW_TARGET,
+        weight_col="w",
+    )
+
+
+register(
+    "sample_mixture_weights",
+    _mixture_weights_fn,
+    sp.mixture_weights_sql(
+        "(SELECT lang, CASE WHEN lang = 'de' THEN CAST(0 AS BIGINT) "
+        "ELSE n_chars END AS w FROM documents)",
+        "lang", _MW_TARGET, weight_col="w",
+    ),
+)
+
+
+# --- the composed curation loop: score → threshold filter → mixture
+# rebalance → in-plan per-group Bernoulli sample.  The score+filter
+# pass is PERSISTED once per sf_dir (the production pattern: a pipeline
+# persists its scored corpus between stages, keeping scores for audit;
+# in-plan, the two consumers — the k-row mass aggregate and the sample
+# filter — would each re-run the fold, and filtering on the projected
+# score alias would re-inline the fold into the pushed Filter besides:
+# the Catalyst alias-inlining trap, avoided by filtering on the
+# READ-BACK column where the predicate pushes into the parquet scan).
+# The per-group rate is joined back from the k-row mixture frame
+# (broadcast) and the row draw — an exact integer — is compared against
+# floor(keep_rate·2³²) DERIVED IN-PLAN, so no rate ever round-trips
+# through Python (stratified_sample's literal-CASE thresholds need
+# rates known up front; this is the same draw < threshold contract with
+# the threshold computed from data).  The target hits every sampling
+# arm at every SF (the vacuity lesson — an earlier draft clamped ALL
+# in-target groups to 1.0 and never exercised the fractional draw
+# comparison): en's post-filter token share is ~0.34-0.44 against
+# target 0.2 → FRACTIONAL keep_rate (real Bernoulli thinning); fr/zh
+# are under-represented → clamp to 1.0 (2³² > every 8-hex draw, the
+# stratum kept whole); es/de are observed but absent from the target →
+# keep_rate 0.0 drops them outright; a NULL keep_rate would drop via
+# NULL comparison.
+_CM_TARGET = {"en": 0.2, "fr": 0.3, "zh": 0.5}
+_CM_THRESHOLD = 0.0
+_CURATE_MIX_CACHE: dict[str, str] = {}
+
+
+def _curate_mix_scored(spark: SparkSession, sf_dir: str) -> str:
+    """Score pass persisted once per sf_dir: linear_quality_score over
+    the corpus (group key carried via keep_cols — no id join), ALL rows
+    written with their scores; the threshold filter runs on read-back
+    where it pushes into the scan."""
+    if sf_dir not in _CURATE_MIX_CACHE:
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="xhs_curate_mix_")
+        try:
+            docs = t_wide(spark, sf_dir, "documents")
+            tx.linear_quality_score(
+                docs, "text", "doc_id", _QL_WEIGHTS, keep_cols=("lang",)
+            ).write.parquet(root + "/scored")
+        except BaseException:
+            shutil.rmtree(root, ignore_errors=True)
+            raise
+        _CURATE_MIX_CACHE[sf_dir] = root
+    return _CURATE_MIX_CACHE[sf_dir]
+
+
+def _curate_mixture_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import hashing as H
+
+    root = _curate_mix_scored(spark, sf_dir)
+    filt = (
+        spark.read.parquet(root + "/scored")
+        .where(F.col("lin_score") >= F.lit(_CM_THRESHOLD))
+    )
+    mix = sp.mixture_weights(filt, "lang", _CM_TARGET, weight_col="n_tokens")
+    rates = F.broadcast(
+        mix.select(F.col("lang").alias("_mlang"), "keep_rate")
+    )
+    joined = filt.join(rates, filt["lang"].eqNullSafe(rates["_mlang"]))
+    draw = H.hex8_val(sp.draw_hex(F.col("doc_id"), salt="mix"))
+    thr = F.floor(F.col("keep_rate") * F.lit(4294967296.0)).cast("bigint")
+    return joined.where(draw < thr).select(
+        "doc_id", "lang", "n_tokens", "lin_score"
+    )
+
+
+def _curate_mixture_sql() -> str:
+    from .binspec import flit
+    from .functions import hashing as H
+
+    scored = tx.linear_quality_score_sql(
+        "documents", "text", "doc_id", _QL_WEIGHTS, keep_cols=("lang",)
+    )
+    mix = sp.mixture_weights_sql("__filt", "lang", _CM_TARGET,
+                                 weight_col="n_tokens")
+    draw = sp.draw_hex_sql("f.doc_id", salt="mix")
+    return (
+        f"WITH __scored AS ({scored}), "
+        f"__filt AS (SELECT * FROM __scored "
+        f"WHERE lin_score >= {flit(_CM_THRESHOLD)}), "
+        f"__j AS (SELECT f.doc_id, f.lang, f.n_tokens, f.lin_score, "
+        f"m.keep_rate, {draw} AS __d8 "
+        f"FROM __filt f JOIN ({mix}) m "
+        f"ON f.lang IS NOT DISTINCT FROM m.lang) "
+        f"SELECT doc_id, lang, n_tokens, lin_score FROM __j "
+        f"WHERE {H.hex8_val_sql('__d8')} < "
+        f"CAST(floor(keep_rate * {flit(4294967296.0)}) AS BIGINT)"
+    )
+
+
+register(
+    "pipeline_curate_mixture",
+    _curate_mixture_fn,
+    _curate_mixture_sql(),
 )
 
 # --- PII / URL curation over a deterministically AUGMENTED text column ---
@@ -1870,11 +2168,14 @@ def _cleanup_scratch() -> None:
 
     for leaf in list(_CSV_SCRATCH.values()) + list(_ADOPT_SCRATCH.values()):
         shutil.rmtree(os.path.dirname(leaf), ignore_errors=True)
-    # the ANN/embed/band-loop caches hold the scratch ROOT itself
+    # the ANN/embed/band-loop/embed-loop/curation caches hold the
+    # scratch ROOT itself
     for root in (
         list(_ANN_INDEX_CACHE.values())
         + list(_EMBED_INDEX_CACHE.values())
         + list(_EXTEND_LOOP_CACHE.values())
+        + list(_EMBED_LOOP_CACHE.values())
+        + list(_CURATE_MIX_CACHE.values())
     ):
         shutil.rmtree(root, ignore_errors=True)
 

@@ -118,6 +118,30 @@ def hex4_bucket(c: Column, n: int) -> Column:
     )
 
 
+def hex8_val(c: Column) -> Column:
+    """BIGINT value 0..2³²-1 of an EIGHT-hex-char column (one JVM conv) —
+    turns a ``draw_hex`` string draw into an integer so a sampling
+    threshold can be DERIVED IN-PLAN from data (floor(rate · 2³²)),
+    where the literal-CASE hex-string thresholds need the rate known in
+    Python.  Both engines compare exact integers, so the cross-engine
+    contract holds for any rate double they agree on."""
+    return F.conv(c, 16, 10).cast("bigint")
+
+
+def hex8_val_sql(hex8: str) -> str:
+    """Same value recomposed from eight nibble positions (no ``conv`` in
+    DuckDB).  ``hex8`` is read eight times, so it MUST be a bound column
+    reference or lambda variable, never an expression that recomputes a
+    hash (the ``hex4_val_sql`` binding rule).  The leading term is cast
+    to BIGINT before the multiply: 15·16⁷ overflows INT32 and DuckDB
+    errors on integer overflow rather than wrapping."""
+    nib = [nibble_val_sql(f"substr({hex8}, {i}, 1)") for i in range(1, 9)]
+    terms = [f"CAST({nib[0]} AS BIGINT) * {16 ** 7}"] + [
+        f"{nib[i]} * {16 ** (7 - i)}" for i in range(1, 7)
+    ] + [nib[7]]
+    return "(" + " + ".join(terms) + ")"
+
+
 def hex4_val_sql(hex4: str) -> str:
     """Value 0..65535 of a FOUR-hex-char expression.  ``hex4`` is read
     four times (one per nibble), so it MUST be a bound lambda variable
