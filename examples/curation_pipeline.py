@@ -30,6 +30,10 @@ the operator families a 100 TB text pipeline runs, end to end —
  22. classifier-based quality scoring         (linear_quality_score)
  23. token-weighted mixture rebalancing       (mixture_weights →
                                                stratified_sample)
+ 24. the composed curation loop, fully in-plan:
+     score → threshold filter → rebalance →
+     per-group Bernoulli sample with the
+     threshold derived from keep_rate          (keep_cols= + hex8_val)
 
 Run:  python examples/curation_pipeline.py [sf_dir]
 """
@@ -370,6 +374,36 @@ rebalanced = stratified_sample(docs, "source", "doc_id", rates,
 print(f"mixture weights over {mix.count()} sources; "
       f"rebalanced corpus: {rebalanced.count()} docs "
       f"(sources outside the target drop via default_rate=0)")
+
+# 24. the composed loop, fully in-plan (round 11, gated as
+# pipeline_curate_mixture): keep_cols= carries the group key through
+# the score projection (no id join), the k-row mixture frame broadcasts
+# back, and the per-row draw — one JVM conv to an exact integer —
+# compares against floor(keep_rate·2³²) DERIVED IN-PLAN, so unlike
+# step 23 no rate ever round-trips through the driver.  In production
+# the score pass is persisted first (scores kept for audit, the fold
+# runs once, the threshold filter pushes into the parquet scan — see
+# the pipeline_curate_mixture entry); in-plan below for brevity.
+from xarray_histogram_spark.functions.hashing import hex8_val  # noqa: E402
+from xarray_histogram_spark.operators.sampling import draw_hex  # noqa: E402
+
+scored = linear_quality_score(docs, "text", "doc_id",
+                              demo_quality_weights(), keep_cols=("source",))
+filt = scored.where(F.col("lin_score") >= 0.0)
+mix2 = mixture_weights(filt, "source",
+                       {"src0": 2.0, "src1": 1.0, "src2": 1.0},
+                       weight_col="n_tokens")
+rates2 = F.broadcast(
+    mix2.select(F.col("source").alias("_msrc"), "keep_rate")
+)
+sampled = (
+    filt.join(rates2, filt["source"].eqNullSafe(rates2["_msrc"]))
+    .where(hex8_val(draw_hex(F.col("doc_id"), salt="mix"))
+           < F.floor(F.col("keep_rate") * F.lit(4294967296.0)).cast("bigint"))
+    .select("doc_id", "source", "n_tokens", "lin_score")
+)
+print(f"composed in-plan curation: {filt.count()} filtered docs → "
+      f"{sampled.count()} sampled (rates from data, no driver collect)")
 
 print("curation pipeline walkthrough OK")
 spark.stop()
