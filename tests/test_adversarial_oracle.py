@@ -828,23 +828,29 @@ def test_mixture_weights_semantics(spark):
         zdf, "source", {"a": 1.0}, weight_col="ntok"
     ).collect()}
     assert zrows["a"]["share"] is None and zrows["a"]["keep_rate"] is None
-    # a NEGATIVE group mass raises in BOTH engines (advice-found: it was
-    # silently conflated with the zero-mass NULL arm, and a negative
-    # grand total NULLed every share)
-    npdf = pd.DataFrame(
-        {"doc_id": [1, 2], "source": ["a", "b"], "ntok": [5, -3]}
-    ).astype({"doc_id": "int64", "ntok": "int64"})
-    with pytest.raises(Exception, match="negative mass"):
-        sp.mixture_weights(
-            spark.createDataFrame(npdf), "source", {"a": 1.0},
-            weight_col="ntok",
-        ).collect()
-    ncon = duckdb.connect()
-    ncon.register("ncorp", npdf)
-    with pytest.raises(Exception, match="negative mass"):
-        ncon.execute(sp.mixture_weights_sql(
-            "ncorp", "source", {"a": 1.0}, weight_col="ntok"
-        )).fetchall()
+    # a NEGATIVE weight raises in BOTH engines, checked per ROW
+    # (advice-found: unchecked it was silently conflated with the
+    # zero-mass NULL arm and a negative grand total NULLed every share;
+    # review-found: an aggregate-level check let MIXED-SIGN rows that
+    # net non-negative through — the [-3, +5] → mass 2 case — so the
+    # second frame pins exactly that)
+    for ntoks in ([5, -3], [-3, 5]):
+        npdf = pd.DataFrame(
+            {"doc_id": [1, 2],
+             "source": ["a", "b"] if ntoks == [5, -3] else ["a", "a"],
+             "ntok": ntoks}
+        ).astype({"doc_id": "int64", "ntok": "int64"})
+        with pytest.raises(Exception, match="negative weight"):
+            sp.mixture_weights(
+                spark.createDataFrame(npdf), "source", {"a": 1.0},
+                weight_col="ntok",
+            ).collect()
+        ncon = duckdb.connect()
+        ncon.register("ncorp", npdf)
+        with pytest.raises(Exception, match="negative weight"):
+            ncon.execute(sp.mixture_weights_sql(
+                "ncorp", "source", {"a": 1.0}, weight_col="ntok"
+            )).fetchall()
 
 
 def test_adv_embed_extend_loop(spark, tmp_path):
@@ -945,6 +951,21 @@ def test_adv_hex8_val_parity(spark, adv):
     vals = [r["dv"] for r in got.collect()]
     assert all(0 <= v < 2**32 for v in vals)
     assert any(v > 2**31 for v in vals), "no draw above INT32 max"
+    # the shared n-nibble builder reproduces the pre-round-11
+    # hand-written hex4 form BYTE-IDENTICALLY — every gated oracle
+    # embedding hex4_val_sql (the BPE family, linear scoring) is
+    # unchanged by the refactor
+    n4 = [H.nibble_val_sql(f"substr(h, {i}, 1)") for i in (1, 2, 3, 4)]
+    assert H.hex4_val_sql("h") == (
+        f"({n4[0]} * 4096 + {n4[1]} * 256 + {n4[2]} * 16 + {n4[3]})"
+    )
+    # and the hex8 form raises no INT32 overflow on boundary values
+    for hx, want in [("ffffffff", 2**32 - 1), ("80000000", 2**31),
+                     ("7fffffff", 2**31 - 1), ("00000000", 0)]:
+        got8 = con.execute(
+            f"SELECT {H.hex8_val_sql('h')} FROM (SELECT '{hx}' AS h)"
+        ).fetchone()[0]
+        assert got8 == want, (hx, got8, want)
 
 
 def test_adv_bpe_pair_counts(spark, adv):

@@ -59,18 +59,21 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 
 # Round-11 rotation refresh.  _DRIVER_VERIFIED holds the 50 names
 # CORRECTNESS_r10.json hash-verified (the freshest greens), minus the
-# two moved to _CHANGED_THIS_ROUND (the scratch-path registry added to
+# four moved to _CHANGED_THIS_ROUND (the scratch-path registry added to
 # _materialize_scratch — ADVICE r10 item 1 — touches code on
-# dedup_chunks_near's and dedup_chunks_keep's execution path, and the
-# any-implementation-change policy re-gates them even though the plans
-# and oracles are byte-identical), so the driver's ~50-query window
+# dedup_chunks_near's and dedup_chunks_keep's execution path; the
+# shared _scratch_root build-once scaffold — review-found, the BPE
+# three-copies hazard in its cache/cleanup form — touches
+# dedup_extend_loop's and dedup_embed_incremental's; the
+# any-implementation-change policy re-gates all four even though every
+# plan and oracle is byte-identical), so the driver's ~50-query window
 # reaches the 41 entries whose freshest green is r08 (two rounds old —
 # they lead _STALE_PRIORITY unconditionally per the capacity policy
 # below) and then the 45 r09-green entries in registry order.  Window
-# arithmetic this round: 4 new + 2 changed + 41 stale = 47, leaving ~3
-# slots for the oldest r09 names — so ROUND 12's stale head is the
-# ~42 r09 names not refreshed here, and ROUND 12 MUST KEEP NEW+CHANGED
-# ≤ ~8 to close the cycle.  The 4 new entries execute VERDICT r10 items
+# arithmetic this round: 4 new + 4 changed + 41 stale = 49, leaving ~1
+# slot for the oldest r09 name — so ROUND 12's stale head is the ~44
+# r09 names not refreshed here, and ROUND 12 MUST KEEP NEW+CHANGED
+# ≤ ~6 to close the cycle.  The 4 new entries execute VERDICT r10 items
 # 2-5 in order: text_quality_linear and sample_mixture_weights register
 # the two operators staged (tested + mirrored) in round 10;
 # pipeline_curate_mixture gates the composed score → threshold →
@@ -96,11 +99,12 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # BinSpec codegen classes and each has caught a distinct class of bug;
 # window headroom comes from the growth cap instead.
 _DRIVER_VERIFIED = frozenset({
-    # the 50 names CORRECTNESS_r10.json hash-verified, minus the two
-    # moved to _CHANGED_THIS_ROUND (dedup_chunks_near, dedup_chunks_keep)
+    # the 50 names CORRECTNESS_r10.json hash-verified, minus the four
+    # moved to _CHANGED_THIS_ROUND (dedup_chunks_near, dedup_chunks_keep,
+    # dedup_extend_loop, dedup_embed_incremental)
     "alg_bin_coordinates", "alg_rebin",
-    "dedup_contamination", "dedup_embed_incremental", "dedup_exact",
-    "dedup_extend_loop", "dedup_near_keep", "dedup_simhash",
+    "dedup_contamination", "dedup_exact",
+    "dedup_near_keep", "dedup_simhash",
     "dedup_simhash_pairs",
     "hist_columns_weighted", "hist_cube_multires", "hist_fill_arrow_path",
     "hist_growth_merge", "hist_join_align_2var", "hist_merge_shards",
@@ -125,8 +129,8 @@ _DRIVER_VERIFIED = frozenset({
 # ROUND 8 (two rounds old — recomputed from CORRECTNESS_r01..r10) —
 # they lead the window so no green ever ages a THIRD round.  The 45
 # r09-green entries follow in registry order and fill the remainder of
-# the ~50-query window (with 4 new + 2 changed + 41 stale = 47, about
-# 3 of them fit this round; the rest lead round 12's stale head).
+# the ~50-query window (with 4 new + 4 changed + 41 stale = 49, about
+# 1 of them fits this round; the rest lead round 12's stale head).
 _STALE_PRIORITY = (
     "binned_stat_grouped", "binned_stat_profile",
     "dedup_embed_components", "dedup_minhash_pairs",
@@ -163,6 +167,14 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # dedup_embed_incremental precedent from round 10).
     "dedup_chunks_near",
     "dedup_chunks_keep",
+    # the build-once scratch scaffold behind these two entries' loop/
+    # index state was extracted into the shared _scratch_root helper
+    # (review-found: three verbatim mkdtemp/try/rmtree/cache copies —
+    # the BPE three-copies hazard — and the older index builders lacked
+    # the failure cleanup entirely); plans and oracles byte-identical,
+    # re-gated under the same policy.
+    "dedup_extend_loop",
+    "dedup_embed_incremental",
 )
 
 
@@ -721,6 +733,29 @@ _LOOP_SENTINEL = (
 _EXTEND_LOOP_CACHE: dict[str, str] = {}
 
 
+def _scratch_root(cache: dict, sf_dir: str, prefix: str, build) -> str:
+    """Build-once-per-sf_dir scratch state — the ONE scaffold behind
+    every persisted-index/loop entry (review-found: three verbatim
+    copies of the mkdtemp/try/rmtree/cache pattern had appeared, the
+    BPE three-copies hazard; and the older ANN/embed index builders
+    lacked the failure cleanup entirely).  ``build(root)`` writes the
+    state under the fresh root; a FAILED build removes the half-written
+    root instead of leaking it — only cache entries are atexit-reaped
+    (see _cleanup_scratch)."""
+    if sf_dir not in cache:
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix=prefix)
+        try:
+            build(root)
+        except BaseException:
+            shutil.rmtree(root, ignore_errors=True)
+            raise
+        cache[sf_dir] = root
+    return cache[sf_dir]
+
+
 def _loop_kept0(docs: DataFrame) -> DataFrame:
     return docs.where((F.col("doc_id") % 4).isin(0, 2))
 
@@ -739,42 +774,28 @@ def _extend_loop_root(spark: SparkSession, sf_dir: str) -> str:
     the keeper TEXT corpus parquet (initial ∪ shard-1 keepers) the
     verify step scans — exactly what a crawl pipeline persists between
     shards."""
-    if sf_dir not in _EXTEND_LOOP_CACHE:
-        import shutil
-        import tempfile
+    def build(root: str) -> None:
+        docs = t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+        kept0 = _loop_kept0(docs)
+        shard1 = _loop_shard1(spark, docs)
+        dd.band_rows(kept0, "text", "doc_id").write.parquet(root + "/idx")
+        # persist the shard-1 verdicts ONCE (review-found: a lazy v1
+        # would re-run the costliest plan in the loop twice — once
+        # inside extend_band_index's keeper join, once for the kept
+        # union below); the read-back feeds both consumers
+        dd.incremental_dedup(
+            shard1, kept0, "text", "doc_id",
+            kept_bands=spark.read.parquet(root + "/idx"),
+        ).write.parquet(root + "/v1")
+        v1 = spark.read.parquet(root + "/v1")
+        dd.extend_band_index(shard1, v1, root + "/idx", "text", "doc_id")
+        keep1 = v1.where(F.col("keep")).select("doc_id")
+        kept0.unionAll(shard1.join(keep1, "doc_id")).write.parquet(
+            root + "/kept"
+        )
 
-        root = tempfile.mkdtemp(prefix="xhs_band_loop_")
-        try:
-            docs = t_wide(spark, sf_dir, "documents").select(
-                "doc_id", "text"
-            )
-            kept0 = _loop_kept0(docs)
-            shard1 = _loop_shard1(spark, docs)
-            dd.band_rows(kept0, "text", "doc_id").write.parquet(
-                root + "/idx"
-            )
-            # persist the shard-1 verdicts ONCE (review-found: a lazy v1
-            # would re-run the costliest plan in the loop twice — once
-            # inside extend_band_index's keeper join, once for the kept
-            # union below); the read-back feeds both consumers
-            dd.incremental_dedup(
-                shard1, kept0, "text", "doc_id",
-                kept_bands=spark.read.parquet(root + "/idx"),
-            ).write.parquet(root + "/v1")
-            v1 = spark.read.parquet(root + "/v1")
-            dd.extend_band_index(shard1, v1, root + "/idx", "text",
-                                 "doc_id")
-            keep1 = v1.where(F.col("keep")).select("doc_id")
-            kept0.unionAll(shard1.join(keep1, "doc_id")).write.parquet(
-                root + "/kept"
-            )
-        except BaseException:
-            # a failed build must not leak the half-written root: only
-            # _EXTEND_LOOP_CACHE entries are atexit-reaped (review-found)
-            shutil.rmtree(root, ignore_errors=True)
-            raise
-        _EXTEND_LOOP_CACHE[sf_dir] = root
-    return _EXTEND_LOOP_CACHE[sf_dir]
+    return _scratch_root(_EXTEND_LOOP_CACHE, sf_dir, "xhs_band_loop_",
+                         build)
 
 
 def _extend_loop_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,13 +904,12 @@ _ANN_INDEX_CACHE: dict[str, str] = {}
 
 def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir) the persisted bucket-partitioned ANN index."""
-    if sf_dir not in _ANN_INDEX_CACHE:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="xhs_ann_index_")
-        sim.write_ann_index(t(spark, sf_dir, "embeddings"), path)
-        _ANN_INDEX_CACHE[sf_dir] = path
-    return _ANN_INDEX_CACHE[sf_dir]
+    return _scratch_root(
+        _ANN_INDEX_CACHE, sf_dir, "xhs_ann_index_",
+        lambda root: sim.write_ann_index(
+            t(spark, sf_dir, "embeddings"), root
+        ),
+    )
 
 
 register(
@@ -905,10 +925,7 @@ def _embed_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir) the persisted bucket-partitioned keeper
     embed_index — the planes-fingerprint-stamped production index
     embed_incremental probes."""
-    if sf_dir not in _EMBED_INDEX_CACHE:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="xhs_embed_index_")
+    def build(root: str) -> None:
         kept = (
             t(spark, sf_dir, "embeddings")
             .where(F.col("vec_id") % 5 != 2)
@@ -916,9 +933,10 @@ def _embed_index_path(spark: SparkSession, sf_dir: str) -> str:
         )
         dd.embed_index(kept).write.mode("overwrite").partitionBy(
             "bucket"
-        ).parquet(path)
-        _EMBED_INDEX_CACHE[sf_dir] = path
-    return _EMBED_INDEX_CACHE[sf_dir]
+        ).parquet(root)
+
+    return _scratch_root(_EMBED_INDEX_CACHE, sf_dir, "xhs_embed_index_",
+                         build)
 
 
 def _embed_incremental_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -995,39 +1013,28 @@ def _embed_loop_root(spark: SparkSession, sf_dir: str) -> str:
     directories.  Unlike the band loop no keeper-text parquet is
     needed: the embed index itself carries the vectors the verify step
     probes."""
-    if sf_dir not in _EMBED_LOOP_CACHE:
-        import shutil
-        import tempfile
+    def build(root: str) -> None:
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        kept0 = emb.where((F.col("vec_id") % 5).isin(0, 2))
+        dd.embed_index(kept0).write.partitionBy("bucket").parquet(
+            root + "/idx"
+        )
+        shard1 = emb.where(F.col("vec_id") % 5 == 1).unionAll(
+            _emb_loop_sentinel_df(spark, 9000001)
+        )
+        # persist shard-1 verdicts ONCE (the band-loop lesson: a lazy
+        # frame would run the costliest plan twice — once in
+        # extend_embed_index's keeper join, once wherever else read)
+        dd.embed_incremental(
+            shard1, None, _EMB_LOOP_THR,
+            kept_index=spark.read.parquet(root + "/idx"),
+        ).write.parquet(root + "/v1")
+        dd.extend_embed_index(
+            shard1, spark.read.parquet(root + "/v1"), root + "/idx"
+        )
 
-        root = tempfile.mkdtemp(prefix="xhs_embed_loop_")
-        try:
-            emb = t(spark, sf_dir, "embeddings").select(
-                "vec_id", "embedding"
-            )
-            kept0 = emb.where((F.col("vec_id") % 5).isin(0, 2))
-            dd.embed_index(kept0).write.partitionBy("bucket").parquet(
-                root + "/idx"
-            )
-            shard1 = emb.where(F.col("vec_id") % 5 == 1).unionAll(
-                _emb_loop_sentinel_df(spark, 9000001)
-            )
-            # persist shard-1 verdicts ONCE (the band-loop lesson: a lazy
-            # frame would run the costliest plan twice — once in
-            # extend_embed_index's keeper join, once wherever else read)
-            dd.embed_incremental(
-                shard1, None, _EMB_LOOP_THR,
-                kept_index=spark.read.parquet(root + "/idx"),
-            ).write.parquet(root + "/v1")
-            dd.extend_embed_index(
-                shard1, spark.read.parquet(root + "/v1"), root + "/idx"
-            )
-        except BaseException:
-            # a failed build must not leak the half-written root: only
-            # _EMBED_LOOP_CACHE entries are atexit-reaped
-            shutil.rmtree(root, ignore_errors=True)
-            raise
-        _EMBED_LOOP_CACHE[sf_dir] = root
-    return _EMBED_LOOP_CACHE[sf_dir]
+    return _scratch_root(_EMBED_LOOP_CACHE, sf_dir, "xhs_embed_loop_",
+                         build)
 
 
 def _embed_loop_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1639,21 +1646,14 @@ def _curate_mix_scored(spark: SparkSession, sf_dir: str) -> str:
     the corpus (group key carried via keep_cols — no id join), ALL rows
     written with their scores; the threshold filter runs on read-back
     where it pushes into the scan."""
-    if sf_dir not in _CURATE_MIX_CACHE:
-        import shutil
-        import tempfile
+    def build(root: str) -> None:
+        docs = t_wide(spark, sf_dir, "documents")
+        tx.linear_quality_score(
+            docs, "text", "doc_id", _QL_WEIGHTS, keep_cols=("lang",)
+        ).write.parquet(root + "/scored")
 
-        root = tempfile.mkdtemp(prefix="xhs_curate_mix_")
-        try:
-            docs = t_wide(spark, sf_dir, "documents")
-            tx.linear_quality_score(
-                docs, "text", "doc_id", _QL_WEIGHTS, keep_cols=("lang",)
-            ).write.parquet(root + "/scored")
-        except BaseException:
-            shutil.rmtree(root, ignore_errors=True)
-            raise
-        _CURATE_MIX_CACHE[sf_dir] = root
-    return _CURATE_MIX_CACHE[sf_dir]
+    return _scratch_root(_CURATE_MIX_CACHE, sf_dir, "xhs_curate_mix_",
+                         build)
 
 
 def _curate_mixture_fn(spark: SparkSession, sf_dir: str) -> DataFrame:

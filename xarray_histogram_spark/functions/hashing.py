@@ -128,18 +128,33 @@ def hex8_val(c: Column) -> Column:
     return F.conv(c, 16, 10).cast("bigint")
 
 
-def hex8_val_sql(hex8: str) -> str:
-    """Same value recomposed from eight nibble positions (no ``conv`` in
-    DuckDB).  ``hex8`` is read eight times, so it MUST be a bound column
-    reference or lambda variable, never an expression that recomputes a
-    hash (the ``hex4_val_sql`` binding rule).  The leading term is cast
-    to BIGINT before the multiply: 15·16⁷ overflows INT32 and DuckDB
-    errors on integer overflow rather than wrapping."""
-    nib = [nibble_val_sql(f"substr({hex8}, {i}, 1)") for i in range(1, 9)]
-    terms = [f"CAST({nib[0]} AS BIGINT) * {16 ** 7}"] + [
-        f"{nib[i]} * {16 ** (7 - i)}" for i in range(1, 7)
-    ] + [nib[7]]
+def _hexn_val_sql(hexn: str, n: int) -> str:
+    """Value of an n-hex-char expression recomposed from its nibble
+    positions (no ``conv`` in DuckDB) — the ONE builder behind
+    ``hex4_val_sql`` and ``hex8_val_sql`` (review-found: two hand-kept
+    copies of the recomposition would drift on exactly the subtleties
+    that matter, like the overflow cast below).  ``hexn`` is read n
+    times, so it MUST be a bound column reference or lambda variable.
+    Any term that can exceed INT32 max (15·16⁷ for n=8) is cast to
+    BIGINT before the multiply: DuckDB integer arithmetic errors on
+    overflow rather than wrapping."""
+    nib = [nibble_val_sql(f"substr({hexn}, {i}, 1)") for i in range(1, n + 1)]
+    terms = []
+    for i, nb in enumerate(nib):
+        p = 16 ** (n - 1 - i)
+        if 15 * p > 2**31 - 1:
+            terms.append(f"CAST({nb} AS BIGINT) * {p}")
+        elif p > 1:
+            terms.append(f"{nb} * {p}")
+        else:
+            terms.append(nb)
     return "(" + " + ".join(terms) + ")"
+
+
+def hex8_val_sql(hex8: str) -> str:
+    """:func:`hex8_val`'s mirror — see :func:`_hexn_val_sql` for the
+    binding rule and the INT32-overflow cast."""
+    return _hexn_val_sql(hex8, 8)
 
 
 def hex4_val_sql(hex4: str) -> str:
@@ -148,6 +163,7 @@ def hex4_val_sql(hex4: str) -> str:
     or a plain column reference, never an expression that recomputes a
     hash — bind ``substr(md5(...), 1, 4)`` with ``list_transform``
     first when hashing inside a list fold (the BPE lambda-variable
-    lesson: variable references are free, inline expressions are not)."""
-    nib = [nibble_val_sql(f"substr({hex4}, {i}, 1)") for i in (1, 2, 3, 4)]
-    return f"({nib[0]} * 4096 + {nib[1]} * 256 + {nib[2]} * 16 + {nib[3]})"
+    lesson: variable references are free, inline expressions are not).
+    Output is BYTE-IDENTICAL to the pre-round-11 hand-written form
+    (asserted in tests), so no oracle embedding it changed."""
+    return _hexn_val_sql(hex4, 4)

@@ -748,11 +748,13 @@ def mixture_weights(
     differ across engines anyway; a non-integral ``weight_col`` is
     REFUSED up front because bigint casts TRUNCATE in Spark but ROUND
     in DuckDB — the same value would silently produce different
-    masses).  A NEGATIVE group mass RAISES in both engines
-    (advice-found: it would otherwise be silently conflated with the
-    zero-mass NULL arm, and a negative grand total would NULL every
-    share) — the check is a k-row CASE on the aggregate, so it costs
-    nothing; ``weight_col`` is therefore required to be non-negative.
+    masses).  A NEGATIVE weight RAISES in both engines, checked per ROW
+    before aggregation (advice-found, then review-found: a check on the
+    aggregated mass alone let mixed-sign rows that net non-negative
+    through silently; unchecked, a negative mass would be conflated
+    with the zero-mass NULL arm and a negative grand total would NULL
+    every share) — ``weight_col`` must be non-negative, and the check
+    is one codegen'd integer branch on a column already being read.
 
     Scale shape: ONE map-combined groupBy to k mixture-sized rows plus
     one k-row window — no join, no driver collect, no literal blowup
@@ -767,28 +769,30 @@ def mixture_weights(
                 "DuckDB, so a fractional mass would silently diverge "
                 "between the engines; pre-round it explicitly"
             )
-        mass = F.sum(F.col(weight_col).cast("bigint"))
+        # negative weight RAISES per ROW, pre-aggregation (advice-found,
+        # then review-found: a k-row check on the aggregated mass let
+        # mixed-sign rows that NET non-negative through silently —
+        # [-3, +5] passed as mass 2).  Downstream a negative mass would
+        # be indistinguishable from the zero-mass NULL arm, and a
+        # negative TOTAL would silently NULL every share.  One codegen'd
+        # integer branch per row on the column already being read.
+        w = F.col(weight_col).cast("bigint")
+        mass = F.sum(
+            F.when(
+                w < 0,
+                F.raise_error(F.concat(
+                    F.lit("mixture_weights: negative weight "),
+                    w.cast("string"),
+                    F.lit(f" in {weight_col} — weight_col must be "
+                          "non-negative"),
+                )),
+            ).otherwise(w)
+        )
     else:
         mass = F.count(F.lit(1))
     g = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(mass, F.lit(0)).cast("bigint").alias("mass"),
-    )
-    # negative mass RAISES (advice-found): downstream it would be
-    # indistinguishable from the zero-mass NULL arm, and a negative
-    # TOTAL would silently NULL every share — a k-row check
-    g = g.select(
-        group_col, "n_docs",
-        F.when(
-            F.col("mass") < 0,
-            F.raise_error(F.concat(
-                F.lit("mixture_weights: negative mass "),
-                F.col("mass").cast("string"),
-                F.lit(" in group "),
-                F.coalesce(F.col(group_col).cast("string"), F.lit("NULL")),
-                F.lit(" — weight_col must be non-negative"),
-            )),
-        ).otherwise(F.col("mass")).alias("mass"),
     )
     total = F.sum("mass").over(Window.partitionBy())
     tgt: Column = F.lit(0.0)
@@ -839,17 +843,22 @@ def mixture_weights_sql(
     would let DuckDB's NULL-skipping ``least(1.0, NULL)`` silently emit
     1.0 where the engine emits NULL).  ``weight_col`` must reference an
     integral column per the engine-side contract (unvalidatable from a
-    SQL string; the engine path raises for both).  A negative group
-    mass raises via ``error()`` exactly like the engine path's
-    ``raise_error`` arm."""
+    SQL string; the engine path raises for both).  A negative weight
+    raises via a per-row ``error()`` arm inside the mass SUM, exactly
+    like the engine path's pre-aggregation ``raise_error``."""
     from ..binspec import flit, slit
 
     shares = _normalized_target(target)
-    mass = (
-        f"COALESCE(SUM(CAST({weight_col} AS BIGINT)), 0)"
-        if weight_col is not None
-        else "COUNT(*)"
-    )
+    if weight_col is not None:
+        wc = f"CAST({weight_col} AS BIGINT)"
+        mass = (
+            f"COALESCE(SUM(CASE WHEN {wc} < 0 THEN "
+            f"CAST(error('mixture_weights: negative weight ' || {wc} || "
+            f"' in {weight_col} — weight_col must be non-negative') "
+            f"AS BIGINT) ELSE {wc} END), 0)"
+        )
+    else:
+        mass = "COUNT(*)"
     arms = " ".join(
         f"WHEN {group_col} = {slit(k)} THEN {flit(s)}"
         for k, s in shares.items()
@@ -857,17 +866,9 @@ def mixture_weights_sql(
     tgt = f"CASE {arms} ELSE {flit(0.0)} END"
     guard = "mass > 0 AND share IS NOT NULL"
     return (
-        f"WITH __g0 AS (SELECT {group_col}, "
+        f"WITH __g AS (SELECT {group_col}, "
         f"CAST(COUNT(*) AS BIGINT) AS n_docs, "
         f"CAST({mass} AS BIGINT) AS mass FROM {table} GROUP BY 1), "
-        # negative mass raises (the engine path's raise_error twin) —
-        # a k-row CASE over the aggregate
-        f"__g AS (SELECT {group_col}, n_docs, "
-        f"CASE WHEN mass < 0 THEN CAST(error('mixture_weights: "
-        f"negative mass ' || mass || ' in group ' || "
-        f"COALESCE(CAST({group_col} AS VARCHAR), 'NULL') || "
-        f"' — weight_col must be non-negative') AS BIGINT) "
-        f"ELSE mass END AS mass FROM __g0), "
         f"__t AS (SELECT *, SUM(mass) OVER () AS total, {tgt} AS "
         f"target_share FROM __g), "
         f"__s AS (SELECT {group_col}, n_docs, mass, "
