@@ -834,11 +834,12 @@ def test_mixture_weights_semantics(spark):
     # review-found: an aggregate-level check let MIXED-SIGN rows that
     # net non-negative through — the [-3, +5] → mass 2 case — so the
     # second frame pins exactly that)
-    for ntoks in ([5, -3], [-3, 5]):
+    for sources, ntoks in (
+        (["a", "b"], [5, -3]),   # pure-negative group
+        (["a", "a"], [-3, 5]),   # mixed-sign, nets non-negative
+    ):
         npdf = pd.DataFrame(
-            {"doc_id": [1, 2],
-             "source": ["a", "b"] if ntoks == [5, -3] else ["a", "a"],
-             "ntok": ntoks}
+            {"doc_id": [1, 2], "source": sources, "ntok": ntoks}
         ).astype({"doc_id": "int64", "ntok": "int64"})
         with pytest.raises(Exception, match="negative weight"):
             sp.mixture_weights(

@@ -64,13 +64,14 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # dedup_chunks_near's and dedup_chunks_keep's execution path; the
 # shared _scratch_root build-once scaffold — review-found, the BPE
 # three-copies hazard in its cache/cleanup form — touches
-# dedup_extend_loop's and dedup_embed_incremental's; the
-# any-implementation-change policy re-gates all four even though every
-# plan and oracle is byte-identical), so the driver's ~50-query window
-# reaches the 41 entries whose freshest green is r08 (two rounds old —
-# they lead _STALE_PRIORITY unconditionally per the capacity policy
-# below) and then the 45 r09-green entries in registry order.  Window
-# arithmetic this round: 4 new + 4 changed + 41 stale = 49, leaving ~1
+# dedup_extend_loop's, dedup_embed_incremental's AND r08-green
+# sim_ann_indexed's; the any-implementation-change policy re-gates all
+# five even though every plan and oracle is byte-identical), so the
+# driver's ~50-query window reaches the 40 remaining entries whose
+# freshest green is r08 (two rounds old — they lead _STALE_PRIORITY
+# unconditionally per the capacity policy below) and then the 45
+# r09-green entries in registry order.  Window arithmetic this round:
+# 4 new + 5 changed + 40 stale = 49, leaving ~1
 # slot for the oldest r09 name — so ROUND 12's stale head is the ~44
 # r09 names not refreshed here, and ROUND 12 MUST KEEP NEW+CHANGED
 # ≤ ~6 to close the cycle.  The 4 new entries execute VERDICT r10 items
@@ -144,7 +145,10 @@ _STALE_PRIORITY = (
     "mm_decode_audio", "mm_decode_image",
     "pipeline_curate_narrow", "pipeline_report",
     "sample_take_n", "sample_topk_group",
-    "sim_ann_indexed", "sim_ivf_topk", "sim_kmeans_refine",
+    # sim_ann_indexed belongs to this r08 cohort but moved to
+    # _CHANGED_THIS_ROUND (its index builder routes through the new
+    # _scratch_root scaffold) — same window, accurate record
+    "sim_ivf_topk", "sim_kmeans_refine",
     "sim_quantize_int8",
     "streaming_dedup_state", "streaming_range_join",
     "streaming_window_hist",
@@ -167,14 +171,19 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # dedup_embed_incremental precedent from round 10).
     "dedup_chunks_near",
     "dedup_chunks_keep",
-    # the build-once scratch scaffold behind these two entries' loop/
-    # index state was extracted into the shared _scratch_root helper
+    # the build-once scratch scaffold behind these entries' loop/index
+    # state was extracted into the shared _scratch_root helper
     # (review-found: three verbatim mkdtemp/try/rmtree/cache copies —
     # the BPE three-copies hazard — and the older index builders lacked
     # the failure cleanup entirely); plans and oracles byte-identical,
-    # re-gated under the same policy.
+    # re-gated under the same policy.  sim_ann_indexed is here rather
+    # than in the r08 stale head it would otherwise lead because its
+    # _ann_index_path ALSO routes through the new scaffold (second
+    # review pass: the first record under-counted the changed set) —
+    # same driver window either way, honest bookkeeping for round 12.
     "dedup_extend_loop",
     "dedup_embed_incremental",
+    "sim_ann_indexed",
 )
 
 
