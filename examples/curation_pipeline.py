@@ -385,7 +385,9 @@ print(f"mixture weights over {mix.count()} sources; "
 # runs once, the threshold filter pushes into the parquet scan — see
 # the pipeline_curate_mixture entry); in-plan below for brevity.
 from xarray_histogram_spark.functions.hashing import hex8_val  # noqa: E402
-from xarray_histogram_spark.operators.sampling import draw_hex  # noqa: E402
+from xarray_histogram_spark.operators.sampling import (  # noqa: E402
+    draw_hex, rate_threshold,
+)
 
 scored = linear_quality_score(docs, "text", "doc_id",
                               demo_quality_weights(), keep_cols=("source",))
@@ -399,7 +401,7 @@ rates2 = F.broadcast(
 sampled = (
     filt.join(rates2, filt["source"].eqNullSafe(rates2["_msrc"]))
     .where(hex8_val(draw_hex(F.col("doc_id"), salt="mix"))
-           < F.floor(F.col("keep_rate") * F.lit(4294967296.0)).cast("bigint"))
+           < rate_threshold(F.col("keep_rate")))
     .select("doc_id", "source", "n_tokens", "lin_score")
 )
 print(f"composed in-plan curation: {filt.count()} filtered docs → "

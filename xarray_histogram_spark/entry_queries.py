@@ -126,12 +126,14 @@ _DRIVER_VERIFIED = frozenset({
 })
 
 
-# Stale-head priority: the 41 entries whose freshest driver green is
-# ROUND 8 (two rounds old — recomputed from CORRECTNESS_r01..r10) —
-# they lead the window so no green ever ages a THIRD round.  The 45
-# r09-green entries follow in registry order and fill the remainder of
-# the ~50-query window (with 4 new + 4 changed + 41 stale = 49, about
-# 1 of them fits this round; the rest lead round 12's stale head).
+# Stale-head priority: the 40 entries whose freshest driver green is
+# ROUND 8 (two rounds old — recomputed from CORRECTNESS_r01..r10; the
+# 41st r08 name, sim_ann_indexed, re-gates via _CHANGED_THIS_ROUND
+# instead) — they lead the window so no green ever ages a THIRD round.
+# The 45 r09-green entries follow in registry order and fill the
+# remainder of the ~50-query window (with 4 new + 5 changed + 40 stale
+# = 49, about 1 of them fits this round; the rest lead round 12's
+# stale head).
 _STALE_PRIORITY = (
     "binned_stat_grouped", "binned_stat_profile",
     "dedup_embed_components", "dedup_minhash_pairs",
@@ -1679,8 +1681,7 @@ def _curate_mixture_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = filt.join(rates, filt["lang"].eqNullSafe(rates["_mlang"]))
     draw = H.hex8_val(sp.draw_hex(F.col("doc_id"), salt="mix"))
-    thr = F.floor(F.col("keep_rate") * F.lit(4294967296.0)).cast("bigint")
-    return joined.where(draw < thr).select(
+    return joined.where(draw < sp.rate_threshold(F.col("keep_rate"))).select(
         "doc_id", "lang", "n_tokens", "lin_score"
     )
 
@@ -1705,7 +1706,7 @@ def _curate_mixture_sql() -> str:
         f"ON f.lang IS NOT DISTINCT FROM m.lang) "
         f"SELECT doc_id, lang, n_tokens, lin_score FROM __j "
         f"WHERE {H.hex8_val_sql('__d8')} < "
-        f"CAST(floor(keep_rate * {flit(4294967296.0)}) AS BIGINT)"
+        f"{sp.rate_threshold_sql('keep_rate')}"
     )
 
 

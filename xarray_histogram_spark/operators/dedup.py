@@ -1561,16 +1561,21 @@ _SCRATCH_PATHS: dict = {}
 
 
 def scratch_paths(scratch_dir: str) -> list:
-    """The ``xhs_chunks_*`` subdirectories THIS process has written under
-    the caller-supplied ``scratch_dir`` (oldest first) — the stable
-    channel for the caller-owned-deletion contract.  The
+    """The ``xhs_chunks_*`` subdirectories THIS process has allocated
+    under the caller-supplied ``scratch_dir`` (oldest first) — the
+    stable channel for the caller-owned-deletion contract.  The
     ``xhs_scratch_path`` attribute on a returned DataFrame identifies
     which entry belongs to a specific result, but it is an ad-hoc Python
     attribute that any subsequent transformation (``.where``,
     ``.select``, ``.cache``) silently drops; this registry never loses a
-    path.  Entries are never removed automatically: remote-FS scratch
-    cannot be reaped by a local atexit hook, so deletion — and calling
-    this to enumerate what to delete — is the caller's."""
+    path.  Paths are recorded BEFORE the write on purpose: a failed
+    distributed write can leave partial files at the path, and the
+    deletion contract must cover those too — so an entry may point at a
+    directory that is partial or was never created (delete with
+    ignore-missing semantics).  Entries are never removed
+    automatically: remote-FS scratch cannot be reaped by a local atexit
+    hook, so deletion — and calling this to enumerate what to delete —
+    is the caller's."""
     return list(_SCRATCH_PATHS.get(scratch_dir.rstrip("/"), ()))
 
 

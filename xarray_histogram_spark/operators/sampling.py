@@ -58,6 +58,35 @@ def draw_hex_sql(key_expr: str, salt: str = "") -> str:
     return f"substring(md5('{esc}' || CAST({key_expr} AS VARCHAR)), 1, 8)"
 
 
+# 2³² as an exact double: multiplying any double by a power of two is a
+# bare exponent shift (never rounds), so floor(rate·2³²) is the same
+# bigint in every IEEE engine that agrees on `rate` — the property the
+# cross-engine contract of the in-plan thresholds rests on.
+_SPACE_F = float(1 << 32)
+
+
+def rate_threshold(rate: Column) -> Column:
+    """In-plan integer sampling threshold from a DATA-DERIVED rate
+    column: keep a row iff ``hex8_val(draw_hex(key)) < rate_threshold(
+    rate)``.  floor(rate·2³²) as BIGINT — rate ≥ 1 yields 2³² (> every
+    8-hex draw: keep all), 0.0 yields 0 (drop all), NULL propagates (a
+    NULL comparison drops the row).  The literal-CASE thresholds
+    (:func:`_hex_threshold`) need rates known in Python; this is the
+    same draw < threshold contract with the threshold computed in-plan.
+    ONE shared definition per engine — the Spark form and
+    :func:`rate_threshold_sql` are a gated cross-engine pair
+    (review-found: three hand-written copies of the idiom had
+    appeared)."""
+    return F.floor(rate * F.lit(_SPACE_F)).cast("bigint")
+
+
+def rate_threshold_sql(rate_expr: str) -> str:
+    """:func:`rate_threshold`'s DuckDB mirror."""
+    from ..binspec import flit
+
+    return f"CAST(floor({rate_expr} * {flit(_SPACE_F)}) AS BIGINT)"
+
+
 def deterministic_sample(
     df: DataFrame, key_col: str, rate: float, salt: str = ""
 ) -> DataFrame:
