@@ -969,6 +969,53 @@ def test_adv_hex8_val_parity(spark, adv):
         assert got8 == want, (hx, got8, want)
 
 
+def test_adv_rate_threshold_parity(spark):
+    """rate_threshold vs rate_threshold_sql on the arm-defining rates:
+    0.0 (drop all), exact 1.0 and above-1 (2³² — keep all), NULL
+    (propagates), a 1-ulp-below-1 rate and a denormal-small rate —
+    floor(rate·2³²) must be the same BIGINT in both engines (the
+    in-plan sampling threshold the composed curation entry rests on)."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    rates = [0.0, 1.0, 1.5, None, math.nextafter(1.0, 0.0), 1e-12,
+             0.4632, 2.0 ** -32]
+    # explicit NULL rows on both sides — a pandas float column would
+    # coerce None to NaN, which Spark keeps as NaN (→ bigint 0 under
+    # non-ANSI casts) while duckdb.register treats it as NULL: exactly
+    # the divergence the pair's NULL-or-finite contract excludes
+    sdf = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rates)], "i long, r double"
+    )
+    con = duckdb.connect()
+    # flit, not bare repr: DuckDB parses bare numeric literals as
+    # DECIMAL and DECIMAL→DOUBLE is not correctly rounded — the 1-ulp-
+    # below-1 rate would land on exactly 1.0 (the flit docstring hazard)
+    from xarray_histogram_spark.binspec import flit
+
+    vals = ", ".join(
+        f"({i}, {'NULL' if r is None else flit(r)})"
+        for i, r in enumerate(rates)
+    )
+    con.execute(
+        f"CREATE VIEW rcorp AS SELECT CAST(c0 AS BIGINT) AS i, "
+        f"CAST(c1 AS DOUBLE) AS r FROM (VALUES {vals}) v(c0, c1)"
+    )
+    assert_matches_sql(
+        sdf.select("i", sp.rate_threshold(F.col("r")).alias("thr")),
+        f"SELECT i, {sp.rate_threshold_sql('r')} AS thr FROM rcorp",
+        con,
+    )
+    got = {r["i"]: r["thr"] for r in sdf.select(
+        "i", sp.rate_threshold(F.col("r")).alias("thr")).collect()}
+    assert got[0] == 0 and got[1] == 2**32 and got[2] > 2**32
+    assert got[3] is None
+    assert got[4] == 2**32 - 1          # 1-ulp-below-1 keeps a whisker less
+    assert got[7] == 1                  # one draw value in 2³² kept
+
+
 def test_adv_bpe_pair_counts(spark, adv):
     df, con = adv
     for merges in ((), tx.DEMO_BPE_MERGES, (("a", "a"), ("-", "-"))):

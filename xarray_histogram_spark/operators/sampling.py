@@ -70,7 +70,11 @@ def rate_threshold(rate: Column) -> Column:
     column: keep a row iff ``hex8_val(draw_hex(key)) < rate_threshold(
     rate)``.  floor(rate·2³²) as BIGINT — rate ≥ 1 yields 2³² (> every
     8-hex draw: keep all), 0.0 yields 0 (drop all), NULL propagates (a
-    NULL comparison drops the row).  The literal-CASE thresholds
+    NULL comparison drops the row).  The rate must be NULL or FINITE:
+    a NaN rate diverges across engines (Spark's non-ANSI bigint cast
+    turns NaN into 0 while DuckDB errors) — :func:`mixture_weights`
+    can never produce one (its divisions are guarded to NULL), but a
+    hand-computed rate column must uphold this itself.  The literal-CASE thresholds
     (:func:`_hex_threshold`) need rates known in Python; this is the
     same draw < threshold contract with the threshold computed in-plan.
     ONE shared definition per engine — the Spark form and
