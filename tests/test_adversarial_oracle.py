@@ -971,17 +971,16 @@ def test_adv_hex8_val_parity(spark, adv):
 
 def test_adv_rate_threshold_parity(spark):
     """rate_threshold vs rate_threshold_sql on the arm-defining rates:
-    0.0 (drop all), exact 1.0 and above-1 (2³² — keep all), NULL
-    (propagates), a 1-ulp-below-1 rate and a denormal-small rate —
-    floor(rate·2³²) must be the same BIGINT in both engines (the
+    0.0 (drop all), exact 1.0 (2³²) and above-1 (unclamped, ≥ 2³² —
+    keep all either way), NULL (propagates), a 1-ulp-below-1 rate, a
+    one-in-2³² rate, and a true SUBNORMAL rate (5e-324: the product is
+    an exact exponent shift even from the denormal range, floors to 0)
+    — floor(rate·2³²) must be the same BIGINT in both engines (the
     in-plan sampling threshold the composed curation entry rests on)."""
     import math
 
-    import duckdb
-    import pandas as pd
-
     rates = [0.0, 1.0, 1.5, None, math.nextafter(1.0, 0.0), 1e-12,
-             0.4632, 2.0 ** -32]
+             0.4632, 2.0 ** -32, 5e-324]
     # explicit NULL rows on both sides — a pandas float column would
     # coerce None to NaN, which Spark keeps as NaN (→ bigint 0 under
     # non-ANSI casts) while duckdb.register treats it as NULL: exactly
@@ -1014,6 +1013,7 @@ def test_adv_rate_threshold_parity(spark):
     assert got[3] is None
     assert got[4] == 2**32 - 1          # 1-ulp-below-1 keeps a whisker less
     assert got[7] == 1                  # one draw value in 2³² kept
+    assert got[8] == 0                  # subnormal rate floors to drop-all
 
 
 def test_adv_bpe_pair_counts(spark, adv):

@@ -68,9 +68,9 @@ _SPACE_F = float(1 << 32)
 def rate_threshold(rate: Column) -> Column:
     """In-plan integer sampling threshold from a DATA-DERIVED rate
     column: keep a row iff ``hex8_val(draw_hex(key)) < rate_threshold(
-    rate)``.  floor(rate·2³²) as BIGINT — rate ≥ 1 yields 2³² (> every
-    8-hex draw: keep all), 0.0 yields 0 (drop all), NULL propagates (a
-    NULL comparison drops the row).  The rate must be NULL or FINITE:
+    rate)``.  floor(rate·2³²) as BIGINT, unclamped — rate ≥ 1 yields
+    ≥ 2³² (> every 8-hex draw: keep all), 0.0 yields 0 (drop all),
+    NULL propagates (a NULL comparison drops the row).  The rate must be NULL or FINITE:
     a NaN rate diverges across engines (Spark's non-ANSI bigint cast
     turns NaN into 0 while DuckDB errors) — :func:`mixture_weights`
     can never produce one (its divisions are guarded to NULL), but a
