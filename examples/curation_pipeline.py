@@ -34,6 +34,8 @@ the operator families a 100 TB text pipeline runs, end to end —
      score → threshold filter → rebalance →
      per-group Bernoulli sample with the
      threshold derived from keep_rate          (keep_cols= + hex8_val)
+ 25. temperature rebalancing (no target dict:
+     sample group i ∝ mass_i^α, α = 2^-k)      (temperature_weights)
 
 Run:  python examples/curation_pipeline.py [sf_dir]
 """
@@ -406,6 +408,22 @@ sampled = (
 )
 print(f"composed in-plan curation: {filt.count()} filtered docs → "
       f"{sampled.count()} sampled (rates from data, no driver collect)")
+
+# 25. temperature rebalancing (round 11, round-12 gate queued): no
+# target dict — the target derives FROM the data (group i ∝ mass_i^α,
+# α = 1/2 here, τ = 2).  Tempering is integer-exact floor(sqrt(·)), so
+# the k-row weights are bit-identical across engines; keep_rate feeds
+# the same samplers / rate_threshold filter as steps 23-24.
+from xarray_histogram_spark.operators.sampling import (  # noqa: E402
+    temperature_weights,
+)
+
+temp = temperature_weights(with_tokens, "source", weight_col="n_tokens")
+flat = temp.where(F.col("keep_rate").isNotNull()).agg(
+    F.min("keep_rate"), F.max("keep_rate")).first()
+print(f"temperature τ=2 weights over {temp.count()} sources; "
+      f"keep_rate range [{flat[0]:.3f}, {flat[1]:.3f}] "
+      f"(dominant sources thinned, tail kept whole)")
 
 print("curation pipeline walkthrough OK")
 spark.stop()

@@ -854,6 +854,97 @@ def test_mixture_weights_semantics(spark):
             )).fetchall()
 
 
+def test_adv_temperature_weights(spark, adv):
+    """Temperature rebalancing vs its mirror on the crafted corpus
+    (NULL group keys from the und/empty rows, doc-count and token-mass
+    modes, all four supported temperatures)."""
+    df, con = adv
+    tokd = df.withColumn("ntok", F.size(F.split(F.coalesce(
+        F.col("text"), F.lit("")), " ")).cast("bigint"))
+    con.execute(
+        "CREATE OR REPLACE VIEW adocs_ttok AS SELECT *, CAST(len("
+        "str_split(COALESCE(text, ''), ' ')) AS BIGINT) AS ntok FROM adocs"
+    )
+    for steps in (1, 4):
+        _check(
+            sp.temperature_weights(df, "source", sqrt_steps=steps),
+            sp.temperature_weights_sql("adocs", "source",
+                                       sqrt_steps=steps),
+            con,
+        )
+        _check(
+            sp.temperature_weights(tokd, "lang", weight_col="ntok",
+                                   sqrt_steps=steps),
+            sp.temperature_weights_sql("adocs_ttok", "lang",
+                                       weight_col="ntok",
+                                       sqrt_steps=steps),
+            con,
+        )
+
+
+def test_temperature_weights_semantics(spark):
+    """Hand-checked τ=2 flattening: tempered masses are exact isqrts,
+    the dominant group's keep_rate drops below 1, the tail clamps at 1,
+    a zero-mass group gets the NULL arms, and the guards refuse bad
+    sqrt_steps / non-integral / negative weights."""
+    import duckdb
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 9), (3, "c", 4), (4, "z", 0)],
+        "doc_id long, source string, ntok long",
+    )
+    got = {r["source"]: r for r in sp.temperature_weights(
+        df, "source", weight_col="ntok"
+    ).collect()}
+    # isqrt: 100→10, 9→3, 4→2, 0→0; tempered total 15, mass total 113
+    assert {k: v["tempered_mass"] for k, v in got.items()} == {
+        "a": 10, "b": 3, "c": 2, "z": 0}
+    assert got["a"]["share"] == 100 / 113
+    assert got["a"]["target_share"] == 10 / 15
+    # dominant a: target 0.667 < share 0.885 → fractional keep_rate
+    assert got["a"]["keep_rate"] == (10 / 15) / (100 / 113)
+    assert 0 < got["a"]["keep_rate"] < 1
+    # tail c: target 2/15 > share 4/113 → clamps at 1.0
+    assert got["c"]["mix_weight"] == (2 / 15) / (4 / 113)
+    assert got["c"]["keep_rate"] == 1.0
+    # zero-mass z: tempered 0, target 0.0, NULL mix/keep
+    assert got["z"]["target_share"] == 0.0
+    assert got["z"]["mix_weight"] is None and got["z"]["keep_rate"] is None
+    with pytest.raises(ValueError, match="sqrt_steps"):
+        sp.temperature_weights(df, "source", sqrt_steps=0)
+    with pytest.raises(ValueError, match="sqrt_steps"):
+        sp.temperature_weights_sql("t", "source", sqrt_steps=5)
+    with pytest.raises(ValueError, match="integral"):
+        sp.temperature_weights(df.withColumn("w", F.col("ntok") + F.lit(0.5)),
+                               "source", weight_col="w")
+    npdf = pd.DataFrame(
+        {"doc_id": [1, 2], "source": ["a", "a"], "ntok": [-3, 5]}
+    ).astype({"doc_id": "int64", "ntok": "int64"})
+    with pytest.raises(Exception, match="negative weight"):
+        sp.temperature_weights(
+            spark.createDataFrame(npdf), "source", weight_col="ntok"
+        ).collect()
+    ncon = duckdb.connect()
+    ncon.register("ntcorp", npdf)
+    with pytest.raises(Exception, match="negative weight"):
+        ncon.execute(sp.temperature_weights_sql(
+            "ntcorp", "source", weight_col="ntok"
+        )).fetchall()
+    # all-zero total: every arm NULLs identically in both engines
+    zpdf = pd.DataFrame(
+        {"doc_id": [1], "source": ["a"], "ntok": [0]}
+    ).astype({"doc_id": "int64", "ntok": "int64"})
+    zcon = duckdb.connect()
+    zcon.register("ztcorp", zpdf)
+    assert_matches_sql(
+        sp.temperature_weights(spark.createDataFrame(zpdf), "source",
+                               weight_col="ntok"),
+        sp.temperature_weights_sql("ztcorp", "source", weight_col="ntok"),
+        zcon,
+    )
+
+
 def test_adv_embed_extend_loop(spark, tmp_path):
     """The EMBEDDING twin of the band-loop composition: seed a persisted
     embed index, verdict shard 1 against it, extend_embed_index with

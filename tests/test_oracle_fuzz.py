@@ -580,6 +580,50 @@ def test_fuzzed_mixture_weights_mirror(spark, seed):
             )
 
 
+@pytest.mark.parametrize("seed", [41, 411])
+def test_fuzzed_temperature_weights_mirror(spark, seed):
+    """temperature_weights vs its mirror under RANDOM group assignments
+    and random integral masses (including zero-mass groups and NULL
+    group keys), across every supported sqrt_steps — the tempered
+    BIGINTs must match because IEEE sqrt is correctly rounded in both
+    engines, and LARGE masses (up to 2⁵⁵, past double's 2⁵³ exactness)
+    pin that the bigint→double rounding agrees too.  Masses stay small
+    enough that the 120-row TOTAL fits int64 — past that the engines
+    legitimately diverge (Spark's bigint window sum overflows under
+    ANSI while DuckDB silently promotes to HUGEINT), which is why the
+    operators' contract caps total mass at int64 (~9.2e18 ≈ 9
+    exa-tokens — orders of magnitude past a 100 TB corpus)."""
+    import duckdb
+    import pandas as pd
+
+    from xarray_histogram_spark.operators import sampling as sp
+
+    rng = random.Random(seed)
+    groups = ["g%d" % i for i in range(rng.randint(2, 8))] + [None]
+    rows = [
+        (i, rng.choice(groups),
+         0 if rng.random() < 0.15 else
+         rng.randint(0, 500) if rng.random() < 0.8 else
+         rng.randint(1 << 40, 1 << 55))
+        for i in range(120)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "src", "ntok"]).astype(
+        {"doc_id": "int64", "ntok": "int64"}
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, src string, ntok long")
+    con = duckdb.connect()
+    con.register("tmcorp", pdf)
+    for steps in (1, 2, 3, 4):
+        for wc in (None, "ntok"):
+            assert_matches_sql(
+                sp.temperature_weights(df, "src", weight_col=wc,
+                                       sqrt_steps=steps),
+                sp.temperature_weights_sql("tmcorp", "src", weight_col=wc,
+                                           sqrt_steps=steps),
+                con,
+            )
+
+
 @pytest.mark.parametrize("seed", [23, 231])
 def test_fuzzed_extend_loop_mirror(spark, seed, tmp_path):
     """The multi-shard band-index production loop on RANDOM corpora

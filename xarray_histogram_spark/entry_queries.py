@@ -84,7 +84,11 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # have UNCHANGED plans and oracles since their last driver green and
 # stay green in the local full-registry gates (test_entry_contract,
 # driver_sim); the rotation itself is pure evidence-freshness
-# maintenance.
+# maintenance.  One round-12 new-entry candidate ships tested but
+# unregistered (this round's window is full):
+# sampling.temperature_weights (τ-temperature mixture rebalancing with
+# integer-exact tempering — adversarial + fuzzed DuckDB mirrors
+# committed, the linear_quality_score/mixture_weights staging pattern).
 #
 # CAPACITY POLICY (decided round 8, per VERDICT r07 item 2): the registry
 # holds 136 entries against a ~50-query driver window (86 non-fresh

@@ -748,6 +748,62 @@ def _normalized_target(target: Dict[str, float]) -> Dict[str, float]:
     return {str(k): float(v) / tot for k, v in target.items()}
 
 
+def _mass_agg(df: DataFrame, weight_col: Optional[str], op: str):
+    """The integer group-mass aggregate shared by the mixture operators
+    (one definition, not drift-prone copies): COUNT(*) when unweighted,
+    else SUM over the integral ``weight_col`` with two refusals — a
+    non-integral column type raises up front (bigint casts TRUNCATE in
+    Spark but ROUND in DuckDB: the same value would silently produce
+    different masses), and a NEGATIVE weight raises per ROW,
+    pre-aggregation (advice-found, then review-found: a k-row check on
+    the aggregated mass let mixed-sign rows that NET non-negative
+    through silently — [-3, +5] passed as mass 2).  Downstream a
+    negative mass would be indistinguishable from the zero-mass NULL
+    arm, and a negative TOTAL would silently NULL every share.  One
+    codegen'd integer branch per row on a column already being read.
+    The TOTAL mass must fit int64 (~9.2e18 — ≈ 9 exa-tokens, orders of
+    magnitude past a 100 TB corpus): past that Spark's bigint window
+    sum overflows under ANSI while DuckDB silently promotes to
+    HUGEINT, so the engines legitimately diverge (fuzz-pinned at the
+    boundary)."""
+    if weight_col is None:
+        return F.count(F.lit(1))
+    dt = df.schema[weight_col].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"weight_col {weight_col!r} is {dt}, not an integral "
+            "type — bigint casts TRUNCATE in Spark but ROUND in "
+            "DuckDB, so a fractional mass would silently diverge "
+            "between the engines; pre-round it explicitly"
+        )
+    w = F.col(weight_col).cast("bigint")
+    return F.sum(
+        F.when(
+            w < 0,
+            F.raise_error(F.concat(
+                F.lit(f"{op}: negative weight "),
+                w.cast("string"),
+                F.lit(f" in {weight_col} — weight_col must be "
+                      "non-negative"),
+            )),
+        ).otherwise(w)
+    )
+
+
+def _mass_agg_sql(weight_col: Optional[str], op: str) -> str:
+    """:func:`_mass_agg`'s DuckDB mirror (type refusal is engine-side
+    only — unvalidatable from a SQL string)."""
+    if weight_col is None:
+        return "COUNT(*)"
+    wc = f"CAST({weight_col} AS BIGINT)"
+    return (
+        f"COALESCE(SUM(CASE WHEN {wc} < 0 THEN "
+        f"CAST(error('{op}: negative weight ' || {wc} || "
+        f"' in {weight_col} — weight_col must be non-negative') "
+        f"AS BIGINT) ELSE {wc} END), 0)"
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     group_col: str,
@@ -793,36 +849,7 @@ def mixture_weights(
     one k-row window — no join, no driver collect, no literal blowup
     beyond the target dict; the 100 TB corpus is touched exactly once."""
     shares = _normalized_target(target)
-    if weight_col is not None:
-        dt = df.schema[weight_col].dataType.simpleString()
-        if dt not in ("tinyint", "smallint", "int", "bigint"):
-            raise ValueError(
-                f"weight_col {weight_col!r} is {dt}, not an integral "
-                "type — bigint casts TRUNCATE in Spark but ROUND in "
-                "DuckDB, so a fractional mass would silently diverge "
-                "between the engines; pre-round it explicitly"
-            )
-        # negative weight RAISES per ROW, pre-aggregation (advice-found,
-        # then review-found: a k-row check on the aggregated mass let
-        # mixed-sign rows that NET non-negative through silently —
-        # [-3, +5] passed as mass 2).  Downstream a negative mass would
-        # be indistinguishable from the zero-mass NULL arm, and a
-        # negative TOTAL would silently NULL every share.  One codegen'd
-        # integer branch per row on the column already being read.
-        w = F.col(weight_col).cast("bigint")
-        mass = F.sum(
-            F.when(
-                w < 0,
-                F.raise_error(F.concat(
-                    F.lit("mixture_weights: negative weight "),
-                    w.cast("string"),
-                    F.lit(f" in {weight_col} — weight_col must be "
-                          "non-negative"),
-                )),
-            ).otherwise(w)
-        )
-    else:
-        mass = F.count(F.lit(1))
+    mass = _mass_agg(df, weight_col, "mixture_weights")
     g = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(mass, F.lit(0)).cast("bigint").alias("mass"),
@@ -882,16 +909,7 @@ def mixture_weights_sql(
     from ..binspec import flit, slit
 
     shares = _normalized_target(target)
-    if weight_col is not None:
-        wc = f"CAST({weight_col} AS BIGINT)"
-        mass = (
-            f"COALESCE(SUM(CASE WHEN {wc} < 0 THEN "
-            f"CAST(error('mixture_weights: negative weight ' || {wc} || "
-            f"' in {weight_col} — weight_col must be non-negative') "
-            f"AS BIGINT) ELSE {wc} END), 0)"
-        )
-    else:
-        mass = "COUNT(*)"
+    mass = _mass_agg_sql(weight_col, "mixture_weights")
     arms = " ".join(
         f"WHEN {group_col} = {slit(k)} THEN {flit(s)}"
         for k, s in shares.items()
@@ -909,6 +927,152 @@ def mixture_weights_sql(
         f"CAST(mass AS DOUBLE) / CAST(total AS DOUBLE) END AS share, "
         f"target_share FROM __t) "
         f"SELECT {group_col}, n_docs, mass, share, target_share, "
+        f"CASE WHEN {guard} THEN target_share / share END AS mix_weight, "
+        f"CASE WHEN {guard} THEN least({flit(1.0)}, "
+        f"target_share / share) END AS keep_rate FROM __s"
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based mixture rebalancing (target derived FROM the data)
+# ---------------------------------------------------------------------------
+#
+# The standard multilingual/pretraining rebalancing when no explicit
+# target dict exists: sample group i proportionally to mass_i^α with
+# α < 1 (temperature τ = 1/α flattens the mixture — the mT5 / CC-100 /
+# The Pile per-source scheme), so dominant sources shrink and the tail
+# grows, without anyone hand-writing shares.  Round-12 gate candidate:
+# staged tested+mirrored, registration deferred (the round-11 driver
+# window is exactly full at 4 new + 5 changed + 40 stale + 1 refresh).
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    weight_col: Optional[str] = None,
+    sqrt_steps: int = 1,
+) -> DataFrame:
+    """Per-group mixture weights toward the TEMPERED target
+    target_share_i = mass_i^α / Σ_j mass_j^α with α = 2^-``sqrt_steps``
+    (τ = 2, 4, 8, 16 — the useful flattening range; τ→∞ is
+    :func:`balanced_sample`'s uniform cap, τ=1 is no-op).  Returns one
+    row per observed group: (group, n_docs, mass, tempered_mass, share,
+    target_share, mix_weight, keep_rate) with the same column contract
+    as :func:`mixture_weights` plus ``tempered_mass``.
+
+    Why α is restricted to 2^-k: the cross-engine contract.  A general
+    ``pow(mass, alpha)`` goes through libm and the JVM's and DuckDB's
+    last-ulp behavior differ — the mixture would hash-diverge — while
+    IEEE-754 ``sqrt`` is CORRECTLY ROUNDED in both engines, so
+    ``floor(sqrt(·))`` applied k times over exact integers yields the
+    same BIGINT everywhere, and the tempered total stays an
+    order-independent INTEGER window sum (a double Σ mass^α would
+    depend on partition order).  The integer floor after each sqrt is
+    part of the operator's definition, not an approximation of
+    something else: tempered masses are exact integers both engines
+    agree on.  A trainer needing arbitrary α owns the libm trade-off
+    itself.  ``weight_col`` follows :func:`_mass_agg`'s contract
+    (integral, non-negative — negative raises per row); zero-mass
+    groups temper to 0 (target 0.0) and get the NULL share/mix/keep
+    arms exactly like :func:`mixture_weights`; NULL group keys form
+    their own group and participate normally (no dict, so no absent
+    arm).
+
+    Scale shape: identical to :func:`mixture_weights` — ONE
+    map-combined groupBy to k mixture-sized rows plus one k-row window;
+    the corpus is touched exactly once; ``keep_rate`` feeds the
+    samplers or :func:`rate_threshold` for the in-plan Bernoulli
+    filter."""
+    if not 1 <= int(sqrt_steps) <= 4:
+        raise ValueError(
+            "sqrt_steps must be 1..4 (α = 1/2 .. 1/16; τ = 2 .. 16) — "
+            "arbitrary exponents need libm pow, which is not "
+            "bit-reproducible across engines"
+        )
+    mass = _mass_agg(df, weight_col, "temperature_weights")
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(mass, F.lit(0)).cast("bigint").alias("mass"),
+    )
+    tm: Column = F.col("mass")
+    for _ in range(int(sqrt_steps)):
+        tm = F.floor(F.sqrt(tm.cast("double")))
+    g = g.select(group_col, "n_docs", "mass",
+                 tm.cast("bigint").alias("tempered_mass"))
+    total = F.sum("mass").over(Window.partitionBy())
+    ttotal = F.sum("tempered_mass").over(Window.partitionBy())
+    share = F.when(
+        total > F.lit(0),
+        F.col("mass").cast("double") / total.cast("double"),
+    )
+    tshare = F.when(
+        ttotal > F.lit(0),
+        F.col("tempered_mass").cast("double") / ttotal.cast("double"),
+    )
+    mix = F.when(
+        (F.col("mass") > 0) & F.col("share").isNotNull(),
+        F.col("target_share") / F.col("share"),
+    )
+    return (
+        g.select(
+            group_col, "n_docs", "mass", "tempered_mass",
+            share.alias("share"), tshare.alias("target_share"),
+        )
+        .select(
+            group_col, "n_docs", "mass", "tempered_mass", "share",
+            "target_share", mix.alias("mix_weight"),
+        )
+        # the same NULL-guard as mixture_weights: least() skips NULLs
+        # in both engines, so an unguarded least(1.0, NULL) would
+        # silently keep a zero-mass group whole
+        .withColumn(
+            "keep_rate",
+            F.when(
+                F.col("mix_weight").isNotNull(),
+                F.least(F.lit(1.0), F.col("mix_weight")),
+            ),
+        )
+    )
+
+
+def temperature_weights_sql(
+    table: str,
+    group_col: str,
+    weight_col: Optional[str] = None,
+    sqrt_steps: int = 1,
+) -> str:
+    """DuckDB mirror: the same integer masses, the same k-fold
+    floor(sqrt(·)) tempering (IEEE sqrt is correctly rounded in both
+    engines, so the tempered BIGINTs are identical), integer window
+    totals, and the same guard on every division."""
+    from ..binspec import flit
+
+    if not 1 <= int(sqrt_steps) <= 4:
+        raise ValueError(
+            "sqrt_steps must be 1..4 (α = 1/2 .. 1/16; τ = 2 .. 16) — "
+            "arbitrary exponents need libm pow, which is not "
+            "bit-reproducible across engines"
+        )
+    mass = _mass_agg_sql(weight_col, "temperature_weights")
+    tm = "mass"
+    for _ in range(int(sqrt_steps)):
+        tm = f"CAST(floor(sqrt(CAST({tm} AS DOUBLE))) AS BIGINT)"
+    guard = "mass > 0 AND share IS NOT NULL"
+    return (
+        f"WITH __g AS (SELECT {group_col}, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"CAST({mass} AS BIGINT) AS mass FROM {table} GROUP BY 1), "
+        f"__m AS (SELECT {group_col}, n_docs, mass, "
+        f"{tm} AS tempered_mass FROM __g), "
+        f"__t AS (SELECT *, SUM(mass) OVER () AS total, "
+        f"SUM(tempered_mass) OVER () AS ttotal FROM __m), "
+        f"__s AS (SELECT {group_col}, n_docs, mass, tempered_mass, "
+        f"CASE WHEN total > 0 THEN "
+        f"CAST(mass AS DOUBLE) / CAST(total AS DOUBLE) END AS share, "
+        f"CASE WHEN ttotal > 0 THEN CAST(tempered_mass AS DOUBLE) / "
+        f"CAST(ttotal AS DOUBLE) END AS target_share FROM __t) "
+        f"SELECT {group_col}, n_docs, mass, tempered_mass, share, "
+        f"target_share, "
         f"CASE WHEN {guard} THEN target_share / share END AS mix_weight, "
         f"CASE WHEN {guard} THEN least({flit(1.0)}, "
         f"target_share / share) END AS keep_rate FROM __s"
