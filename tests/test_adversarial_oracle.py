@@ -931,6 +931,12 @@ def test_temperature_weights_semantics(spark):
         ncon.execute(sp.temperature_weights_sql(
             "ntcorp", "source", weight_col="ntok"
         )).fetchall()
+    # fractional sqrt_steps refuses instead of silently truncating
+    # (review-found: int(2.5) quietly ran tau=4)
+    with pytest.raises(ValueError, match="sqrt_steps"):
+        sp.temperature_weights(df, "source", sqrt_steps=2.5)
+    with pytest.raises(ValueError, match="sqrt_steps"):
+        sp.temperature_weights_sql("t", "source", sqrt_steps=True)
     # all-zero total: every arm NULLs identically in both engines
     zpdf = pd.DataFrame(
         {"doc_id": [1], "source": ["a"], "ntok": [0]}
@@ -943,6 +949,25 @@ def test_temperature_weights_semantics(spark):
         sp.temperature_weights_sql("ztcorp", "source", weight_col="ntok"),
         zcon,
     )
+    # the int64 TOTAL-mass boundary is where the engines legitimately
+    # part ways, and the contract is explicit-never-silent on the
+    # Spark side: three groups of 2^62 overflow the bigint window sum
+    # (ARITHMETIC_OVERFLOW under ANSI) while DuckDB promotes the sum
+    # to HUGEINT and answers — pinned so a behavior change at the
+    # boundary cannot slip by while the docs claim it is covered
+    bpdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "source": ["a", "b", "c"],
+         "ntok": [1 << 62] * 3}
+    ).astype({"doc_id": "int64", "ntok": "int64"})
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        sp.temperature_weights(
+            spark.createDataFrame(bpdf), "source", weight_col="ntok"
+        ).collect()
+    bcon = duckdb.connect()
+    bcon.register("btcorp", bpdf)
+    brows = bcon.execute(sp.temperature_weights_sql(
+        "btcorp", "source", weight_col="ntok")).fetchall()
+    assert len(brows) == 3 and all(r[7] is not None for r in brows)
 
 
 def test_adv_embed_extend_loop(spark, tmp_path):

@@ -804,6 +804,62 @@ def _mass_agg_sql(weight_col: Optional[str], op: str) -> str:
     )
 
 
+def _mix_keep_tail(frame: DataFrame, lead_cols) -> DataFrame:
+    """mix_weight + keep_rate from (mass, share, target_share) — the
+    guard pair EVERY mixture operator shares, defined once per engine
+    (review-found: the two review-found guards below were about to
+    exist in four hand-kept copies).  mix_weight is guarded on
+    ``mass > 0 AND share IS NOT NULL`` (an unguarded double x/0 ERRORS
+    under ANSI Spark and its semantics differ across engines anyway);
+    keep_rate is guarded on ``mix_weight IS NOT NULL`` because
+    ``least()`` SKIPS NULLs in both engines — least(1.0, NULL) would
+    silently keep a zero-mass group whole."""
+    mix = F.when(
+        (F.col("mass") > 0) & F.col("share").isNotNull(),
+        F.col("target_share") / F.col("share"),
+    )
+    return (
+        frame.select(*lead_cols, mix.alias("mix_weight"))
+        .withColumn(
+            "keep_rate",
+            F.when(
+                F.col("mix_weight").isNotNull(),
+                F.least(F.lit(1.0), F.col("mix_weight")),
+            ),
+        )
+    )
+
+
+def _mix_keep_tail_sql(select_cols: str) -> str:
+    """:func:`_mix_keep_tail`'s DuckDB mirror: the final SELECT over a
+    ``__s`` CTE carrying (mass, share, target_share, *select_cols)."""
+    from ..binspec import flit
+
+    guard = "mass > 0 AND share IS NOT NULL"
+    return (
+        f"SELECT {select_cols}, "
+        f"CASE WHEN {guard} THEN target_share / share END AS mix_weight, "
+        f"CASE WHEN {guard} THEN least({flit(1.0)}, "
+        f"target_share / share) END AS keep_rate FROM __s"
+    )
+
+
+def _guarded_share(num_col: str, total: Column) -> Column:
+    """num/total as double, NULL when the integer total is not positive
+    (the all-zero-mass arm both engines must agree on)."""
+    return F.when(
+        total > F.lit(0),
+        F.col(num_col).cast("double") / total.cast("double"),
+    )
+
+
+def _guarded_share_sql(num: str, den: str) -> str:
+    return (
+        f"CASE WHEN {den} > 0 THEN "
+        f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) END"
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     group_col: str,
@@ -830,9 +886,11 @@ def mixture_weights(
     Groups observed but absent from ``target`` get target_share 0.0 →
     mix_weight 0.0 (dropped by the composed sampler — explicit, never
     silent); a NULL group key forms its own group and can only get the
-    absent-arm 0.0 (dict keys are strings).  Zero-mass groups — and
-    every group when the TOTAL mass is zero — get NULL share/
-    mix_weight/keep_rate in BOTH engines (review-found, both guarded:
+    absent-arm 0.0 (dict keys are strings).  A zero-mass group gets
+    share 0.0 (while the TOTAL is positive) with NULL mix_weight/
+    keep_rate; when the TOTAL mass is zero every group's share/
+    mix_weight/keep_rate is NULL — identically in BOTH engines
+    (review-found, both guarded:
     an unguarded double x/0 ERRORS under ANSI Spark and its semantics
     differ across engines anyway; a non-integral ``weight_col`` is
     REFUSED up front because bigint casts TRUNCATE in Spark but ROUND
@@ -858,34 +916,13 @@ def mixture_weights(
     tgt: Column = F.lit(0.0)
     for k, s in shares.items():
         tgt = F.when(F.col(group_col) == F.lit(k), F.lit(s)).otherwise(tgt)
-    # total > 0 guard: an unguarded double division ERRORS under ANSI
-    # Spark when total = 0 while the mirror would return rows
-    share = F.when(
-        total > F.lit(0),
-        F.col("mass").cast("double") / total.cast("double"),
+    base = g.select(
+        group_col, "n_docs", "mass",
+        _guarded_share("mass", total).alias("share"),
+        tgt.alias("target_share"),
     )
-    mix = F.when(
-        (F.col("mass") > 0) & F.col("share").isNotNull(),
-        F.col("target_share") / F.col("share"),
-    )
-    return (
-        g.select(
-            group_col, "n_docs", "mass",
-            share.alias("share"), tgt.alias("target_share"),
-        )
-        .select(
-            group_col, "n_docs", "mass", "share", "target_share",
-            mix.alias("mix_weight"),
-        )
-        # both engines' least() SKIPS NULLs, so least(1.0, NULL) would
-        # silently keep a zero-mass group whole — guard to NULL instead
-        .withColumn(
-            "keep_rate",
-            F.when(
-                F.col("mix_weight").isNotNull(),
-                F.least(F.lit(1.0), F.col("mix_weight")),
-            ),
-        )
+    return _mix_keep_tail(
+        base, [group_col, "n_docs", "mass", "share", "target_share"]
     )
 
 
@@ -915,7 +952,6 @@ def mixture_weights_sql(
         for k, s in shares.items()
     )
     tgt = f"CASE {arms} ELSE {flit(0.0)} END"
-    guard = "mass > 0 AND share IS NOT NULL"
     return (
         f"WITH __g AS (SELECT {group_col}, "
         f"CAST(COUNT(*) AS BIGINT) AS n_docs, "
@@ -923,13 +959,10 @@ def mixture_weights_sql(
         f"__t AS (SELECT *, SUM(mass) OVER () AS total, {tgt} AS "
         f"target_share FROM __g), "
         f"__s AS (SELECT {group_col}, n_docs, mass, "
-        f"CASE WHEN total > 0 THEN "
-        f"CAST(mass AS DOUBLE) / CAST(total AS DOUBLE) END AS share, "
+        f"{_guarded_share_sql('mass', 'total')} AS share, "
         f"target_share FROM __t) "
-        f"SELECT {group_col}, n_docs, mass, share, target_share, "
-        f"CASE WHEN {guard} THEN target_share / share END AS mix_weight, "
-        f"CASE WHEN {guard} THEN least({flit(1.0)}, "
-        f"target_share / share) END AS keep_rate FROM __s"
+        + _mix_keep_tail_sql(f"{group_col}, n_docs, mass, share, "
+                             f"target_share")
     )
 
 
@@ -944,6 +977,20 @@ def mixture_weights_sql(
 # grows, without anyone hand-writing shares.  Round-12 gate candidate:
 # staged tested+mirrored, registration deferred (the round-11 driver
 # window is exactly full at 4 new + 5 changed + 40 stale + 1 refresh).
+
+
+def _check_sqrt_steps(sqrt_steps) -> None:
+    """EXACT integer 1..4 — a fractional value must refuse, never
+    silently truncate (review-found: int(2.5) would quietly run τ=4
+    where the caller asked for α=2^-2.5, the opposite of the
+    refuse-don't-approximate contract the restriction exists for)."""
+    if (isinstance(sqrt_steps, bool) or not isinstance(sqrt_steps, int)
+            or not 1 <= sqrt_steps <= 4):
+        raise ValueError(
+            f"sqrt_steps must be an integer in 1..4 (α = 1/2 .. 1/16; "
+            f"τ = 2 .. 16), got {sqrt_steps!r} — arbitrary exponents "
+            "need libm pow, which is not bit-reproducible across engines"
+        )
 
 
 def temperature_weights(
@@ -972,66 +1019,40 @@ def temperature_weights(
     something else: tempered masses are exact integers both engines
     agree on.  A trainer needing arbitrary α owns the libm trade-off
     itself.  ``weight_col`` follows :func:`_mass_agg`'s contract
-    (integral, non-negative — negative raises per row); zero-mass
-    groups temper to 0 (target 0.0) and get the NULL share/mix/keep
-    arms exactly like :func:`mixture_weights`; NULL group keys form
-    their own group and participate normally (no dict, so no absent
-    arm).
+    (integral, non-negative — negative raises per row); a zero-mass
+    group tempers to 0: share and target_share are 0.0 (as long as the
+    TOTAL is positive) and mix_weight/keep_rate are NULL — exactly
+    :func:`mixture_weights`' arms; when the total itself is zero every
+    share is NULL; NULL group keys form their own group and
+    participate normally (no dict, so no absent arm).
 
     Scale shape: identical to :func:`mixture_weights` — ONE
     map-combined groupBy to k mixture-sized rows plus one k-row window;
     the corpus is touched exactly once; ``keep_rate`` feeds the
     samplers or :func:`rate_threshold` for the in-plan Bernoulli
     filter."""
-    if not 1 <= int(sqrt_steps) <= 4:
-        raise ValueError(
-            "sqrt_steps must be 1..4 (α = 1/2 .. 1/16; τ = 2 .. 16) — "
-            "arbitrary exponents need libm pow, which is not "
-            "bit-reproducible across engines"
-        )
+    _check_sqrt_steps(sqrt_steps)
     mass = _mass_agg(df, weight_col, "temperature_weights")
     g = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(mass, F.lit(0)).cast("bigint").alias("mass"),
     )
     tm: Column = F.col("mass")
-    for _ in range(int(sqrt_steps)):
+    for _ in range(sqrt_steps):
         tm = F.floor(F.sqrt(tm.cast("double")))
     g = g.select(group_col, "n_docs", "mass",
                  tm.cast("bigint").alias("tempered_mass"))
     total = F.sum("mass").over(Window.partitionBy())
     ttotal = F.sum("tempered_mass").over(Window.partitionBy())
-    share = F.when(
-        total > F.lit(0),
-        F.col("mass").cast("double") / total.cast("double"),
+    base = g.select(
+        group_col, "n_docs", "mass", "tempered_mass",
+        _guarded_share("mass", total).alias("share"),
+        _guarded_share("tempered_mass", ttotal).alias("target_share"),
     )
-    tshare = F.when(
-        ttotal > F.lit(0),
-        F.col("tempered_mass").cast("double") / ttotal.cast("double"),
-    )
-    mix = F.when(
-        (F.col("mass") > 0) & F.col("share").isNotNull(),
-        F.col("target_share") / F.col("share"),
-    )
-    return (
-        g.select(
-            group_col, "n_docs", "mass", "tempered_mass",
-            share.alias("share"), tshare.alias("target_share"),
-        )
-        .select(
-            group_col, "n_docs", "mass", "tempered_mass", "share",
-            "target_share", mix.alias("mix_weight"),
-        )
-        # the same NULL-guard as mixture_weights: least() skips NULLs
-        # in both engines, so an unguarded least(1.0, NULL) would
-        # silently keep a zero-mass group whole
-        .withColumn(
-            "keep_rate",
-            F.when(
-                F.col("mix_weight").isNotNull(),
-                F.least(F.lit(1.0), F.col("mix_weight")),
-            ),
-        )
+    return _mix_keep_tail(
+        base,
+        [group_col, "n_docs", "mass", "tempered_mass", "share",
+         "target_share"],
     )
 
 
@@ -1045,19 +1066,11 @@ def temperature_weights_sql(
     floor(sqrt(·)) tempering (IEEE sqrt is correctly rounded in both
     engines, so the tempered BIGINTs are identical), integer window
     totals, and the same guard on every division."""
-    from ..binspec import flit
-
-    if not 1 <= int(sqrt_steps) <= 4:
-        raise ValueError(
-            "sqrt_steps must be 1..4 (α = 1/2 .. 1/16; τ = 2 .. 16) — "
-            "arbitrary exponents need libm pow, which is not "
-            "bit-reproducible across engines"
-        )
+    _check_sqrt_steps(sqrt_steps)
     mass = _mass_agg_sql(weight_col, "temperature_weights")
     tm = "mass"
-    for _ in range(int(sqrt_steps)):
+    for _ in range(sqrt_steps):
         tm = f"CAST(floor(sqrt(CAST({tm} AS DOUBLE))) AS BIGINT)"
-    guard = "mass > 0 AND share IS NOT NULL"
     return (
         f"WITH __g AS (SELECT {group_col}, "
         f"CAST(COUNT(*) AS BIGINT) AS n_docs, "
@@ -1067,13 +1080,9 @@ def temperature_weights_sql(
         f"__t AS (SELECT *, SUM(mass) OVER () AS total, "
         f"SUM(tempered_mass) OVER () AS ttotal FROM __m), "
         f"__s AS (SELECT {group_col}, n_docs, mass, tempered_mass, "
-        f"CASE WHEN total > 0 THEN "
-        f"CAST(mass AS DOUBLE) / CAST(total AS DOUBLE) END AS share, "
-        f"CASE WHEN ttotal > 0 THEN CAST(tempered_mass AS DOUBLE) / "
-        f"CAST(ttotal AS DOUBLE) END AS target_share FROM __t) "
-        f"SELECT {group_col}, n_docs, mass, tempered_mass, share, "
-        f"target_share, "
-        f"CASE WHEN {guard} THEN target_share / share END AS mix_weight, "
-        f"CASE WHEN {guard} THEN least({flit(1.0)}, "
-        f"target_share / share) END AS keep_rate FROM __s"
+        f"{_guarded_share_sql('mass', 'total')} AS share, "
+        f"{_guarded_share_sql('tempered_mass', 'ttotal')} AS "
+        f"target_share FROM __t) "
+        + _mix_keep_tail_sql(f"{group_col}, n_docs, mass, tempered_mass, "
+                             f"share, target_share")
     )
