@@ -959,10 +959,20 @@ def test_temperature_weights_semantics(spark):
         {"doc_id": [1, 2, 3], "source": ["a", "b", "c"],
          "ntok": [1 << 62] * 3}
     ).astype({"doc_id": "int64", "ntok": "int64"})
-    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
-        sp.temperature_weights(
-            spark.createDataFrame(bpdf), "source", weight_col="ntok"
-        ).collect()
+    # the raise depends on ANSI mode (Spark 4's default, but a cluster
+    # could override it; non-ANSI would silently WRAP to a negative
+    # total) — pin it for the duration of the assertion so the
+    # explicit-never-silent contract holds by construction
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        with pytest.raises(Exception,
+                           match="ARITHMETIC_OVERFLOW|overflow"):
+            sp.temperature_weights(
+                spark.createDataFrame(bpdf), "source", weight_col="ntok"
+            ).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
     bcon = duckdb.connect()
     bcon.register("btcorp", bpdf)
     brows = bcon.execute(sp.temperature_weights_sql(

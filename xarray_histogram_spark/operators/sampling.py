@@ -832,15 +832,24 @@ def _mix_keep_tail(frame: DataFrame, lead_cols) -> DataFrame:
 
 def _mix_keep_tail_sql(select_cols: str) -> str:
     """:func:`_mix_keep_tail`'s DuckDB mirror: the final SELECT over a
-    ``__s`` CTE carrying (mass, share, target_share, *select_cols)."""
+    ``__s`` CTE carrying (mass, share, target_share, *select_cols).
+    keep_rate's guard additionally requires ``target_share IS NOT
+    NULL`` so it is exactly the Spark helper's mix_weight-nullability
+    guard (review-found: without it the two shared tails diverge
+    whenever target_share is NULL while share is not — DuckDB's
+    NULL-skipping least(1.0, NULL) would emit 1.0 where Spark emits
+    NULL; unreachable from today's operators, whose share and
+    target_share NULL-ness coincide, but the helpers are the shared
+    infrastructure future mixture operators build on)."""
     from ..binspec import flit
 
     guard = "mass > 0 AND share IS NOT NULL"
     return (
         f"SELECT {select_cols}, "
         f"CASE WHEN {guard} THEN target_share / share END AS mix_weight, "
-        f"CASE WHEN {guard} THEN least({flit(1.0)}, "
-        f"target_share / share) END AS keep_rate FROM __s"
+        f"CASE WHEN {guard} AND target_share IS NOT NULL THEN "
+        f"least({flit(1.0)}, target_share / share) END AS keep_rate "
+        f"FROM __s"
     )
 
 
@@ -979,18 +988,29 @@ def mixture_weights_sql(
 # window is exactly full at 4 new + 5 changed + 40 stale + 1 refresh).
 
 
-def _check_sqrt_steps(sqrt_steps) -> None:
+def _check_sqrt_steps(sqrt_steps) -> int:
     """EXACT integer 1..4 — a fractional value must refuse, never
     silently truncate (review-found: int(2.5) would quietly run τ=4
     where the caller asked for α=2^-2.5, the opposite of the
-    refuse-don't-approximate contract the restriction exists for)."""
-    if (isinstance(sqrt_steps, bool) or not isinstance(sqrt_steps, int)
-            or not 1 <= sqrt_steps <= 4):
+    refuse-don't-approximate contract the restriction exists for).
+    Exactly-integral types (np.int64, any __index__ carrier) stay
+    accepted (second review pass: a strict isinstance(int) refused
+    them for no contract reason); bool is excluded explicitly."""
+    import operator
+
+    try:
+        if isinstance(sqrt_steps, bool):
+            raise TypeError
+        val = operator.index(sqrt_steps)
+    except TypeError:
+        val = None
+    if val is None or not 1 <= val <= 4:
         raise ValueError(
             f"sqrt_steps must be an integer in 1..4 (α = 1/2 .. 1/16; "
             f"τ = 2 .. 16), got {sqrt_steps!r} — arbitrary exponents "
             "need libm pow, which is not bit-reproducible across engines"
         )
+    return val
 
 
 def temperature_weights(
@@ -1031,7 +1051,7 @@ def temperature_weights(
     the corpus is touched exactly once; ``keep_rate`` feeds the
     samplers or :func:`rate_threshold` for the in-plan Bernoulli
     filter."""
-    _check_sqrt_steps(sqrt_steps)
+    sqrt_steps = _check_sqrt_steps(sqrt_steps)
     mass = _mass_agg(df, weight_col, "temperature_weights")
     g = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1066,7 +1086,7 @@ def temperature_weights_sql(
     floor(sqrt(·)) tempering (IEEE sqrt is correctly rounded in both
     engines, so the tempered BIGINTs are identical), integer window
     totals, and the same guard on every division."""
-    _check_sqrt_steps(sqrt_steps)
+    sqrt_steps = _check_sqrt_steps(sqrt_steps)
     mass = _mass_agg_sql(weight_col, "temperature_weights")
     tm = "mass"
     for _ in range(sqrt_steps):
