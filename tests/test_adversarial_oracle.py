@@ -980,6 +980,43 @@ def test_temperature_weights_semantics(spark):
     assert len(brows) == 3 and all(r[7] is not None for r in brows)
 
 
+def test_mass_agg_sql_byte_identity_and_escaping():
+    """The round-12 quote-escaping fix to _mass_agg_sql's error-message
+    literal (advice-found: a weight_col containing a single quote
+    produced broken SQL) leaves the generated SQL BYTE-IDENTICAL for
+    every quote-free name — pinned literally for the gated entries'
+    builders (the hex4_val_sql byte-identity precedent), so no r11
+    mixture green is re-gated by the fix."""
+    assert sp._mass_agg_sql(None, "mixture_weights") == "COUNT(*)"
+    assert sp._mass_agg_sql("w", "mixture_weights") == (
+        "COALESCE(SUM(CASE WHEN CAST(w AS BIGINT) < 0 THEN "
+        "CAST(error('mixture_weights: negative weight ' || "
+        "CAST(w AS BIGINT) || ' in w — weight_col must be "
+        "non-negative') AS BIGINT) ELSE CAST(w AS BIGINT) END), 0)"
+    )
+    assert sp._mass_agg_sql("n_tokens", "temperature_weights") == (
+        "COALESCE(SUM(CASE WHEN CAST(n_tokens AS BIGINT) < 0 THEN "
+        "CAST(error('temperature_weights: negative weight ' || "
+        "CAST(n_tokens AS BIGINT) || ' in n_tokens — weight_col must be "
+        "non-negative') AS BIGINT) ELSE CAST(n_tokens AS BIGINT) "
+        "END), 0)"
+    )
+    # a quoted name doubles its quotes INSIDE the message literal (the
+    # column reference itself is the caller's expression, untouched);
+    # the message literal parses — DuckDB evaluates the non-error arm
+    import duckdb
+
+    quoted = sp._mass_agg_sql('"a\'b"', "op'x")
+    assert "' in \"a''b\" — " in quoted
+    assert "error('op''x: negative weight '" in quoted
+    qcon = duckdb.connect()
+    got = qcon.execute(
+        f"SELECT {quoted} FROM (SELECT 3 AS \"a'b\" "
+        f"UNION ALL SELECT 4 AS \"a'b\")"
+    ).fetchone()[0]
+    assert got == 7
+
+
 def test_adv_embed_extend_loop(spark, tmp_path):
     """The EMBEDDING twin of the band-loop composition: seed a persisted
     embed index, verdict shard 1 against it, extend_embed_index with

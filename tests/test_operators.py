@@ -2357,6 +2357,24 @@ def test_chunk_near_keep_semantics(spark):
         assert dd.scratch_paths(sd) == [sp]
         assert dd.scratch_paths(sd + "/") == [sp]
         assert dd.scratch_paths(sd + "_nothing") == []
+        # drain side (advice-found: without an acknowledgement API a
+        # long-lived driver accumulates entries for paths it already
+        # deleted): unknown paths are ignored, a named discard removes
+        # exactly that entry, re-acknowledging is a safe no-op, and
+        # nothing on the filesystem is touched
+        assert dd.discard_scratch_paths(sd, ["/no/such/path"]) == []
+        assert dd.scratch_paths(sd) == [sp]
+        assert dd.discard_scratch_paths(sd + "/", [sp]) == [sp]
+        assert dd.scratch_paths(sd) == []
+        assert dd.discard_scratch_paths(sd, [sp]) == []
+        assert os.path.isdir(sp)  # bookkeeping only — files untouched
+        # discard-all drains whatever is recorded, preserving order
+        dd._SCRATCH_PATHS[sd] = ["p1", "p2", "p3"]
+        assert dd.discard_scratch_paths(sd, ["p2"]) == ["p2"]
+        assert dd.scratch_paths(sd) == ["p1", "p3"]
+        assert dd.discard_scratch_paths(sd) == ["p1", "p3"]
+        assert dd.scratch_paths(sd) == []
+        assert sd not in dd._SCRATCH_PATHS
     finally:
         import shutil
         shutil.rmtree(sd, ignore_errors=True)

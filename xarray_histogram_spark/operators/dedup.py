@@ -1575,8 +1575,38 @@ def scratch_paths(scratch_dir: str) -> list:
     ignore-missing semantics).  Entries are never removed
     automatically: remote-FS scratch cannot be reaped by a local atexit
     hook, so deletion — and calling this to enumerate what to delete —
-    is the caller's."""
+    is the caller's — acknowledge completed deletions with
+    :func:`discard_scratch_paths` so a long-lived driver's registry
+    does not accumulate stale entries (advice-found: without a drain
+    side the contract had no way to clear what was already deleted)."""
     return list(_SCRATCH_PATHS.get(scratch_dir.rstrip("/"), ()))
+
+
+def discard_scratch_paths(
+    scratch_dir: str, paths: Optional[list] = None
+) -> list:
+    """Drain side of the caller-owned-deletion contract: drop ``paths``
+    (every recorded entry when None) from ``scratch_dir``'s registry
+    and return the entries actually removed, oldest first.  Call it
+    AFTER deleting the directories — this only clears bookkeeping,
+    it never touches the filesystem (the registry exists precisely
+    because remote-FS scratch cannot be reaped locally).  Unknown
+    paths are ignored, so acknowledging a deletion twice is safe;
+    order of the surviving entries is preserved."""
+    root = scratch_dir.rstrip("/")
+    rec = _SCRATCH_PATHS.get(root)
+    if not rec:
+        return []
+    if paths is None:
+        removed = list(rec)
+        rec.clear()
+    else:
+        drop = set(paths)
+        removed = [p for p in rec if p in drop]
+        rec[:] = [p for p in rec if p not in drop]
+    if not rec:
+        del _SCRATCH_PATHS[root]
+    return removed
 
 
 def _materialize_scratch(

@@ -71,8 +71,12 @@ def rate_threshold(rate: Column) -> Column:
     rate)``.  floor(rate·2³²) as BIGINT, unclamped — rate ≥ 1 yields
     ≥ 2³² (> every 8-hex draw: keep all), 0.0 yields 0 (drop all),
     NULL propagates (a NULL comparison drops the row).  The rate must be NULL or FINITE:
-    a NaN rate diverges across engines (Spark's non-ANSI bigint cast
-    turns NaN into 0 while DuckDB errors) — :func:`mixture_weights`
+    a NaN rate is mode-dependent and never agrees usefully — under
+    ANSI (the Spark 4 default this repo's boundary test pins) the
+    bigint cast RAISES, as DuckDB always does, so the query fails
+    rather than mis-samples; under non-ANSI Spark the cast silently
+    turns NaN into 0 (drop-all) while DuckDB still errors, a silent
+    cross-engine divergence — :func:`mixture_weights`
     can never produce one (its divisions are guarded to NULL), but a
     hand-computed rate column must uphold this itself.  The literal-CASE thresholds
     (:func:`_hex_threshold`) need rates known in Python; this is the
@@ -796,10 +800,17 @@ def _mass_agg_sql(weight_col: Optional[str], op: str) -> str:
     if weight_col is None:
         return "COUNT(*)"
     wc = f"CAST({weight_col} AS BIGINT)"
+    # the names repeated inside the MESSAGE string literal are
+    # quote-escaped (advice-found: a weight_col containing a single
+    # quote — legal in a quoted identifier or an expression — produced
+    # broken SQL); output is byte-identical for quote-free names,
+    # asserted literally in tests/test_adversarial_oracle.py
+    mo = str(op).replace("'", "''")
+    mw = str(weight_col).replace("'", "''")
     return (
         f"COALESCE(SUM(CASE WHEN {wc} < 0 THEN "
-        f"CAST(error('{op}: negative weight ' || {wc} || "
-        f"' in {weight_col} — weight_col must be non-negative') "
+        f"CAST(error('{mo}: negative weight ' || {wc} || "
+        f"' in {mw} — weight_col must be non-negative') "
         f"AS BIGINT) ELSE {wc} END), 0)"
     )
 
