@@ -1017,6 +1017,40 @@ def test_mass_agg_sql_byte_identity_and_escaping():
     assert got == 7
 
 
+def test_temperature_entry_arms_non_vacuous(spark, sf_dir):
+    """The driver-gated temperature fixtures exercise EVERY arm at the
+    gated SF (the vacuity lesson): fractional keep_rate for the
+    dominant lang, clamp-to-1 for the tail, the forced-zero de group's
+    NULL arm, DISTINCT tempered masses across the two tagged
+    sqrt_steps, and — in the composed entry — REAL Bernoulli thinning
+    (en strictly thinned, clamped strata kept whole, de absent)."""
+    import xarray_histogram_spark.entry_queries as eq
+
+    reg = eq.registry()
+    rows = reg["sample_temperature_weights"][0](spark, sf_dir).collect()
+    for steps in (1, 3):
+        sub = {r["lang"]: r for r in rows if r["sqrt_steps"] == steps}
+        assert sub["de"]["mass"] == 0 and sub["de"]["tempered_mass"] == 0
+        assert sub["de"]["keep_rate"] is None          # zero-mass NULL arm
+        assert 0 < sub["en"]["keep_rate"] < 1          # fractional arm
+        assert any(v["keep_rate"] == 1.0 for v in sub.values())  # clamp
+    t1 = {r["lang"]: r["tempered_mass"] for r in rows
+          if r["sqrt_steps"] == 1}
+    t3 = {r["lang"]: r["tempered_mass"] for r in rows
+          if r["sqrt_steps"] == 3}
+    assert t1 != t3, "the sqrt_steps tag is vacuous"
+    kept = reg["pipeline_curate_temperature"][0](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_in = {r["lang"]: r["n"] for r in docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_out = {r["lang"]: r["n"] for r in kept.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "de" not in n_out                      # NULL rate drops the group
+    assert 0 < n_out["en"] < n_in["en"]           # thinning actually fired
+    for lang in ("fr", "es", "zh"):
+        assert n_out[lang] == n_in[lang]          # clamped strata kept whole
+
+
 def test_adv_embed_extend_loop(spark, tmp_path):
     """The EMBEDDING twin of the band-loop composition: seed a persisted
     embed index, verdict shard 1 against it, extend_embed_index with

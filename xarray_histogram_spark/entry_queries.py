@@ -1720,6 +1720,116 @@ register(
     _curate_mixture_sql(),
 )
 
+
+# --- temperature (τ) mixture rebalancing: target derived FROM the data ---
+# (VERDICT r11 item 2: the operator staged tested+mirrored in round 11.)
+# The fixture forces every arm at every SF: `en` carries ~43-50% of the
+# character mass, so flattening makes it over-represented against its
+# tempered target → FRACTIONAL keep_rate; the tail langs become
+# under-represented → clamp to 1.0; `de`'s derived mass is forced to
+# ZERO (the sample_mixture_weights pattern) → share 0.0, tempered_mass
+# 0, NULL mix_weight/keep_rate (temperature has no dict, hence no
+# absent arm — the zero-mass group IS its NULL arm).  TWO sqrt_steps
+# values run side by side (tagged) so the default τ=2 AND a deep τ=8
+# tempering are both driver-gated: their tempered_mass columns differ
+# at every SF (e.g. sf0.01 en: 253 vs 3), making the tag non-vacuous.
+_TW_WEIGHT = "CASE WHEN lang = 'de' THEN CAST(0 AS BIGINT) ELSE n_chars END"
+
+
+def _tw_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("lang") == "de", F.lit(0))
+        .otherwise(F.col("n_chars"))
+        .cast("bigint")
+    )
+    return docs.select("doc_id", "lang", "n_chars", w.alias("w"))
+
+
+def _temperature_weights_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _tw_corpus(spark, sf_dir).select("lang", "w")
+    out = None
+    for steps in (1, 3):
+        tw = sp.temperature_weights(
+            corpus, "lang", weight_col="w", sqrt_steps=steps
+        ).withColumn("sqrt_steps", F.lit(steps))
+        out = tw if out is None else out.unionAll(tw)
+    return out
+
+
+register(
+    "sample_temperature_weights",
+    _temperature_weights_fn,
+    " UNION ALL ".join(
+        f"SELECT *, CAST({steps} AS INTEGER) AS sqrt_steps FROM ("
+        + sp.temperature_weights_sql(
+            f"(SELECT lang, {_TW_WEIGHT} AS w FROM documents)",
+            "lang", weight_col="w", sqrt_steps=steps,
+        )
+        + ")"
+        for steps in (1, 3)
+    ),
+)
+
+
+# --- the composed τ-curation loop: temperature_weights → broadcast
+# join-back → in-plan Bernoulli thinning (VERDICT r11 item 8 — the
+# no-dict twin of pipeline_curate_mixture: proves the data-derived-rate
+# join-back works when the target itself comes FROM the data).  No
+# persisted score pass here: unlike the mixture entry there is no
+# expensive per-row fold to protect from re-evaluation — the k-row
+# mixture frame is one map-combined groupBy over the corpus, broadcast
+# back onto a second plain scan; the draw (an exact integer) is
+# compared against floor(keep_rate·2³²) DERIVED IN-PLAN, so no rate
+# round-trips through Python.  Arms at every SF with sqrt_steps=2:
+# en fractional (~0.6-0.68 — real Bernoulli thinning), tail langs clamp
+# to 1.0 (kept whole), de's zero mass → NULL keep_rate → dropped by the
+# NULL comparison.
+_CT_SQRT_STEPS = 2
+
+
+def _curate_temperature_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import hashing as H
+
+    corpus = _tw_corpus(spark, sf_dir)
+    tw = sp.temperature_weights(
+        corpus, "lang", weight_col="w", sqrt_steps=_CT_SQRT_STEPS
+    )
+    rates = F.broadcast(
+        tw.select(F.col("lang").alias("_tlang"), "keep_rate")
+    )
+    joined = corpus.join(rates, corpus["lang"].eqNullSafe(rates["_tlang"]))
+    draw = H.hex8_val(sp.draw_hex(F.col("doc_id"), salt="temp"))
+    return joined.where(draw < sp.rate_threshold(F.col("keep_rate"))).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _curate_temperature_sql() -> str:
+    from .functions import hashing as H
+
+    tw = sp.temperature_weights_sql("__c", "lang", weight_col="w",
+                                    sqrt_steps=_CT_SQRT_STEPS)
+    draw = sp.draw_hex_sql("c.doc_id", salt="temp")
+    return (
+        f"WITH __c AS (SELECT doc_id, lang, n_chars, {_TW_WEIGHT} AS w "
+        f"FROM documents), "
+        f"__j AS (SELECT c.doc_id, c.lang, c.n_chars, m.keep_rate, "
+        f"{draw} AS __d8 "
+        f"FROM __c c JOIN ({tw}) m "
+        f"ON c.lang IS NOT DISTINCT FROM m.lang) "
+        f"SELECT doc_id, lang, n_chars FROM __j "
+        f"WHERE {H.hex8_val_sql('__d8')} < "
+        f"{sp.rate_threshold_sql('keep_rate')}"
+    )
+
+
+register(
+    "pipeline_curate_temperature",
+    _curate_temperature_fn,
+    _curate_temperature_sql(),
+)
+
 # --- PII / URL curation over a deterministically AUGMENTED text column ---
 # The sf fixtures contain little literal PII and few URLs, so a gate on the
 # raw text would be near-vacuous (the round-5 dedup_embed_pairs lesson:
