@@ -57,41 +57,40 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
     _REGISTRY[name] = (fn, sql)
 
 
-# Round-11 rotation refresh.  _DRIVER_VERIFIED holds the 50 names
-# CORRECTNESS_r10.json hash-verified (the freshest greens), minus the
-# four moved to _CHANGED_THIS_ROUND (the scratch-path registry added to
-# _materialize_scratch — ADVICE r10 item 1 — touches code on
-# dedup_chunks_near's and dedup_chunks_keep's execution path; the
-# shared _scratch_root build-once scaffold — review-found, the BPE
-# three-copies hazard in its cache/cleanup form — touches
-# dedup_extend_loop's, dedup_embed_incremental's AND r08-green
-# sim_ann_indexed's; the any-implementation-change policy re-gates all
-# five even though every plan and oracle is byte-identical), so the
-# driver's ~50-query window reaches the 40 remaining entries whose
-# freshest green is r08 (two rounds old — they lead _STALE_PRIORITY
-# unconditionally per the capacity policy below) and then the 45
-# r09-green entries in registry order.  Window arithmetic this round:
-# 4 new + 5 changed + 40 stale = 49, leaving ~1
-# slot for the oldest r09 name — so ROUND 12's stale head is the ~44
-# r09 names not refreshed here, and ROUND 12 MUST KEEP NEW+CHANGED
-# ≤ ~6 to close the cycle.  The 4 new entries execute VERDICT r10 items
-# 2-5 in order: text_quality_linear and sample_mixture_weights register
-# the two operators staged (tested + mirrored) in round 10;
-# pipeline_curate_mixture gates the composed score → threshold →
-# rebalance → sample loop a training-data run actually executes;
-# dedup_embed_extend_loop closes the embedding-side multi-shard
-# index-extension loop the band side gated in r10.  All stale entries
-# have UNCHANGED plans and oracles since their last driver green and
-# stay green in the local full-registry gates (test_entry_contract,
-# driver_sim); the rotation itself is pure evidence-freshness
-# maintenance.  One round-12 new-entry candidate ships tested but
-# unregistered (this round's window is full):
-# sampling.temperature_weights (τ-temperature mixture rebalancing with
-# integer-exact tempering — adversarial + fuzzed DuckDB mirrors
-# committed, the linear_quality_score/mixture_weights staging pattern).
+# Round-12 rotation refresh.  _DRIVER_VERIFIED holds the 50 names
+# CORRECTNESS_r11.json hash-verified (the freshest greens — none moved
+# to _CHANGED_THIS_ROUND this round: the one SQL-builder touch, the
+# advice-found quote-escaping of _mass_agg_sql's error-message literal,
+# leaves the generated SQL BYTE-IDENTICAL for every quote-free name and
+# is pinned literally in tests/test_adversarial_oracle.py per the
+# hex4_val_sql precedent; the scratch-path DRAIN helper
+# discard_scratch_paths is a pure addition no registered entry calls;
+# the rate_threshold ANSI note is docstring-only), so the driver's
+# ~50-query window reaches the 44 entries whose freshest green is r09
+# (two rounds old — they lead _STALE_PRIORITY unconditionally per the
+# capacity policy below) and then the 46 r10-green entries in registry
+# order.  Window arithmetic this round: 2 new + 0 changed + 44 stale
+# = 46, leaving ~4 slots for the oldest r10 names (registry order:
+# hist_growth_merge, hist_columns_weighted, hist_fill_arrow_path,
+# hist_weighted_grouped_density, …) — so ROUND 13's stale head is the
+# ~42 r10 names not refreshed here, and ROUND 13 MUST KEEP NEW+CHANGED
+# ≤ ~8 to close the cycle.  The 2 new entries execute VERDICT r11 items
+# 2 and 8 in order: sample_temperature_weights registers the operator
+# staged (tested + mirrored) in round 11, gating BOTH the default τ=2
+# and a deep τ=8 tempering side by side with the forced-zero-mass NULL
+# arm, the fractional arm and the clamp arm all non-vacuous at every
+# SF; pipeline_curate_temperature gates the composed no-dict loop —
+# temperature_weights → broadcast join-back → in-plan
+# floor(keep_rate·2³²) Bernoulli thinning — proving the
+# data-derived-rate join-back for the no-dict path exactly as
+# pipeline_curate_mixture proved it for the dict path.  All stale
+# entries have UNCHANGED plans and oracles since their last driver
+# green and stay green in the local full-registry gates
+# (test_entry_contract, driver_sim); the rotation itself is pure
+# evidence-freshness maintenance.
 #
 # CAPACITY POLICY (decided round 8, per VERDICT r07 item 2): the registry
-# holds 136 entries against a ~50-query driver window (86 non-fresh
+# holds 142 entries against a ~50-query driver window (~92 non-fresh
 # names at any instant — recount this when planning a round's
 # new+changed budget), so steady-state
 # freshness is a documented THREE-round cycle: each round re-gates (a) all
@@ -104,115 +103,88 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # BinSpec codegen classes and each has caught a distinct class of bug;
 # window headroom comes from the growth cap instead.
 _DRIVER_VERIFIED = frozenset({
-    # the 50 names CORRECTNESS_r10.json hash-verified, minus the four
-    # moved to _CHANGED_THIS_ROUND (dedup_chunks_near, dedup_chunks_keep,
-    # dedup_extend_loop, dedup_embed_incremental)
-    "alg_bin_coordinates", "alg_rebin",
-    "dedup_contamination", "dedup_exact",
-    "dedup_near_keep", "dedup_simhash",
-    "dedup_simhash_pairs",
-    "hist_columns_weighted", "hist_cube_multires", "hist_fill_arrow_path",
-    "hist_growth_merge", "hist_join_align_2var", "hist_merge_shards",
-    "hist_quantile_bins", "hist_rollup_2d", "hist_rollup_multires",
-    "hist_weighted_grouped_density",
-    "mm_decode_png_jpeg", "mm_sample_frames",
-    "pipeline_curate",
-    "sample_balanced", "sample_pack_bpe", "sample_top_quality",
-    "sim_ann_topk", "sim_cosine_topk",
-    "source_csv_roundtrip",
-    "stat_cdf25", "stat_interval80", "stat_mean", "stat_mean_2d",
-    "stat_mean_weighted", "stat_median", "stat_median_2d",
-    "stat_moment3", "stat_ppf90", "stat_std", "stat_var",
-    "streaming_pii_scrub", "streaming_stateful_hist",
-    "text_bpe_encode", "text_bpe_pair_counts", "text_bpe_tokens",
-    "text_gopher_rules", "text_line_dedup", "text_pii_scrub",
-    "text_top_terms",
-})
-
-
-# Stale-head priority: the 40 entries whose freshest driver green is
-# ROUND 8 (two rounds old — recomputed from CORRECTNESS_r01..r10; the
-# 41st r08 name, sim_ann_indexed, re-gates via _CHANGED_THIS_ROUND
-# instead) — they lead the window so no green ever ages a THIRD round.
-# The 45 r09-green entries follow in registry order and fill the
-# remainder of the ~50-query window (with 4 new + 5 changed + 40 stale
-# = 49, about 1 of them fits this round; the rest lead round 12's
-# stale head).
-_STALE_PRIORITY = (
+    # the 50 names CORRECTNESS_r11.json hash-verified (all of them —
+    # nothing moved to _CHANGED_THIS_ROUND this round)
     "binned_stat_grouped", "binned_stat_profile",
-    "dedup_embed_components", "dedup_minhash_pairs",
+    "dedup_chunks_keep", "dedup_chunks_near",
+    "dedup_embed_components", "dedup_embed_extend_loop",
+    "dedup_embed_incremental", "dedup_extend_loop",
+    "dedup_minhash_pairs",
     "events_asof_join", "events_funnel", "events_range_join",
     "events_session_hist", "events_sliding_hist",
     "hist_density", "hist_density_flow", "hist_group_month",
     "hist_grouped", "hist_intcategory", "hist_integer_axis",
     "hist_mean_storage", "hist_regular_1d", "hist_regular_flow",
     "hist_rollup_weighted", "hist_strcategory", "hist_variable_axis",
-    "hist_variable_binary", "hist_weight_storage",
+    "hist_variable_binary", "hist_weight_storage", "hist_weighted",
     "mm_decode_audio", "mm_decode_image",
-    "pipeline_curate_narrow", "pipeline_report",
-    "sample_take_n", "sample_topk_group",
-    # sim_ann_indexed belongs to this r08 cohort but moved to
-    # _CHANGED_THIS_ROUND (its index builder routes through the new
-    # _scratch_root scaffold) — same window, accurate record
-    "sim_ivf_topk", "sim_kmeans_refine",
+    "pipeline_curate_mixture", "pipeline_curate_narrow",
+    "pipeline_report",
+    "sample_mixture_weights", "sample_take_n", "sample_topk_group",
+    "sim_ann_indexed", "sim_ivf_topk", "sim_kmeans_refine",
     "sim_quantize_int8",
     "streaming_dedup_state", "streaming_range_join",
     "streaming_window_hist",
-    "text_dup_ngrams", "text_fingerprint", "text_repetition",
-    "text_token_count", "text_vocabulary",
+    "text_dup_ngrams", "text_fingerprint", "text_quality_linear",
+    "text_repetition", "text_token_count", "text_vocabulary",
+})
+
+
+# Stale-head priority: the 44 entries whose freshest driver green is
+# ROUND 9 (two rounds old — recomputed from CORRECTNESS_r01..r11) —
+# they lead the window so no green ever ages a THIRD round.  The 46
+# r10-green entries follow in registry order and fill the remainder of
+# the ~50-query window (with 2 new + 0 changed + 44 stale = 46, about
+# 4 of them fit this round; the rest lead round 13's stale head).
+_STALE_PRIORITY = (
+    "alg_apply_func_log", "alg_normalize_after", "alg_project",
+    "alg_remove_flow", "alg_scale", "alg_slice_bins",
+    "dedup_chunks", "dedup_cluster_size_hist", "dedup_components",
+    "dedup_embed_pairs", "dedup_incremental", "dedup_jaccard",
+    "dedup_keep_best",
+    "events_hourly_hist", "events_props_json_hist", "events_retention",
+    "events_type_value_hist",
+    "hist_2d", "hist_3d_grouped", "hist_adopt_roundtrip",
+    "hist_bool_axis", "hist_columns", "hist_custom_transform_axis",
+    "hist_growth_categories", "hist_int64_storage", "hist_join_revenue",
+    "hist_log_axis", "hist_pow_axis", "hist_range_infer",
+    "hist_sqrt_axis", "hist_weighted_fastpath",
+    "mm_decode_meta",
+    "sample_deterministic", "sample_pack_chunks", "sample_pack_emit",
+    "sample_split", "sample_stratified",
+    "sim_ann_batch",
+    "source_jsonl_roundtrip",
+    "text_chunk_windows", "text_langid", "text_quality",
+    "text_url_cap_domain", "text_url_extract",
 )
 
 
-# Entries whose PLAN or ORACLE changed in round 11 — never mind their
-# past greens, the driver must re-check them under the new engine before
-# anything else in the stale head.  Ordered right after _NEW_THIS_ROUND.
-_CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # _materialize_scratch now records caller-supplied scratch
-    # subdirectories in a stable per-root registry (ADVICE r10 item 1:
-    # the ad-hoc xhs_scratch_path DataFrame attribute is silently
-    # dropped by any subsequent transformation).  The entries' plans and
-    # oracles are byte-identical — the registry is bookkeeping on the
-    # side — but both chunk entries execute the touched function, so the
-    # any-implementation-change policy re-gates them (the
-    # dedup_embed_incremental precedent from round 10).
-    "dedup_chunks_near",
-    "dedup_chunks_keep",
-    # the build-once scratch scaffold behind these entries' loop/index
-    # state was extracted into the shared _scratch_root helper
-    # (review-found: three verbatim mkdtemp/try/rmtree/cache copies —
-    # the BPE three-copies hazard — and the older index builders lacked
-    # the failure cleanup entirely); plans and oracles byte-identical,
-    # re-gated under the same policy.  sim_ann_indexed is here rather
-    # than in the r08 stale head it would otherwise lead because its
-    # _ann_index_path ALSO routes through the new scaffold (second
-    # review pass: the first record under-counted the changed set) —
-    # same driver window either way, honest bookkeeping for round 12.
-    "dedup_extend_loop",
-    "dedup_embed_incremental",
-    "sim_ann_indexed",
-)
+# Entries whose PLAN or ORACLE changed in round 12 — NONE.  The round's
+# three code touches re-gate nothing under the any-implementation-change
+# policy: the _mass_agg_sql error-literal quote-escaping produces
+# byte-identical SQL for every quote-free name (pinned literally in
+# tests/test_adversarial_oracle.py::
+# test_mass_agg_sql_byte_identity_and_escaping — the hex4_val_sql
+# byte-identity precedent), discard_scratch_paths is a NEW function no
+# registered entry's execution path calls, and the rate_threshold NaN
+# note is docstring-only.
+_CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 
-# Queries REGISTERED IN ROUND 11 — never in any driver CORRECTNESS record;
+# Queries REGISTERED IN ROUND 12 — never in any driver CORRECTNESS record;
 # they lead the registry so the driver's ~50-query window is guaranteed
 # to reach them regardless of where they appear in this file.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # hashed-linear classifier quality scoring (VERDICT r10 item 2 —
-    # staged tested+mirrored in round 10, window was full)
-    "text_quality_linear",
-    # token-weighted mixture rebalancing weights (VERDICT r10 item 3),
-    # with the absent-group 0.0 arm AND the zero-mass NULL arm both
-    # exercised by the fixture construction
-    "sample_mixture_weights",
-    # the composed curation loop a training-data run actually executes:
-    # linear score → threshold filter → mixture_weights → in-plan
-    # per-group Bernoulli sample (VERDICT r10 item 4)
-    "pipeline_curate_mixture",
-    # embedding-side multi-shard production loop: dedup shard 1, extend
-    # the persisted embed index with its keepers, verify a shard-2 copy
-    # OF A SHARD-1 KEEPER flags dup_of_kept through extend_embed_index
-    # alone (VERDICT r10 item 5 — the band-side twin gated in r10)
-    "dedup_embed_extend_loop",
+    # τ-temperature mixture rebalancing (VERDICT r11 item 2 — staged
+    # tested+mirrored in round 11, window was full), with the default
+    # AND a deep tempering tagged side by side and the zero-mass NULL
+    # arm, fractional arm and clamp arm all forced by the fixture
+    "sample_temperature_weights",
+    # the composed no-dict curation loop (VERDICT r11 item 8):
+    # temperature_weights → broadcast join-back → in-plan
+    # floor(keep_rate·2³²) Bernoulli thinning — the τ twin of
+    # pipeline_curate_mixture's dict-target composition
+    "pipeline_curate_temperature",
 )
 
 
