@@ -1211,6 +1211,28 @@ def test_adv_rate_threshold_parity(spark):
     assert got[4] == 2**32 - 1          # 1-ulp-below-1 keeps a whisker less
     assert got[7] == 1                  # one draw value in 2³² kept
     assert got[8] == 0                  # subnormal rate floors to drop-all
+    # the NaN boundary the NULL-or-finite contract exists for, pinned
+    # in BOTH modes (review-verified, round 12: an advice note claimed
+    # ANSI raises — it does not; floor(double) returns BIGINT and
+    # swallows NaN to 0 INSIDE the Floor expression, so the ANSI cast
+    # never sees a NaN and Spark silently emits drop-all while DuckDB's
+    # float→bigint conversion raises — silent divergence in every mode)
+    ndf = spark.createDataFrame([(float("nan"),)], "r double")
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    for mode in ("true", "false"):
+        spark.conf.set("spark.sql.ansi.enabled", mode)
+        try:
+            nan_thr = ndf.select(
+                sp.rate_threshold(F.col("r")).alias("thr")
+            ).collect()[0]["thr"]
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+        assert nan_thr == 0, (mode, nan_thr)
+    with pytest.raises(Exception, match="[Cc]onvert|[Cc]ast"):
+        con.execute(
+            f"SELECT {sp.rate_threshold_sql('r')} FROM "
+            f"(SELECT CAST('nan' AS DOUBLE) AS r)"
+        ).fetchall()
 
 
 def test_adv_bpe_pair_counts(spark, adv):

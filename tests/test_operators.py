@@ -2364,6 +2364,11 @@ def test_chunk_near_keep_semantics(spark):
         # nothing on the filesystem is touched
         assert dd.discard_scratch_paths(sd, ["/no/such/path"]) == []
         assert dd.scratch_paths(sd) == [sp]
+        # a bare string refuses instead of matching character-wise
+        # (review-found: set(str) would silently drain nothing)
+        with pytest.raises(TypeError, match="bare string"):
+            dd.discard_scratch_paths(sd, sp)
+        assert dd.scratch_paths(sd) == [sp]
         assert dd.discard_scratch_paths(sd + "/", [sp]) == [sp]
         assert dd.scratch_paths(sd) == []
         assert dd.discard_scratch_paths(sd, [sp]) == []

@@ -1592,7 +1592,18 @@ def discard_scratch_paths(
     it never touches the filesystem (the registry exists precisely
     because remote-FS scratch cannot be reaped locally).  Unknown
     paths are ignored, so acknowledging a deletion twice is safe;
-    order of the surviving entries is preserved."""
+    order of the surviving entries is preserved.  A bare string is
+    REFUSED rather than iterated character-wise (review-found:
+    ``set("/a/b")`` is the set of the path's characters, so a caller
+    passing ``scratch_paths(sd)[0]`` instead of ``[...]`` would
+    silently drain nothing — the exact stale-entry accumulation this
+    API exists to prevent, with no error signal)."""
+    if isinstance(paths, str):
+        raise TypeError(
+            "paths must be a list of paths (or None to drain all), "
+            "not a bare string — a string would be matched "
+            "character-wise and silently discard nothing"
+        )
     root = scratch_dir.rstrip("/")
     rec = _SCRATCH_PATHS.get(root)
     if not rec:

@@ -71,12 +71,14 @@ def rate_threshold(rate: Column) -> Column:
     rate)``.  floor(rate·2³²) as BIGINT, unclamped — rate ≥ 1 yields
     ≥ 2³² (> every 8-hex draw: keep all), 0.0 yields 0 (drop all),
     NULL propagates (a NULL comparison drops the row).  The rate must be NULL or FINITE:
-    a NaN rate is mode-dependent and never agrees usefully — under
-    ANSI (the Spark 4 default this repo's boundary test pins) the
-    bigint cast RAISES, as DuckDB always does, so the query fails
-    rather than mis-samples; under non-ANSI Spark the cast silently
-    turns NaN into 0 (drop-all) while DuckDB still errors, a silent
-    cross-engine divergence — :func:`mixture_weights`
+    a NaN rate silently diverges across engines in EVERY Spark mode —
+    ``floor()`` over a double returns BIGINT and swallows NaN to 0
+    *inside the Floor expression*, so the trailing cast (the one ANSI
+    would check) never sees a NaN and Spark emits threshold 0
+    (drop-all) even under ANSI, Spark 4's default, while DuckDB's
+    float→bigint conversion always raises (review-verified on both
+    engines and pinned in tests — an earlier note claimed ANSI raises;
+    it does not, the NaN dies in floor first) — :func:`mixture_weights`
     can never produce one (its divisions are guarded to NULL), but a
     hand-computed rate column must uphold this itself.  The literal-CASE thresholds
     (:func:`_hex_threshold`) need rates known in Python; this is the
