@@ -2369,6 +2369,11 @@ def test_chunk_near_keep_semantics(spark):
         with pytest.raises(TypeError, match="bare string"):
             dd.discard_scratch_paths(sd, sp)
         assert dd.scratch_paths(sd) == [sp]
+        # member paths are slash-normalized like the root itself
+        # (review-found: verbatim comparison silently drained nothing)
+        assert dd.discard_scratch_paths(sd, [sp + "/"]) == [sp]
+        assert dd.scratch_paths(sd) == []
+        dd._SCRATCH_PATHS[sd].append(sp)
         assert dd.discard_scratch_paths(sd + "/", [sp]) == [sp]
         assert dd.scratch_paths(sd) == []
         assert dd.discard_scratch_paths(sd, [sp]) == []
@@ -2379,7 +2384,10 @@ def test_chunk_near_keep_semantics(spark):
         assert dd.scratch_paths(sd) == ["p1", "p3"]
         assert dd.discard_scratch_paths(sd) == ["p1", "p3"]
         assert dd.scratch_paths(sd) == []
-        assert sd not in dd._SCRATCH_PATHS
+        # the drained root's (empty) list is deliberately KEPT: deleting
+        # the key would orphan a list a concurrent setdefault already
+        # handed to a recorder (review-found race)
+        assert dd._SCRATCH_PATHS[sd] == []
     finally:
         import shutil
         shutil.rmtree(sd, ignore_errors=True)

@@ -1597,7 +1597,22 @@ def discard_scratch_paths(
     ``set("/a/b")`` is the set of the path's characters, so a caller
     passing ``scratch_paths(sd)[0]`` instead of ``[...]`` would
     silently drain nothing — the exact stale-entry accumulation this
-    API exists to prevent, with no error signal)."""
+    API exists to prevent, with no error signal); member paths are
+    slash-normalized like ``scratch_dir`` itself (review-found: a
+    trailing-slash member compared verbatim would silently match
+    nothing).
+
+    Concurrency (review-found): a long-lived driver runs Spark jobs on
+    many threads, so a drain can race ``_materialize_scratch``'s
+    recording append.  The drain therefore mutates via per-item
+    ``list.remove`` on the SAME list object — each call is a single
+    GIL-atomic operation on a built-in, so a concurrent append is
+    never overwritten (a rebuild-and-replace ``rec[:] = …`` would
+    lose an append landing between its read and its write), and the
+    root's (empty) list is deliberately never dropped from the dict —
+    deleting the key would orphan a list a concurrent ``setdefault``
+    already handed to a recorder.  Two concurrent drains of the same
+    entry resolve to one winner (the loser's ``remove`` misses)."""
     if isinstance(paths, str):
         raise TypeError(
             "paths must be a list of paths (or None to drain all), "
@@ -1606,17 +1621,17 @@ def discard_scratch_paths(
         )
     root = scratch_dir.rstrip("/")
     rec = _SCRATCH_PATHS.get(root)
-    if not rec:
+    if rec is None:
         return []
-    if paths is None:
-        removed = list(rec)
-        rec.clear()
-    else:
-        drop = set(paths)
-        removed = [p for p in rec if p in drop]
-        rec[:] = [p for p in rec if p not in drop]
-    if not rec:
-        del _SCRATCH_PATHS[root]
+    drop = None if paths is None else {p.rstrip("/") for p in paths}
+    removed = []
+    for p in list(rec):
+        if drop is None or p in drop:
+            try:
+                rec.remove(p)
+            except ValueError:
+                continue  # a concurrent drain already took it
+            removed.append(p)
     return removed
 
 
