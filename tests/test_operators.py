@@ -2369,10 +2369,18 @@ def test_chunk_near_keep_semantics(spark):
         with pytest.raises(TypeError, match="bare string"):
             dd.discard_scratch_paths(sd, sp)
         assert dd.scratch_paths(sd) == [sp]
-        # member paths are slash-normalized like the root itself
-        # (review-found: verbatim comparison silently drained nothing)
+        # member paths are slash-normalized like the root itself, on
+        # BOTH sides of the comparison, and pathlib members are
+        # accepted (review-found: verbatim comparison silently drained
+        # nothing; a Path member crashed past the guard)
         assert dd.discard_scratch_paths(sd, [sp + "/"]) == [sp]
         assert dd.scratch_paths(sd) == []
+        dd._SCRATCH_PATHS[sd].append(sp + "/")
+        assert dd.discard_scratch_paths(sd, [sp]) == [sp + "/"]
+        from pathlib import Path
+
+        dd._SCRATCH_PATHS[sd].append(sp)
+        assert dd.discard_scratch_paths(sd, [Path(sp)]) == [sp]
         dd._SCRATCH_PATHS[sd].append(sp)
         assert dd.discard_scratch_paths(sd + "/", [sp]) == [sp]
         assert dd.scratch_paths(sd) == []

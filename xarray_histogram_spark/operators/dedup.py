@@ -1623,10 +1623,20 @@ def discard_scratch_paths(
     rec = _SCRATCH_PATHS.get(root)
     if rec is None:
         return []
-    drop = None if paths is None else {p.rstrip("/") for p in paths}
+    import os
+
+    # os.fspath: accept pathlib.Path members (review-found: a bare
+    # AttributeError from the comprehension would bypass the guard's
+    # explanatory message); both sides of the membership test are
+    # slash-normalized so the promise holds even for a hand-recorded
+    # trailing-slash entry
+    drop = (
+        None if paths is None
+        else {os.fspath(p).rstrip("/") for p in paths}
+    )
     removed = []
     for p in list(rec):
-        if drop is None or p in drop:
+        if drop is None or p.rstrip("/") in drop:
             try:
                 rec.remove(p)
             except ValueError:
