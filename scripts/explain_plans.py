@@ -284,6 +284,20 @@ SELECTION: dict[str, tuple[list[str], str]] = {
         "collect anywhere. At 100 TB: one scored-corpus write, one "
         "k-row aggregate scan, one sample scan — all filter-pruned.",
     ),
+    "pipeline_curate_temperature": (
+        ["BroadcastHashJoin", "HashAggregate", "Window"],
+        "The no-dict twin of pipeline_curate_mixture: the per-group "
+        "target is derived FROM the data (mass^α via integer-exact "
+        "k-fold floor(sqrt(·))), so there is no score pass to persist — "
+        "the k-row temperature frame is ONE partial+final HashAggregate "
+        "over the corpus plus a k-row window, broadcast back onto a "
+        "second plain scan (BroadcastHashJoin). Catalyst folds the "
+        "draw-vs-floor(keep_rate·2³²) comparison INTO the join "
+        "condition and infers the NULL-keep_rate prune onto the k-row "
+        "side before the broadcast, so zero-mass groups never ship. "
+        "At 100 TB: one aggregate scan + one sample scan, no collect, "
+        "no cartesian, no Python eval — rates never leave the plan.",
+    ),
     "dedup_embed_extend_loop": (
         ["BroadcastHashJoin", "LeftAnti", "LeftOuter"],
         "The embedding twin of dedup_extend_loop: shard 2's semantic "
