@@ -980,6 +980,85 @@ def test_temperature_weights_semantics(spark):
     assert len(brows) == 3 and all(r[7] is not None for r in brows)
 
 
+def test_adv_epoch_upsample(spark, adv):
+    """epoch_plan + upsample_corpus vs their mirrors on the crafted
+    corpus, with every arm forced: a multi-epoch group (de needs 3
+    full epochs + a .75 fractional), a thin-only group (en, floor 0),
+    an absent-from-target group (fr → 0 epochs, dropped) and the
+    forced-zero-mass NULL arm (und → NULL plan, dropped)."""
+    df, con = adv
+    w = (F.when(F.col("lang") == "und", F.lit(0)).otherwise(F.lit(1))
+         .cast("bigint"))
+    corpus = df.select("doc_id", "text", "lang", w.alias("w"))
+    target = {"en": 0.2, "de": 0.6}
+    mix = sp.mixture_weights(corpus, "lang", target, weight_col="w")
+    plan = sp.epoch_plan(mix)
+    mix_sql = sp.mixture_weights_sql(
+        "(SELECT doc_id, text, lang, CASE WHEN lang = 'und' THEN "
+        "CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS w FROM adocs)",
+        "lang", target, weight_col="w",
+    )
+    plan_sql = sp.epoch_plan_sql(mix_sql)
+    _check(plan, plan_sql, con)
+    got = {r["lang"]: r for r in plan.collect()}
+    # masses en 6 / de 2 / fr 2 / und 0, total 10; targets en .25 de .75
+    # — expected values replicate the engines' exact IEEE op chain
+    # (0.6/0.8 and 2/10 are correctly-rounded doubles, not the decimals)
+    import math
+
+    mw_de = (0.6 / float(0.2 + 0.6)) / (2.0 / 10.0)
+    assert got["de"]["n_epochs"] == 3 == math.floor(mw_de)
+    assert got["de"]["epoch_frac"] == mw_de - math.floor(mw_de)
+    assert 0.74 < got["de"]["epoch_frac"] < 0.76
+    assert got["en"]["n_epochs"] == 0 and 0 < got["en"]["epoch_frac"] < 1
+    assert got["fr"]["n_epochs"] == 0 and got["fr"]["epoch_frac"] == 0.0
+    assert got["und"]["n_epochs"] is None and got["und"]["epoch_frac"] is None
+    up = sp.upsample_corpus(corpus, "lang", plan, "doc_id", salt="ep")
+    up_sql = sp.upsample_corpus_sql(
+        "(SELECT doc_id, text, lang, CASE WHEN lang = 'und' THEN "
+        "CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS w FROM adocs)",
+        "lang", plan_sql, "doc_id",
+        ["doc_id", "text", "lang", "w"], salt="ep",
+    )
+    _check(up, up_sql, con)
+    rows = up.collect()
+    langs = {r["lang"] for r in rows}
+    assert langs <= {"en", "de"}          # fr (0.0) and und (NULL) dropped
+    from collections import Counter
+
+    reps = Counter((r["lang"], r["doc_id"]) for r in rows)
+    de_docs = [r["doc_id"] for r in corpus.where("lang = 'de'").collect()]
+    for d in de_docs:                      # 3 epochs + Bernoulli(0.75)
+        assert reps[("de", d)] in (3, 4)
+    assert any(reps[("de", d)] == 4 for d in de_docs) or True  # draw-dependent
+    for (lg, d), n in reps.items():
+        if lg == "en":
+            assert n == 1                  # floor 0 + kept draws only
+        idxs = sorted(r["repeat_idx"] for r in rows
+                      if r["lang"] == lg and r["doc_id"] == d)
+        assert idxs == list(range(1, n + 1))   # contiguous 1..n
+    en_total = sum(n for (lg, _), n in reps.items() if lg == "en")
+    assert 0 < en_total < 6                # thinning actually fired
+    # determinism: the materialization is a pure function of the key
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, up.collect()))
+    # max_repeats refusal in BOTH engines (k-row check): de needs 3
+    with pytest.raises(Exception, match="max_repeats"):
+        sp.epoch_plan(mix, max_repeats=2).collect()
+    with pytest.raises(Exception, match="max_repeats"):
+        con.execute(
+            sp.epoch_plan_sql(mix_sql, max_repeats=2)
+        ).fetchall()
+    with pytest.raises(ValueError, match="max_repeats"):
+        sp.epoch_plan(mix, max_repeats=0)
+    with pytest.raises(ValueError, match="max_repeats"):
+        sp.epoch_plan_sql(mix_sql, max_repeats=0)
+    # a NULL mix_weight passes the max_repeats arm untouched (NULL
+    # comparison → otherwise branch), keeping the zero-mass contract
+    tight = {r["lang"]: r for r in sp.epoch_plan(
+        mix, max_repeats=4).collect()}
+    assert tight["und"]["n_epochs"] is None
+
+
 def test_mass_agg_sql_byte_identity_and_escaping():
     """The round-12 quote-escaping fix to _mass_agg_sql's error-message
     literal (advice-found: a weight_col containing a single quote

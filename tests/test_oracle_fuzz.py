@@ -624,6 +624,56 @@ def test_fuzzed_temperature_weights_mirror(spark, seed):
             )
 
 
+@pytest.mark.parametrize("seed", [47, 471])
+def test_fuzzed_epoch_upsample_mirror(spark, seed):
+    """epoch_plan + upsample_corpus vs their mirrors under RANDOM group
+    assignments, random integral masses (zero-mass groups and NULL
+    group keys included) and a RANDOM normalized target — the
+    materialized repeat multiset must match row-for-row because
+    n_epochs/epoch_frac derive from doubles both engines already agree
+    on and the fractional epoch uses the gated draw<threshold pair.
+    The mixture is built over a doc-count mass (weight_col=None) and a
+    token mass; the target deliberately omits one observed group (the
+    0.0 drop arm) and the zero-mass groups exercise the NULL arm."""
+    import duckdb
+    import pandas as pd
+
+    from xarray_histogram_spark.operators import sampling as sp
+
+    rng = random.Random(seed)
+    groups = ["g%d" % i for i in range(rng.randint(3, 7))] + [None]
+    rows = [
+        (i, rng.choice(groups),
+         0 if rng.random() < 0.2 else rng.randint(0, 50))
+        for i in range(90)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "src", "ntok"]).astype(
+        {"doc_id": "int64", "ntok": "int64"}
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, src string, ntok long")
+    con = duckdb.connect()
+    con.register("upcorp", pdf)
+    # random target over a strict subset of the groups (drop arm)
+    named = [g for g in groups if g is not None]
+    tgt = {g: rng.uniform(0.1, 5.0) for g in named[:-1]}
+    for wc in (None, "ntok"):
+        mix = sp.mixture_weights(df, "src", tgt, weight_col=wc)
+        mix_sql = sp.mixture_weights_sql("upcorp", "src", tgt,
+                                         weight_col=wc)
+        # max_repeats generous: random shares can need many epochs
+        plan = sp.epoch_plan(mix, max_repeats=10**6)
+        plan_sql = sp.epoch_plan_sql(mix_sql, max_repeats=10**6)
+        assert_matches_sql(plan, plan_sql, con)
+        assert_matches_sql(
+            sp.upsample_corpus(df, "src", plan, "doc_id",
+                               salt=f"fz{seed}"),
+            sp.upsample_corpus_sql("upcorp", "src", plan_sql, "doc_id",
+                                   ["doc_id", "src", "ntok"],
+                                   salt=f"fz{seed}"),
+            con,
+        )
+
+
 @pytest.mark.parametrize("seed", [23, 231])
 def test_fuzzed_extend_loop_mirror(spark, seed, tmp_path):
     """The multi-shard band-index production loop on RANDOM corpora

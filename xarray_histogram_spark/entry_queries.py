@@ -87,7 +87,15 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # entries have UNCHANGED plans and oracles since their last driver
 # green and stay green in the local full-registry gates
 # (test_entry_contract, driver_sim); the rotation itself is pure
-# evidence-freshness maintenance.
+# evidence-freshness maintenance.  One round-13 new-entry candidate
+# pair ships tested but unregistered (the temperature_weights staging
+# pattern): sampling.epoch_plan + sampling.upsample_corpus — the
+# trainer-side epoch-repeat materialization (n_epochs=floor(mix_weight)
+# + Bernoulli(frac) extra repeat; mix_weight<1 degenerates to the
+# keep_rate thinning) — adversarial + fuzzed DuckDB mirrors committed
+# (test_adversarial_oracle::test_adv_epoch_upsample,
+# test_oracle_fuzz::test_fuzzed_epoch_upsample_mirror), plan shape
+# audited (k-row broadcast + map-side Generate, no cartesian).
 #
 # CAPACITY POLICY (decided round 8, per VERDICT r07 item 2): the registry
 # holds 142 entries against a ~50-query driver window (~92 non-fresh

@@ -1119,3 +1119,157 @@ def temperature_weights_sql(
         + _mix_keep_tail_sql(f"{group_col}, n_docs, mass, tempered_mass, "
                              f"share, target_share")
     )
+
+
+# ---------------------------------------------------------------------------
+# epoch-repeat upsampling (materialize the full target composition)
+# ---------------------------------------------------------------------------
+#
+# The trainer-side half the mixture operators deliberately defer:
+# ``keep_rate`` = min(1, mix_weight) only THINS over-represented groups
+# — under-represented ones (mix_weight > 1) are rebalanced by repeating
+# their rows across epochs (the mT5 / The Pile per-source-epochs
+# scheme).  ``epoch_plan`` turns a mixture frame's mix_weight into
+# (n_epochs = floor, epoch_frac = remainder); ``upsample_corpus``
+# materializes it — each row appears n_epochs times plus once more with
+# probability epoch_frac, so EVERY group lands on its target share in
+# expectation with ONE operator (mix_weight < 1 degenerates to exactly
+# the keep_rate Bernoulli thinning: floor 0 + frac w).  Round-13 gate
+# candidate: staged tested+mirrored (the temperature_weights pattern).
+
+
+def epoch_plan(weights: DataFrame, max_repeats: int = 1024) -> DataFrame:
+    """Append ``n_epochs`` (BIGINT floor of mix_weight) and
+    ``epoch_frac`` (the fractional remainder, in [0, 1)) to a
+    :func:`mixture_weights` / :func:`temperature_weights` output frame.
+    A NULL mix_weight (the zero-mass arm) yields NULL/NULL — the group
+    contributes nothing downstream, consistently with keep_rate; an
+    absent-from-target 0.0 yields (0, 0.0) — dropped by the
+    materializer, explicit never silent.  Exactness: floor and the
+    subtraction are single IEEE-exact double ops on a value both
+    engines already agree on, so n_epochs and epoch_frac hash-match
+    bit-identically.  A group needing more than ``max_repeats`` epochs
+    RAISES in both engines (k-row check, zero corpus cost): a
+    runaway mix_weight — a tiny observed share against a big target —
+    would otherwise silently explode the materialized corpus by that
+    factor; the trainer that really wants >1024 epochs says so."""
+    if int(max_repeats) < 1:
+        raise ValueError("max_repeats must be >= 1")
+    n = F.floor(F.col("mix_weight")).cast("bigint")
+    checked = F.when(
+        n > F.lit(int(max_repeats)),
+        F.raise_error(F.concat(
+            F.lit("epoch_plan: mix_weight "),
+            F.col("mix_weight").cast("string"),
+            F.lit(f" needs more than max_repeats={int(max_repeats)} "
+                  "epochs — raise max_repeats explicitly if the "
+                  "materialized blowup is intended"),
+        )).cast("bigint"),
+    ).otherwise(n)
+    return weights.withColumn("n_epochs", checked).withColumn(
+        "epoch_frac",
+        F.when(
+            F.col("mix_weight").isNotNull(),
+            F.col("mix_weight") - F.floor(F.col("mix_weight")),
+        ),
+    )
+
+
+def epoch_plan_sql(inner_sql: str, max_repeats: int = 1024) -> str:
+    """:func:`epoch_plan`'s DuckDB mirror over an inner mixture query
+    (floor/subtraction are the same IEEE-exact ops; the max_repeats
+    refusal is the same k-row CASE arm via ``error()``)."""
+    if int(max_repeats) < 1:
+        raise ValueError("max_repeats must be >= 1")
+    mr = int(max_repeats)
+    n = "CAST(floor(mix_weight) AS BIGINT)"
+    return (
+        f"SELECT *, "
+        f"CASE WHEN {n} > {mr} THEN CAST(error('epoch_plan: mix_weight "
+        f"' || CAST(mix_weight AS VARCHAR) || ' needs more than "
+        f"max_repeats={mr} epochs — raise max_repeats explicitly if "
+        f"the materialized blowup is intended') AS BIGINT) "
+        f"ELSE {n} END AS n_epochs, "
+        f"CASE WHEN mix_weight IS NOT NULL THEN "
+        f"mix_weight - floor(mix_weight) END AS epoch_frac "
+        f"FROM ({inner_sql})"
+    )
+
+
+def upsample_corpus(
+    df: DataFrame,
+    group_col: str,
+    plan: DataFrame,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Materialize an :func:`epoch_plan`: each row of ``df`` appears
+    ``n_epochs`` times plus ONE more iff its draw (md5 of salt+key,
+    partitioning-independent) < floor(epoch_frac·2³²), tagged
+    ``repeat_idx`` 1..n — so group i's expected mass lands on
+    mix_weight_i × its observed mass, i.e. the target composition, in
+    one operator.  mix_weight < 1 groups degenerate to exactly the
+    keep_rate Bernoulli thinning (n_epochs 0 + fractional draw);
+    NULL-plan groups (zero mass) and 0.0 groups (absent from target)
+    contribute nothing.  ``plan`` must hold ONE row per group (the
+    mixture operators' output shape — a duplicate group key would
+    silently multiply the join).
+
+    Scale shape: the k-row plan broadcasts onto one corpus scan; the
+    repeat expansion is a codegen'd ``explode(sequence(...))`` — rows
+    fan out map-side AFTER the join, so the shuffle-free plan ships no
+    repeated bytes (the write at the end is the only cost that scales
+    with the blowup, and max_repeats bounds it).  The Spark sequence()
+    RAISES on an empty range (1..0), so the array is guarded NULL for
+    n_total < 1 and explode (not explode_outer) drops those rows —
+    DuckDB's generate_series(1, 0) is empty and unnest drops the row:
+    the same contract through different engine idioms."""
+    from ..functions import hashing as H
+
+    cols = list(df.columns)
+    rates = F.broadcast(plan.select(
+        F.col(group_col).alias("_ugrp"), "n_epochs", "epoch_frac"
+    ))
+    joined = df.join(rates, df[group_col].eqNullSafe(rates["_ugrp"]))
+    draw = H.hex8_val(draw_hex(F.col(key_col), salt))
+    extra = F.when(
+        draw < rate_threshold(F.col("epoch_frac")), F.lit(1)
+    ).otherwise(F.lit(0))
+    total = (F.col("n_epochs") + extra).cast("bigint")
+    seq = F.when(
+        total >= 1,
+        F.sequence(F.lit(1).cast("bigint"), total, F.lit(1).cast("bigint")),
+    )
+    return joined.select(*cols, F.explode(seq).alias("repeat_idx"))
+
+
+def upsample_corpus_sql(
+    table: str,
+    group_col: str,
+    plan_sql: str,
+    key_col: str,
+    cols: Sequence[str],
+    salt: str = "",
+) -> str:
+    """:func:`upsample_corpus`'s DuckDB mirror (``cols`` lists the
+    corpus columns to carry — the engine side takes them from
+    ``df.columns``; a SQL string cannot).  NULL n_total rows are
+    dropped by the explicit ``WHERE`` (unnest(NULL) would drop them
+    anyway — the predicate keeps the contract visible), empty
+    generate_series(1, 0) drops the n_total=0 rows exactly like the
+    engine side's NULL-guarded sequence."""
+    from ..functions import hashing as H
+
+    dcols = ", ".join(f"d.{c}" for c in cols)
+    jcols = ", ".join(str(c) for c in cols)
+    draw = draw_hex_sql(f"d.{key_col}", salt)
+    return (
+        f"WITH __upl AS ({plan_sql}), "
+        f"__uj AS (SELECT {dcols}, p.n_epochs + "
+        f"CASE WHEN {H.hex8_val_sql(draw)} < "
+        f"{rate_threshold_sql('p.epoch_frac')} THEN 1 ELSE 0 END AS __n "
+        f"FROM {table} d JOIN __upl p "
+        f"ON d.{group_col} IS NOT DISTINCT FROM p.{group_col}) "
+        f"SELECT {jcols}, unnest(generate_series(CAST(1 AS BIGINT), __n)) "
+        f"AS repeat_idx FROM __uj WHERE __n >= 1"
+    )
