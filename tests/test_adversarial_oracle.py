@@ -1024,16 +1024,27 @@ def test_adv_epoch_upsample(spark, adv):
     rows = up.collect()
     langs = {r["lang"] for r in rows}
     assert langs <= {"en", "de"}          # fr (0.0) and und (NULL) dropped
+    import hashlib
     from collections import Counter
 
     reps = Counter((r["lang"], r["doc_id"]) for r in rows)
+    # the draws are deterministic md5 values, so the EXACT per-doc
+    # repeat counts are computable (review-found: an `or True` draft
+    # left the fractional-extra arm unpinned — a dead assert)
+    frac_de = got["de"]["epoch_frac"]
+    thr_de = math.floor(frac_de * float(1 << 32))
+
+    def _extra(doc_id, frac):
+        d8 = hashlib.md5(f"ep{doc_id}".encode()).hexdigest()[:8]
+        return 1 if int(d8, 16) < math.floor(frac * float(1 << 32)) else 0
+
     de_docs = [r["doc_id"] for r in corpus.where("lang = 'de'").collect()]
     for d in de_docs:                      # 3 epochs + Bernoulli(0.75)
-        assert reps[("de", d)] in (3, 4)
-    assert any(reps[("de", d)] == 4 for d in de_docs) or True  # draw-dependent
+        assert reps[("de", d)] == 3 + _extra(d, frac_de), (d, thr_de)
+    en_docs = [r["doc_id"] for r in corpus.where("lang = 'en'").collect()]
+    for d in en_docs:                      # floor 0 + kept draws only
+        assert reps.get(("en", d), 0) == _extra(d, got["en"]["epoch_frac"])
     for (lg, d), n in reps.items():
-        if lg == "en":
-            assert n == 1                  # floor 0 + kept draws only
         idxs = sorted(r["repeat_idx"] for r in rows
                       if r["lang"] == lg and r["doc_id"] == d)
         assert idxs == list(range(1, n + 1))   # contiguous 1..n
@@ -1041,22 +1052,47 @@ def test_adv_epoch_upsample(spark, adv):
     assert 0 < en_total < 6                # thinning actually fired
     # determinism: the materialization is a pure function of the key
     assert sorted(map(tuple, rows)) == sorted(map(tuple, up.collect()))
-    # max_repeats refusal in BOTH engines (k-row check): de needs 3
+    # max_repeats bounds the TOTAL repeats (n_epochs + the fractional
+    # extra), so de's 3.7499 raises at max_repeats=3 (review-found
+    # off-by-one: a floor-only guard let mix_weight 1024.9 materialize
+    # 1025 repeats) and passes at 4, in BOTH engines
     with pytest.raises(Exception, match="max_repeats"):
-        sp.epoch_plan(mix, max_repeats=2).collect()
+        sp.epoch_plan(mix, max_repeats=3).collect()
     with pytest.raises(Exception, match="max_repeats"):
         con.execute(
-            sp.epoch_plan_sql(mix_sql, max_repeats=2)
+            sp.epoch_plan_sql(mix_sql, max_repeats=3)
         ).fetchall()
-    with pytest.raises(ValueError, match="max_repeats"):
-        sp.epoch_plan(mix, max_repeats=0)
-    with pytest.raises(ValueError, match="max_repeats"):
-        sp.epoch_plan_sql(mix_sql, max_repeats=0)
-    # a NULL mix_weight passes the max_repeats arm untouched (NULL
-    # comparison → otherwise branch), keeping the zero-mass contract
+    # a NULL mix_weight passes the guard untouched (NULL comparison →
+    # otherwise branch), keeping the zero-mass contract
     tight = {r["lang"]: r for r in sp.epoch_plan(
         mix, max_repeats=4).collect()}
     assert tight["und"]["n_epochs"] is None
+    assert tight["de"]["n_epochs"] == 3
+    # refuse-don't-approximate: fractional / bool / <1 max_repeats
+    for bad in (0, 2.5, True):
+        with pytest.raises(ValueError, match="max_repeats"):
+            sp.epoch_plan(mix, max_repeats=bad)
+        with pytest.raises(ValueError, match="max_repeats"):
+            sp.epoch_plan_sql(mix_sql, max_repeats=bad)
+    # coverage raise: a plan computed on a FILTERED snapshot (no 'de')
+    # must RAISE on the full corpus, not silently drop de's rows
+    part_mix = sp.mixture_weights(
+        corpus.where(F.col("lang") != "de"), "lang", target,
+        weight_col="w",
+    )
+    with pytest.raises(Exception, match="no plan row"):
+        sp.upsample_corpus(
+            corpus, "lang", sp.epoch_plan(part_mix), "doc_id", salt="ep"
+        ).collect()
+    part_sql = sp.epoch_plan_sql(sp.mixture_weights_sql(
+        "(SELECT doc_id, text, lang, CAST(1 AS BIGINT) AS w FROM adocs "
+        "WHERE lang <> 'de')", "lang", target, weight_col="w"))
+    with pytest.raises(Exception, match="no plan row"):
+        con.execute(sp.upsample_corpus_sql(
+            "(SELECT doc_id, text, lang, CAST(1 AS BIGINT) AS w "
+            "FROM adocs)", "lang", part_sql, "doc_id",
+            ["doc_id", "text", "lang", "w"], salt="ep",
+        )).fetchall()
 
 
 def test_mass_agg_sql_byte_identity_and_escaping():

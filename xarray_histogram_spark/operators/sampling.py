@@ -1138,6 +1138,26 @@ def temperature_weights_sql(
 # candidate: staged tested+mirrored (the temperature_weights pattern).
 
 
+def _check_max_repeats(max_repeats) -> int:
+    """EXACT integer ≥ 1 — fractional values refuse rather than
+    silently truncate and bool is excluded (review-found: int(2.5)
+    would quietly cap at 2 while the caller asked for 2.5 — the same
+    refuse-don't-approximate contract _check_sqrt_steps enforces)."""
+    import operator
+
+    try:
+        if isinstance(max_repeats, bool):
+            raise TypeError
+        val = operator.index(max_repeats)
+    except TypeError:
+        val = None
+    if val is None or val < 1:
+        raise ValueError(
+            f"max_repeats must be an integer >= 1, got {max_repeats!r}"
+        )
+    return val
+
+
 def epoch_plan(weights: DataFrame, max_repeats: int = 1024) -> DataFrame:
     """Append ``n_epochs`` (BIGINT floor of mix_weight) and
     ``epoch_frac`` (the fractional remainder, in [0, 1)) to a
@@ -1148,21 +1168,25 @@ def epoch_plan(weights: DataFrame, max_repeats: int = 1024) -> DataFrame:
     materializer, explicit never silent.  Exactness: floor and the
     subtraction are single IEEE-exact double ops on a value both
     engines already agree on, so n_epochs and epoch_frac hash-match
-    bit-identically.  A group needing more than ``max_repeats`` epochs
-    RAISES in both engines (k-row check, zero corpus cost): a
-    runaway mix_weight — a tiny observed share against a big target —
-    would otherwise silently explode the materialized corpus by that
-    factor; the trainer that really wants >1024 epochs says so."""
-    if int(max_repeats) < 1:
-        raise ValueError("max_repeats must be >= 1")
+    bit-identically.  ``max_repeats`` bounds the TOTAL repeats a row
+    can materialize — n_epochs plus the possible fractional extra — so
+    the guard raises whenever ``mix_weight > max_repeats`` (exactly
+    max_repeats with zero remainder passes; review-found: a guard on
+    floor alone let mix_weight 1024.9 materialize 1025 repeats under
+    the default).  The RAISE fires in both engines at the k-row level
+    (zero corpus cost): a runaway mix_weight — a tiny observed share
+    against a big target — would otherwise silently explode the
+    materialized corpus by that factor; the trainer that really wants
+    more epochs says so."""
+    mr = _check_max_repeats(max_repeats)
     n = F.floor(F.col("mix_weight")).cast("bigint")
     checked = F.when(
-        n > F.lit(int(max_repeats)),
+        F.col("mix_weight") > F.lit(float(mr)),
         F.raise_error(F.concat(
             F.lit("epoch_plan: mix_weight "),
             F.col("mix_weight").cast("string"),
-            F.lit(f" needs more than max_repeats={int(max_repeats)} "
-                  "epochs — raise max_repeats explicitly if the "
+            F.lit(f" can materialize more than max_repeats={mr} "
+                  "repeats — raise max_repeats explicitly if the "
                   "materialized blowup is intended"),
         )).cast("bigint"),
     ).otherwise(n)
@@ -1178,17 +1202,18 @@ def epoch_plan(weights: DataFrame, max_repeats: int = 1024) -> DataFrame:
 def epoch_plan_sql(inner_sql: str, max_repeats: int = 1024) -> str:
     """:func:`epoch_plan`'s DuckDB mirror over an inner mixture query
     (floor/subtraction are the same IEEE-exact ops; the max_repeats
-    refusal is the same k-row CASE arm via ``error()``)."""
-    if int(max_repeats) < 1:
-        raise ValueError("max_repeats must be >= 1")
-    mr = int(max_repeats)
+    refusal is the same total-repeats CASE arm via ``error()``)."""
+    from ..binspec import flit
+
+    mr = _check_max_repeats(max_repeats)
     n = "CAST(floor(mix_weight) AS BIGINT)"
     return (
         f"SELECT *, "
-        f"CASE WHEN {n} > {mr} THEN CAST(error('epoch_plan: mix_weight "
-        f"' || CAST(mix_weight AS VARCHAR) || ' needs more than "
-        f"max_repeats={mr} epochs — raise max_repeats explicitly if "
-        f"the materialized blowup is intended') AS BIGINT) "
+        f"CASE WHEN mix_weight > {flit(float(mr))} THEN "
+        f"CAST(error('epoch_plan: mix_weight "
+        f"' || CAST(mix_weight AS VARCHAR) || ' can materialize more "
+        f"than max_repeats={mr} repeats — raise max_repeats explicitly "
+        f"if the materialized blowup is intended') AS BIGINT) "
         f"ELSE {n} END AS n_epochs, "
         f"CASE WHEN mix_weight IS NOT NULL THEN "
         f"mix_weight - floor(mix_weight) END AS epoch_frac "
@@ -1213,7 +1238,12 @@ def upsample_corpus(
     NULL-plan groups (zero mass) and 0.0 groups (absent from target)
     contribute nothing.  ``plan`` must hold ONE row per group (the
     mixture operators' output shape — a duplicate group key would
-    silently multiply the join).
+    silently multiply the join), and it must COVER the corpus: a
+    corpus group with NO plan row RAISES in both engines
+    (review-found: an inner join silently dropped such rows — a plan
+    computed over a filtered or stale snapshot would silently lose a
+    newly-appeared group, with none of the explicit NULL/0.0 arms
+    firing; the mixture operators' contract is explicit-never-silent).
 
     Scale shape: the k-row plan broadcasts onto one corpus scan; the
     repeat expansion is a codegen'd ``explode(sequence(...))`` — rows
@@ -1228,14 +1258,25 @@ def upsample_corpus(
 
     cols = list(df.columns)
     rates = F.broadcast(plan.select(
-        F.col(group_col).alias("_ugrp"), "n_epochs", "epoch_frac"
+        F.col(group_col).alias("_ugrp"), "n_epochs", "epoch_frac",
+        F.lit(True).alias("_uplanned"),
     ))
-    joined = df.join(rates, df[group_col].eqNullSafe(rates["_ugrp"]))
+    joined = df.join(
+        rates, df[group_col].eqNullSafe(rates["_ugrp"]), "left"
+    )
     draw = H.hex8_val(draw_hex(F.col(key_col), salt))
     extra = F.when(
         draw < rate_threshold(F.col("epoch_frac")), F.lit(1)
     ).otherwise(F.lit(0))
-    total = (F.col("n_epochs") + extra).cast("bigint")
+    total = F.when(
+        F.col("_uplanned").isNull(),
+        F.raise_error(F.concat(
+            F.lit("upsample_corpus: group "),
+            F.coalesce(df[group_col].cast("string"), F.lit("NULL")),
+            F.lit(" has no plan row — the plan must be computed over "
+                  "the same corpus"),
+        )).cast("bigint"),
+    ).otherwise((F.col("n_epochs") + extra).cast("bigint"))
     seq = F.when(
         total >= 1,
         F.sequence(F.lit(1).cast("bigint"), total, F.lit(1).cast("bigint")),
@@ -1253,11 +1294,16 @@ def upsample_corpus_sql(
 ) -> str:
     """:func:`upsample_corpus`'s DuckDB mirror (``cols`` lists the
     corpus columns to carry — the engine side takes them from
-    ``df.columns``; a SQL string cannot).  NULL n_total rows are
-    dropped by the explicit ``WHERE`` (unnest(NULL) would drop them
-    anyway — the predicate keeps the contract visible), empty
-    generate_series(1, 0) drops the n_total=0 rows exactly like the
-    engine side's NULL-guarded sequence."""
+    ``df.columns``; a SQL string cannot).  The draw is bound ONCE as a
+    CTE column before the nibble recomposition reads it (the
+    hashing.py binding rule — review-found: pasting the md5 expression
+    into hex8_val_sql recomputed the hash eight times per row); the
+    unplanned-group ``error()`` arm and the LEFT JOIN mirror the
+    engine side's explicit-never-silent coverage raise.  NULL n_total
+    rows are dropped by the explicit ``WHERE`` (unnest(NULL) would
+    drop them anyway — the predicate keeps the contract visible),
+    empty generate_series(1, 0) drops the n_total=0 rows exactly like
+    the engine side's NULL-guarded sequence."""
     from ..functions import hashing as H
 
     dcols = ", ".join(f"d.{c}" for c in cols)
@@ -1265,10 +1311,18 @@ def upsample_corpus_sql(
     draw = draw_hex_sql(f"d.{key_col}", salt)
     return (
         f"WITH __upl AS ({plan_sql}), "
-        f"__uj AS (SELECT {dcols}, p.n_epochs + "
-        f"CASE WHEN {H.hex8_val_sql(draw)} < "
-        f"{rate_threshold_sql('p.epoch_frac')} THEN 1 ELSE 0 END AS __n "
-        f"FROM {table} d JOIN __upl p "
+        f"__ud AS (SELECT {dcols}, {draw} AS __d8 FROM {table} d), "
+        f"__uj AS (SELECT {dcols}, "
+        f"CASE WHEN p.__uplanned IS NULL THEN "
+        f"CAST(error('upsample_corpus: group ' || "
+        f"COALESCE(CAST(d.{group_col} AS VARCHAR), 'NULL') || "
+        f"' has no plan row — the plan must be computed over the same "
+        f"corpus') AS BIGINT) "
+        f"ELSE p.n_epochs + CASE WHEN {H.hex8_val_sql('__d8')} < "
+        f"{rate_threshold_sql('p.epoch_frac')} THEN 1 ELSE 0 END "
+        f"END AS __n "
+        f"FROM __ud d LEFT JOIN "
+        f"(SELECT *, TRUE AS __uplanned FROM __upl) p "
         f"ON d.{group_col} IS NOT DISTINCT FROM p.{group_col}) "
         f"SELECT {jcols}, unnest(generate_series(CAST(1 AS BIGINT), __n)) "
         f"AS repeat_idx FROM __uj WHERE __n >= 1"
