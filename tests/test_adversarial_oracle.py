@@ -1093,6 +1093,18 @@ def test_adv_epoch_upsample(spark, adv):
             "FROM adocs)", "lang", part_sql, "doc_id",
             ["doc_id", "text", "lang", "w"], salt="ep",
         )).fetchall()
+    # cols subsets that OMIT the group column still mirror (review-found:
+    # the draw-binding CTE regressed this — the ON clause reads d.lang)
+    _check(
+        sp.upsample_corpus(
+            corpus.select("doc_id", "lang"), "lang", plan, "doc_id",
+            salt="ep",
+        ).select("doc_id", "repeat_idx"),
+        sp.upsample_corpus_sql(
+            "adocs", "lang", plan_sql, "doc_id", ["doc_id"], salt="ep",
+        ),
+        con,
+    )
 
 
 def test_mass_agg_sql_byte_identity_and_escaping():

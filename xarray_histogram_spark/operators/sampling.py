@@ -1001,29 +1001,42 @@ def mixture_weights_sql(
 # window is exactly full at 4 new + 5 changed + 40 stale + 1 refresh).
 
 
-def _check_sqrt_steps(sqrt_steps) -> int:
-    """EXACT integer 1..4 — a fractional value must refuse, never
-    silently truncate (review-found: int(2.5) would quietly run τ=4
-    where the caller asked for α=2^-2.5, the opposite of the
-    refuse-don't-approximate contract the restriction exists for).
-    Exactly-integral types (np.int64, any __index__ carrier) stay
-    accepted (second review pass: a strict isinstance(int) refused
-    them for no contract reason); bool is excluded explicitly."""
+def _check_exact_int(value, name: str, lo: int, hi: Optional[int],
+                     rng: str, hint: str = "") -> int:
+    """The ONE refuse-don't-approximate integer validator (review-found:
+    a second hand-kept copy of the bool-exclusion/operator.index/range
+    skeleton had appeared for max_repeats — the two-copies drift hazard
+    the shared SQL builders were unified for).  A fractional value must
+    refuse, never silently truncate (int(2.5) would quietly run a
+    different parameter than the caller asked for); exactly-integral
+    types (np.int64, any __index__ carrier) stay accepted; bool is
+    excluded explicitly."""
     import operator
 
     try:
-        if isinstance(sqrt_steps, bool):
+        if isinstance(value, bool):
             raise TypeError
-        val = operator.index(sqrt_steps)
+        val = operator.index(value)
     except TypeError:
         val = None
-    if val is None or not 1 <= val <= 4:
+    if val is None or val < lo or (hi is not None and val > hi):
         raise ValueError(
-            f"sqrt_steps must be an integer in 1..4 (α = 1/2 .. 1/16; "
-            f"τ = 2 .. 16), got {sqrt_steps!r} — arbitrary exponents "
-            "need libm pow, which is not bit-reproducible across engines"
+            f"{name} must be an integer {rng}, got {value!r}{hint}"
         )
     return val
+
+
+def _check_sqrt_steps(sqrt_steps) -> int:
+    """EXACT integer 1..4 via the shared validator (review history:
+    int(2.5) silently ran τ=4 where the caller asked for α=2^-2.5; a
+    strict isinstance(int) then refused np.int64 for no contract
+    reason)."""
+    return _check_exact_int(
+        sqrt_steps, "sqrt_steps", 1, 4,
+        "in 1..4 (α = 1/2 .. 1/16; τ = 2 .. 16)",
+        " — arbitrary exponents need libm pow, which is not "
+        "bit-reproducible across engines",
+    )
 
 
 def temperature_weights(
@@ -1139,23 +1152,9 @@ def temperature_weights_sql(
 
 
 def _check_max_repeats(max_repeats) -> int:
-    """EXACT integer ≥ 1 — fractional values refuse rather than
-    silently truncate and bool is excluded (review-found: int(2.5)
-    would quietly cap at 2 while the caller asked for 2.5 — the same
-    refuse-don't-approximate contract _check_sqrt_steps enforces)."""
-    import operator
-
-    try:
-        if isinstance(max_repeats, bool):
-            raise TypeError
-        val = operator.index(max_repeats)
-    except TypeError:
-        val = None
-    if val is None or val < 1:
-        raise ValueError(
-            f"max_repeats must be an integer >= 1, got {max_repeats!r}"
-        )
-    return val
+    """EXACT integer ≥ 1 via the shared validator (review-found:
+    int(2.5) would quietly cap at 2 while the caller asked for 2.5)."""
+    return _check_exact_int(max_repeats, "max_repeats", 1, None, ">= 1")
 
 
 def epoch_plan(weights: DataFrame, max_repeats: int = 1024) -> DataFrame:
@@ -1306,12 +1305,18 @@ def upsample_corpus_sql(
     the engine side's NULL-guarded sequence."""
     from ..functions import hashing as H
 
+    # __ud must carry group_col even when the caller's cols omit it —
+    # the join ON clause and the coverage-raise message read it
+    # (review-found: the draw-binding CTE regressed column subsets
+    # that leave the group column out)
+    ud_cols = list(cols) + ([group_col] if group_col not in cols else [])
+    udcols = ", ".join(f"d.{c}" for c in ud_cols)
     dcols = ", ".join(f"d.{c}" for c in cols)
     jcols = ", ".join(str(c) for c in cols)
     draw = draw_hex_sql(f"d.{key_col}", salt)
     return (
         f"WITH __upl AS ({plan_sql}), "
-        f"__ud AS (SELECT {dcols}, {draw} AS __d8 FROM {table} d), "
+        f"__ud AS (SELECT {udcols}, {draw} AS __d8 FROM {table} d), "
         f"__uj AS (SELECT {dcols}, "
         f"CASE WHEN p.__uplanned IS NULL THEN "
         f"CAST(error('upsample_corpus: group ' || "
