@@ -1105,6 +1105,21 @@ def test_adv_epoch_upsample(spark, adv):
         ),
         con,
     )
+    # duplicate plan keys RAISE instead of silently multiplying the
+    # fan-out (review-found: a plan unioned with itself doubled every
+    # repeat count with duplicate repeat_idx values — and the tagged
+    # multi-sqrt_steps UNION entry shape makes the mistake easy)
+    with pytest.raises(Exception, match="duplicate plan row"):
+        sp.upsample_corpus(
+            corpus, "lang", plan.unionAll(plan), "doc_id", salt="ep"
+        ).collect()
+    with pytest.raises(Exception, match="duplicate plan row"):
+        con.execute(sp.upsample_corpus_sql(
+            "(SELECT doc_id, text, lang, CAST(1 AS BIGINT) AS w "
+            "FROM adocs)", "lang",
+            f"{plan_sql} UNION ALL {plan_sql}", "doc_id",
+            ["doc_id", "text", "lang", "w"], salt="ep",
+        )).fetchall()
 
 
 def test_mass_agg_sql_byte_identity_and_escaping():

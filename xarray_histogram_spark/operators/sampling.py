@@ -1235,14 +1235,18 @@ def upsample_corpus(
     one operator.  mix_weight < 1 groups degenerate to exactly the
     keep_rate Bernoulli thinning (n_epochs 0 + fractional draw);
     NULL-plan groups (zero mass) and 0.0 groups (absent from target)
-    contribute nothing.  ``plan`` must hold ONE row per group (the
-    mixture operators' output shape — a duplicate group key would
-    silently multiply the join), and it must COVER the corpus: a
-    corpus group with NO plan row RAISES in both engines
-    (review-found: an inner join silently dropped such rows — a plan
-    computed over a filtered or stale snapshot would silently lose a
-    newly-appeared group, with none of the explicit NULL/0.0 arms
-    firing; the mixture operators' contract is explicit-never-silent).
+    contribute nothing.  ``plan`` must hold ONE row per group AND
+    cover the corpus, and BOTH violations RAISE in both engines
+    (review-found, two passes: an inner join silently dropped
+    corpus groups with no plan row — a plan computed over a filtered
+    or stale snapshot would silently lose a newly-appeared group —
+    and a duplicate plan key silently multiplied the join fan-out,
+    materializing the corpus at a multiple of its target with
+    duplicate repeat_idx values; the tagged multi-sqrt_steps UNION
+    shape the driver gate itself uses makes that mistake easy, so the
+    k-row duplicate check is a window count on the broadcast side,
+    nearly free; the mixture operators' contract is
+    explicit-never-silent).
 
     Scale shape: the k-row plan broadcasts onto one corpus scan; the
     repeat expansion is a codegen'd ``explode(sequence(...))`` — rows
@@ -1256,9 +1260,20 @@ def upsample_corpus(
     from ..functions import hashing as H
 
     cols = list(df.columns)
+    ndup = F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    planned = F.when(
+        ndup > 1,
+        F.raise_error(F.concat(
+            F.lit("upsample_corpus: duplicate plan row for group "),
+            F.coalesce(F.col(group_col).cast("string"), F.lit("NULL")),
+            F.lit(" — the plan must hold ONE row per group (did a "
+                  "tagged/unioned mixture frame reach the "
+                  "materializer?)"),
+        )).cast("boolean"),
+    ).otherwise(F.lit(True))
     rates = F.broadcast(plan.select(
         F.col(group_col).alias("_ugrp"), "n_epochs", "epoch_frac",
-        F.lit(True).alias("_uplanned"),
+        planned.alias("_uplanned"),
     ))
     joined = df.join(
         rates, df[group_col].eqNullSafe(rates["_ugrp"]), "left"
@@ -1298,7 +1313,8 @@ def upsample_corpus_sql(
     hashing.py binding rule — review-found: pasting the md5 expression
     into hex8_val_sql recomputed the hash eight times per row); the
     unplanned-group ``error()`` arm and the LEFT JOIN mirror the
-    engine side's explicit-never-silent coverage raise.  NULL n_total
+    engine side's explicit-never-silent coverage raise, and the
+    duplicate-plan-key window count mirrors its fan-out raise.  NULL n_total
     rows are dropped by the explicit ``WHERE`` (unnest(NULL) would
     drop them anyway — the predicate keeps the contract visible),
     empty generate_series(1, 0) drops the n_total=0 rows exactly like
@@ -1327,7 +1343,13 @@ def upsample_corpus_sql(
         f"{rate_threshold_sql('p.epoch_frac')} THEN 1 ELSE 0 END "
         f"END AS __n "
         f"FROM __ud d LEFT JOIN "
-        f"(SELECT *, TRUE AS __uplanned FROM __upl) p "
+        f"(SELECT *, CASE WHEN COUNT(*) OVER (PARTITION BY "
+        f"{group_col}) > 1 THEN CAST(error('upsample_corpus: duplicate "
+        f"plan row for group ' || COALESCE(CAST({group_col} AS "
+        f"VARCHAR), 'NULL') || ' — the plan must hold ONE row per "
+        f"group (did a tagged/unioned mixture frame reach the "
+        f"materializer?)') AS BOOLEAN) ELSE TRUE END AS __uplanned "
+        f"FROM __upl) p "
         f"ON d.{group_col} IS NOT DISTINCT FROM p.{group_col}) "
         f"SELECT {jcols}, unnest(generate_series(CAST(1 AS BIGINT), __n)) "
         f"AS repeat_idx FROM __uj WHERE __n >= 1"
