@@ -1120,6 +1120,63 @@ def test_adv_epoch_upsample(spark, adv):
             f"{plan_sql} UNION ALL {plan_sql}", "doc_id",
             ["doc_id", "text", "lang", "w"], salt="ep",
         )).fetchall()
+    # a NaN mix_weight RAISES in both engines instead of silently
+    # diverging (advice-found: Spark's floor swallows NaN→0 inside the
+    # Floor expression while DuckDB's CAST raises — the engines would
+    # part ways on a hand-computed frame; the mixture operators encode
+    # zero mass as NULL, never NaN, and NULL still passes untouched)
+    nan_mix = mix.withColumn(
+        "mix_weight",
+        F.when(F.col("lang") == "en", F.lit(float("nan")))
+        .otherwise(F.col("mix_weight")),
+    )
+    with pytest.raises(Exception, match="NaN"):
+        sp.epoch_plan(nan_mix).collect()
+    with pytest.raises(Exception, match="NaN"):
+        con.execute(sp.epoch_plan_sql(
+            f"SELECT * REPLACE (CASE WHEN lang = 'en' THEN 'nan'::DOUBLE "
+            f"ELSE mix_weight END AS mix_weight) FROM ({mix_sql})"
+        )).fetchall()
+    # +Infinity falls to the max_repeats raise (inf > mr) — every
+    # non-finite input stays explicit-never-silent
+    inf_mix = mix.withColumn(
+        "mix_weight",
+        F.when(F.col("lang") == "en", F.lit(float("inf")))
+        .otherwise(F.col("mix_weight")),
+    )
+    with pytest.raises(Exception, match="max_repeats"):
+        sp.epoch_plan(inf_mix).collect()
+    # reserved-name contract (advice-found: unqualified helper columns
+    # made a re-upsampled frame fail with an opaque ambiguous-reference
+    # error): a corpus carrying repeat_idx or a __u helper RAISES with
+    # the full reserved list, in BOTH builders…
+    with pytest.raises(ValueError, match="repeat_idx"):
+        sp.upsample_corpus(
+            up, "lang", plan, "doc_id", salt="ep"
+        )
+    with pytest.raises(ValueError, match="__un"):
+        sp.upsample_corpus_sql(
+            "adocs", "lang", plan_sql, "doc_id",
+            ["doc_id", "__un"], salt="ep",
+        )
+    # …while a corpus carrying epoch_plan's OWN output columns
+    # (n_epochs/epoch_frac — the realistic annotated-frame case the
+    # advice named) now upsamples cleanly: the helpers are __u-prefixed
+    annotated = corpus.withColumn(
+        "n_epochs", F.lit(7).cast("bigint")
+    ).withColumn("epoch_frac", F.lit(0.25))
+    ann = sp.upsample_corpus(annotated, "lang", plan, "doc_id", salt="ep")
+    assert ann.columns == [
+        "doc_id", "text", "lang", "w", "n_epochs", "epoch_frac",
+        "repeat_idx",
+    ]
+    # the corpus's own n_epochs rides through UNTOUCHED; the repeat
+    # fan-out still follows the PLAN's n_epochs (de: 3+frac, en: 0+frac)
+    ann_rows = ann.collect()
+    assert all(r["n_epochs"] == 7 for r in ann_rows)
+    assert sorted(
+        (r["lang"], r["doc_id"], r["repeat_idx"]) for r in ann_rows
+    ) == sorted((r["lang"], r["doc_id"], r["repeat_idx"]) for r in rows)
 
 
 def test_mass_agg_sql_byte_identity_and_escaping():

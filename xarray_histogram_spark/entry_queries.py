@@ -57,45 +57,39 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
     _REGISTRY[name] = (fn, sql)
 
 
-# Round-12 rotation refresh.  _DRIVER_VERIFIED holds the 50 names
-# CORRECTNESS_r11.json hash-verified (the freshest greens — none moved
-# to _CHANGED_THIS_ROUND this round: the one SQL-builder touch, the
-# advice-found quote-escaping of _mass_agg_sql's error-message literal,
-# leaves the generated SQL BYTE-IDENTICAL for every quote-free name and
-# is pinned literally in tests/test_adversarial_oracle.py per the
-# hex4_val_sql precedent; the scratch-path DRAIN helper
-# discard_scratch_paths is a pure addition no registered entry calls;
-# the rate_threshold ANSI note is docstring-only), so the driver's
-# ~50-query window reaches the 44 entries whose freshest green is r09
-# (two rounds old — they lead _STALE_PRIORITY unconditionally per the
-# capacity policy below) and then the 46 r10-green entries in registry
-# order.  Window arithmetic this round: 2 new + 0 changed + 44 stale
-# = 46, leaving ~4 slots for the oldest r10 names (registry order:
-# hist_growth_merge, hist_columns_weighted, hist_fill_arrow_path,
-# hist_weighted_grouped_density, …) — so ROUND 13's stale head is the
-# ~42 r10 names not refreshed here, and ROUND 13 MUST KEEP NEW+CHANGED
-# ≤ ~8 to close the cycle.  The 2 new entries execute VERDICT r11 items
-# 2 and 8 in order: sample_temperature_weights registers the operator
-# staged (tested + mirrored) in round 11, gating BOTH the default τ=2
-# and a deep τ=8 tempering side by side with the forced-zero-mass NULL
-# arm, the fractional arm and the clamp arm all non-vacuous at every
-# SF; pipeline_curate_temperature gates the composed no-dict loop —
-# temperature_weights → broadcast join-back → in-plan
-# floor(keep_rate·2³²) Bernoulli thinning — proving the
-# data-derived-rate join-back for the no-dict path exactly as
-# pipeline_curate_mixture proved it for the dict path.  All stale
-# entries have UNCHANGED plans and oracles since their last driver
-# green and stay green in the local full-registry gates
-# (test_entry_contract, driver_sim); the rotation itself is pure
-# evidence-freshness maintenance.  One round-13 new-entry candidate
-# pair ships tested but unregistered (the temperature_weights staging
-# pattern): sampling.epoch_plan + sampling.upsample_corpus — the
-# trainer-side epoch-repeat materialization (n_epochs=floor(mix_weight)
-# + Bernoulli(frac) extra repeat; mix_weight<1 degenerates to the
-# keep_rate thinning) — adversarial + fuzzed DuckDB mirrors committed
-# (test_adversarial_oracle::test_adv_epoch_upsample,
-# test_oracle_fuzz::test_fuzzed_epoch_upsample_mirror), plan shape
-# audited (k-row broadcast + map-side Generate, no cartesian).
+# Round-13 rotation refresh.  _DRIVER_VERIFIED holds the 50 names
+# CORRECTNESS_r12.json hash-verified (the freshest greens — nothing
+# moved to _CHANGED_THIS_ROUND this round: the only runtime-code
+# touches are to sampling.epoch_plan / upsample_corpus, which NO
+# previously-gated entry calls — they are first registered this round,
+# so the ADVICE-driven NaN-raise arm and the reserved-__u helper-column
+# rename land pre-gate, for free), so the driver's ~50-query window
+# reaches the 42 entries whose freshest green is r10 (two rounds old —
+# they lead _STALE_PRIORITY unconditionally per the capacity policy
+# below) and then the 50 r11-green entries in registry order.  Window
+# arithmetic this round: 2 new + 0 changed + 42 stale = 44, leaving
+# ~6 slots for the oldest r11 names (registry order) — so ROUND 14's
+# stale head is the ~44 r11 names not refreshed here, and ROUND 14
+# MUST KEEP NEW+CHANGED ≤ ~6 to close the cycle.  The 2 new entries
+# execute VERDICT r12 items 2 and 3 in order: sample_epoch_upsample
+# registers the epoch-repeat materializer pair staged (tested +
+# mirrored) in round 12 — temperature_weights → epoch_plan →
+# upsample_corpus over a weight fixture that forces the n_epochs≥10
+# deep-upsample arm (zh mass divided by 16), the mix_weight<1
+# thinning-degeneration arm (en), the one-epoch fractional-extra arm
+# (fr/es) AND the forced-zero-mass NULL-plan drop arm (de) all
+# non-vacuous at every SF, under a non-default max_repeats=16 bound;
+# pipeline_pretrain_mix gates the END-TO-END pretraining mix — exact
+# dedup-keep → quality filter → PII scrub (persisted scratch stage,
+# the pipeline_curate_mixture precedent: expensive per-row regex folds
+# must not run once per downstream scan) → temperature weights →
+# epoch_plan → upsample → pack_sequences — ONE registered entry whose
+# remaining risk is composition (column collisions, persist
+# boundaries, group coverage across stages), every primitive already
+# individually driver-green.  All stale entries have UNCHANGED plans
+# and oracles since their last driver green and stay green in the
+# local full-registry gates (test_entry_contract, driver_sim); the
+# rotation itself is pure evidence-freshness maintenance.
 #
 # CAPACITY POLICY (decided round 8, per VERDICT r07 item 2): the registry
 # holds 142 entries against a ~50-query driver window (~92 non-fresh
@@ -111,40 +105,8 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # BinSpec codegen classes and each has caught a distinct class of bug;
 # window headroom comes from the growth cap instead.
 _DRIVER_VERIFIED = frozenset({
-    # the 50 names CORRECTNESS_r11.json hash-verified (all of them —
+    # the 50 names CORRECTNESS_r12.json hash-verified (all of them —
     # nothing moved to _CHANGED_THIS_ROUND this round)
-    "binned_stat_grouped", "binned_stat_profile",
-    "dedup_chunks_keep", "dedup_chunks_near",
-    "dedup_embed_components", "dedup_embed_extend_loop",
-    "dedup_embed_incremental", "dedup_extend_loop",
-    "dedup_minhash_pairs",
-    "events_asof_join", "events_funnel", "events_range_join",
-    "events_session_hist", "events_sliding_hist",
-    "hist_density", "hist_density_flow", "hist_group_month",
-    "hist_grouped", "hist_intcategory", "hist_integer_axis",
-    "hist_mean_storage", "hist_regular_1d", "hist_regular_flow",
-    "hist_rollup_weighted", "hist_strcategory", "hist_variable_axis",
-    "hist_variable_binary", "hist_weight_storage", "hist_weighted",
-    "mm_decode_audio", "mm_decode_image",
-    "pipeline_curate_mixture", "pipeline_curate_narrow",
-    "pipeline_report",
-    "sample_mixture_weights", "sample_take_n", "sample_topk_group",
-    "sim_ann_indexed", "sim_ivf_topk", "sim_kmeans_refine",
-    "sim_quantize_int8",
-    "streaming_dedup_state", "streaming_range_join",
-    "streaming_window_hist",
-    "text_dup_ngrams", "text_fingerprint", "text_quality_linear",
-    "text_repetition", "text_token_count", "text_vocabulary",
-})
-
-
-# Stale-head priority: the 44 entries whose freshest driver green is
-# ROUND 9 (two rounds old — recomputed from CORRECTNESS_r01..r11) —
-# they lead the window so no green ever ages a THIRD round.  The 46
-# r10-green entries follow in registry order and fill the remainder of
-# the ~50-query window (with 2 new + 0 changed + 44 stale = 46, about
-# 4 of them fit this round; the rest lead round 13's stale head).
-_STALE_PRIORITY = (
     "alg_apply_func_log", "alg_normalize_after", "alg_project",
     "alg_remove_flow", "alg_scale", "alg_slice_bins",
     "dedup_chunks", "dedup_cluster_size_hist", "dedup_components",
@@ -153,46 +115,79 @@ _STALE_PRIORITY = (
     "events_hourly_hist", "events_props_json_hist", "events_retention",
     "events_type_value_hist",
     "hist_2d", "hist_3d_grouped", "hist_adopt_roundtrip",
-    "hist_bool_axis", "hist_columns", "hist_custom_transform_axis",
-    "hist_growth_categories", "hist_int64_storage", "hist_join_revenue",
+    "hist_bool_axis", "hist_columns", "hist_columns_weighted",
+    "hist_custom_transform_axis", "hist_fill_arrow_path",
+    "hist_growth_categories", "hist_growth_merge",
+    "hist_int64_storage", "hist_join_revenue",
     "hist_log_axis", "hist_pow_axis", "hist_range_infer",
     "hist_sqrt_axis", "hist_weighted_fastpath",
+    "hist_weighted_grouped_density",
     "mm_decode_meta",
+    "pipeline_curate_temperature",
     "sample_deterministic", "sample_pack_chunks", "sample_pack_emit",
-    "sample_split", "sample_stratified",
+    "sample_split", "sample_stratified", "sample_temperature_weights",
     "sim_ann_batch",
     "source_jsonl_roundtrip",
     "text_chunk_windows", "text_langid", "text_quality",
     "text_url_cap_domain", "text_url_extract",
+})
+
+
+# Stale-head priority: the 42 entries whose freshest driver green is
+# ROUND 10 (two rounds old — recomputed from CORRECTNESS_r01..r12) —
+# they lead the window so no green ever ages a THIRD round.  The 50
+# r11-green entries follow in registry order and fill the remainder of
+# the ~50-query window (with 2 new + 0 changed + 42 stale = 44, about
+# 6 of them fit this round; the rest lead round 14's stale head).
+_STALE_PRIORITY = (
+    "alg_bin_coordinates", "alg_rebin",
+    "dedup_contamination", "dedup_exact", "dedup_near_keep",
+    "dedup_simhash", "dedup_simhash_pairs",
+    "hist_cube_multires", "hist_join_align_2var", "hist_merge_shards",
+    "hist_quantile_bins", "hist_rollup_2d", "hist_rollup_multires",
+    "mm_decode_png_jpeg", "mm_sample_frames",
+    "pipeline_curate",
+    "sample_balanced", "sample_pack_bpe", "sample_top_quality",
+    "sim_ann_topk", "sim_cosine_topk",
+    "source_csv_roundtrip",
+    "stat_cdf25", "stat_interval80", "stat_mean", "stat_mean_2d",
+    "stat_mean_weighted", "stat_median", "stat_median_2d",
+    "stat_moment3", "stat_ppf90", "stat_std", "stat_var",
+    "streaming_pii_scrub", "streaming_stateful_hist",
+    "text_bpe_encode", "text_bpe_pair_counts", "text_bpe_tokens",
+    "text_gopher_rules", "text_line_dedup", "text_pii_scrub",
+    "text_top_terms",
 )
 
 
-# Entries whose PLAN or ORACLE changed in round 12 — NONE.  The round's
-# three code touches re-gate nothing under the any-implementation-change
-# policy: the _mass_agg_sql error-literal quote-escaping produces
-# byte-identical SQL for every quote-free name (pinned literally in
-# tests/test_adversarial_oracle.py::
-# test_mass_agg_sql_byte_identity_and_escaping — the hex4_val_sql
-# byte-identity precedent), discard_scratch_paths is a NEW function no
-# registered entry's execution path calls, and the rate_threshold NaN
-# note is docstring-only.
+# Entries whose PLAN or ORACLE changed in round 13 — NONE.  The round's
+# runtime-code touches are confined to sampling.epoch_plan /
+# upsample_corpus (the ADVICE NaN-raise arm and the reserved-__u
+# helper-column rename + disjointness raise), which no previously-gated
+# entry's execution path calls: the pair is first REGISTERED this round
+# (both consumers sit in _NEW_THIS_ROUND and get fresh gates anyway),
+# so under the any-implementation-change policy nothing re-gates.
 _CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 
-# Queries REGISTERED IN ROUND 12 — never in any driver CORRECTNESS record;
+# Queries REGISTERED IN ROUND 13 — never in any driver CORRECTNESS record;
 # they lead the registry so the driver's ~50-query window is guaranteed
 # to reach them regardless of where they appear in this file.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # τ-temperature mixture rebalancing (VERDICT r11 item 2 — staged
-    # tested+mirrored in round 11, window was full), with the default
-    # AND a deep tempering tagged side by side and the zero-mass NULL
-    # arm, fractional arm and clamp arm all forced by the fixture
-    "sample_temperature_weights",
-    # the composed no-dict curation loop (VERDICT r11 item 8):
-    # temperature_weights → broadcast join-back → in-plan
-    # floor(keep_rate·2³²) Bernoulli thinning — the τ twin of
-    # pipeline_curate_mixture's dict-target composition
-    "pipeline_curate_temperature",
+    # the epoch-repeat materializer pair (VERDICT r12 item 2 — staged
+    # tested+mirrored in round 12, window was full):
+    # temperature_weights → epoch_plan → upsample_corpus, with the
+    # deep-upsample (zh, n_epochs≈10), thinning-degeneration (en,
+    # mix_weight<1), one-epoch fractional (fr/es) and NULL-plan drop
+    # (de, forced zero mass) arms all non-vacuous at every SF and a
+    # non-default max_repeats=16 bound
+    "sample_epoch_upsample",
+    # the END-TO-END pretraining mix (VERDICT r12 item 3): dedup-keep →
+    # quality filter → PII scrub (persisted scratch stage) →
+    # temperature weights → epoch_plan → upsample → pack_sequences —
+    # every primitive individually green, this gate pins the
+    # COMPOSITION (column flow, persist boundary, group coverage)
+    "pipeline_pretrain_mix",
 )
 
 

@@ -1167,7 +1167,14 @@ def epoch_plan(weights: DataFrame, max_repeats: int = 1024) -> DataFrame:
     materializer, explicit never silent.  Exactness: floor and the
     subtraction are single IEEE-exact double ops on a value both
     engines already agree on, so n_epochs and epoch_frac hash-match
-    bit-identically.  ``max_repeats`` bounds the TOTAL repeats a row
+    bit-identically.  ``mix_weight`` must be NULL or FINITE: the
+    mixture operators can never emit NaN, but a hand-computed frame
+    could, and the engines would silently diverge on it (advice-found:
+    Spark's ``floor`` swallows NaN→0 INSIDE the Floor expression —
+    before any ANSI cast check — while DuckDB's CAST raises), so a NaN
+    mix_weight RAISES in both engines; +Infinity falls to the
+    max_repeats raise below (inf > mr), keeping every non-finite input
+    explicit-never-silent.  ``max_repeats`` bounds the TOTAL repeats a row
     can materialize — n_epochs plus the possible fractional extra — so
     the guard raises whenever ``mix_weight > max_repeats`` (exactly
     max_repeats with zero remainder passes; review-found: a guard on
@@ -1180,6 +1187,13 @@ def epoch_plan(weights: DataFrame, max_repeats: int = 1024) -> DataFrame:
     mr = _check_max_repeats(max_repeats)
     n = F.floor(F.col("mix_weight")).cast("bigint")
     checked = F.when(
+        F.isnan(F.col("mix_weight")),
+        F.raise_error(F.lit(
+            "epoch_plan: mix_weight is NaN — the plan requires NULL or "
+            "a finite mix_weight (the mixture operators encode the "
+            "zero-mass arm as NULL, never NaN)"
+        )).cast("bigint"),
+    ).when(
         F.col("mix_weight") > F.lit(float(mr)),
         F.raise_error(F.concat(
             F.lit("epoch_plan: mix_weight "),
@@ -1200,15 +1214,21 @@ def epoch_plan(weights: DataFrame, max_repeats: int = 1024) -> DataFrame:
 
 def epoch_plan_sql(inner_sql: str, max_repeats: int = 1024) -> str:
     """:func:`epoch_plan`'s DuckDB mirror over an inner mixture query
-    (floor/subtraction are the same IEEE-exact ops; the max_repeats
-    refusal is the same total-repeats CASE arm via ``error()``)."""
+    (floor/subtraction are the same IEEE-exact ops; the max_repeats and
+    NaN refusals are the same CASE arms via ``error()`` — isnan(NULL)
+    is NULL in DuckDB and false in Spark, so the NULL zero-mass arm
+    falls through identically in both engines)."""
     from ..binspec import flit
 
     mr = _check_max_repeats(max_repeats)
     n = "CAST(floor(mix_weight) AS BIGINT)"
     return (
         f"SELECT *, "
-        f"CASE WHEN mix_weight > {flit(float(mr))} THEN "
+        f"CASE WHEN isnan(mix_weight) THEN "
+        f"CAST(error('epoch_plan: mix_weight is NaN — the plan "
+        f"requires NULL or a finite mix_weight (the mixture operators "
+        f"encode the zero-mass arm as NULL, never NaN)') AS BIGINT) "
+        f"WHEN mix_weight > {flit(float(mr))} THEN "
         f"CAST(error('epoch_plan: mix_weight "
         f"' || CAST(mix_weight AS VARCHAR) || ' can materialize more "
         f"than max_repeats={mr} repeats — raise max_repeats explicitly "
@@ -1218,6 +1238,32 @@ def epoch_plan_sql(inner_sql: str, max_repeats: int = 1024) -> str:
         f"mix_weight - floor(mix_weight) END AS epoch_frac "
         f"FROM ({inner_sql})"
     )
+
+
+# Output + join-helper names upsample_corpus reserves across BOTH
+# engines (the union — each engine uses a subset, but one contract is
+# one contract): a corpus frame carrying any of them would hit
+# ambiguous-reference errors or silently duplicate an output column
+# (advice-found: re-upsampling a previously materialized frame carries
+# repeat_idx; a frame that went through epoch_plan carries
+# n_epochs/epoch_frac — the latter are safe now that the helpers are
+# __u-prefixed, the former must be dropped or renamed explicitly).
+_UPSAMPLE_RESERVED = frozenset({
+    "repeat_idx", "__ugrp", "__un_epochs", "__uepoch_frac",
+    "__uplanned", "__ud8", "__un",
+})
+
+
+def _check_upsample_columns(cols: Sequence[str], group_col: str) -> None:
+    clash = _UPSAMPLE_RESERVED.intersection({*cols, group_col})
+    if clash:
+        raise ValueError(
+            f"upsample_corpus: corpus columns {sorted(clash)} collide "
+            "with the reserved output/helper names "
+            f"({sorted(_UPSAMPLE_RESERVED)}) — rename or drop them "
+            "first (a previously materialized frame carries "
+            "repeat_idx; re-upsampling it must re-key explicitly)"
+        )
 
 
 def upsample_corpus(
@@ -1256,10 +1302,20 @@ def upsample_corpus(
     RAISES on an empty range (1..0), so the array is guarded NULL for
     n_total < 1 and explode (not explode_outer) drops those rows —
     DuckDB's generate_series(1, 0) is empty and unnest drops the row:
-    the same contract through different engine idioms."""
+    the same contract through different engine idioms.
+
+    Reserved names: the corpus frame must not carry ``repeat_idx`` or
+    any ``__u*`` helper (see ``_UPSAMPLE_RESERVED``) — RAISES up front
+    with the full list (advice-found: unqualified helper names made a
+    re-upsampled or epoch_plan-annotated corpus fail with an opaque
+    ambiguous-reference error; the helpers are now __u-prefixed so
+    plan-frame column names like n_epochs/epoch_frac are fine on the
+    corpus side, and the one genuinely colliding output column
+    repeat_idx gets a contract message instead)."""
     from ..functions import hashing as H
 
     cols = list(df.columns)
+    _check_upsample_columns(cols, group_col)
     ndup = F.count(F.lit(1)).over(Window.partitionBy(group_col))
     planned = F.when(
         ndup > 1,
@@ -1272,25 +1328,27 @@ def upsample_corpus(
         )).cast("boolean"),
     ).otherwise(F.lit(True))
     rates = F.broadcast(plan.select(
-        F.col(group_col).alias("_ugrp"), "n_epochs", "epoch_frac",
-        planned.alias("_uplanned"),
+        F.col(group_col).alias("__ugrp"),
+        F.col("n_epochs").alias("__un_epochs"),
+        F.col("epoch_frac").alias("__uepoch_frac"),
+        planned.alias("__uplanned"),
     ))
     joined = df.join(
-        rates, df[group_col].eqNullSafe(rates["_ugrp"]), "left"
+        rates, df[group_col].eqNullSafe(rates["__ugrp"]), "left"
     )
     draw = H.hex8_val(draw_hex(F.col(key_col), salt))
     extra = F.when(
-        draw < rate_threshold(F.col("epoch_frac")), F.lit(1)
+        draw < rate_threshold(F.col("__uepoch_frac")), F.lit(1)
     ).otherwise(F.lit(0))
     total = F.when(
-        F.col("_uplanned").isNull(),
+        F.col("__uplanned").isNull(),
         F.raise_error(F.concat(
             F.lit("upsample_corpus: group "),
             F.coalesce(df[group_col].cast("string"), F.lit("NULL")),
             F.lit(" has no plan row — the plan must be computed over "
                   "the same corpus"),
         )).cast("bigint"),
-    ).otherwise((F.col("n_epochs") + extra).cast("bigint"))
+    ).otherwise((F.col("__un_epochs") + extra).cast("bigint"))
     seq = F.when(
         total >= 1,
         F.sequence(F.lit(1).cast("bigint"), total, F.lit(1).cast("bigint")),
@@ -1318,9 +1376,12 @@ def upsample_corpus_sql(
     rows are dropped by the explicit ``WHERE`` (unnest(NULL) would
     drop them anyway — the predicate keeps the contract visible),
     empty generate_series(1, 0) drops the n_total=0 rows exactly like
-    the engine side's NULL-guarded sequence."""
+    the engine side's NULL-guarded sequence.  The same
+    ``_UPSAMPLE_RESERVED`` contract raise guards ``cols`` (plus the
+    group/key columns) up front — one contract, both engines."""
     from ..functions import hashing as H
 
+    _check_upsample_columns([*cols, key_col], group_col)
     # __ud must carry group_col even when the caller's cols omit it —
     # the join ON clause and the coverage-raise message read it
     # (review-found: the draw-binding CTE regressed column subsets
@@ -1332,16 +1393,16 @@ def upsample_corpus_sql(
     draw = draw_hex_sql(f"d.{key_col}", salt)
     return (
         f"WITH __upl AS ({plan_sql}), "
-        f"__ud AS (SELECT {udcols}, {draw} AS __d8 FROM {table} d), "
+        f"__ud AS (SELECT {udcols}, {draw} AS __ud8 FROM {table} d), "
         f"__uj AS (SELECT {dcols}, "
         f"CASE WHEN p.__uplanned IS NULL THEN "
         f"CAST(error('upsample_corpus: group ' || "
         f"COALESCE(CAST(d.{group_col} AS VARCHAR), 'NULL') || "
         f"' has no plan row — the plan must be computed over the same "
         f"corpus') AS BIGINT) "
-        f"ELSE p.n_epochs + CASE WHEN {H.hex8_val_sql('__d8')} < "
+        f"ELSE p.n_epochs + CASE WHEN {H.hex8_val_sql('__ud8')} < "
         f"{rate_threshold_sql('p.epoch_frac')} THEN 1 ELSE 0 END "
-        f"END AS __n "
+        f"END AS __un "
         f"FROM __ud d LEFT JOIN "
         f"(SELECT *, CASE WHEN COUNT(*) OVER (PARTITION BY "
         f"{group_col}) > 1 THEN CAST(error('upsample_corpus: duplicate "
@@ -1351,6 +1412,6 @@ def upsample_corpus_sql(
         f"materializer?)') AS BOOLEAN) ELSE TRUE END AS __uplanned "
         f"FROM __upl) p "
         f"ON d.{group_col} IS NOT DISTINCT FROM p.{group_col}) "
-        f"SELECT {jcols}, unnest(generate_series(CAST(1 AS BIGINT), __n)) "
-        f"AS repeat_idx FROM __uj WHERE __n >= 1"
+        f"SELECT {jcols}, unnest(generate_series(CAST(1 AS BIGINT), __un)) "
+        f"AS repeat_idx FROM __uj WHERE __un >= 1"
     )
