@@ -1250,6 +1250,131 @@ def test_temperature_entry_arms_non_vacuous(spark, sf_dir):
         assert n_out[lang] == n_in[lang]          # clamped strata kept whole
 
 
+def test_epoch_upsample_entry_arms_non_vacuous(spark, sf_dir):
+    """The driver-gated epoch-upsample fixture exercises EVERY arm at
+    the gated SF (the vacuity lesson): de's forced-zero mass → NULL
+    plan → dropped; en mix_weight<1 → the thinning-degeneration arm;
+    fr/es → one epoch + fractional extra; zh (mass ÷16) → the
+    n_epochs≥2 deep-upsample arm — and the EXACT per-doc repeat totals
+    match an independent pure-Python replication of the md5 draw (the
+    pin-exact-counts precedent)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import xarray_histogram_spark.entry_queries as eq
+
+    corpus = eq._eu_corpus(spark, sf_dir)
+    plan_rows = {r["lang"]: r for r in sp.epoch_plan(
+        sp.temperature_weights(
+            corpus, "lang", weight_col="w", sqrt_steps=eq._EU_SQRT_STEPS
+        ),
+        max_repeats=16,
+    ).collect()}
+    assert plan_rows["de"]["n_epochs"] is None       # NULL-plan drop arm
+    assert plan_rows["en"]["n_epochs"] == 0          # thinning arm
+    assert 0 < plan_rows["en"]["epoch_frac"] < 1
+    for lang in ("fr", "es"):                        # one-epoch + frac arm
+        assert plan_rows[lang]["n_epochs"] == 1
+        assert 0 < plan_rows[lang]["epoch_frac"] < 1
+    assert plan_rows["zh"]["n_epochs"] >= 2          # deep-upsample arm
+
+    rows = eq.registry()["sample_epoch_upsample"][0](
+        spark, sf_dir
+    ).collect()
+    reps = Counter((r["lang"], r["doc_id"]) for r in rows)
+    assert {lg for lg, _ in reps} == {"en", "fr", "es", "zh"}
+
+    def extra(doc_id, frac):
+        d8 = hashlib.md5(f"ep13{doc_id}".encode()).hexdigest()[:8]
+        return 1 if int(d8, 16) < math.floor(frac * float(1 << 32)) else 0
+
+    expected = Counter()
+    outcomes: dict = {}
+    for r in corpus.collect():
+        p = plan_rows[r["lang"]]
+        if p["n_epochs"] is None:
+            continue
+        e = extra(r["doc_id"], p["epoch_frac"])
+        outcomes.setdefault(r["lang"], set()).add(e)
+        n = p["n_epochs"] + e
+        if n >= 1:
+            expected[(r["lang"], r["doc_id"])] = n
+    assert reps == expected                          # exact repeat counts
+    for lang in ("en", "fr", "es", "zh"):            # both draw outcomes
+        assert outcomes[lang] == {0, 1}, f"{lang} draw outcomes vacuous"
+
+
+def test_pretrain_mix_entry_arms_non_vacuous(spark, sf_dir):
+    """Every stage of the composed pretraining-mix entry does real work
+    at the gated SF: the dedup+quality curate stage drops rows in EVERY
+    lang but keeps most; the boilerplate collapse leaves at most the
+    two PII-variants per lang; the scrub redacts the appended contact
+    blocks (no raw e-mail survives); the data-derived plan thins en and
+    upsamples every tail lang; and the packed output is exactly
+    context-token sequences with contiguous chunk ids whose per-shard
+    token totals sit BELOW the curated mass for en (thinned) and ABOVE
+    it for the tails (materialized repeats)."""
+    import xarray_histogram_spark.entry_queries as eq
+    from xarray_histogram_spark.functions.hashing import tokens_raw
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = eq._pretrain_curated(spark, sf_dir)
+    cur = spark.read.parquet(root + "/curated")
+    n_in = {r["lang"]: r["n"] for r in docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_cur = {r["lang"]: r["n"] for r in cur.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang in n_in:
+        assert 0 < n_cur[lang] < n_in[lang], lang
+    boiler_prefix = "the shared boilerplate passage kept for "
+    n_boiler_in = docs.where(F.col("doc_id") % 11 == 5).count()
+    boiler_cur = {r["lang"]: r["n"] for r in
+                  cur.where(F.col("text").startswith(boiler_prefix))
+                  .groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+    assert sum(boiler_cur.values()) < n_boiler_in    # dedup collapsed
+    for lang, n in boiler_cur.items():
+        assert 1 <= n <= 2, lang                     # ≤ one per PII-variant
+    assert cur.where(F.col("text").contains("<EMAIL>")).count() > 0
+    assert cur.where(
+        F.col("text").contains("staff@corp.example.com")
+    ).count() == 0                                   # scrub really scrubbed
+    plan = {r["lang"]: r for r in sp.epoch_plan(sp.temperature_weights(
+        cur, "lang", weight_col="n_tokens", sqrt_steps=eq._PM_SQRT_STEPS
+    )).collect()}
+    assert plan["en"]["n_epochs"] == 0               # en thinned
+    assert 0 < plan["en"]["epoch_frac"] < 1
+    for lang in ("de", "fr", "es", "zh"):            # tails upsampled
+        assert plan[lang]["n_epochs"] >= 1
+        assert plan[lang]["epoch_frac"] > 0
+    packed = eq.registry()["pipeline_pretrain_mix"][0](
+        spark, sf_dir
+    ).collect()
+    by_shard: dict = {}
+    for r in packed:
+        by_shard.setdefault(r["lang"], []).append(r)
+    assert set(by_shard) == {"en", "de", "fr", "es", "zh"}
+    for lang, rs in by_shard.items():
+        ids = sorted(r["chunk_id"] for r in rs)
+        assert ids == list(range(len(ids))), lang    # contiguous chunks
+        last = max(ids)
+        for r in rs:
+            assert len(r["seq_text"].split(" ")) == r["n_seq_tokens"]
+            if r["chunk_id"] != last:
+                assert r["n_seq_tokens"] == eq._PM_CONTEXT
+            else:
+                assert 1 <= r["n_seq_tokens"] <= eq._PM_CONTEXT
+    ctok = {r["lang"]: r["s"] for r in cur.select(
+        "lang", F.size(tokens_raw(F.col("text"))).alias("nt")
+    ).groupBy("lang").agg(F.sum("nt").alias("s")).collect()}
+    ptok = {lang: sum(r["n_seq_tokens"] for r in rs)
+            for lang, rs in by_shard.items()}
+    assert ptok["en"] < ctok["en"]                   # thinning materialized
+    for lang in ("de", "fr", "es", "zh"):
+        assert ptok[lang] > ctok[lang], lang         # repeats materialized
+
+
 def test_adv_embed_extend_loop(spark, tmp_path):
     """The EMBEDDING twin of the band-loop composition: seed a persisted
     embed index, verdict shard 1 against it, extend_embed_index with

@@ -1805,6 +1805,234 @@ register(
     _curate_temperature_sql(),
 )
 
+
+# --- epoch-repeat upsampling: temperature_weights → epoch_plan →
+# upsample_corpus (VERDICT r12 item 2: the materializer pair staged
+# tested+mirrored in round 12).  The weight fixture forces every arm at
+# every SF (verified by hand from the fixture masses and pinned exactly
+# in tests/test_entry_fixtures.py): `de`'s mass is forced to ZERO →
+# NULL plan → its rows contribute nothing (the NULL-plan drop arm);
+# `zh`'s mass is divided by 16 (a POWER OF TWO — the double division
+# and floor are IEEE-exact in both engines, so the integer masses
+# hash-match) making it deeply under-represented → mix_weight ≈ 10.1-
+# 10.5 → the n_epochs≥2 DEEP-upsample arm, bounded by a NON-default
+# max_repeats=16 (the default 1024 would make the guard arm vacuous);
+# `en` carries ~52-60% of the remaining mass → mix_weight < 1 → the
+# thinning-degeneration arm (floor 0 + fractional Bernoulli draw);
+# `fr`/`es` land at mix_weight ≈ 1.08-1.31 → the one-epoch +
+# fractional-extra arm with BOTH draw outcomes present.  Scale shape:
+# one map-combined groupBy to k rows + one k-row window (the weights),
+# then the k-row plan BROADCAST onto one corpus scan with a map-side
+# explode(sequence(...)) fan-out AFTER the join — the shuffle ships no
+# repeated bytes and max_repeats bounds the blowup.
+_EU_SQRT_STEPS = 2
+_EU_WEIGHT_SQL = (
+    "CASE WHEN lang = 'de' THEN CAST(0 AS BIGINT) "
+    "WHEN lang = 'zh' THEN CAST(floor(n_chars / 16) AS BIGINT) "
+    "ELSE n_chars END"
+)
+_EU_CORPUS_SQL = f"(SELECT doc_id, lang, {_EU_WEIGHT_SQL} AS w FROM documents)"
+
+
+def _eu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("lang") == "de", F.lit(0))
+        .when(F.col("lang") == "zh", F.floor(F.col("n_chars") / 16))
+        .otherwise(F.col("n_chars"))
+        .cast("bigint")
+    )
+    return docs.select("doc_id", "lang", w.alias("w"))
+
+
+def _epoch_upsample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _eu_corpus(spark, sf_dir)
+    tw = sp.temperature_weights(
+        corpus, "lang", weight_col="w", sqrt_steps=_EU_SQRT_STEPS
+    )
+    plan = sp.epoch_plan(tw, max_repeats=16)
+    return sp.upsample_corpus(corpus, "lang", plan, "doc_id", salt="ep13")
+
+
+register(
+    "sample_epoch_upsample",
+    _epoch_upsample_fn,
+    sp.upsample_corpus_sql(
+        _EU_CORPUS_SQL,
+        "lang",
+        sp.epoch_plan_sql(
+            sp.temperature_weights_sql(
+                _EU_CORPUS_SQL, "lang", weight_col="w",
+                sqrt_steps=_EU_SQRT_STEPS,
+            ),
+            max_repeats=16,
+        ),
+        "doc_id",
+        ["doc_id", "lang", "w"],
+        salt="ep13",
+    ),
+)
+
+
+# --- the END-TO-END pretraining mix (VERDICT r12 item 3): exact
+# dedup-keep → quality filter → PII scrub → temperature weights →
+# epoch_plan → upsample → pack_sequences, ONE registered entry.  Every
+# primitive is individually driver-green; this gate pins the
+# COMPOSITION — column flow across stages, the persist boundary, and
+# group coverage between the weights pass and the materializer.
+#
+# Fixture non-vacuity at every SF (measured over the real fixtures,
+# pinned in tests/test_entry_fixtures.py): doc_id%11==5 docs COLLAPSE
+# to a per-(lang, PII-variant) boilerplate string → the dedup stage
+# drops ~8% of rows; quality threshold 0.605 sits between every
+# (lang, SF)'s p05 (≤0.604) and p25 (≥0.611) → the filter drops 5-25%
+# of every lang but keeps most rows, and both boilerplate variants
+# (0.690 / 0.609) survive it; doc_id%3==0 docs carry an appended
+# e-mail + phone contact block → the scrub REDACTS ~a third of rows;
+# the τ=4 tempered targets thin en (mix_weight<1) and upsample the
+# tail langs (1 epoch + fractional extra), exercising the
+# materializer's both live arms downstream of a DATA-derived plan.
+#
+# Persist boundary (the pipeline_curate_mixture precedent, applied by
+# reasoning): the curate stage is EXPENSIVE per row (md5 fingerprint
+# window + quality regex folds + the six-pattern PII scrub chain) and
+# feeds TWO downstream scans (the k-row weights aggregate and the
+# upsample join's corpus side) — without the parquet scratch stage,
+# Catalyst's alias-inlining would re-run the whole regex chain once
+# per scan.  Downstream of the scratch read the shape is the audited
+# one: k-row map-combined groupBy + k-row window → broadcast join back
+# onto one pruned scan → map-side explode fan-out → pack's one
+# shard-window shuffle + one (shard, chunk) aggregation.
+_PM_QMIN = 0.605
+_PM_SQRT_STEPS = 2
+_PM_CONTEXT = 64
+_PM_AUG_SQL = (
+    "CASE WHEN doc_id % 11 = 5 THEN "
+    "'the shared boilerplate passage kept for ' || lang || "
+    "' corpus quality checks' ELSE text END || "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "' Contact staff@corp.example.com or call +15550001234 now.' "
+    "ELSE '' END"
+)
+_PRETRAIN_CACHE: dict[str, str] = {}
+
+
+def _pm_aug_col():
+    return F.concat(
+        F.when(
+            F.col("doc_id") % 11 == 5,
+            F.concat(
+                F.lit("the shared boilerplate passage kept for "),
+                F.col("lang"),
+                F.lit(" corpus quality checks"),
+            ),
+        ).otherwise(F.col("text")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(" Contact staff@corp.example.com or call "
+                  "+15550001234 now."),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _pretrain_curated(spark: SparkSession, sf_dir: str) -> str:
+    """Curated corpus persisted ONCE per sf_dir: augmented text →
+    fingerprint keep-first dedup → quality≥min filter → PII scrub →
+    token count, written with (doc_id, lang, scrubbed text, n_tokens);
+    both downstream scans (weights aggregate, upsample corpus side)
+    read it back with column pruning instead of re-running the regex
+    chain."""
+    from pyspark.sql.window import Window
+
+    from .functions import hashing as H
+
+    def build(root: str) -> None:
+        docs = t_wide(spark, sf_dir, "documents")
+        base = docs.select("doc_id", "lang", _pm_aug_col().alias("text"))
+        w = Window.partitionBy(H.md5_hex(F.col("text"))).orderBy("doc_id")
+        kept = (
+            base.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        filt = (
+            kept.select("doc_id", "lang", "text",
+                        tx.quality_cols("text")[-1])
+            .where(F.col("quality") >= F.lit(_PM_QMIN))
+        )
+        scrub = filt.select("doc_id", "lang", *tx.pii_cols("text"))
+        cur = scrub.select(
+            "doc_id", "lang", F.col("text_scrubbed").alias("text")
+        )
+        cur.select(
+            "doc_id", "lang", "text", tx.token_count_cols("text")[0]
+        ).write.parquet(root + "/curated")
+
+    return _scratch_root(_PRETRAIN_CACHE, sf_dir, "xhs_pretrain_", build)
+
+
+def _pretrain_mix_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _pretrain_curated(spark, sf_dir)
+    cur = spark.read.parquet(root + "/curated")
+    tw = sp.temperature_weights(
+        cur, "lang", weight_col="n_tokens", sqrt_steps=_PM_SQRT_STEPS
+    )
+    plan = sp.epoch_plan(tw)
+    up = sp.upsample_corpus(
+        cur.select("doc_id", "lang", "text"), "lang", plan, "doc_id",
+        salt="pretrain",
+    )
+    rep = up.select(
+        (F.col("doc_id") * 1024 + F.col("repeat_idx"))
+        .cast("bigint")
+        .alias("rep_id"),
+        "lang",
+        "text",
+    )
+    return sp.pack_sequences(rep, "text", "rep_id", "lang", _PM_CONTEXT)
+
+
+def _pretrain_mix_sql() -> str:
+    from .binspec import flit
+    from .functions import hashing as H
+
+    curated = (
+        f"(WITH __aug AS (SELECT doc_id, lang, {_PM_AUG_SQL} AS text "
+        f"FROM documents), "
+        f"__kept AS (SELECT doc_id, lang, text FROM (SELECT *, "
+        f"row_number() OVER (PARTITION BY {H.md5_hex_sql('text')} "
+        f"ORDER BY doc_id) AS __rn FROM __aug) k WHERE __rn = 1), "
+        f"__q AS ({tx.quality_score_sql('__kept', 'text', 'doc_id')}), "
+        f"__filt AS (SELECT k.doc_id, k.lang, k.text FROM __kept k "
+        f"JOIN __q q ON k.doc_id = q.doc_id "
+        f"WHERE q.quality >= {flit(_PM_QMIN)}), "
+        f"__scrub AS ({tx.pii_scrub_sql('__filt', 'text', 'doc_id')}), "
+        f"__cur AS (SELECT f.doc_id, f.lang, s.text_scrubbed AS text "
+        f"FROM __filt f JOIN __scrub s ON f.doc_id = s.doc_id), "
+        f"__tok AS ({tx.token_count_sql('__cur', 'text', 'doc_id')}) "
+        f"SELECT c.doc_id, c.lang, c.text, t.n_tokens "
+        f"FROM __cur c JOIN __tok t ON c.doc_id = t.doc_id)"
+    )
+    tw = sp.temperature_weights_sql(
+        curated, "lang", weight_col="n_tokens", sqrt_steps=_PM_SQRT_STEPS
+    )
+    up = sp.upsample_corpus_sql(
+        curated, "lang", sp.epoch_plan_sql(tw), "doc_id",
+        ["doc_id", "lang", "text"], salt="pretrain",
+    )
+    rep = (
+        f"(SELECT CAST(doc_id * 1024 + repeat_idx AS BIGINT) AS rep_id, "
+        f"lang, text FROM ({up}) u)"
+    )
+    return sp.pack_sequences_sql(rep, "text", "rep_id", "lang", _PM_CONTEXT)
+
+
+register(
+    "pipeline_pretrain_mix",
+    _pretrain_mix_fn,
+    _pretrain_mix_sql(),
+)
+
 # --- PII / URL curation over a deterministically AUGMENTED text column ---
 # The sf fixtures contain little literal PII and few URLs, so a gate on the
 # raw text would be near-vacuous (the round-5 dedup_embed_pairs lesson:
@@ -2275,6 +2503,7 @@ def _cleanup_scratch() -> None:
         + list(_EXTEND_LOOP_CACHE.values())
         + list(_EMBED_LOOP_CACHE.values())
         + list(_CURATE_MIX_CACHE.values())
+        + list(_PRETRAIN_CACHE.values())
     ):
         shutil.rmtree(root, ignore_errors=True)
 
