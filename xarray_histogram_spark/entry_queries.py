@@ -1810,7 +1810,7 @@ register(
 # upsample_corpus (VERDICT r12 item 2: the materializer pair staged
 # tested+mirrored in round 12).  The weight fixture forces every arm at
 # every SF (verified by hand from the fixture masses and pinned exactly
-# in tests/test_entry_fixtures.py): `de`'s mass is forced to ZERO →
+# in tests/test_adversarial_oracle.py): `de`'s mass is forced to ZERO →
 # NULL plan → its rows contribute nothing (the NULL-plan drop arm);
 # `zh`'s mass is divided by 16 (a POWER OF TWO — the double division
 # and floor are IEEE-exact in both engines, so the integer masses
@@ -1882,7 +1882,7 @@ register(
 # group coverage between the weights pass and the materializer.
 #
 # Fixture non-vacuity at every SF (measured over the real fixtures,
-# pinned in tests/test_entry_fixtures.py): doc_id%11==5 docs COLLAPSE
+# pinned in tests/test_adversarial_oracle.py): doc_id%11==5 docs COLLAPSE
 # to a per-(lang, PII-variant) boilerplate string → the dedup stage
 # drops ~8% of rows; quality threshold 0.605 sits between every
 # (lang, SF)'s p05 (≤0.604) and p25 (≥0.611) → the filter drops 5-25%
@@ -2013,18 +2013,26 @@ def _pretrain_mix_sql() -> str:
         f"SELECT c.doc_id, c.lang, c.text, t.n_tokens "
         f"FROM __cur c JOIN __tok t ON c.doc_id = t.doc_id)"
     )
+    # the expensive curated chain is bound ONCE as a top-level CTE and
+    # referenced by name from both downstream scans (the weights
+    # aggregate and the upsample corpus side) — the mirror analog of
+    # the engine side's parquet scratch stage (review-found: the
+    # inlined form made DuckDB run the regex-heavy chain twice; outer
+    # CTEs are visible inside subqueries, the _curate_mixture_sql
+    # precedent)
     tw = sp.temperature_weights_sql(
-        curated, "lang", weight_col="n_tokens", sqrt_steps=_PM_SQRT_STEPS
+        "__pcur", "lang", weight_col="n_tokens", sqrt_steps=_PM_SQRT_STEPS
     )
     up = sp.upsample_corpus_sql(
-        curated, "lang", sp.epoch_plan_sql(tw), "doc_id",
+        "__pcur", "lang", sp.epoch_plan_sql(tw), "doc_id",
         ["doc_id", "lang", "text"], salt="pretrain",
     )
     rep = (
         f"(SELECT CAST(doc_id * 1024 + repeat_idx AS BIGINT) AS rep_id, "
         f"lang, text FROM ({up}) u)"
     )
-    return sp.pack_sequences_sql(rep, "text", "rep_id", "lang", _PM_CONTEXT)
+    pack = sp.pack_sequences_sql(rep, "text", "rep_id", "lang", _PM_CONTEXT)
+    return f"WITH __pcur AS {curated} SELECT * FROM ({pack}) __pk"
 
 
 register(
