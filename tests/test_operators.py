@@ -296,6 +296,167 @@ def test_png_encoder_emits_valid_png():
     )
 
 
+def _make_filtered_png(w, h, nch, color_type, rows_px, ft):
+    """Reference PNG builder for the decode tests: apply spec filter
+    ``ft`` FORWARD to the reconstructed scanlines (the inverse of what
+    _decode_png must undo), deflate, and chunk with real CRCs."""
+    import struct as st
+    import zlib
+
+    def chunk(ct, data):
+        raw = ct + data
+        return (st.pack(">I", len(data)) + raw
+                + st.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF))
+
+    stride = w * nch
+    out_rows = b""
+    prev = bytes(stride)
+    for line in rows_px:
+        f = bytearray(stride)
+        for i in range(stride):
+            a = line[i - nch] if i >= nch else 0
+            up = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (a + up) >> 1
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    up if pb <= pc else c)
+            f[i] = (line[i] - pred) & 0xFF
+        out_rows += bytes([ft]) + bytes(f)
+        prev = bytes(line)
+    ihdr = st.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (mm._PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(out_rows))
+            + chunk(b"IEND", b""))
+
+
+def test_decode_png_pixels_all_filters():
+    """_decode_png reconstructs the exact pixels for every color type
+    (gray / RGB / gray+alpha / RGBA) under EVERY spec filter (None /
+    Sub / Up / Average / Paeth), verified against an independent
+    forward-filtering reference builder — plus the encode_png
+    round-trip (filter 0, with a tEXt chunk in the walk path)."""
+    import random
+
+    w, h = 5, 4
+    px = bytes((i * 7 + 3) % 256 for i in range(w * h * 3))
+    assert mm._decode_png(mm.encode_png(w, h, px, text=b"hi")) == (
+        w, h, sum(px), px[0],
+    )
+    rng = random.Random(13)
+    for color_type, nch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for ft in (0, 1, 2, 3, 4):
+            w, h = 7, 5
+            rows = [bytearray(rng.randrange(256) for _ in range(w * nch))
+                    for _ in range(h)]
+            got = mm._decode_png(
+                _make_filtered_png(w, h, nch, color_type, rows, ft)
+            )
+            assert got == (w, h, sum(sum(r) for r in rows), rows[0][0]), (
+                color_type, ft,
+            )
+
+
+def test_decode_png_pixels_refusals_and_quarantine(spark):
+    """Refuse-don't-approximate arms (16-bit, interlace raise
+    NotImplementedError; CRC damage, truncation, bad filter byte raise
+    ValueError) and the Spark kernel's quarantine: every malformed or
+    unsupported payload keeps its NULL-field row, never fails the
+    task."""
+    import struct as st
+    import zlib
+
+    base = _make_filtered_png(3, 3, 3, 2, [bytearray(9) for _ in range(3)], 0)
+
+    def patched(off, val):
+        body = bytearray(base)
+        body[off] = val
+        st.pack_into(
+            ">I", body, 16 + 13,
+            zlib.crc32(bytes(body[12 : 16 + 13])) & 0xFFFFFFFF,
+        )
+        return bytes(body)
+
+    with pytest.raises(NotImplementedError):
+        mm._decode_png(patched(24, 16))          # 16-bit depth
+    with pytest.raises(NotImplementedError):
+        mm._decode_png(patched(28, 1))           # Adam7 interlace
+    bad_crc = bytearray(base)
+    bad_crc[-20] ^= 0xFF                         # inside IDAT
+    with pytest.raises(ValueError):
+        mm._decode_png(bytes(bad_crc))
+    with pytest.raises(ValueError):
+        mm._decode_png(base[:-10])               # truncated tail
+    bad_ft = _make_filtered_png(
+        3, 3, 3, 2, [bytearray(9) for _ in range(3)], 0
+    )
+    # rebuild with an invalid filter byte (9) on the first scanline
+    rows = zlib.compress(b"\x09" + bytes(9) + (b"\x00" + bytes(9)) * 2)
+
+    def chunk(ct, data):
+        raw = ct + data
+        return (st.pack(">I", len(data)) + raw
+                + st.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF))
+
+    bad_ft = (mm._PNG_SIG
+              + chunk(b"IHDR", st.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0))
+              + chunk(b"IDAT", rows) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        mm._decode_png(bad_ft)
+    good = mm.encode_png(4, 2, bytes(range(24)))
+    rows_df = [
+        (1, good),                                # control: decodes
+        (2, patched(24, 16)),                     # 16-bit → quarantine
+        (3, bytes(bad_crc)),                      # CRC → quarantine
+        (4, b"\x89PNG\r\n\x1a\x00" + bytes(20)),  # broken signature
+        (5, None),                                # NULL payload
+        (6, mm.encode_jpeg_header(9, 7)),         # non-PNG format
+    ]
+    df = spark.createDataFrame(rows_df, "media_id LONG, payload BINARY")
+    media = df.select(
+        "media_id", F.lit("image/png").alias("media_type"), "payload"
+    )
+    out = {r["media_id"]: r for r in mm.decode_png_image(media).collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"],
+            out[1]["px_sum"], out[1]["topleft_r"]) == (
+        "png", 4, 2, sum(range(24)), 0,
+    )
+    for mid in (2, 3, 4, 5, 6):
+        assert out[mid]["format"] is None and out[mid]["px_sum"] is None
+
+
+def test_decode_png_pixels_synth_media(spark, docs):
+    """The full kernel over the mixed synth corpus: even non-corrupt ids
+    decode to their closed-form pixel sums, JPEG prefixes and corrupted
+    payloads quarantine — the Spark-side half of the
+    mm_decode_png_pixels driver gate."""
+    media = mm.synth_png_jpeg_media(docs.limit(40), "doc_id")
+    out = {r["media_id"]: r for r in mm.decode_png_image(media).collect()}
+    assert len(out) == 40
+    seen = set()
+    for mid, r in out.items():
+        if mid % 17 == 0 or mid % 2 == 1:
+            assert r["format"] is None and r["px_sum"] is None
+            seen.add("null")
+            continue
+        w, h = 1 + mid % 64, 1 + (mid // 3) % 48
+        n = w * h * 3
+        exp = sum((mid * 31 + i) % 256 for i in range(n))
+        assert (r["format"], r["width"], r["height"]) == ("png", w, h)
+        assert r["px_sum"] == exp and r["topleft_r"] == (mid * 31) % 256
+        seen.add("png")
+    assert seen == {"png", "null"}
+
+
 def test_decode_header_meta_malformed_payloads(spark):
     """Untrusted-bytes discipline: truncation, CRC damage, desync,
     SOF-less JPEG, foreign magic and NULL payloads all yield NULL-field

@@ -67,11 +67,12 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # reaches the 42 entries whose freshest green is r10 (two rounds old —
 # they lead _STALE_PRIORITY unconditionally per the capacity policy
 # below) and then the 50 r11-green entries in registry order.  Window
-# arithmetic this round: 2 new + 0 changed + 42 stale = 44, leaving
-# ~6 slots for the oldest r11 names (registry order) — so ROUND 14's
-# stale head is the ~44 r11 names not refreshed here, and ROUND 14
-# MUST KEEP NEW+CHANGED ≤ ~6 to close the cycle.  The 2 new entries
-# execute VERDICT r12 items 2 and 3 in order: sample_epoch_upsample
+# arithmetic this round: 3 new + 0 changed + 42 stale = 45, leaving
+# ~5 slots for the oldest r11 names (registry order) — so ROUND 14's
+# stale head is the ~45 r11 names not refreshed here, and ROUND 14
+# MUST KEEP NEW+CHANGED ≤ ~5 to close the cycle.  The first 2 new
+# entries execute VERDICT r12 items 2 and 3 in order (the third is
+# item 7's PNG decode): sample_epoch_upsample
 # registers the epoch-repeat materializer pair staged (tested +
 # mirrored) in round 12 — temperature_weights → epoch_plan →
 # upsample_corpus over a weight fixture that forces the n_epochs≥10
@@ -188,6 +189,12 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     # every primitive individually green, this gate pins the
     # COMPOSITION (column flow, persist boundary, group coverage)
     "pipeline_pretrain_mix",
+    # FULL PNG raster decode (VERDICT r12 item 7 / missing-item 2:
+    # stdlib zlib inflate + all-five-filter unfilter, every chunk CRC
+    # verified), gated on the synthesized real-PNG corpus whose pixel
+    # bytes the oracle recomputes in closed form; JPEG and
+    # corrupted-magic payloads pin the quarantine arm
+    "mm_decode_png_pixels",
 )
 
 
@@ -1350,6 +1357,38 @@ register(
     "CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(3 AS INT) END "
     "AS n_channels "
     "FROM documents",
+)
+
+
+def _mm_png_pixels_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FULL PNG raster decode (VERDICT r12 missing-item 2, closed this
+    # round): the even-id synth payloads are real zlib-deflated PNGs
+    # whose pixel byte i is (doc_id*31 + i) % 256, so the oracle
+    # recomputes width/height/px_sum/topleft_r in closed form while the
+    # engine side actually inflates the IDAT stream, CRC-checks every
+    # chunk and reverses the scanline filters — a wrong unfilter, a
+    # skipped CRC or a miscounted stride hash-mismatches immediately.
+    # JPEG prefixes (odd ids) and corrupted-magic payloads (every 17th)
+    # exercise the NULL-quarantine arm.
+    docs = t_wide(spark, sf_dir, "documents")
+    return mm.decode_png_image(mm.synth_png_jpeg_media(docs, "doc_id"))
+
+
+register(
+    "mm_decode_png_pixels", _mm_png_pixels_fn,
+    "WITH png AS (SELECT doc_id, 1 + doc_id % 64 AS w, "
+    "1 + (doc_id // 3) % 48 AS h FROM documents "
+    "WHERE doc_id % 2 = 0 AND doc_id % 17 <> 0), "
+    "px AS (SELECT doc_id, w, h, SUM((doc_id*31 + r.i) % 256) AS s "
+    "FROM png CROSS JOIN range(0, 9216) r(i) WHERE r.i < w * h * 3 "
+    "GROUP BY doc_id, w, h) "
+    "SELECT CAST(d.doc_id AS BIGINT) AS media_id, "
+    "CASE WHEN px.doc_id IS NOT NULL THEN 'png' END AS format, "
+    "CAST(px.w AS INT) AS width, CAST(px.h AS INT) AS height, "
+    "CAST(px.s AS BIGINT) AS px_sum, "
+    "CAST(CASE WHEN px.doc_id IS NOT NULL THEN (d.doc_id*31) % 256 END "
+    "AS INT) AS topleft_r "
+    "FROM documents d LEFT JOIN px ON px.doc_id = d.doc_id",
 )
 
 
