@@ -296,6 +296,17 @@ def test_png_encoder_emits_valid_png():
     )
 
 
+def _png_chunk(ctype, data):
+    """Length + type + payload + CRC32 — the PNG chunk framing shared
+    by the reference builder and the hand-crafted malformed payloads."""
+    import struct as st
+    import zlib
+
+    raw = ctype + data
+    return (st.pack(">I", len(data)) + raw
+            + st.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF))
+
+
 def _make_filtered_png(w, h, nch, color_type, rows_px, ft):
     """Reference PNG builder for the decode tests: apply spec filter
     ``ft`` FORWARD to the reconstructed scanlines (the inverse of what
@@ -303,11 +314,7 @@ def _make_filtered_png(w, h, nch, color_type, rows_px, ft):
     import struct as st
     import zlib
 
-    def chunk(ct, data):
-        raw = ct + data
-        return (st.pack(">I", len(data)) + raw
-                + st.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF))
-
+    chunk = _png_chunk
     stride = w * nch
     out_rows = b""
     prev = bytes(stride)
@@ -396,22 +403,24 @@ def test_decode_png_pixels_refusals_and_quarantine(spark):
         mm._decode_png(bytes(bad_crc))
     with pytest.raises(ValueError):
         mm._decode_png(base[:-10])               # truncated tail
-    bad_ft = _make_filtered_png(
-        3, 3, 3, 2, [bytearray(9) for _ in range(3)], 0
-    )
-    # rebuild with an invalid filter byte (9) on the first scanline
+    # invalid filter byte (9) on the first scanline
     rows = zlib.compress(b"\x09" + bytes(9) + (b"\x00" + bytes(9)) * 2)
-
-    def chunk(ct, data):
-        raw = ct + data
-        return (st.pack(">I", len(data)) + raw
-                + st.pack(">I", zlib.crc32(raw) & 0xFFFFFFFF))
-
     bad_ft = (mm._PNG_SIG
-              + chunk(b"IHDR", st.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0))
-              + chunk(b"IDAT", rows) + chunk(b"IEND", b""))
+              + _png_chunk(b"IHDR", st.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0))
+              + _png_chunk(b"IDAT", rows) + _png_chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         mm._decode_png(bad_ft)
+    # deflate bomb: tiny CRC-valid 1x1 IHDR over a highly compressible
+    # IDAT that would inflate to ~100 MB — the bounded decompressobj
+    # stops at expected+1 bytes and quarantines via ValueError instead
+    # of allocating the bomb (review-found: MemoryError would kill the
+    # task, violating the never-fail-the-job contract)
+    bomb = (mm._PNG_SIG
+            + _png_chunk(b"IHDR", st.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(bytes(100_000_000), 9))
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="decompressed length"):
+        mm._decode_png(bomb)
     good = mm.encode_png(4, 2, bytes(range(24)))
     rows_df = [
         (1, good),                                # control: decodes
@@ -425,7 +434,7 @@ def test_decode_png_pixels_refusals_and_quarantine(spark):
     media = df.select(
         "media_id", F.lit("image/png").alias("media_type"), "payload"
     )
-    out = {r["media_id"]: r for r in mm.decode_png_image(media).collect()}
+    out = {r["media_id"]: r for r in mm.decode_image(media).collect()}
     assert (out[1]["format"], out[1]["width"], out[1]["height"],
             out[1]["px_sum"], out[1]["topleft_r"]) == (
         "png", 4, 2, sum(range(24)), 0,
@@ -440,7 +449,7 @@ def test_decode_png_pixels_synth_media(spark, docs):
     payloads quarantine — the Spark-side half of the
     mm_decode_png_pixels driver gate."""
     media = mm.synth_png_jpeg_media(docs.limit(40), "doc_id")
-    out = {r["media_id"]: r for r in mm.decode_png_image(media).collect()}
+    out = {r["media_id"]: r for r in mm.decode_image(media).collect()}
     assert len(out) == 40
     seen = set()
     for mid, r in out.items():

@@ -67,10 +67,11 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # reaches the 42 entries whose freshest green is r10 (two rounds old —
 # they lead _STALE_PRIORITY unconditionally per the capacity policy
 # below) and then the 50 r11-green entries in registry order.  Window
-# arithmetic this round: 3 new + 0 changed + 42 stale = 45, leaving
-# ~5 slots for the oldest r11 names (registry order) — so ROUND 14's
-# stale head is the ~45 r11 names not refreshed here, and ROUND 14
-# MUST KEEP NEW+CHANGED ≤ ~5 to close the cycle.  The first 2 new
+# arithmetic this round: 3 new + 1 changed (mm_decode_image — the
+# PNG-arm merge into its sniff kernel) + 42 stale = 46, leaving ~4
+# slots for the oldest r11 names (registry order) — so ROUND 14's
+# stale head is the ~45 remaining r11 names, and ROUND 14 MUST KEEP
+# NEW+CHANGED ≤ ~5 to close the cycle.  The first 2 new
 # entries execute VERDICT r12 items 2 and 3 in order (the third is
 # item 7's PNG decode): sample_epoch_upsample
 # registers the epoch-repeat materializer pair staged (tested +
@@ -161,14 +162,17 @@ _STALE_PRIORITY = (
 )
 
 
-# Entries whose PLAN or ORACLE changed in round 13 — NONE.  The round's
-# runtime-code touches are confined to sampling.epoch_plan /
-# upsample_corpus (the ADVICE NaN-raise arm and the reserved-__u
-# helper-column rename + disjointness raise), which no previously-gated
-# entry's execution path calls: the pair is first REGISTERED this round
-# (both consumers sit in _NEW_THIS_ROUND and get fresh gates anyway),
-# so under the any-implementation-change policy nothing re-gates.
-_CHANGED_THIS_ROUND: tuple[str, ...] = ()
+# Entries whose PLAN or ORACLE changed in round 13.  The
+# sampling.epoch_plan / upsample_corpus touches (ADVICE NaN-raise arm,
+# reserved-__u helper rename) re-gate nothing: no previously-gated
+# entry calls them — the pair is first REGISTERED this round.  But
+# merging the PNG arm into decode_image's sniff dispatch (review pass
+# 2: one quarantine kernel, not three drifting copies) changes the
+# runtime code on mm_decode_image's execution path, so it re-gates
+# under the any-implementation-change policy (its OUTPUT is
+# byte-identical — the fixture is BMP-only — but the policy pins the
+# path, not the diff's expected effect).
+_CHANGED_THIS_ROUND: tuple[str, ...] = ("mm_decode_image",)
 
 
 # Queries REGISTERED IN ROUND 13 — never in any driver CORRECTNESS record;
@@ -1369,9 +1373,10 @@ def _mm_png_pixels_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunk and reverses the scanline filters — a wrong unfilter, a
     # skipped CRC or a miscounted stride hash-mismatches immediately.
     # JPEG prefixes (odd ids) and corrupted-magic payloads (every 17th)
-    # exercise the NULL-quarantine arm.
+    # exercise the NULL-quarantine arm.  Same sniff-dispatch kernel as
+    # mm_decode_image — one quarantine loop serves every raster format.
     docs = t_wide(spark, sf_dir, "documents")
-    return mm.decode_png_image(mm.synth_png_jpeg_media(docs, "doc_id"))
+    return mm.decode_image(mm.synth_png_jpeg_media(docs, "doc_id"))
 
 
 register(

@@ -282,9 +282,13 @@ IMAGE_META_SCHEMA = T.StructType(
 
 def decode_image(media: DataFrame) -> DataFrame:
     """REAL image decode over the media frame (Arrow-batched mapInPandas):
-    sniffs BMP/P6-PPM magic per payload and parses the raster — output is
-    (media_id, format, width, height, px_sum, topleft_r), all derived from
-    actual decoded bytes (no metadata trust)."""
+    sniffs BMP / P6-PPM / PNG magic per payload and parses the raster —
+    PNG via the full chunk-walk + bounded inflate + filter
+    reconstruction of :func:`_decode_png` (round 13; one sniff-dispatch
+    kernel serves every raster format rather than per-format copies of
+    the quarantine loop — review-found) — output is (media_id, format,
+    width, height, px_sum, topleft_r), all derived from actual decoded
+    bytes (no metadata trust)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -302,8 +306,10 @@ def decode_image(media: DataFrame) -> DataFrame:
                             fmt, (w, h, s, r) = "bmp", _decode_bmp(bb)
                         elif bb[:2] == b"P6":
                             fmt, (w, h, s, r) = "ppm", _decode_ppm(bb)
+                        elif bb[:8] == _PNG_SIG:
+                            fmt, (w, h, s, r) = "png", _decode_png(bb)
                     except (ValueError, NotImplementedError, IndexError,
-                            struct.error):
+                            struct.error, zlib_error):
                         fmt = w = h = s = r = None
                 out["media_id"].append(mid)
                 out["format"].append(fmt)
@@ -563,9 +569,18 @@ def _decode_png(b: bytes) -> tuple:
         pos += 12 + length
     if not seen_end or not idat:
         raise ValueError("PNG missing IDAT/IEND")
-    raw = zlib.decompress(bytes(idat))
     stride = w * nch
-    if len(raw) != h * (1 + stride):
+    expected = h * (1 + stride)
+    # the expected raster size is known BEFORE inflating, so bound the
+    # decompression at expected+1 bytes (review-found: an unbounded
+    # zlib.decompress let a ~200 KB deflate-bomb payload with a tiny
+    # CRC-valid IHDR allocate hundreds of MB before the length check —
+    # a MemoryError would kill the task instead of quarantining); one
+    # extra byte distinguishes "too long" from "exact" without ever
+    # materializing the bomb
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or not d.eof:
         raise ValueError("bad PNG decompressed length")
     prev = bytes(stride)
     px_sum = 0
@@ -609,41 +624,6 @@ def _decode_png(b: bytes) -> tuple:
     return w, h, px_sum, topleft
 
 
-def decode_png_image(media: DataFrame) -> DataFrame:
-    """REAL full-raster PNG decode over the media frame (Arrow-batched
-    ``mapInPandas``, the right tool for byte codecs): inflate + unfilter
-    via :func:`_decode_png`; output is (media_id, format, width, height,
-    px_sum, topleft_r) — the same contract as :func:`decode_image` for
-    BMP/PPM — all derived from reconstructed pixel bytes.  Non-PNG,
-    corrupt, truncated or unsupported-variant payloads keep their row
-    with NULL fields (the never-fail-the-job quarantine contract).
-    Scale shape: a pure per-row kernel over an already-partitioned
-    binary column — no shuffle, fan-out 1:1, decode cost proportional
-    to payload bytes exactly like a production codec pass."""
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in ("media_id", "format", "width",
-                                   "height", "px_sum", "topleft_r")}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                fmt = w = h = s = r = None
-                if payload is not None:
-                    bb = bytes(payload)
-                    try:
-                        if bb[:8] == _PNG_SIG:
-                            fmt, (w, h, s, r) = "png", _decode_png(bb)
-                    except (ValueError, NotImplementedError, IndexError,
-                            struct.error, zlib_error):
-                        fmt = w = h = s = r = None
-                out["media_id"].append(mid)
-                out["format"].append(fmt)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["px_sum"].append(s)
-                out["topleft_r"].append(r)
-            yield pd.DataFrame(out)
-
-    return media.mapInPandas(kernel, IMAGE_META_SCHEMA)
 
 
 def encode_jpeg_header(width: int, height: int,
