@@ -1146,6 +1146,23 @@ def test_adv_epoch_upsample(spark, adv):
     )
     with pytest.raises(Exception, match="max_repeats"):
         sp.epoch_plan(inf_mix).collect()
+    # -Infinity RAISES its own arm in BOTH engines (review-found: it
+    # would otherwise reach floor(), where DuckDB's cast errors but
+    # legacy-mode Spark silently yields Long.MIN_VALUE — the same
+    # silent divergence class as the NaN arm, ANSI-independent here)
+    ninf_mix = mix.withColumn(
+        "mix_weight",
+        F.when(F.col("lang") == "en", F.lit(float("-inf")))
+        .otherwise(F.col("mix_weight")),
+    )
+    with pytest.raises(Exception, match="-Infinity"):
+        sp.epoch_plan(ninf_mix).collect()
+    with pytest.raises(Exception, match="-Infinity"):
+        con.execute(sp.epoch_plan_sql(
+            f"SELECT * REPLACE (CASE WHEN lang = 'en' THEN "
+            f"CAST('-infinity' AS DOUBLE) ELSE mix_weight END "
+            f"AS mix_weight) FROM ({mix_sql})"
+        )).fetchall()
     # reserved-name contract (advice-found: unqualified helper columns
     # made a re-upsampled frame fail with an opaque ambiguous-reference
     # error): a corpus carrying repeat_idx or a __u helper RAISES with

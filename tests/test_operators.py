@@ -421,6 +421,20 @@ def test_decode_png_pixels_refusals_and_quarantine(spark):
             + _png_chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="decompressed length"):
         mm._decode_png(bomb)
+    # lying IHDR: dimensions whose raster could not fit in the shipped
+    # IDAT refuse BEFORE any inflate — covers both the 2^31-square
+    # payload that made the bounded decompress raise task-killing
+    # OverflowError (max_length past ssize_t) and the claimed-huge
+    # honest-looking IHDR that let a small bomb materialize fully
+    # before the length check (review-found, pass 3)
+    for w_, h_ in ((0x7FFFFFFF, 0x7FFFFFFF), (50_000, 50_000)):
+        lying = (mm._PNG_SIG
+                 + _png_chunk(b"IHDR",
+                              st.pack(">IIBBBBB", w_, h_, 8, 6, 0, 0, 0))
+                 + _png_chunk(b"IDAT", zlib.compress(bytes(64), 9))
+                 + _png_chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="IDAT could encode"):
+            mm._decode_png(lying)
     good = mm.encode_png(4, 2, bytes(range(24)))
     rows_df = [
         (1, good),                                # control: decodes

@@ -139,8 +139,8 @@ _DRIVER_VERIFIED = frozenset({
 # ROUND 10 (two rounds old — recomputed from CORRECTNESS_r01..r12) —
 # they lead the window so no green ever ages a THIRD round.  The 50
 # r11-green entries follow in registry order and fill the remainder of
-# the ~50-query window (with 2 new + 0 changed + 42 stale = 44, about
-# 6 of them fit this round; the rest lead round 14's stale head).
+# the ~50-query window (with 3 new + 1 changed + 42 stale = 46, about
+# 4 of them fit this round; the rest lead round 14's stale head).
 _STALE_PRIORITY = (
     "alg_bin_coordinates", "alg_rebin",
     "dedup_contamination", "dedup_exact", "dedup_near_keep",

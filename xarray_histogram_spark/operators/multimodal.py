@@ -571,13 +571,19 @@ def _decode_png(b: bytes) -> tuple:
         raise ValueError("PNG missing IDAT/IEND")
     stride = w * nch
     expected = h * (1 + stride)
-    # the expected raster size is known BEFORE inflating, so bound the
-    # decompression at expected+1 bytes (review-found: an unbounded
-    # zlib.decompress let a ~200 KB deflate-bomb payload with a tiny
-    # CRC-valid IHDR allocate hundreds of MB before the length check —
-    # a MemoryError would kill the task instead of quarantining); one
-    # extra byte distinguishes "too long" from "exact" without ever
-    # materializing the bomb
+    # two independent bounds make the inflate bomb-proof (review-found,
+    # two passes): (a) deflate expands at most 1032:1, so an IHDR whose
+    # raster could not possibly fit in the shipped IDAT bytes is lying —
+    # refuse BEFORE inflating (this also keeps expected+1 far inside
+    # ssize_t: a crafted 2^31-square IHDR over a 66-byte payload made
+    # the unbounded form raise task-killing OverflowError, and a
+    # claimed-huge-but-honest-looking IHDR let a ~200 KB bomb
+    # materialize its full ~200 MB before the length check); (b) the
+    # decompression itself is capped at expected+1 bytes, so an IDAT
+    # that inflates PAST an honest IHDR's raster stops one byte over
+    # and quarantines without ever allocating the bomb
+    if expected > len(idat) * 1032 + 1024:
+        raise ValueError("PNG raster larger than its IDAT could encode")
     d = zlib.decompressobj()
     raw = d.decompress(bytes(idat), expected + 1)
     if len(raw) != expected or not d.eof:

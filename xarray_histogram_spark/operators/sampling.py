@@ -1172,9 +1172,11 @@ def epoch_plan(weights: DataFrame, max_repeats: int = 1024) -> DataFrame:
     could, and the engines would silently diverge on it (advice-found:
     Spark's ``floor`` swallows NaN→0 INSIDE the Floor expression —
     before any ANSI cast check — while DuckDB's CAST raises), so a NaN
-    mix_weight RAISES in both engines; +Infinity falls to the
-    max_repeats raise below (inf > mr), keeping every non-finite input
-    explicit-never-silent.  ``max_repeats`` bounds the TOTAL repeats a row
+    mix_weight RAISES in both engines; -Infinity RAISES its own arm
+    (review-found: it would otherwise reach floor(), where DuckDB's
+    cast errors but legacy-mode Spark silently yields Long.MIN_VALUE);
+    +Infinity falls to the max_repeats raise (inf > mr) — every
+    non-finite input is explicit-never-silent.  ``max_repeats`` bounds the TOTAL repeats a row
     can materialize — n_epochs plus the possible fractional extra — so
     the guard raises whenever ``mix_weight > max_repeats`` (exactly
     max_repeats with zero remainder passes; review-found: a guard on
@@ -1192,6 +1194,16 @@ def epoch_plan(weights: DataFrame, max_repeats: int = 1024) -> DataFrame:
             "epoch_plan: mix_weight is NaN — the plan requires NULL or "
             "a finite mix_weight (the mixture operators encode the "
             "zero-mass arm as NULL, never NaN)"
+        )).cast("bigint"),
+    ).when(
+        # -Infinity would otherwise reach floor(): DuckDB's cast raises
+        # while legacy-mode Spark silently yields Long.MIN_VALUE — the
+        # exact silent divergence the NaN arm exists to prevent
+        # (review-found; +Infinity falls to the max_repeats raise below)
+        F.col("mix_weight") == F.lit(float("-inf")),
+        F.raise_error(F.lit(
+            "epoch_plan: mix_weight is -Infinity — the plan requires "
+            "NULL or a finite mix_weight"
         )).cast("bigint"),
     ).when(
         F.col("mix_weight") > F.lit(float(mr)),
@@ -1228,6 +1240,9 @@ def epoch_plan_sql(inner_sql: str, max_repeats: int = 1024) -> str:
         f"CAST(error('epoch_plan: mix_weight is NaN — the plan "
         f"requires NULL or a finite mix_weight (the mixture operators "
         f"encode the zero-mass arm as NULL, never NaN)') AS BIGINT) "
+        f"WHEN mix_weight = CAST('-infinity' AS DOUBLE) THEN "
+        f"CAST(error('epoch_plan: mix_weight is -Infinity — the plan "
+        f"requires NULL or a finite mix_weight') AS BIGINT) "
         f"WHEN mix_weight > {flit(float(mr))} THEN "
         f"CAST(error('epoch_plan: mix_weight "
         f"' || CAST(mix_weight AS VARCHAR) || ' can materialize more "
