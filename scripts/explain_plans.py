@@ -298,6 +298,36 @@ SELECTION: dict[str, tuple[list[str], str]] = {
         "At 100 TB: one aggregate scan + one sample scan, no collect, "
         "no cartesian, no Python eval — rates never leave the plan.",
     ),
+    "sample_epoch_upsample": (
+        ["BroadcastHashJoin", "Generate", "HashAggregate"],
+        "The epoch-repeat materializer (round 13): temperature_weights "
+        "collapses the corpus to k rows in ONE partial+final "
+        "HashAggregate + a k-row window, epoch_plan's floor/remainder "
+        "and the duplicate-plan-key raise run on that k-row side, and "
+        "the plan BROADCASTS onto one corpus scan (BroadcastHashJoin, "
+        "BuildRight). The repeat fan-out is a codegen'd "
+        "explode(sequence(...)) Generate placed AFTER the join — rows "
+        "multiply map-side, so no exchange ever ships repeated bytes "
+        "and the only blowup-scaled cost is the output itself, hard- "
+        "bounded by max_repeats. At 100 TB: two corpus scans (pruned), "
+        "zero corpus-proportional shuffles, no collect, no Python eval.",
+    ),
+    "pipeline_pretrain_mix": (
+        ["BroadcastHashJoin", "Generate", "ObjectHashAggregate",
+         "hashpartitioning"],
+        "The end-to-end pretraining mix over the persisted curate "
+        "scratch stage (dedup window + quality folds + PII scrub run "
+        "ONCE at build; both downstream scans read the parquet back "
+        "with column pruning — ReadSchema shows lang,n_tokens for the "
+        "weights scan and doc_id,lang,text for the corpus scan). "
+        "Downstream is the audited mixture shape: k-row weights "
+        "aggregate → broadcast join back → map-side explode fan-out → "
+        "tokenize projection → pack_sequences' ONE hashpartitioning "
+        "(shard) exchange + partial+final ObjectHashAggregate per "
+        "(shard, chunk). That single pack window is the only "
+        "corpus-proportional shuffle in the whole pipeline — the "
+        "corpus-global packing order is the operator's cost floor.",
+    ),
     "dedup_embed_extend_loop": (
         ["BroadcastHashJoin", "LeftAnti", "LeftOuter"],
         "The embedding twin of dedup_extend_loop: shard 2's semantic "
