@@ -980,6 +980,66 @@ def test_temperature_weights_semantics(spark):
     assert len(brows) == 3 and all(r[7] is not None for r in brows)
 
 
+def test_adv_ngram_familiarity(spark, adv):
+    """ngram_familiarity vs its mirror on a crafted corpus with every
+    arm forced and the exact integer sums hand-computed: shared grams
+    across docs (familiarity > 1), an all-unique doc (exactly 1.0), a
+    repeated gram WITHIN one doc (occurrences are a multiset — NOT
+    distinct: frequency weighting is the operator's point), short/NULL
+    docs absent, case-folding shared with H.tokens."""
+    df, con = adv
+    _check(tx.ngram_familiarity(df, "text", "doc_id"),
+           tx.ngram_familiarity_sql("adocs", "text", "doc_id"), con)
+    _check(tx.ngram_familiarity(df, "text", "doc_id", n=3),
+           tx.ngram_familiarity_sql("adocs", "text", "doc_id", n=3), con)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "the cat sat",          # grams: "the cat", "cat sat"
+                "the cat ran",          # shares "the cat" with 1 and 6
+                "zq xw",                # unique gram → familiarity 1.0
+                "one",                  # 1 token, n=2 → absent
+                None,                   # NULL → absent
+                "a b a b",              # "a b"×2 + "b a" within ONE doc
+            ],
+        }
+    ).astype({"doc_id": "int64"})
+    sdf = spark.createDataFrame(pdf, "doc_id long, text string")
+    ncon = duckdb.connect()
+    ncon.register("ndocs", pdf)
+    _check(tx.ngram_familiarity(sdf, "text", "doc_id"),
+           tx.ngram_familiarity_sql("ndocs", "text", "doc_id"), ncon)
+    got = {r["doc_id"]: r for r in
+           tx.ngram_familiarity(sdf, "text", "doc_id").collect()}
+    # corpus counts: "the cat"=2, "cat sat"=1, "cat ran"=1, "zq xw"=1,
+    # "a b"=2 (both in doc 6), "b a"=1
+    assert (got[1]["n_grams"], got[1]["fam_sum"]) == (2, 3)   # 2+1
+    assert got[1]["familiarity"] == 1.5
+    assert (got[2]["n_grams"], got[2]["fam_sum"]) == (2, 3)
+    assert (got[3]["n_grams"], got[3]["fam_sum"]) == (1, 1)
+    assert got[3]["familiarity"] == 1.0                       # unique arm
+    assert (got[6]["n_grams"], got[6]["fam_sum"]) == (3, 5)   # 2+1+2
+    assert 4 not in got and 5 not in got                      # absent arms
+    # refuse-don't-approximate: bool / fractional / < 1 n, both builders
+    for bad in (0, 2.5, True):
+        with pytest.raises(ValueError, match="exact integer"):
+            tx.ngram_familiarity(sdf, "text", "doc_id", n=bad)
+        with pytest.raises(ValueError, match="exact integer"):
+            tx.ngram_familiarity_sql("ndocs", "text", "doc_id", n=bad)
+    # n=1 degenerates to token familiarity (mean corpus token count)
+    got1 = {r["doc_id"]: r for r in
+            tx.ngram_familiarity(sdf, "text", "doc_id", n=1).collect()}
+    # token counts: the=2, cat=2, sat=1, ran=1, zq=1, xw=1, one=1,
+    # a=2, b=2 → doc 1: 2+2+1=5 over 3
+    assert (got1[1]["n_grams"], got1[1]["fam_sum"]) == (3, 5)
+    assert (got1[4]["n_grams"], got1[4]["fam_sum"]) == (1, 1)  # present at n=1
+    _check(tx.ngram_familiarity(sdf, "text", "doc_id", n=1),
+           tx.ngram_familiarity_sql("ndocs", "text", "doc_id", n=1), ncon)
+
+
 def test_adv_epoch_upsample(spark, adv):
     """epoch_plan + upsample_corpus vs their mirrors on the crafted
     corpus, with every arm forced: a multi-epoch group (de needs 3

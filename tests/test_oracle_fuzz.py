@@ -245,6 +245,39 @@ def test_fuzzed_pii_url_mirrors(spark, seed):
     )
 
 
+@pytest.mark.parametrize("seed", [31, 62])
+def test_fuzzed_ngram_familiarity_mirror(spark, seed):
+    """Random text corpora (shared + unique vocab, NULL/empty/short
+    docs, mixed case) × gram widths vs the DuckDB mirror: the window
+    corpus counts, integer sums and the single exact division must
+    hash-match on any partitioning."""
+    import duckdb
+    import pandas as pd
+
+    from xarray_histogram_spark.operators import text as tx
+
+    rng = random.Random(seed)
+    vocab = [f"w{k}" for k in range(40)] + ["THE", "the", "The"]
+    rows = []
+    for i in range(250):
+        m = rng.randrange(0, 9)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(m))
+                     if m else ""))
+    rows += [(250, None), (251, "solo"), (252, "  spaced   out  ")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+        {"doc_id": "int64"}
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("famdocs", pdf)
+    for n in (1, 2, 3):
+        assert_matches_sql(
+            tx.ngram_familiarity(df, "text", "doc_id", n=n),
+            tx.ngram_familiarity_sql("famdocs", "text", "doc_id", n=n),
+            con,
+        )
+
+
 @pytest.mark.parametrize("seed", [11, 22])
 def test_fuzzed_balanced_sample_mirror(spark, seed):
     """Random group distributions (skew, NULL groups, NULL keys) ×

@@ -71,7 +71,16 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # PNG-arm merge into its sniff kernel) + 42 stale = 46, leaving ~4
 # slots for the oldest r11 names (registry order) — so ROUND 14's
 # stale head is the ~45 remaining r11 names, and ROUND 14 MUST KEEP
-# NEW+CHANGED ≤ ~5 to close the cycle.  The first 2 new
+# NEW+CHANGED ≤ ~5 to close the cycle.  One round-14 new-entry
+# candidate ships tested but unregistered (the staging pattern that
+# has worked four rounds running): text.ngram_familiarity — the
+# corpus-relative CCNet/KenLM-analog familiarity score (integer-exact
+# mean corpus count per gram occurrence; mean LOG-prob is refused
+# because libm log and float-sum accumulation order would both
+# hash-diverge) — adversarial + fuzzed DuckDB mirrors committed
+# (test_adv_ngram_familiarity, test_fuzzed_ngram_familiarity_mirror),
+# plan shape the dup_ngram_stats audit (one explode + one gram-window
+# shuffle + one doc groupBy).  The first 2 new
 # entries execute VERDICT r12 items 2 and 3 in order (the third is
 # item 7's PNG decode): sample_epoch_upsample
 # registers the epoch-repeat materializer pair staged (tested +

@@ -583,6 +583,108 @@ def dup_ngram_stats_sql(table: str, text_col: str, id_col: str, n: int = 3) -> s
     )
 
 
+def _check_ngram_n(n) -> int:
+    """EXACT integer n ≥ 1 (bool is an int subclass — refuse it; a
+    float 2.0 silently truncating would change the gram width)."""
+    if isinstance(n, bool) or not isinstance(n, int) or n < 1:
+        raise ValueError(f"n must be an exact integer >= 1, got {n!r}")
+    return n
+
+
+def ngram_familiarity(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2
+) -> DataFrame:
+    """Corpus-relative n-gram familiarity per document — the
+    integer-exact analog of CCNet/KenLM-style perplexity filtering:
+    every token n-gram OCCURRENCE in a doc is scored by that gram's
+    total occurrence count across the WHOLE corpus, and the doc's
+    familiarity is the mean corpus count per occurrence,
+    ``fam_sum / n_grams``.  Fluent text built from corpus-common
+    constructions scores high; gibberish, OCR noise and
+    foreign-corpus contamination score low (every gram still scores
+    ≥ 1 — its own occurrence — so familiarity ≥ 1.0 exactly when a doc
+    has grams at all).  Returns (id, ``n_grams``, ``fam_sum``,
+    ``familiarity``); docs with NULL text or fewer than ``n`` tokens
+    have no grams and are absent from the output on both engines
+    (the ``dup_ngram_stats`` contract).  Threshold/top-fraction
+    filters compose downstream exactly as with the other quality
+    scores.
+
+    Why mean-count instead of mean log-probability: the cross-engine
+    contract.  A KenLM-style mean log P needs libm ``log`` — whose
+    last-ulp behavior differs between the JVM and DuckDB — AND a
+    float SUM whose accumulation order is partition-dependent; either
+    would hash-diverge.  ``fam_sum`` is an order-independent INTEGER
+    sum and ``familiarity`` is ONE exact IEEE division of two
+    integers, so the score is bit-identical everywhere — and the
+    monotone ranking a threshold filter actually consumes is the same
+    kind of signal.
+
+    Shape (the ``dup_ngram_stats`` audit): per-row gram arrays (zero
+    shuffle, occurrences kept — NOT distinct: frequency weighting is
+    the point), ONE explode + hash-partition on the gram with a window
+    ``COUNT(*) OVER (PARTITION BY gram)`` for the corpus count — no
+    counts-table self-join, so the gram relation shuffles once — then
+    one output-bounded ``groupBy(doc)`` integer sum.  100 TB: two
+    input-proportional shuffles of narrow (id, gram) rows; a viral
+    gram skews one partition exactly like any document-frequency
+    computation (AQE skew handling applies)."""
+    from pyspark.sql.window import Window
+
+    n = _check_ngram_n(n)
+    toks = H.tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    # Spark's sequence(1, m) REVERSES when m < 1 (DuckDB's
+    # generate_series is empty) — guard to the empty list so short
+    # docs drop identically (the dup_ngram_stats precedent)
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    g = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    cfreq = F.count(F.lit(1)).over(Window.partitionBy("__g"))
+    return (
+        g.select(F.col(id_col), cfreq.alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("__c").cast("bigint").alias("fam_sum"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "fam_sum",
+            (F.col("fam_sum").cast("double")
+             / F.col("n_grams").cast("double")).alias("familiarity"),
+        )
+    )
+
+
+def ngram_familiarity_sql(
+    table: str, text_col: str, id_col: str, n: int = 2
+) -> str:
+    """DuckDB mirror: same tokenizer, same occurrence-kept gram lists,
+    window corpus count, integer sum and the single exact division."""
+    n = _check_ngram_n(n)
+    toks = H.tokens_sql(text_col)
+    grams = (
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+    return (
+        f"WITH g AS (SELECT {id_col}, unnest({grams}) AS g FROM {table}), "
+        f"c AS (SELECT {id_col}, "
+        f"COUNT(*) OVER (PARTITION BY g) AS cfreq FROM g), "
+        f"p AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+        f"CAST(SUM(cfreq) AS BIGINT) AS fam_sum FROM c GROUP BY {id_col}) "
+        f"SELECT {id_col}, n_grams, fam_sum, "
+        f"CAST(fam_sum AS DOUBLE) / CAST(n_grams AS DOUBLE) "
+        f"AS familiarity FROM p"
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII detection + redaction
 # ---------------------------------------------------------------------------
