@@ -363,12 +363,16 @@ def test_examples_run_green(script):
 
 
 def test_csv_corpus_write_validation_guards(spark, tmp_path):
-    """The writer REJECTS the two shapes that cannot round-trip through
-    splittable CSV (review-found, both reproduced as silent corruption
-    before the guard): embedded newlines (a multiLine=False reader
-    trusts the truncated prefix) and a field equal to the null marker
-    (reads back as NULL — quoting cannot disambiguate, verified).
-    validate=False opts out for multi_line=True consumers."""
+    """The writer REJECTS the three shapes that cannot round-trip
+    through splittable CSV (each reproduced as silent corruption before
+    its guard): embedded newlines (a multiLine=False reader trusts the
+    truncated prefix), a field equal to the null marker (reads back as
+    NULL — quoting cannot disambiguate, verified), and NUL bytes
+    (hypothesis-found: univocity's parser uses '\\0' as its internal
+    no-char sentinel and silently DROPS a NUL inside a quoted field on
+    read while an unquoted one survives — ",\\x00" round-tripped to
+    "," — data-dependent, so ALL NULs are refused).  validate=False
+    opts out for multi_line=True consumers."""
     from xarray_histogram_spark.sources.corpus import (
         read_csv_corpus, write_csv_corpus,
     )
@@ -381,6 +385,9 @@ def test_csv_corpus_write_validation_guards(spark, tmp_path):
     mk = spark.createDataFrame([(1, "\\N")], "doc_id LONG, text STRING")
     with pytest.raises(ValueError, match="null marker"):
         write_csv_corpus(mk, str(tmp_path / "b"))
+    nul = spark.createDataFrame([(1, ",\x00x")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="NUL bytes"):
+        write_csv_corpus(nul, str(tmp_path / "n"))
     # opt-out + multi_line=True reader round-trips the newline doc
     p = str(tmp_path / "c")
     write_csv_corpus(nl, p, validate=False)

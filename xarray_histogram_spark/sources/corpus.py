@@ -108,9 +108,9 @@ def write_csv_corpus(
     writes NULL as an empty field, which reads back indistinguishable
     from the empty STRING — the classic silent NULL/'' conflation).
 
-    Two data shapes CANNOT round-trip through default-splittable CSV and
-    are REJECTED up front (``validate=True``, one extra scan over the
-    string columns — correctness beats the scan on an export path):
+    Three data shapes CANNOT round-trip through default-splittable CSV
+    and are REJECTED up front (``validate=True``, one extra scan over
+    the string columns — correctness beats the scan on an export path):
 
     - **embedded newlines**: a default ``multiLine=False`` reader splits
       the record mid-field and TRUSTS the truncated prefix (corrupt_col
@@ -122,6 +122,14 @@ def write_csv_corpus(
       (verified: quoteAll cannot disambiguate), so the literal string
       would silently come back as NULL.  Pick a marker your data cannot
       contain (it is a parameter for exactly this reason).
+    - **NUL bytes (U+0000)**: the byte survives on disk, but Spark's
+      univocity parser uses ``'\\0'`` as its internal no-char sentinel,
+      so a NUL inside a QUOTED field is silently dropped on read while
+      an unquoted one survives (hypothesis-found: ``",\\x00"`` came
+      back as ``","``) — whether a field gets quoted depends on its
+      content, making the corruption data-dependent and silent.  NUL
+      in corpus text is pathological anyway; scrub it upstream or use
+      the JSONL source, whose ``\\u0000`` escape round-trips.
     """
     if validate:
         str_fields = [
@@ -136,9 +144,11 @@ def write_csv_corpus(
                     F.max(c.contains("\n") | c.contains("\r")).alias(f"nl_{f}")
                 )
                 checks.append(F.max(c == F.lit(null_marker)).alias(f"mk_{f}"))
+                checks.append(F.max(c.contains("\u0000")).alias(f"nul_{f}"))
             row = df.agg(*checks).first()
             bad_nl = [f for f in str_fields if row[f"nl_{f}"]]
             bad_mk = [f for f in str_fields if row[f"mk_{f}"]]
+            bad_nul = [f for f in str_fields if row[f"nul_{f}"]]
             if bad_nl:
                 raise ValueError(
                     f"columns {bad_nl} contain embedded newlines, which a "
@@ -153,6 +163,15 @@ def write_csv_corpus(
                     f"{null_marker!r}, which would read back as NULL "
                     "(Spark cannot quote-disambiguate it). Choose a "
                     "null_marker the data cannot contain."
+                )
+            if bad_nul:
+                raise ValueError(
+                    f"columns {bad_nul} contain NUL bytes (U+0000), which "
+                    "Spark's univocity CSV parser silently DROPS inside "
+                    "quoted fields on read (its internal no-char sentinel) "
+                    "while unquoted ones survive — data-dependent silent "
+                    "corruption. Scrub NULs upstream or export via the "
+                    "JSONL source, whose \\u0000 escape round-trips."
                 )
     (
         df.write.mode(mode)
