@@ -1023,12 +1023,47 @@ def test_adv_ngram_familiarity(spark, adv):
     assert got[3]["familiarity"] == 1.0                       # unique arm
     assert (got[6]["n_grams"], got[6]["fam_sum"]) == (3, 5)   # 2+1+2
     assert 4 not in got and 5 not in got                      # absent arms
-    # refuse-don't-approximate: bool / fractional / < 1 n, both builders
+    # refuse-don't-approximate: bool / fractional / < 1 n, in BOTH gram
+    # operators' builders (review-found: the guard initially stopped one
+    # function short — dup_ngram_stats_sql would have interpolated
+    # 'i + 1.5' into the oracle SQL); np.int64 stays ACCEPTED via the
+    # ONE shared validator (the strict-isinstance regression it kills)
     for bad in (0, 2.5, True):
-        with pytest.raises(ValueError, match="exact integer"):
-            tx.ngram_familiarity(sdf, "text", "doc_id", n=bad)
-        with pytest.raises(ValueError, match="exact integer"):
-            tx.ngram_familiarity_sql("ndocs", "text", "doc_id", n=bad)
+        for fn in (
+            lambda b: tx.ngram_familiarity(sdf, "text", "doc_id", n=b),
+            lambda b: tx.ngram_familiarity_sql("ndocs", "text", "doc_id", n=b),
+            lambda b: tx.dup_ngram_stats(sdf, "text", "doc_id", n=b),
+            lambda b: tx.dup_ngram_stats_sql("ndocs", "text", "doc_id", n=b),
+        ):
+            with pytest.raises(ValueError, match="must be an integer"):
+                fn(bad)
+    import numpy as np
+
+    assert (tx.ngram_familiarity_sql("ndocs", "text", "doc_id", n=np.int64(2))
+            == tx.ngram_familiarity_sql("ndocs", "text", "doc_id", n=2))
+    # the shared-kernel refactor left the gated dup_ngram oracle SQL
+    # byte-identical (the hex4_val_sql byte-identity precedent): the
+    # pre-refactor builder's exact f-string shape is reconstructed here
+    # independently and compared whole
+    from xarray_histogram_spark.functions import hashing as H
+
+    toks = H.tokens_sql("text")
+    pre_refactor_grams = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, len({toks}) - 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 2), ' ')))"
+    )
+    assert tx.dup_ngram_stats_sql("documents", "text", "doc_id", n=3) == (
+        f"WITH g AS (SELECT doc_id, unnest({pre_refactor_grams}) AS g "
+        f"FROM documents), "
+        f"d AS (SELECT doc_id, "
+        f"COUNT(*) OVER (PARTITION BY g) AS dfreq FROM g), "
+        f"p AS (SELECT doc_id, COUNT(*) AS n_grams, "
+        f"CAST(SUM(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup "
+        f"FROM d GROUP BY doc_id) "
+        f"SELECT doc_id, n_grams, n_dup, "
+        f"CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac FROM p"
+    )
     # n=1 degenerates to token familiarity (mean corpus token count)
     got1 = {r["doc_id"]: r for r in
             tx.ngram_familiarity(sdf, "text", "doc_id", n=1).collect()}

@@ -388,6 +388,12 @@ def test_csv_corpus_write_validation_guards(spark, tmp_path):
     nul = spark.createDataFrame([(1, ",\x00x")], "doc_id LONG, text STRING")
     with pytest.raises(ValueError, match="NUL bytes"):
         write_csv_corpus(nul, str(tmp_path / "n"))
+    # …and the NUL check survives validate=False (review-found: the
+    # newline escape hatch must not waive the guard that has no safe
+    # reader configuration — multi_line=True does not recover a
+    # quoted-field NUL)
+    with pytest.raises(ValueError, match="NUL bytes"):
+        write_csv_corpus(nul, str(tmp_path / "n2"), validate=False)
     # opt-out + multi_line=True reader round-trips the newline doc
     p = str(tmp_path / "c")
     write_csv_corpus(nl, p, validate=False)

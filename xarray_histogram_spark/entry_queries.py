@@ -67,10 +67,11 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # reaches the 42 entries whose freshest green is r10 (two rounds old —
 # they lead _STALE_PRIORITY unconditionally per the capacity policy
 # below) and then the 50 r11-green entries in registry order.  Window
-# arithmetic this round: 3 new + 2 changed (mm_decode_image — the
-# PNG-arm merge into its sniff kernel — and source_csv_roundtrip — the
-# NUL-byte writer guard; it was already in the stale head, so the
-# total is unchanged) + 41 remaining stale = 46, leaving ~4
+# arithmetic this round: 3 new + 3 changed (mm_decode_image — the
+# PNG-arm merge into its sniff kernel — plus source_csv_roundtrip and
+# text_dup_ngrams — the NUL-byte writer guard and the shared
+# gram-kernel unification; both were already in the stale head, so the
+# total is unchanged) + 40 remaining stale = 46, leaving ~4
 # slots for the oldest r11 names (registry order) — so ROUND 14's
 # stale head is the ~45 remaining r11 names, and ROUND 14 MUST KEEP
 # NEW+CHANGED ≤ ~5 to close the cycle.  One round-14 new-entry
@@ -150,10 +151,10 @@ _DRIVER_VERIFIED = frozenset({
 # ROUND 10 (two rounds old — recomputed from CORRECTNESS_r01..r12) —
 # they lead the window so no green ever ages a THIRD round.  The 50
 # r11-green entries follow in registry order and fill the remainder of
-# the ~50-query window (with 3 new + 2 changed + 41 remaining stale
+# the ~50-query window (with 3 new + 3 changed + 40 remaining stale
 # = 46, about 4 of them fit this round; the rest lead round 14's
-# stale head; source_csv_roundtrip sits in BOTH lists — changed wins,
-# the stale block skips it as seen).
+# stale head; source_csv_roundtrip and text_dup_ngrams sit in BOTH
+# lists — changed wins, the stale block skips them as seen).
 _STALE_PRIORITY = (
     "alg_bin_coordinates", "alg_rebin",
     "dedup_contamination", "dedup_exact", "dedup_near_keep",
@@ -190,9 +191,14 @@ _STALE_PRIORITY = (
 # runtime code on its export path — output byte-identical on the
 # NUL-free fixture, re-gated anyway; it was already in this round's
 # stale head, so the window total is unchanged (registry() places it
-# in the changed block and the stale block skips it as seen).
+# in the changed block and the stale block skips it as seen).  And
+# text_dup_ngrams: review pass 4 unified the four drifting gram-kernel
+# copies into _gram_array/_grams_sql — the oracle SQL is pinned
+# byte-identical and the engine expression unchanged, but the runtime
+# path moved through the shared helper, so it re-gates; also already
+# in the stale head, window total unchanged.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "mm_decode_image", "source_csv_roundtrip",
+    "mm_decode_image", "source_csv_roundtrip", "text_dup_ngrams",
 )
 
 

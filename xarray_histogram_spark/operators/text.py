@@ -529,18 +529,9 @@ def dup_ngram_stats(
     """
     from pyspark.sql.window import Window
 
+    n = _check_ngram_n(n)
     toks = H.tokens(F.col(text_col))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    )
-    # Spark's sequence(1, m) REVERSES when m < 1 (DuckDB's generate_series
-    # is empty) — guard to the empty list so short docs drop identically.
-    grams = F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    grams = _gram_array(toks, n, distinct=True)
     g = df.select(F.col(id_col), F.explode(grams).alias("__g"))
     dfreq = F.count(F.lit(1)).over(Window.partitionBy("__g"))
     return (
@@ -565,12 +556,9 @@ def dup_ngram_stats(
 
 def dup_ngram_stats_sql(table: str, text_col: str, id_col: str, n: int = 3) -> str:
     """DuckDB mirror: same tokenizer, list_distinct n-grams, window df."""
+    n = _check_ngram_n(n)
     toks = H.tokens_sql(text_col)
-    grams = (
-        f"list_distinct(list_transform("
-        f"generate_series(1, len({toks}) - {n - 1}), "
-        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
-    )
+    grams = _grams_sql(toks, n, distinct=True)
     return (
         f"WITH g AS (SELECT {id_col}, unnest({grams}) AS g FROM {table}), "
         f"d AS (SELECT {id_col}, "
@@ -584,11 +572,44 @@ def dup_ngram_stats_sql(table: str, text_col: str, id_col: str, n: int = 3) -> s
 
 
 def _check_ngram_n(n) -> int:
-    """EXACT integer n ≥ 1 (bool is an int subclass — refuse it; a
-    float 2.0 silently truncating would change the gram width)."""
-    if isinstance(n, bool) or not isinstance(n, int) or n < 1:
-        raise ValueError(f"n must be an exact integer >= 1, got {n!r}")
-    return n
+    """EXACT integer n ≥ 1 via the ONE shared validator
+    (review-found: a third hand-kept copy of the bool-exclusion/
+    __index__/range skeleton appeared here and reintroduced the
+    np.int64 refusal the shared validator exists to prevent).  Applied
+    by BOTH gram operators and both SQL builders — a fractional n
+    would interpolate ``i + 1.5`` into the oracle SQL and bool True
+    would silently run n=1 semantics."""
+    from .sampling import _check_exact_int
+
+    return _check_exact_int(n, "n", 1, None, ">= 1")
+
+
+def _gram_array(toks, n: int, distinct: bool):
+    """Token n-gram array column shared by :func:`dup_ngram_stats` and
+    :func:`ngram_familiarity` (ONE expression, not synced copies — the
+    ``tokens_raw`` precedent; review-found: four drifting kernel
+    copies): space-joined n-token windows with the short-doc guard —
+    Spark's sequence(1, m) REVERSES when m < 1 where DuckDB's
+    generate_series is empty, so guard to the empty list and short
+    docs drop identically in both engines."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _grams_sql(toks: str, n: int, distinct: bool) -> str:
+    """DuckDB twin of :func:`_gram_array` (same sharing contract)."""
+    g = (
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+    return f"list_distinct({g})" if distinct else g
 
 
 def ngram_familiarity(
@@ -633,16 +654,7 @@ def ngram_familiarity(
 
     n = _check_ngram_n(n)
     toks = H.tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    # Spark's sequence(1, m) REVERSES when m < 1 (DuckDB's
-    # generate_series is empty) — guard to the empty list so short
-    # docs drop identically (the dup_ngram_stats precedent)
-    grams = F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    grams = _gram_array(toks, n, distinct=False)
     g = df.select(F.col(id_col), F.explode(grams).alias("__g"))
     cfreq = F.count(F.lit(1)).over(Window.partitionBy("__g"))
     return (
@@ -669,10 +681,7 @@ def ngram_familiarity_sql(
     window corpus count, integer sum and the single exact division."""
     n = _check_ngram_n(n)
     toks = H.tokens_sql(text_col)
-    grams = (
-        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
-        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
-    )
+    grams = _grams_sql(toks, n, distinct=False)
     return (
         f"WITH g AS (SELECT {id_col}, unnest({grams}) AS g FROM {table}), "
         f"c AS (SELECT {id_col}, "

@@ -127,28 +127,36 @@ def write_csv_corpus(
       so a NUL inside a QUOTED field is silently dropped on read while
       an unquoted one survives (hypothesis-found: ``",\\x00"`` came
       back as ``","``) — whether a field gets quoted depends on its
-      content, making the corruption data-dependent and silent.  NUL
-      in corpus text is pathological anyway; scrub it upstream or use
-      the JSONL source, whose ``\\u0000`` escape round-trips.
+      content, making the corruption data-dependent and silent.  This
+      check runs EVEN WITH ``validate=False`` — unlike newlines there
+      is no reader configuration that recovers it.  NUL in corpus text
+      is pathological anyway; scrub it upstream or use the JSONL
+      source, whose ``\\u0000`` escape round-trips (verified).
     """
-    if validate:
-        str_fields = [
-            f.name for f in df.schema.fields
-            if isinstance(f.dataType, T.StringType)
+    str_fields = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.StringType)
+    ]
+    if str_fields:
+        # the NUL check runs even with validate=False: unlike embedded
+        # newlines, NO reader configuration recovers a quoted-field NUL
+        # (multi_line=True does not help), so the documented newline
+        # escape hatch must not silently disable it (review-found)
+        checks = [
+            F.max(F.col(f).contains("\u0000")).alias(f"nul_{f}")
+            for f in str_fields
         ]
-        if str_fields:
-            checks = []
+        if validate:
             for f in str_fields:
                 c = F.col(f)
                 checks.append(
                     F.max(c.contains("\n") | c.contains("\r")).alias(f"nl_{f}")
                 )
                 checks.append(F.max(c == F.lit(null_marker)).alias(f"mk_{f}"))
-                checks.append(F.max(c.contains("\u0000")).alias(f"nul_{f}"))
-            row = df.agg(*checks).first()
+        row = df.agg(*checks).first()
+        if validate:
             bad_nl = [f for f in str_fields if row[f"nl_{f}"]]
             bad_mk = [f for f in str_fields if row[f"mk_{f}"]]
-            bad_nul = [f for f in str_fields if row[f"nul_{f}"]]
             if bad_nl:
                 raise ValueError(
                     f"columns {bad_nl} contain embedded newlines, which a "
@@ -164,15 +172,18 @@ def write_csv_corpus(
                     "(Spark cannot quote-disambiguate it). Choose a "
                     "null_marker the data cannot contain."
                 )
-            if bad_nul:
-                raise ValueError(
-                    f"columns {bad_nul} contain NUL bytes (U+0000), which "
-                    "Spark's univocity CSV parser silently DROPS inside "
-                    "quoted fields on read (its internal no-char sentinel) "
-                    "while unquoted ones survive — data-dependent silent "
-                    "corruption. Scrub NULs upstream or export via the "
-                    "JSONL source, whose \\u0000 escape round-trips."
-                )
+        bad_nul = [f for f in str_fields if row[f"nul_{f}"]]
+        if bad_nul:
+            raise ValueError(
+                f"columns {bad_nul} contain NUL bytes (U+0000), which "
+                "Spark's univocity CSV parser silently DROPS inside "
+                "quoted fields on read (its internal no-char sentinel) "
+                "while unquoted ones survive — data-dependent silent "
+                "corruption with no safe reader configuration, so "
+                "validate=False does NOT waive this check. Scrub NULs "
+                "upstream or export via the JSONL source, whose "
+                "\\u0000 escape round-trips."
+            )
     (
         df.write.mode(mode)
         .option("header", True)
