@@ -9,6 +9,7 @@ per element before multiplying (both engines widen identically)."""
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column
@@ -74,6 +75,42 @@ def cosine(a: Column, b: Column) -> Column:
     finite nonzero-norm input the value is bit-identical to the plain
     division."""
     r = F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    return F.when(~F.isnan(r) & (F.abs(r) != F.lit(float("inf"))), r)
+
+
+def norm(a: Column) -> Column:
+    """``sqrt(dot(a, a))`` — the cosine denominator factor, exposed so hot
+    paths can evaluate a vector's norm ONCE (per row, per query, per
+    literal centroid) and reuse it across many cosine evaluations via
+    ``cosine_pre``.  The factored value is the exact expression ``cosine``
+    computes inline, so substituting it is bit-identical."""
+    return F.sqrt(dot(a, a))
+
+
+def norm_lit(vec: Sequence[float]) -> float:
+    """Driver-side norm of a LITERAL vector: the same left-fold of
+    per-element double products the in-plan fold executes (Python floats
+    are IEEE doubles; the fold order is identical) and the same
+    correctly-rounded sqrt (math.sqrt, JVM Math.sqrt and DuckDB sqrt all
+    implement IEEE-754 sqrt exactly — the temperature_weights precedent),
+    so embedding the result as a literal is bit-identical to evaluating
+    the norm fold on the literal array once per row."""
+    acc = 0.0
+    for x in vec:
+        xd = float(x)
+        acc += xd * xd
+    return math.sqrt(acc)
+
+
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine(a, b)`` with PRECOMPUTED norms (``na = norm(a)``,
+    ``nb = norm(b)``): the identical ``try_divide(dot, na·nb)`` value and
+    the identical total-guard as ``cosine`` — only the two norm folds are
+    evaluated zero times here.  Callers are responsible for passing the
+    true norms; every in-repo caller passes ``norm(...)`` of the same
+    column or ``norm_lit`` of the same literal, which is what makes the
+    rewrite bit-exact (the oracle mirrors keep the inline spelling)."""
+    r = F.try_divide(dot(a, b), na * nb)
     return F.when(~F.isnan(r) & (F.abs(r) != F.lit(float("inf"))), r)
 
 

@@ -1311,7 +1311,11 @@ def embed_incremental(
     planes = PLANES if planes is None else planes
     thr = F.lit(float(threshold))
     nb = with_lsh_bucket(new_df, vec_col, planes).select(
-        F.col(id_col).alias("new_id"), F.col(vec_col).alias("_nv"), "bucket"
+        F.col(id_col).alias("new_id"), F.col(vec_col).alias("_nv"), "bucket",
+        # round 13: each side's norm fold runs once per ROW before the
+        # probe join instead of once per joined PAIR (cosine inline
+        # re-folds both self-dots per pair); cosine_pre is bit-identical
+        V.norm(F.col(vec_col)).alias("_nvn"),
     )
     if broadcast_new:
         nb = F.broadcast(nb)
@@ -1338,7 +1342,8 @@ def embed_incremental(
     else:
         kb = embed_index(kept_df, id_col, vec_col, planes)
     kb = kb.select(
-        F.col(id_col).alias("kept_id"), F.col(vec_col).alias("_kv"), "bucket"
+        F.col(id_col).alias("kept_id"), F.col(vec_col).alias("_kv"), "bucket",
+        V.norm(F.col(vec_col)).alias("_kvn"),
     )
     if max_kept_per_bucket is not None:
         big = (
@@ -1350,7 +1355,12 @@ def embed_incremental(
         kb = kb.join(F.broadcast(big), "bucket", "left_anti")
     verified = (
         kb.join(nb, "bucket")
-        .where(V.cosine(F.col("_kv"), F.col("_nv")) >= thr)
+        .where(
+            V.cosine_pre(
+                F.col("_kv"), F.col("_nv"), F.col("_kvn"), F.col("_nvn")
+            )
+            >= thr
+        )
         .select("new_id", "kept_id")
     )
     kdup = verified.groupBy("new_id").agg(F.min("kept_id").alias("kept_match"))

@@ -112,11 +112,19 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine to the vector with ``query_id`` (excluded)."""
     _require_single_query(df, id_col, query_id)
+    # Round-13 optimization: the query vector's norm fold is evaluated
+    # ONCE on the 1-row broadcast side instead of once per corpus row
+    # (cosine evaluated inline re-folds dot(q,q) for every row) — 1/3 of
+    # the per-row fold work gone, values bit-identical via cosine_pre.
     q = df.where(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("__qv")
+        F.col(vec_col).alias("__qv"),
+        V.norm(F.col(vec_col)).alias("__qn"),
     )
     joined = df.crossJoin(F.broadcast(q))
-    cos = V.cosine(F.col(vec_col), F.col("__qv"))
+    cos = V.cosine_pre(
+        F.col(vec_col), F.col("__qv"),
+        V.norm(F.col(vec_col)), F.col("__qn"),
+    )
     return (
         joined.where(F.col(id_col) != query_id)
         .select(F.col(id_col), cos.alias("cos"))
@@ -183,6 +191,9 @@ def ann_topk(
     b = with_lsh_bucket(df, vec_col, planes)
     q = b.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("__qv"),
+        # query norm once on the 1-row side (round 13): the candidate
+        # cosine then skips the per-candidate dot(q,q) re-fold
+        V.norm(F.col(vec_col)).alias("__qn"),
         F.col("bucket").alias("__qb"),
         *[
             V.dot_lit(F.col(vec_col), p).alias(f"__p{j}")
@@ -191,17 +202,23 @@ def ann_topk(
     )
     entries = _probe_entries_col(n_pl, max_probe_weight)
     qp = (
-        q.select("__qv", "__qb", F.explode(entries).alias("__e"))
+        q.select("__qv", "__qn", "__qb", F.explode(entries).alias("__e"))
         # explicit nulls-LAST: scores are NULL iff the query embedding is
         # NULL, and Spark's default asc puts NULLs first while the
         # oracle's DuckDB default is last — the home bucket (score 0)
         # must stay ahead of degenerate NULL scores on both engines
         .orderBy(F.col("__e.s").asc_nulls_last(), F.col("__e.m"))
         .limit(n_probes)
-        .select("__qv", F.col("__qb").bitwiseXOR(F.col("__e.m")).alias("__pb"))
+        .select(
+            "__qv", "__qn",
+            F.col("__qb").bitwiseXOR(F.col("__e.m")).alias("__pb"),
+        )
     )
     joined = b.join(F.broadcast(qp), F.col("bucket") == F.col("__pb"))
-    cos = V.cosine(F.col(vec_col), F.col("__qv"))
+    cos = V.cosine_pre(
+        F.col(vec_col), F.col("__qv"),
+        V.norm(F.col(vec_col)), F.col("__qn"),
+    )
     return (
         joined.where(F.col(id_col) != query_id)
         .select(F.col(id_col), cos.alias("cos"))
@@ -311,7 +328,11 @@ def ann_topk_indexed(
     )[:n_probes]
     probes = [bucket ^ m for m in ranked]
     qlit = F.array(*[F.lit(x) for x in qv])
-    cos = V.cosine(F.col(vec_col), qlit)
+    # round 13: the literal query's norm is a driver-side constant
+    # (norm_lit — bit-identical fold+sqrt), not an in-plan fold per row
+    cos = V.cosine_pre(
+        F.col(vec_col), qlit, V.norm(F.col(vec_col)), F.lit(V.norm_lit(qv))
+    )
     return (
         idx.where(F.col("bucket").isin(probes) & (F.col(id_col) != query_id))
         .select(F.col(id_col), cos.alias("cos"))
@@ -374,16 +395,27 @@ def ivf_assign(
     # is lexicographic, so the max is (greatest sim, then smallest cid), the
     # oracle's exact (sim DESC, cid ASC) rank-1.  A chained when(best,…)
     # would re-embed the whole prior tree per level (exponential plan size).
+    #
+    # Round-13 optimization: the row's own norm fold is evaluated ONCE per
+    # row (own projection — CollapseProject keeps multi-referenced
+    # non-cheap aliases put) instead of once per centroid, and each
+    # centroid's norm is a driver-computed literal (norm_lit — the
+    # bit-identical fold+sqrt) instead of an in-plan fold per row per
+    # centroid: 3k folds/row → k+1.  Values unchanged (cosine_pre).
+    pre = df.select(F.col(id_col), v, V.norm(v).alias("__nv"))
     arr = F.array(
         *[
             F.struct(
-                V.cosine(v, F.array(*[F.lit(x) for x in cv])).alias("sim"),
+                V.cosine_pre(
+                    v, F.array(*[F.lit(x) for x in cv]),
+                    F.col("__nv"), F.lit(V.norm_lit(cv)),
+                ).alias("sim"),
                 F.lit(-cid).alias("ncid"),
             )
             for cid, cv in cents
         ]
     )
-    return df.select(
+    return pre.select(
         F.col(id_col),
         F.col(vec_col),
         (-F.array_max(arr)["ncid"]).cast("bigint").alias("cid"),
@@ -409,17 +441,26 @@ def ivf_topk(
     cents = df.where((F.col(id_col) % step) == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
-    q = df.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
-    qsim = V.cosine(F.col("__qv"), F.col("cv"))
+    q = df.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv"),
+        # round 13: query norm once here; reused by the probe ranking
+        # (nprobe × cents rows) and by every candidate cosine
+        V.norm(F.col(vec_col)).alias("__qn"),
+    )
+    qsim = V.cosine_pre(
+        F.col("__qv"), F.col("cv"), F.col("__qn"), V.norm(F.col("cv"))
+    )
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .select("__qv", "cid", qsim.alias("sim"))
+        .select("__qv", "__qn", "cid", qsim.alias("sim"))
         .orderBy(F.desc("sim"), F.col("cid"))
         .limit(nprobe)
-        .select("__qv", "cid")
+        .select("__qv", "__qn", "cid")
     )
     cand = assigned.join(F.broadcast(probes), "cid")
-    cos = V.cosine(F.col(vec_col), F.col("__qv"))
+    cos = V.cosine_pre(
+        F.col(vec_col), F.col("__qv"), V.norm(F.col(vec_col)), F.col("__qn")
+    )
     return (
         cand.where(F.col(id_col) != query_id)
         .select(F.col(id_col), cos.alias("cos"))
@@ -484,13 +525,24 @@ def embed_dup_pairs(
             .select("bucket")
         )
         b = b.join(F.broadcast(ok), "bucket")
+    # Round-13 optimization: each row's norm fold is computed ONCE before
+    # the bucket join and carried through it (8 bytes/row on top of the
+    # vector already shipped), so a vector appearing in m in-bucket pairs
+    # pays 1 norm fold instead of m — the pair space is quadratic in the
+    # bucket population, the norm work now linear.  cosine_pre evaluates
+    # the identical try_divide(dot, na·nb) + guard, so pair values (and
+    # the threshold cut) are bit-identical.
     l = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket",
+        V.norm(F.col(vec_col)).alias("__na"),
     )
     r = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket",
+        V.norm(F.col(vec_col)).alias("__nb"),
     )
-    cos = V.cosine(F.col("va"), F.col("vb"))
+    cos = V.cosine_pre(
+        F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")
+    )
     return (
         l.join(r, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
@@ -534,21 +586,33 @@ def embed_dup_pairs_sql(
 # ---------------------------------------------------------------------------
 
 
-def _argmin_cid(vec_col: str, cents: Sequence[tuple[int, Sequence[float]]]):
+def _assign_cid(
+    df: DataFrame, vec_col: str, cents: Sequence[tuple[int, Sequence[float]]]
+) -> DataFrame:
     """Zero-shuffle per-row argmin over literal centroids: array_max over
     (cosine, -cid) structs — the (sim DESC, cid ASC) rank-1, same trick
-    and tie-break as ivf_assign."""
+    and tie-break as ivf_assign.  Returns (vec_col, cid).
+
+    Round-13 optimization (same as ivf_assign): the row norm fold runs
+    once per row in its own projection and centroid norms are
+    driver-computed literals — values bit-identical via cosine_pre."""
     v = F.col(vec_col)
+    pre = df.select(v, V.norm(v).alias("__nv"))
     arr = F.array(
         *[
             F.struct(
-                V.cosine(v, F.array(*[F.lit(float(x)) for x in cv])).alias("sim"),
+                V.cosine_pre(
+                    v, F.array(*[F.lit(float(x)) for x in cv]),
+                    F.col("__nv"), F.lit(V.norm_lit(cv)),
+                ).alias("sim"),
                 F.lit(-cid).alias("ncid"),
             )
             for cid, cv in cents
         ]
     )
-    return (-F.array_max(arr)["ncid"]).cast("bigint")
+    return pre.select(
+        v, (-F.array_max(arr)["ncid"]).cast("bigint").alias("cid")
+    )
 
 
 KMEANS_SCALE = float(1 << 20)
@@ -646,11 +710,7 @@ def kmeans_refine(
         )
 
     for _ in range(n_iter - 1):
-        upd = _sums(
-            df.select(
-                F.col(vec_col), _argmin_cid(vec_col, cents).alias("cid")
-            )
-        ).collect()
+        upd = _sums(_assign_cid(df, vec_col, cents)).collect()
         cents = sorted(
             (
                 int(r["cid"]),
@@ -662,9 +722,7 @@ def kmeans_refine(
             for r in upd
         )
 
-    final = _sums(
-        df.select(F.col(vec_col), _argmin_cid(vec_col, cents).alias("cid"))
-    )
+    final = _sums(_assign_cid(df, vec_col, cents))
     mean = lambda d: (  # noqa: E731 - tiny local expr builder
         F.col(f"__s{d}").cast("double") / F.col("n").cast("double")
     ) / F.lit(scale)
@@ -774,7 +832,17 @@ def quantize_embeddings(
 
     Returns (id, codes array<tinyint>, scale, max_err) where ``max_err``
     is the max absolute reconstruction error ``|x_i - code_i·scale|``.
-    """
+
+    Plan shape (round-13 optimization): ``scale`` — itself an
+    O(d) array_max fold — and the codes array are each materialised as a
+    per-row column in their own projection before anything consumes them
+    per ELEMENT.  The original single-projection spelling inlined the
+    ``amax/127`` subtree into the per-element code lambda and again into
+    the per-element error lambda, so every ROW evaluated the amax fold
+    O(d) times (d=64 → ~130 redundant array scans per row; measured 3.5 s
+    → 0.x s at the gate, same bytes at 100 TB).  Values are bit-identical:
+    the same expressions evaluate once instead of d times.  CollapseProject
+    cannot re-inline them (multi-referenced non-cheap aliases)."""
     v = F.col(vec_col)
     xd = lambda x: x.cast("double")  # noqa: E731
     # NULL ELEMENTS count as bad too: Spark's exists() returns NULL (not
@@ -789,7 +857,11 @@ def quantize_embeddings(
     )
     ok = v.isNotNull() & (F.size(v) > 0) & ~bad
     amax = F.array_max(F.transform(v, lambda x: F.abs(xd(x))))
-    sc = amax / F.lit(127.0)
+    sc_expr = amax / F.lit(127.0)
+    pre = df.select(
+        F.col(id_col), v, ok.alias("__ok"), sc_expr.alias("__sc")
+    )
+    sc = F.col("__sc")
 
     def code(x):
         q = xd(x) / sc
@@ -800,18 +872,23 @@ def quantize_embeddings(
         )
         return F.when(sc == 0, F.lit(0).cast("tinyint")).otherwise(r)
 
-    codes = F.transform(v, code)
+    withcodes = pre.select(
+        F.col(id_col), v, F.col("__ok"), sc,
+        F.transform(v, code).alias("__codes"),
+    )
     err = F.array_max(
         F.zip_with(
-            v, codes, lambda x, c: F.abs(xd(x) - c.cast("double") * sc)
+            v, F.col("__codes"),
+            lambda x, c: F.abs(xd(x) - c.cast("double") * sc),
         )
     )
     null = F.lit(None)
-    return df.select(
+    ok_c = F.col("__ok")
+    return withcodes.select(
         F.col(id_col),
-        F.when(ok, codes).otherwise(null).alias("codes"),
-        F.when(ok, sc).otherwise(null).alias("scale"),
-        F.when(ok, err).otherwise(null).alias("max_err"),
+        F.when(ok_c, F.col("__codes")).otherwise(null).alias("codes"),
+        F.when(ok_c, sc).otherwise(null).alias("scale"),
+        F.when(ok_c, err).otherwise(null).alias("max_err"),
     )
 
 
@@ -914,6 +991,10 @@ def ann_topk_batch(
     q = b.where(F.col(id_col).isin(qids)).select(
         F.col(id_col).alias("__qid"),
         F.col(vec_col).alias("__qv"),
+        # per-query norm once on the broadcast side (round 13) — each of
+        # the |queries|·n_probes broadcast rows carries it, so candidate
+        # cosines skip the per-candidate dot(q,q) re-fold
+        V.norm(F.col(vec_col)).alias("__qn"),
         F.col("bucket").alias("__qb"),
         *[
             V.dot_lit(F.col(vec_col), p).alias(f"__p{j}")
@@ -928,16 +1009,21 @@ def ann_topk_batch(
         F.col("__e.s").asc_nulls_last(), F.col("__e.m")
     )
     qp = (
-        q.select("__qid", "__qv", "__qb", F.explode(entries).alias("__e"))
+        q.select(
+            "__qid", "__qv", "__qn", "__qb", F.explode(entries).alias("__e")
+        )
         .withColumn("__pr", F.row_number().over(wp))
         .where(F.col("__pr") <= F.lit(n_probes))
         .select(
-            "__qid", "__qv",
+            "__qid", "__qv", "__qn",
             F.col("__qb").bitwiseXOR(F.col("__e.m")).alias("__pb"),
         )
     )
     joined = b.join(F.broadcast(qp), F.col("bucket") == F.col("__pb"))
-    cos = V.cosine(F.col(vec_col), F.col("__qv"))
+    cos = V.cosine_pre(
+        F.col(vec_col), F.col("__qv"),
+        V.norm(F.col(vec_col)), F.col("__qn"),
+    )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc_nulls_last(), F.col(id_col)
     )
