@@ -1076,21 +1076,39 @@ def incremental_dedup(
         F.col(id_col).alias("_nid"), shset.alias("_nset"),
         F.size(shset).alias("_nsz"),
     )
-    ksh = kept_df.select(
-        F.col(id_col).alias("_kid"), shset.alias("_kset"),
-        F.size(shset).alias("_ksz"),
+    # Kept side, restructured round 13.  The former spelling broadcast
+    # ``cand ⋈ nsh`` — every candidate PAIR row carrying the new doc's
+    # FULL shingle-set array (sets duplicated per pair) — and computed
+    # the kept shingle set below the join, i.e. for EVERY kept row, the
+    # 100 TB side.  Now the broadcasts carry (a) the bare id-pair list
+    # and (b) the per-DOC new shingle sets (each set once, not once per
+    # pair), the kept corpus is probed map-side shipping only (id,
+    # text), and the kept set fold runs once per CANDIDATE in its own
+    # projection (shard-bounded, vs corpus-bound before; a projection,
+    # not a Filter — in a Filter/join condition the fold is re-inlined
+    # per reference, probe-verified 4×).  Values identical: same fold
+    # over the same text; NULL-text kept rows were never candidates
+    # (band_rows emits no rows for them).
+    ktext = kept_df.select(
+        F.col(id_col).alias("_kid"), F.col(text_col).alias("_ktxt")
     )
-    small = cand.join(nsh, cand["new_id"] == nsh["_nid"])
-    if broadcast_new:
-        small = F.broadcast(small)
-    joined = small.join(ksh, small["kept_id"] == ksh["_kid"])
+    candb = F.broadcast(cand) if broadcast_new else cand
+    kset = F.array_distinct(H.shingles(F.col("_ktxt"), k))
+    kverif = ktext.join(candb, F.col("kept_id") == F.col("_kid")).select(
+        "new_id", "kept_id", kset.alias("_kset"), F.size(kset).alias("_ksz")
+    )
+    joined = kverif.join(
+        F.broadcast(nsh) if broadcast_new else nsh,
+        F.col("new_id") == F.col("_nid"),
+    )
     # one Filter, no projected _i: the former select(_i)-then-where
     # shape re-inlined the intersect into the pushed Filter (it cannot
     # CSE with the projection's copy — see jaccard_pairs' round-9 note);
     # here the verdict columns don't need _i at all, so the whole
     # verification is a single short-circuiting Filter — arrays_overlap
     # early-exits non-overlapping candidates, the in-node-CSE'd
-    # intersect runs ONCE for the rest.
+    # intersect runs ONCE for the rest.  The predicate references both
+    # join sides, so it cannot be pushed into either set projection.
     a_nn = F.filter(F.col("_nset"), lambda x: x.isNotNull())
     inter = F.size(F.array_intersect(a_nn, F.col("_kset")))
     verified = joined.where(
