@@ -58,6 +58,86 @@ def dot_lit(a: Column, vec: Sequence[float]) -> Column:
     return dot(a, F.array(*[F.lit(float(v)) for v in vec]))
 
 
+# ---------------------------------------------------------------------------
+# Spark-SQL-dialect builders (round-13 optimization, driver-side only).
+#
+# The Column API pays one py4j round trip per call: a single dot_lit over a
+# 64-dim literal is ~80 round trips (64 lits + 2 lambda registrations +
+# arithmetic), and the argmin kernels repeat that per centroid — measured
+# 3.5-17 s of pure DRIVER time to CONSTRUCT one ivf/kmeans/ann plan (37 830
+# round trips for one 63-centroid argmin).  These builders render the SAME
+# expression as ONE Spark-SQL string parsed server-side; after analysis the
+# tree is semantically identical to the Column-built one (pinned by
+# ``sameSemantics`` in tests), so plans, values and error behavior are
+# unchanged — only the construction cost drops ~50×.
+#
+# Exactness: finite doubles are rendered with ``repr`` (shortest round-trip
+# form; Java's ``Double.parseDouble`` is correctly rounded, so the parsed
+# literal is bit-identical — the flit/DuckDB precedent), NaN/±Infinity via
+# explicit CASTs.
+# ---------------------------------------------------------------------------
+
+
+def sdouble(x: float) -> str:
+    """Exact Spark-SQL double literal for any IEEE double."""
+    xd = float(x)
+    if math.isnan(xd):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(xd):
+        return f"CAST('{'-' if xd < 0 else ''}Infinity' AS DOUBLE)"
+    return repr(xd) + "D"
+
+
+def lit_vec_sql(vec: Sequence[float]) -> str:
+    """Spark-SQL ``array(...)`` literal of exact doubles — one parse, zero
+    per-element driver round trips."""
+    return "array(" + ", ".join(sdouble(v) for v in vec) + ")"
+
+
+def dot_sql_spark(a: str, b: str) -> str:
+    """Spark-SQL twin of ``dot`` — identical fold, identical dimension
+    guard (same operand association, so the analyzed tree matches)."""
+    prods = (
+        f"zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+    )
+    fold = f"aggregate({prods}, 0.0D, (acc, x) -> acc + x)"
+    ok = f"{a} IS NULL OR {b} IS NULL OR size({a}) = size({b})"
+    err = (
+        f"raise_error(concat('embedding dimension mismatch: ', "
+        f"CAST(size({a}) AS STRING), ' vs ', CAST(size({b}) AS STRING)))"
+    )
+    return f"(CASE WHEN {ok} THEN {fold} ELSE {err} END)"
+
+
+def cosine_pre_sql_spark(a: str, b: str, na: str, nb: str) -> str:
+    """Spark-SQL twin of ``cosine_pre`` (same total-guard).  The Infinity
+    bound has no parse-time literal spelling, so the analyzed tree carries
+    an unfolded ``CAST('Infinity' AS DOUBLE)`` that ConstantFolding
+    collapses — the OPTIMIZED plan is byte-identical to the Column build
+    (pinned at that level in tests); use ``cosine_pre_expr`` when a
+    ``sameSemantics``-level match matters more than parse count."""
+    r = f"try_divide({dot_sql_spark(a, b)}, {na} * {nb})"
+    return (
+        f"(CASE WHEN (NOT isnan({r})) AND "
+        f"(abs({r}) != CAST('Infinity' AS DOUBLE)) THEN {r} END)"
+    )
+
+
+def cosine_pre_expr(a: str, b: str, na: str, nb: str) -> Column:
+    """``cosine_pre`` with the heavy ``try_divide(dot, na·nb)`` core parsed
+    server-side and the (cheap, literal-free) total-guard built via the
+    Column API — ``sameSemantics``-identical to ``cosine_pre``.
+    Arguments are SQL fragments (quoted column names / literal arrays)."""
+    r = F.expr(f"try_divide({dot_sql_spark(a, b)}, {na} * {nb})")
+    return F.when(~F.isnan(r) & (F.abs(r) != F.lit(float("inf"))), r)
+
+
+def dot_lit_expr(col_name: str, vec: Sequence[float]) -> Column:
+    """``dot_lit(F.col(col_name), vec)`` built in ONE server-side parse."""
+    return F.expr(dot_sql_spark(f"`{col_name}`", lit_vec_sql(vec)))
+
+
 def dot_lit_sql(a: str, vec: Sequence[float]) -> str:
     lits = "[" + ", ".join(flit(v) for v in vec) + "]"
     prods = f"list_transform({a}, (x, i) -> CAST(x AS DOUBLE) * ({lits})[i])"
@@ -140,6 +220,17 @@ def lsh_bucket(emb: Column, planes: Sequence[Sequence[float]]) -> Column:
             F.lit(0)
         )
     return acc
+
+
+def lsh_bucket_expr(col_name: str, planes: Sequence[Sequence[float]]) -> Column:
+    """``lsh_bucket(F.col(col_name), planes)`` in ONE server-side parse —
+    the identical left-associated ``0 + CASE ... END + ...`` chain (pinned
+    by ``sameSemantics`` in tests), ~50× cheaper to construct."""
+    terms = "0"
+    for j, p in enumerate(planes):
+        d = dot_sql_spark(f"`{col_name}`", lit_vec_sql(p))
+        terms += f" + (CASE WHEN {d} > 0.0D THEN {2 ** j} ELSE 0 END)"
+    return F.expr(terms)
 
 
 def lsh_bucket_sql(emb: str, planes: Sequence[Sequence[float]]) -> str:

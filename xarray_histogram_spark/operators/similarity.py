@@ -161,7 +161,10 @@ def with_lsh_bucket(
             "input already has a 'bucket' column — rename it before the "
             "LSH operators (the bucket id is computed here)"
         )
-    return df.withColumn("bucket", V.lsh_bucket(F.col(vec_col), planes))
+    # round 13: one server-side parse instead of ~80 py4j round trips per
+    # plane — the analyzed tree (and thus plan and values) is identical to
+    # V.lsh_bucket(F.col(vec_col), planes), sameSemantics-pinned
+    return df.withColumn("bucket", V.lsh_bucket_expr(vec_col, planes))
 
 
 def ann_topk(
@@ -196,7 +199,7 @@ def ann_topk(
         V.norm(F.col(vec_col)).alias("__qn"),
         F.col("bucket").alias("__qb"),
         *[
-            V.dot_lit(F.col(vec_col), p).alias(f"__p{j}")
+            V.dot_lit_expr(vec_col, p).alias(f"__p{j}")
             for j, p in enumerate(planes)
         ],
     )
@@ -327,11 +330,14 @@ def ann_topk_indexed(
         _probe_masks(n_pl, max_probe_weight), key=lambda m: (score(m), m)
     )[:n_probes]
     probes = [bucket ^ m for m in ranked]
-    qlit = F.array(*[F.lit(x) for x in qv])
     # round 13: the literal query's norm is a driver-side constant
-    # (norm_lit — bit-identical fold+sqrt), not an in-plan fold per row
-    cos = V.cosine_pre(
-        F.col(vec_col), qlit, V.norm(F.col(vec_col)), F.lit(V.norm_lit(qv))
+    # (norm_lit — bit-identical fold+sqrt), not an in-plan fold per row;
+    # the heavy fold cores are server-parsed (zero per-element py4j round
+    # trips), sameSemantics-identical to the Column build
+    vq = f"`{vec_col}`"
+    cos = V.cosine_pre_expr(
+        vq, V.lit_vec_sql(qv),
+        f"sqrt({V.dot_sql_spark(vq, vq)})", V.sdouble(V.norm_lit(qv)),
     )
     return (
         idx.where(F.col("bucket").isin(probes) & (F.col(id_col) != query_id))
@@ -402,23 +408,13 @@ def ivf_assign(
     # centroid's norm is a driver-computed literal (norm_lit — the
     # bit-identical fold+sqrt) instead of an in-plan fold per row per
     # centroid: 3k folds/row → k+1.  Values unchanged (cosine_pre).
+    # The argmin is ONE server-parsed expression (_argmin_cid_expr) — the
+    # per-centroid Column build cost ~37k py4j round trips here.
     pre = df.select(F.col(id_col), v, V.norm(v).alias("__nv"))
-    arr = F.array(
-        *[
-            F.struct(
-                V.cosine_pre(
-                    v, F.array(*[F.lit(x) for x in cv]),
-                    F.col("__nv"), F.lit(V.norm_lit(cv)),
-                ).alias("sim"),
-                F.lit(-cid).alias("ncid"),
-            )
-            for cid, cv in cents
-        ]
-    )
     return pre.select(
         F.col(id_col),
         F.col(vec_col),
-        (-F.array_max(arr)["ncid"]).cast("bigint").alias("cid"),
+        _argmin_cid_expr(vec_col, cents).alias("cid"),
     )
 
 
@@ -586,6 +582,32 @@ def embed_dup_pairs_sql(
 # ---------------------------------------------------------------------------
 
 
+def _argmin_cid_expr(
+    vec_col: str, cents: Sequence[tuple[int, Sequence[float]]]
+):
+    """The (sim DESC, cid ASC) rank-1 centroid id over literal centroids as
+    ONE server-parsed expression: array_max over (cosine, -cid) structs,
+    row norm read from the ``__nv`` companion column, centroid norms
+    driver-computed (norm_lit).  The OPTIMIZED plan is byte-identical to
+    the former per-centroid Column build (pinned in tests at that level —
+    the analyzed tree differs only in the not-yet-folded Infinity CAST of
+    the cosine guard, which has no parse-time literal).  The Column
+    spelling cost ~600 py4j round trips PER CENTROID to construct (a
+    63-centroid argmin measured 4-6 s of pure driver time; this is
+    ~30 ms), which made kmeans/ivf plan CONSTRUCTION, not execution, the
+    dominant cost."""
+    vq = f"`{vec_col}`"
+    structs = ", ".join(
+        "struct("
+        + V.cosine_pre_sql_spark(
+            vq, V.lit_vec_sql(cv), "`__nv`", V.sdouble(V.norm_lit(cv))
+        )
+        + f" AS sim, {-int(cid)} AS ncid)"
+        for cid, cv in cents
+    )
+    return F.expr(f"CAST(-(array_max(array({structs})).ncid) AS BIGINT)")
+
+
 def _assign_cid(
     df: DataFrame, vec_col: str, cents: Sequence[tuple[int, Sequence[float]]]
 ) -> DataFrame:
@@ -595,24 +617,11 @@ def _assign_cid(
 
     Round-13 optimization (same as ivf_assign): the row norm fold runs
     once per row in its own projection and centroid norms are
-    driver-computed literals — values bit-identical via cosine_pre."""
+    driver-computed literals — values bit-identical via cosine_pre; the
+    whole argmin is one server-parsed expression (_argmin_cid_expr)."""
     v = F.col(vec_col)
     pre = df.select(v, V.norm(v).alias("__nv"))
-    arr = F.array(
-        *[
-            F.struct(
-                V.cosine_pre(
-                    v, F.array(*[F.lit(float(x)) for x in cv]),
-                    F.col("__nv"), F.lit(V.norm_lit(cv)),
-                ).alias("sim"),
-                F.lit(-cid).alias("ncid"),
-            )
-            for cid, cv in cents
-        ]
-    )
-    return pre.select(
-        v, (-F.array_max(arr)["ncid"]).cast("bigint").alias("cid")
-    )
+    return pre.select(v, _argmin_cid_expr(vec_col, cents).alias("cid"))
 
 
 KMEANS_SCALE = float(1 << 20)
@@ -997,7 +1006,7 @@ def ann_topk_batch(
         V.norm(F.col(vec_col)).alias("__qn"),
         F.col("bucket").alias("__qb"),
         *[
-            V.dot_lit(F.col(vec_col), p).alias(f"__p{j}")
+            V.dot_lit_expr(vec_col, p).alias(f"__p{j}")
             for j, p in enumerate(planes)
         ],
     )
