@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -32,8 +32,14 @@ from ..binspec import flit, slit
 from ..functions import hashing as H
 from .sampling import assign_splits, assign_splits_sql
 from .text import (
+    GOPHER_METRIC_NAMES,
+    STOPWORDS,
+    _stop_hits,
     gopher_cols,
+    gopher_keep_col,
+    gopher_metric_exprs,
     gopher_rules_sql,
+    lang_hit_cols,
     lang_id_sql,
     lang_pred_col,
     pii_cols,
@@ -43,6 +49,29 @@ from .text import (
     token_count_cols,
     token_count_sql,
 )
+
+
+#: Pushdown-barrier column name (round 13).  Filters over computed feature
+#: aliases get pushed below the feature Project with alias substitution,
+#: re-inlining the tokenizer/argmax expression trees into the Filter (the
+#: built-in-expression form of the UDF-duplication problem the
+#: optimization guide §4.4 fixes with asNondeterministic).  The push rule
+#: only requires the PROJECT's fields to all be deterministic — predicate
+#: determinism is irrelevant — so the barrier is a non-deterministic
+#: column (``spark_partition_id()``) in the feature projection that each
+#: filter references via an always-true conjunct (partition ids are
+#: non-negative, so ``>= -1`` always holds and the filtered rows are
+#: identical).  The reference keeps ColumnPruning from deleting the
+#: barrier (which would re-deterministify the projection); the column is
+#: dropped before the result surfaces.  (``rand() < 2.0`` in the
+#: predicate does NOT work: Spark 4 constant-folds out-of-range rand
+#: bounds back to true.)
+_BARRIER = "__nopush"
+
+
+def _with_barrier(cond: Column) -> Column:
+    """``cond`` AND the always-true barrier-column guard (see _BARRIER)."""
+    return cond & (F.col(_BARRIER) >= F.lit(-1))
 
 DEFAULT_SPLITS: Tuple[Tuple[str, float], ...] = (
     ("train", 0.9), ("val", 0.05), ("test", 0.05),
@@ -100,16 +129,50 @@ def curate_documents(
             .select(id_col)
         )
         kept = df.join(keepers, id_col, "left_semi")
-    out = kept.select(
+    # Staged feature projections (round 13): tokenize ONCE, materialize
+    # the per-language hit counts + count bases, then compute the outputs
+    # from attributes — the single-projection form re-tokenized ~19×/row
+    # (argmax when-chain re-embeds each hit up to 2^(len(LANGS)-1) times,
+    # quality re-embeds the tokenizer per ratio).  Values identical.
+    toks = H.tokens(F.col(text_col))
+    pre = kept.select(F.col(id_col), F.col(text_col), toks.alias("__toks"))
+    tok_attr = F.col("__toks")
+    base = pre.select(
         F.col(id_col),
-        lang_pred_col(text_col),
-        *quality_cols(text_col),
-        *token_count_cols(text_col),
+        *lang_hit_cols(text_col, toks=tok_attr),
+        F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+        .cast("double")
+        .alias("__q_alpha"),
+        *token_count_cols(text_col, toks=tok_attr),
+    )
+    hits = {lang: F.col(f"__h_{lang}") for lang in STOPWORDS}
+    # quality's stop base IS the English hit count, and its ntok/nchars
+    # are the token/char counts — reuse the materialized columns (the
+    # bigint→double casts produce bit-identical doubles for these exact
+    # integer counts)
+    qbase = {
+        "ntok": F.col("n_tokens").cast("double"),
+        "nchars": F.col("n_chars").cast("double"),
+        "alpha": F.col("__q_alpha"),
+        "stop": F.col("__h_en").cast("double"),
+    }
+    out = base.select(
+        F.col(id_col),
+        lang_pred_col(text_col, hits=hits),
+        *quality_cols(text_col, base=qbase),
+        F.col("n_tokens"),
+        F.col("n_pieces"),
+        F.col("n_subwords"),
+        F.col("n_chars"),
+        F.spark_partition_id().alias(_BARRIER),
     )
     if quality_min is not None:
-        out = out.where(F.col("quality") >= F.lit(float(quality_min)))
+        out = out.where(
+            _with_barrier(F.col("quality") >= F.lit(float(quality_min)))
+        )
     if langs is not None:
-        out = out.where(F.col("lang_pred").isin(*langs))
+        out = out.where(_with_barrier(F.col("lang_pred").isin(*langs)))
+    out = out.drop(_BARRIER)
     if splits:
         out = assign_splits(out, id_col, splits, salt=salt)
     return out
@@ -198,6 +261,8 @@ _REPORT_RESERVED = frozenset({
     "n_words", "mean_word_len", "frac_alpha_words", "symbol_ratio",
     "frac_bullet_lines", "frac_ellipsis_lines", "n_required",
     *(name for name, _, _, _ in _RULE_FAILS),
+    # round-13 staged-projection internals
+    "__toks", "__lines", "__q_alpha", "__q_stop",
 })
 
 
@@ -238,14 +303,51 @@ def corpus_report(
             "output or intermediate feature column"
         )
     thr = {**_GOPHER_DEFAULTS, **gopher_thresholds}
-    tok = token_count_cols(text_col)
-    feats = df.select(
+    # Staged feature projections (round 13): one materialized token/line
+    # array level, one metric/base level, then the outputs from
+    # attributes — same staging as curate_documents / gopher_rules; the
+    # old single fused projection re-tokenized per consumer.  Values
+    # identical; still ONE scan + ONE map-combined groupBy exchange.
+    text = F.col(text_col)
+    pre = df.select(
+        F.col(group_col), text,
+        H.tokens(text).alias("__toks"),
+        F.split(text, "\n", -1).alias("__lines"),
+    )
+    tok_attr = F.col("__toks")
+    tok = token_count_cols(text_col, toks=tok_attr)
+    m = gopher_metric_exprs(
+        text_col, toks=tok_attr, lines=F.col("__lines")
+    )
+    stop_en = _stop_hits(tok_attr, STOPWORDS["en"])
+    mid = pre.select(
         F.col(group_col),
         tok[0],                                   # n_tokens
         tok[3],                                   # n_chars
-        quality_cols(text_col)[-1],               # quality
-        *gopher_cols(text_col, **gopher_thresholds),  # 7 metrics + keep
+        F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+        .cast("double")
+        .alias("__q_alpha"),
+        stop_en.cast("double").alias("__q_stop"),
+        *gopher_cols(text_col, metrics=m, **gopher_thresholds)[:-1],
         pii_cols(text_col)[-1],                   # n_pii
+    )
+    qbase = {
+        "ntok": F.col("n_tokens").cast("double"),
+        "nchars": F.col("n_chars").cast("double"),
+        "alpha": F.col("__q_alpha"),
+        "stop": F.col("__q_stop"),
+    }
+    feats = mid.select(
+        F.col(group_col),
+        F.col("n_tokens"),
+        F.col("n_chars"),
+        quality_cols(text_col, base=qbase)[-1],   # quality
+        *[F.col(name) for name in GOPHER_METRIC_NAMES],
+        gopher_keep_col(
+            {name: F.col(name) for name in GOPHER_METRIC_NAMES},
+            **gopher_thresholds,
+        ).alias("keep"),
+        F.col("n_pii"),
     )
     fail_aggs = [
         F.sum(

@@ -4,7 +4,7 @@ shuffle except where aggregation is inherent) with exact DuckDB mirrors."""
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -34,10 +34,12 @@ def _tok(text: Column) -> Column:
 BPE_PIECE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r]+"
 
 
-def token_count_cols(text_col: str) -> list:
+def token_count_cols(text_col: str, toks: Optional[Column] = None) -> list:
     """The token-count Column expressions (shared by ``token_count`` and
-    the one-pass curation pipeline)."""
-    toks = _tok(F.col(text_col))
+    the one-pass curation pipeline).  ``toks`` substitutes a
+    pre-materialized token-array column (identical values either way)."""
+    if toks is None:
+        toks = _tok(F.col(text_col))
     n_tok = F.size(toks)
     n_pieces = F.regexp_count(F.col(text_col), F.lit(BPE_PIECE_RE))
     n_sub = F.ceil(F.length(F.col(text_col)).cast("double") / F.lit(4.0)).cast(
@@ -79,15 +81,41 @@ def _stop_hits_sql(toks: str, words) -> str:
     return f"len(list_filter({toks}, t -> t IN ({lst})))"
 
 
-def quality_cols(text_col: str) -> list:
-    """The quality-feature Column expressions (shared by ``quality_score``
-    and the one-pass curation pipeline)."""
+def quality_base_cols(text_col: str, toks: Optional[Column] = None) -> list:
+    """The four integer-count bases of the quality features, aliased
+    ``__q_{ntok,nchars,alpha,stop}`` — materialize these in a projection
+    and feed the attributes to ``quality_cols(base=...)`` so the ratio /
+    score arithmetic re-references cheap attributes instead of
+    re-embedding the tokenizer and regexp subtrees (identical values)."""
     text = F.col(text_col)
-    toks = _tok(text)
-    n_tok = F.size(toks).cast("double")
-    n_chars = F.length(text).cast("double")
-    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
-    stop = _stop_hits(toks, STOPWORDS["en"]).cast("double")
+    if toks is None:
+        toks = _tok(text)
+    return [
+        F.size(toks).cast("double").alias("__q_ntok"),
+        F.length(text).cast("double").alias("__q_nchars"),
+        F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+        .cast("double")
+        .alias("__q_alpha"),
+        _stop_hits(toks, STOPWORDS["en"]).cast("double").alias("__q_stop"),
+    ]
+
+
+def quality_cols(text_col: str, base: Optional[dict] = None) -> list:
+    """The quality-feature Column expressions (shared by ``quality_score``
+    and the one-pass curation pipeline).  ``base`` (ntok/nchars/alpha/stop
+    → Column) substitutes pre-materialized count bases (see
+    ``quality_base_cols``); the default inlines them — identical values
+    either way."""
+    if base is not None:
+        n_tok, n_chars = base["ntok"], base["nchars"]
+        alpha, stop = base["alpha"], base["stop"]
+    else:
+        text = F.col(text_col)
+        toks = _tok(text)
+        n_tok = F.size(toks).cast("double")
+        n_chars = F.length(text).cast("double")
+        alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+        stop = _stop_hits(toks, STOPWORDS["en"]).cast("double")
     mean_tok_len = n_chars / F.nullif(n_tok, F.lit(0.0))
     alpha_ratio = alpha / F.nullif(n_chars, F.lit(0.0))
     stop_ratio = stop / F.nullif(n_tok, F.lit(0.0))
@@ -105,7 +133,14 @@ def quality_cols(text_col: str) -> list:
 def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic quality features + combined score:
     mean token length, alpha ratio, stopword ratio, score = their product
-    blend.  Pure row-level double arithmetic (deterministic)."""
+    blend.  Pure row-level double arithmetic (deterministic).
+
+    Stays a SINGLE projection (round-13 measurement): whole-stage codegen
+    subexpression elimination already dedups the repeated count subtrees
+    within one projection list, so a staged pre-projection only added a
+    copy pass (145 → 190 ms at sf0.1).  The staged ``base=`` path exists
+    for the curation pipeline, where the filter/projection split defeats
+    per-operator CSE."""
     return df.select(F.col(id_col), *quality_cols(text_col))
 
 
@@ -129,11 +164,30 @@ def quality_score_sql(table: str, text_col: str, id_col: str) -> str:
     )
 
 
-def lang_pred_col(text_col: str) -> Column:
+def lang_hit_cols(text_col: str, toks: Optional[Column] = None) -> list:
+    """Per-language stopword hit counts as aliased ``__h_{lang}`` columns —
+    materialize these in a projection and feed the attributes to
+    ``lang_pred_col(hits=...)``: the argmax when-chain embeds each hit
+    expression up to 2^(len(LANGS)-1) times, so inlined hits re-tokenize
+    the text ~12× per row (round-13 measurement: lang_id 277 → 188 ms at
+    sf0.1 from this materialization alone, values identical).  ``toks``
+    substitutes a pre-materialized token-array column."""
+    if toks is None:
+        toks = _tok(F.col(text_col))
+    return [
+        _stop_hits(toks, ws).alias(f"__h_{lang}")
+        for lang, ws in STOPWORDS.items()
+    ]
+
+
+def lang_pred_col(text_col: str, hits: Optional[dict] = None) -> Column:
     """The language-ID Column expression (shared by ``lang_id`` and the
-    one-pass curation pipeline)."""
-    toks = _tok(F.col(text_col))
-    hits = {lang: _stop_hits(toks, ws) for lang, ws in STOPWORDS.items()}
+    one-pass curation pipeline).  ``hits`` (lang → Column) substitutes
+    pre-materialized hit counts (see ``lang_hit_cols``); the default
+    inlines them — identical values either way."""
+    if hits is None:
+        toks = _tok(F.col(text_col))
+        hits = {lang: _stop_hits(toks, ws) for lang, ws in STOPWORDS.items()}
     # deterministic argmax: fold in declared order, strict > keeps earlier lang
     best: Column = F.lit("und")
     best_n: Column = F.lit(0)
@@ -145,8 +199,15 @@ def lang_pred_col(text_col: str) -> Column:
 
 def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """n-gram/stopword-heuristic language ID: argmax of per-language stopword
-    hit counts (ties broken by LANGS order), 'und' when no hits."""
-    return df.select(F.col(id_col), lang_pred_col(text_col))
+    hit counts (ties broken by LANGS order), 'und' when no hits.
+
+    Plan shape (round 13): hit counts materialize once per row in their
+    own projection; the nested when-chain argmax then compares cheap
+    attributes instead of re-embedding (and re-tokenizing) each hit
+    expression up to 2^(len(LANGS)-1) times."""
+    pre = df.select(F.col(id_col), *lang_hit_cols(text_col))
+    hits = {lang: F.col(f"__h_{lang}") for lang in STOPWORDS}
+    return pre.select(F.col(id_col), lang_pred_col(text_col, hits=hits))
 
 
 def lang_id_sql(table: str, text_col: str, id_col: str) -> str:
@@ -162,15 +223,23 @@ def lang_id_sql(table: str, text_col: str, id_col: str) -> str:
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
     """Document fingerprints: md5 of whitespace-normalised lowercase text +
-    min-shingle rolling fingerprint (winnowing-style representative hash)."""
+    min-shingle rolling fingerprint (winnowing-style representative hash).
+
+    Plan shape (round 13): the normalised text materializes once in its
+    own projection — the shingle transform's lambda body re-evaluates its
+    outer-reference argument per element (higher-order functions are
+    interpreted, no subexpression elimination), so an inlined ``norm``
+    re-ran the lower+regexp_replace chain once per shingle position."""
     # explicit class, not \s: Java \s matches U+000B, RE2's (DuckDB)
     # does not — the same one-codepoint hazard hashing._WS_CLASS documents
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), H._WS_CLASS, " "))
-    fp_doc = F.md5(norm.cast("binary"))
+    pre = df.select(F.col(id_col), norm.alias("__norm"))
+    nrm = F.col("__norm")
+    fp_doc = F.md5(nrm.cast("binary"))
     mins = F.array_min(
-        F.transform(H.shingles(norm, k), lambda s: F.md5(s.cast("binary")))
+        F.transform(H.shingles(nrm, k), lambda s: F.md5(s.cast("binary")))
     )
-    return df.select(
+    return pre.select(
         F.col(id_col), fp_doc.alias("fp_doc"), mins.alias("fp_shingle")
     )
 
@@ -289,32 +358,50 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Pure per-row Column arithmetic (array_distinct / array ops), no
     shuffle; ratios are single IEEE divisions of exact integer counts, so
     the DuckDB mirror hash-matches bit-for-bit.  NULL when the text has
-    no tokens/lines (empty input carries no signal)."""
+    no tokens/lines (empty input carries no signal).
+
+    Plan shape (round 13): the token / line / shingle arrays materialize
+    once each in stacked projections — every array is consumed twice
+    (size + array_distinct), and the shingle transform's lambda would
+    otherwise re-run ``lower(text)`` per shingle position (higher-order
+    lambdas re-evaluate outer references per element)."""
     text = F.col(text_col)
     toks = _tok(text)
-    n_tok = F.size(toks).cast("double")
-    tok_ratio = F.size(F.array_distinct(toks)).cast("double") / F.nullif(
-        n_tok, F.lit(0.0)
-    )
     lines = F.filter(F.split(text, "\n"), lambda l: l != "")
-    n_lines = F.size(lines).cast("double")
-    line_dup = F.lit(1.0) - F.size(F.array_distinct(lines)).cast(
+    pre = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        lines.alias("__lines"),
+        F.lower(text).alias("__low"),
+    )
+    # shingles in a second level: the transform's substring runs over the
+    # materialized __low attribute, not the lower(text) expression
+    sh2 = pre.select(
+        F.col(id_col), F.col("__toks"), F.col("__lines"), F.col("__low"),
+        H.shingles(F.col("__low"), 3).alias("__sh"),
+    )
+    n_tok = F.size(F.col("__toks")).cast("double")
+    tok_ratio = F.size(F.array_distinct(F.col("__toks"))).cast(
+        "double"
+    ) / F.nullif(n_tok, F.lit(0.0))
+    n_lines = F.size(F.col("__lines")).cast("double")
+    line_dup = F.lit(1.0) - F.size(F.array_distinct(F.col("__lines"))).cast(
         "double"
     ) / F.nullif(n_lines, F.lit(0.0))
-    sh = H.shingles(F.lower(text), 3)
-    n_sh = F.size(sh).cast("double")
+    n_sh = F.size(F.col("__sh")).cast("double")
     # NULL text must be guarded BEFORE the shingle helper: greatest(NULL-2,
     # 1) manufactures a [NULL] 1-shingle array on both engines, and then
     # Spark's array_distinct KEEPS the NULL (ratio 1.0) while DuckDB's
     # list_distinct DROPS it (ratio 0.0) — NULL text carries no signal, so
-    # the ratio is NULL, mirrored with an explicit CASE.
+    # the ratio is NULL, mirrored with an explicit CASE.  __low is NULL
+    # exactly when the text is NULL (lower preserves NULL).
     sh_ratio = F.when(
-        text.isNotNull(),
-        F.size(F.array_distinct(sh)).cast("double") / F.nullif(
+        F.col("__low").isNotNull(),
+        F.size(F.array_distinct(F.col("__sh"))).cast("double") / F.nullif(
             n_sh, F.lit(0.0)
         ),
     )
-    return df.select(
+    return sh2.select(
         F.col(id_col),
         tok_ratio.alias("token_distinct_ratio"),
         line_dup.alias("line_dup_ratio"),
@@ -962,37 +1049,26 @@ GOPHER_REQUIRED_WORDS = (
 )
 
 
-def gopher_cols(
+GOPHER_METRIC_NAMES = (
+    "n_words", "mean_word_len", "frac_alpha_words", "symbol_ratio",
+    "frac_bullet_lines", "frac_ellipsis_lines", "n_required",
+)
+
+
+def gopher_metric_exprs(
     text_col: str,
-    min_words: int = 50,
-    max_words: int = 100_000,
-    min_mean_word_len: float = 3.0,
-    max_mean_word_len: float = 10.0,
-    max_symbol_ratio: float = 0.1,
-    max_bullet_frac: float = 0.9,
-    max_ellipsis_frac: float = 0.3,
-    min_alpha_word_frac: float = 0.8,
-    min_required_words: int = 2,
-) -> list:
-    """The Gopher-rule Column expressions (shared by ``gopher_rules`` and
-    the composed corpus report): the seven structural metrics and
-    ``keep`` = all rules hold (Rae et al. 2021 §A1.1, the rule set
-    C4/Dolma/RedPajama pipelines reuse).
-
-    Metrics: word count bounds; mean word length window;
-    symbol-to-word ratio ('#' or '...' occurrences per word); fraction
-    of lines starting with a bullet ('- ' or '* '); fraction of lines
-    ending in '...'; fraction of words containing an alphabetic
-    character; count of the eight required stopwords present.  All are
-    integer counts or single int/int divisions — bit-deterministic
-    across engines.  Pure per-row projection (token/line arrays never
-    leave the row): no shuffle, trivially scale-free at 100 TB.
-
-    NULL text yields NULL metrics and NULL keep; an empty/word-free text
-    fails the min-word rule, so keep is FALSE (not NULL) via three-valued
-    AND on both engines."""
+    toks: Optional[Column] = None,
+    lines: Optional[Column] = None,
+) -> dict:
+    """The seven raw Gopher metric expressions keyed by output name
+    (shared by ``gopher_cols`` and the staged operators).  ``toks`` /
+    ``lines`` substitute pre-materialized array columns — identical
+    values either way."""
     text = F.col(text_col)
-    toks = _tok(text)
+    if toks is None:
+        toks = _tok(text)
+    if lines is None:
+        lines = F.split(text, "\n", -1)
     n_words = F.size(toks)
     nw = F.nullif(n_words.cast("double"), F.lit(0.0))
     sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
@@ -1005,7 +1081,6 @@ def gopher_cols(
         text, F.lit(r"\.\.\.")
     )
     sym_ratio = sym.cast("double") / nw
-    lines = F.split(text, "\n", -1)
     n_lines = F.size(lines).cast("double")  # split never returns []
     bullet_frac = (
         F.size(F.filter(lines, lambda l: l.rlike("^[-*] "))).cast("double")
@@ -1023,25 +1098,100 @@ def gopher_cols(
     for w in GOPHER_REQUIRED_WORDS:
         c = F.array_contains(toks, w).cast("int")
         required = c if required is None else required + c
-    rules = (
-        (n_words >= F.lit(min_words))
-        & (n_words <= F.lit(max_words))
-        & (mean_wl >= F.lit(min_mean_word_len))
-        & (mean_wl <= F.lit(max_mean_word_len))
-        & (sym_ratio <= F.lit(max_symbol_ratio))
-        & (bullet_frac <= F.lit(max_bullet_frac))
-        & (ellipsis_frac <= F.lit(max_ellipsis_frac))
-        & (alpha_frac >= F.lit(min_alpha_word_frac))
-        & (required >= F.lit(min_required_words))
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "frac_alpha_words": alpha_frac,
+        "symbol_ratio": sym_ratio,
+        "frac_bullet_lines": bullet_frac,
+        "frac_ellipsis_lines": ellipsis_frac,
+        "n_required": required,
+    }
+
+
+def gopher_keep_col(
+    metrics: dict,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_words: int = 2,
+) -> Column:
+    """``keep`` = all Gopher rules hold, over a metric dict (raw
+    expressions or materialized attributes — the bigint casts of the
+    staged path widen the comparisons without changing any truth value).
+    Conjunct order matches the original single-projection form."""
+    return (
+        (metrics["n_words"] >= F.lit(min_words))
+        & (metrics["n_words"] <= F.lit(max_words))
+        & (metrics["mean_word_len"] >= F.lit(min_mean_word_len))
+        & (metrics["mean_word_len"] <= F.lit(max_mean_word_len))
+        & (metrics["symbol_ratio"] <= F.lit(max_symbol_ratio))
+        & (metrics["frac_bullet_lines"] <= F.lit(max_bullet_frac))
+        & (metrics["frac_ellipsis_lines"] <= F.lit(max_ellipsis_frac))
+        & (metrics["frac_alpha_words"] >= F.lit(min_alpha_word_frac))
+        & (metrics["n_required"] >= F.lit(min_required_words))
+    )
+
+
+def gopher_cols(
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_words: int = 2,
+    metrics: Optional[dict] = None,
+) -> list:
+    """The Gopher-rule Column expressions (shared by ``gopher_rules`` and
+    the composed corpus report): the seven structural metrics and
+    ``keep`` = all rules hold (Rae et al. 2021 §A1.1, the rule set
+    C4/Dolma/RedPajama pipelines reuse).
+
+    Metrics: word count bounds; mean word length window;
+    symbol-to-word ratio ('#' or '...' occurrences per word); fraction
+    of lines starting with a bullet ('- ' or '* '); fraction of lines
+    ending in '...'; fraction of words containing an alphabetic
+    character; count of the eight required stopwords present.  All are
+    integer counts or single int/int divisions — bit-deterministic
+    across engines.  Pure per-row projection (token/line arrays never
+    leave the row): no shuffle, trivially scale-free at 100 TB.
+
+    NULL text yields NULL metrics and NULL keep; an empty/word-free text
+    fails the min-word rule, so keep is FALSE (not NULL) via three-valued
+    AND on both engines.
+
+    ``metrics`` substitutes pre-built metric expressions (see
+    ``gopher_metric_exprs``) — identical values either way."""
+    m = metrics if metrics is not None else gopher_metric_exprs(text_col)
+    rules = gopher_keep_col(
+        m,
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio,
+        max_bullet_frac=max_bullet_frac,
+        max_ellipsis_frac=max_ellipsis_frac,
+        min_alpha_word_frac=min_alpha_word_frac,
+        min_required_words=min_required_words,
     )
     return [
-        n_words.cast("bigint").alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        alpha_frac.alias("frac_alpha_words"),
-        sym_ratio.alias("symbol_ratio"),
-        bullet_frac.alias("frac_bullet_lines"),
-        ellipsis_frac.alias("frac_ellipsis_lines"),
-        required.cast("bigint").alias("n_required"),
+        m["n_words"].cast("bigint").alias("n_words"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["frac_alpha_words"].alias("frac_alpha_words"),
+        m["symbol_ratio"].alias("symbol_ratio"),
+        m["frac_bullet_lines"].alias("frac_bullet_lines"),
+        m["frac_ellipsis_lines"].alias("frac_ellipsis_lines"),
+        m["n_required"].cast("bigint").alias("n_required"),
         rules.alias("keep"),
     ]
 
@@ -1058,7 +1208,13 @@ def gopher_rules(
 
     NULL text yields NULL metrics and NULL keep; an empty/word-free text
     fails the min-word rule, so keep is FALSE (not NULL) via three-valued
-    AND on both engines."""
+    AND on both engines.
+
+    Stays a SINGLE projection (round-13 measurement): whole-stage codegen
+    subexpression elimination already dedups the repeated metric subtrees
+    within one projection list, so a staged pre-projection only added a
+    copy pass (165 → 190 ms at sf0.1).  The ``metrics=`` path exists for
+    the corpus report, where the metric attributes feed aggregates."""
     return df.select(F.col(id_col), *gopher_cols(text_col, **thresholds))
 
 
