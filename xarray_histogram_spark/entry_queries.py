@@ -903,6 +903,17 @@ register(
         "text", "doc_id", k=12, min_hits=40,
     ),
 )
+# Embeddings loader choice (round 13, interleaved A/B at sf0.1 on the
+# 1-split fixture scan): t_wide (repartition to all cores) for the
+# fold-per-row kernels — embed_dup_pairs 2101→405 ms, quantize 229→124,
+# embed_components 84→21, kmeans_refine 933→546, and the embed-index
+# family (same bucket/cosine kernels) — but PLAIN t for the
+# literal-argmin/probe entries (ivf_topk 3001→3219, ann_topk 458→527,
+# cosine_topk/ann_batch flat): their per-task cost is dominated by
+# deserializing the large literal expression trees, so extra tasks cost
+# more than the spread saves.  All these ops are partitioning-
+# independent by design (int64-quantized sums, min/count aggregates,
+# id-tiebroken rankings), so either loader yields identical values.
 register(
     # threshold 0.35 (not the 0.95 production default): the sf0.01
     # fixture's random embeddings have no true near-duplicates, so the
@@ -913,7 +924,7 @@ register(
     # tests/test_operators.py.
     "dedup_embed_pairs",
     lambda spark, sf_dir: sim.embed_dup_pairs(
-        t(spark, sf_dir, "embeddings"), threshold=0.35
+        t_wide(spark, sf_dir, "embeddings"), threshold=0.35
     ),
     sim.embed_dup_pairs_sql("embeddings", threshold=0.35),
 )
@@ -935,7 +946,7 @@ def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
     return _scratch_root(
         _ANN_INDEX_CACHE, sf_dir, "xhs_ann_index_",
         lambda root: sim.write_ann_index(
-            t(spark, sf_dir, "embeddings"), root
+            t_wide(spark, sf_dir, "embeddings"), root
         ),
     )
 
@@ -943,7 +954,7 @@ def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
 register(
     # semantic dedup: connected components over embedding near-dup pairs
     "dedup_embed_components",
-    lambda spark, sf_dir: dd.embed_components(t(spark, sf_dir, "embeddings")),
+    lambda spark, sf_dir: dd.embed_components(t_wide(spark, sf_dir, "embeddings")),
     dd.embed_components_sql("embeddings"),
 )
 _EMBED_INDEX_CACHE: dict[str, str] = {}
@@ -955,7 +966,7 @@ def _embed_index_path(spark: SparkSession, sf_dir: str) -> str:
     embed_incremental probes."""
     def build(root: str) -> None:
         kept = (
-            t(spark, sf_dir, "embeddings")
+            t_wide(spark, sf_dir, "embeddings")
             .where(F.col("vec_id") % 5 != 2)
             .select("vec_id", "embedding")
         )
@@ -979,7 +990,7 @@ def _embed_incremental_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production default: the fixtures' random embeddings carry no true
     # near-dups (the round-5 vacuity lesson), 0.35 makes the kept-check
     # verdicts real (10/11/155 dup_of_kept rows at the three SFs).
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = t_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     synth = emb.where(F.col("vec_id").isin(0, 2)).select(
         F.when(F.col("vec_id") == 0, F.lit(9000001).cast("long"))
         .otherwise(F.lit(9000002).cast("long"))
@@ -1042,7 +1053,7 @@ def _embed_loop_root(spark: SparkSession, sf_dir: str) -> str:
     needed: the embed index itself carries the vectors the verify step
     probes."""
     def build(root: str) -> None:
-        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        emb = t_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         kept0 = emb.where((F.col("vec_id") % 5).isin(0, 2))
         dd.embed_index(kept0).write.partitionBy("bucket").parquet(
             root + "/idx"
@@ -1067,7 +1078,7 @@ def _embed_loop_root(spark: SparkSession, sf_dir: str) -> str:
 
 def _embed_loop_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _embed_loop_root(spark, sf_dir)
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = t_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     synth = (
         emb.where(F.col("vec_id") == 3).select(
             F.lit(9000003).cast("long").alias("vec_id"), "embedding"
@@ -3561,7 +3572,7 @@ def _kmeans_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds — see operators/similarity.py:kmeans_refine)."""
     from .operators.similarity import kmeans_refine
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t_wide(spark, sf_dir, "embeddings")
     return kmeans_refine(emb, k=8, n_iter=2, n_hint=512, dim=64)
 
 
@@ -3579,7 +3590,7 @@ def _quantize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-int code sums + IEEE-identical scale/error on both engines)."""
     from .operators.similarity import quantize_embeddings
 
-    q = quantize_embeddings(t(spark, sf_dir, "embeddings"))
+    q = quantize_embeddings(t_wide(spark, sf_dir, "embeddings"))
     return q.select(
         "vec_id",
         F.aggregate("codes", F.lit(0).cast("bigint"), lambda a, c: a + c)
