@@ -3222,9 +3222,21 @@ register("events_sliding_hist", _sliding_window_fn, _sliding_window_sql())
 def _props_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured input: histogram over a JSON-extracted field
     (`get_json_object` ≡ DuckDB `json_extract_string` on scalar paths —
-    both return the unquoted scalar, cast to BIGINT)."""
+    both return the unquoted scalar, cast to BIGINT).
+
+    The parse is entangled with ``spark_partition_id()*0`` (adds exact 0,
+    NULL-safe — values identical): round-13 measurement found the
+    histogram's internal bin filters re-inlined the projected ``pk``
+    alias via predicate pushdown, parsing the JSON THREE times per row
+    (3 get_json_object nodes in the optimized plan); a non-deterministic
+    projection can be neither pushed through nor duplicated (the
+    built-in-expression form of the optimization guide §4.4 fix), so the
+    parse runs once and the filters compare the attribute (1457 → 931 ms
+    at sf0.1, 1 parse node in the plan)."""
     ev = _events(spark, sf_dir).withColumn(
-        "pk", F.get_json_object(F.col("props"), "$.k").cast("bigint")
+        "pk",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint")
+        + (F.spark_partition_id().cast("bigint") * F.lit(0)),
     )
     return histogramdd(ev, ["pk"], [Integer(0, 100)], group_by=["event_type"]).df
 
