@@ -2083,6 +2083,7 @@ def test_report_gopher_defaults_in_sync():
     actual = {
         n: p.default for n, p in sig.parameters.items()
         if p.default is not inspect.Parameter.empty
+        and n != "metrics"  # expression plumbing, not a threshold
     }
     assert actual == _GOPHER_DEFAULTS
     # every threshold is consumed by exactly one fail rule
