@@ -98,13 +98,17 @@ def test_argmin_cid_expr_same_semantics(spark):
     )
     a = pre.select((-F.array_max(arr)["ncid"]).cast("bigint").alias("cid"))
     b = pre.select(_argmin_cid_expr("embedding", cents).alias("cid"))
-    # Pinned at the OPTIMIZED level, not sameSemantics: Spark SQL has no
-    # parse-time Infinity literal, so the analyzed tree carries an
-    # unfolded CAST('Infinity' AS DOUBLE) in the cosine guard that
-    # ConstantFolding collapses; what executes must be byte-identical.
-    pa = a._jdf.queryExecution().optimizedPlan().canonicalized().toString()
-    pb = b._jdf.queryExecution().optimizedPlan().canonicalized().toString()
-    assert pa == pb
+    # The folded form (round-13 second pass) is a transform over ONE
+    # constant-folded array-of-structs literal, so the optimized plans
+    # are no longer byte-equal to the per-centroid Column build — the
+    # VALUES must be (bit-level: same cosine_pre fold per centroid, same
+    # struct-max over the same multiset), and the centroid array must
+    # actually constant-fold to a single Literal (no named_struct left
+    # in the optimized plan — a non-foldable spelling would put the
+    # construction back on every row).
+    pb = b._jdf.queryExecution().optimizedPlan().toString()
+    assert "named_struct" not in pb
+    assert "transform" in pb
     assert _bits(a.collect()) == _bits(b.collect())
 
 

@@ -907,13 +907,18 @@ register(
 # 1-split fixture scan): t_wide (repartition to all cores) for the
 # fold-per-row kernels — embed_dup_pairs 2101→405 ms, quantize 229→124,
 # embed_components 84→21, kmeans_refine 933→546, and the embed-index
-# family (same bucket/cosine kernels) — but PLAIN t for the
-# literal-argmin/probe entries (ivf_topk 3001→3219, ann_topk 458→527,
-# cosine_topk/ann_batch flat): their per-task cost is dominated by
-# deserializing the large literal expression trees, so extra tasks cost
-# more than the spread saves.  All these ops are partitioning-
-# independent by design (int64-quantized sums, min/count aggregates,
-# id-tiebroken rankings), so either loader yields identical values.
+# family (same bucket/cosine kernels) — but PLAIN t for the small
+# literal-tree probe entries (ann_topk 458→527, cosine_topk/ann_batch
+# flat): their per-task cost is dominated by setting up the literal
+# expression trees, so extra tasks cost more than the spread saves.
+# ivf_topk moved to t_wide in the second pass AFTER its argmin switched
+# to the folded-literal form (one constant-folded Literal per plan —
+# per-task setup O(1) in centroid count, so the spread finally pays:
+# the same A/B that measured 3001→3219 under the per-centroid tree
+# measures 999→270 ms for the folded assignment).  All these ops are
+# partitioning-independent by design (int64-quantized sums, min/count
+# aggregates, id-tiebroken rankings), so either loader yields identical
+# values.
 register(
     # threshold 0.35 (not the 0.95 production default): the sf0.01
     # fixture's random embeddings have no true near-duplicates, so the
@@ -1148,8 +1153,15 @@ register(
     sim.ann_topk_sql("embeddings", query_id=0),
 )
 register(
+    # t_wide (round 13, second pass): with the folded-literal argmin the
+    # per-task plan setup is O(1) in centroid count, so spreading the
+    # fold-heavy assignment across cores finally pays (the earlier A/B
+    # that kept this narrow predates the folded argmin — the giant
+    # per-centroid tree made extra tasks cost more than the spread saved)
     "sim_ivf_topk",
-    lambda spark, sf_dir: sim.ivf_topk(t(spark, sf_dir, "embeddings"), query_id=0),
+    lambda spark, sf_dir: sim.ivf_topk(
+        t_wide(spark, sf_dir, "embeddings"), query_id=0
+    ),
     sim.ivf_topk_sql("embeddings", query_id=0),
 )
 register(

@@ -433,6 +433,22 @@ def ivf_topk(
     partitioned by cid, so a query reads nprobe partitions."""
     _require_single_query(df, id_col, query_id)
     assigned = ivf_assign(df, id_col, vec_col, k_centroids, n_hint)
+    # Pushdown barrier (round 13, guide §4.4 in built-in-expression form):
+    # the probe equi-join infers isnotnull(cid), and
+    # PushPredicateThroughNonJoin re-inlines the WHOLE argmin into a
+    # Filter below the assignment projection — below even the caller's
+    # repartition, so the fold ran TWICE per row and on the raw
+    # (possibly single-split) scan.  Entangling cid with
+    # ``spark_partition_id()*0`` (adds exact 0, NULL-safe — values
+    # identical) makes the projection non-deterministic: it can be
+    # neither pushed through nor duplicated, so the argmin runs once and
+    # the join/filters compare the attribute.
+    assigned = assigned.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.col("cid") + F.spark_partition_id().cast("bigint") * F.lit(0))
+        .alias("cid"),
+    )
     step = _centroid_step(n_hint, k_centroids)
     cents = df.where((F.col(id_col) % step) == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
@@ -588,24 +604,37 @@ def _argmin_cid_expr(
     """The (sim DESC, cid ASC) rank-1 centroid id over literal centroids as
     ONE server-parsed expression: array_max over (cosine, -cid) structs,
     row norm read from the ``__nv`` companion column, centroid norms
-    driver-computed (norm_lit).  The OPTIMIZED plan is byte-identical to
-    the former per-centroid Column build (pinned in tests at that level —
-    the analyzed tree differs only in the not-yet-folded Infinity CAST of
-    the cosine guard, which has no parse-time literal).  The Column
-    spelling cost ~600 py4j round trips PER CENTROID to construct (a
-    63-centroid argmin measured 4-6 s of pure driver time; this is
-    ~30 ms), which made kmeans/ivf plan CONSTRUCTION, not execution, the
-    dominant cost."""
+    driver-computed (norm_lit).
+
+    Round-13 shape (second pass): the centroids are ONE foldable
+    ``array(named_struct('cv', …, 'cn', …, 'ncid', …), …)`` literal that
+    ConstantFolding collapses into a single ``Literal`` node, and the
+    argmin is a ``transform`` of that literal — one lambda, not one
+    inlined cosine subtree per centroid.  The former per-centroid spelling
+    put a ~4 000-node expression tree (63 centroids × 64 dims) into the
+    serialized plan, and each TASK re-initialised that tree: measured at
+    sf0.1 the assignment ran 1.0-1.2 s regardless of parallelism (spread
+    across 32 cores made it WORSE — per-task tree setup swamped the
+    spread), while the folded form runs the identical fold per row over a
+    deserialize-once literal: 999 → 270 ms wide, and plan/task setup is
+    O(1) in centroid count.  Values are BIT-IDENTICAL (pinned in
+    tests/test_vectors_expr.py against the per-centroid Column build):
+    the same cosine_pre fold over the same doubles per centroid, and
+    array_max over the same struct multiset.  (The even-older Column
+    spelling additionally cost ~600 py4j round trips per centroid to
+    construct; this remains ONE server-side parse.)"""
     vq = f"`{vec_col}`"
-    structs = ", ".join(
-        "struct("
-        + V.cosine_pre_sql_spark(
-            vq, V.lit_vec_sql(cv), "`__nv`", V.sdouble(V.norm_lit(cv))
-        )
-        + f" AS sim, {-int(cid)} AS ncid)"
+    entries = ", ".join(
+        "named_struct('cv', " + V.lit_vec_sql(cv)
+        + ", 'cn', " + V.sdouble(V.norm_lit(cv))
+        + f", 'ncid', {-int(cid)})"
         for cid, cv in cents
     )
-    return F.expr(f"CAST(-(array_max(array({structs})).ncid) AS BIGINT)")
+    inner = V.cosine_pre_sql_spark(vq, "c.cv", "`__nv`", "c.cn")
+    return F.expr(
+        f"CAST(-(array_max(transform(array({entries}), "
+        f"c -> struct({inner} AS sim, c.ncid AS ncid))).ncid) AS BIGINT)"
+    )
 
 
 def _assign_cid(
