@@ -153,6 +153,47 @@ def test_dedup_no_cartesian(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
 
 
+def test_incremental_dedup_reuses_verify_exchange(spark, sf_dir):
+    """incremental_dedup / embed_incremental consume the verified-match
+    aggregate (kdup) twice — the per-new-id left join and the survivor
+    anti-join.  Round 13 keeps both consumers on the IDENTICAL canonical
+    subtree (no rename inside the exchange), so physical planning dedups
+    them into a ReusedExchange and the expensive verification pipeline
+    (kept-corpus probe join + per-candidate folds) executes ONCE.  A
+    regression here silently doubles the kept-side work at 100 TB.
+    (AQE is toggled off for the check: under AQE the static plan prints
+    isFinalPlan=false before any runtime stage reuse has happened; the
+    static ReuseExchangeAndSubquery rule is what this pins.)"""
+    from pyspark.sql import functions as F
+
+    from xarray_histogram_spark.operators.dedup import (
+        embed_incremental, incremental_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    new_df = docs.where(F.col("doc_id") % 4 == 3)
+    kept_df = docs.where(F.col("doc_id") % 4 != 3)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = plan_of(incremental_dedup(new_df, kept_df, "text", "doc_id"))
+        assert "ReusedExchange" in p
+
+        pe = plan_of(embed_incremental(
+            emb.where(F.col("vec_id") % 5 == 2),
+            emb.where(F.col("vec_id") % 5 != 2),
+            threshold=0.35,
+        ))
+        assert "ReusedExchange" in pe
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
 def test_simhash_zero_shuffle(spark, sf_dir):
     """SimHash is a pure map stage: the per-row token fold replaced the
     explode + groupBy(16 SUMs), so the plan has NO exchange of any kind

@@ -1119,7 +1119,19 @@ def incremental_dedup(
             >= thr
         )
     ).select("new_id", "kept_id")
+    # kdup is consumed TWICE (the per-new-id left join below and the
+    # survivor anti-join inside nn_drop).  Round 13: both consumers see
+    # the IDENTICAL canonical subtree — no rename/projection inside it,
+    # join conditions reference the frames directly — so physical
+    # planning dedups the two broadcasts into one ReusedExchange and the
+    # whole verification pipeline (kept-corpus probe join + per-candidate
+    # shingle folds) runs ONCE instead of twice.  The former spelling
+    # renamed new_id differently per consumer (withColumnRenamed /
+    # select-alias), which put a distinct Project inside each exchange
+    # and defeated reuse.  Values identical — same rows, same joins.
     kdup = verified.groupBy("new_id").agg(F.min("kept_id").alias("kept_match"))
+    if broadcast_new:
+        kdup = F.broadcast(kdup)
 
     # new-vs-new among kept-survivors: one-level min-id-first greedy
     # (broadcast opt-out propagates — a shard big enough to need
@@ -1132,18 +1144,18 @@ def incremental_dedup(
         .select("id_a", "id_b")
     )
     nn_drop = (
-        nn.join(kdup.select(F.col("new_id").alias("id_a")), "id_a", "left_anti")
+        nn.join(kdup, nn["id_a"] == kdup["new_id"], "left_anti")
         .select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("_nn", F.lit(True))
     )
+    ids = new_df.select(id_col)
     out = (
-        new_df.select(id_col)
-        .join(kdup.withColumnRenamed("new_id", id_col), id_col, "left")
+        ids.join(kdup, ids[id_col] == kdup["new_id"], "left")
         .join(nn_drop, id_col, "left")
     )
     return out.select(
-        F.col(id_col),
+        ids[id_col],
         F.col("kept_match").isNotNull().alias("dup_of_kept"),
         F.col("kept_match"),
         F.coalesce(F.col("_nn"), F.lit(False)).alias("dup_within_new"),
@@ -1381,7 +1393,14 @@ def embed_incremental(
         )
         .select("new_id", "kept_id")
     )
+    # kdup is consumed TWICE (left join + survivor anti-join); keep both
+    # consumers on the IDENTICAL canonical subtree so physical planning
+    # dedups them into one ReusedExchange and the kept-index probe join +
+    # per-pair cosine folds run ONCE instead of twice (round 13 — the
+    # incremental_dedup restructure, same reasoning and value-identity).
     kdup = verified.groupBy("new_id").agg(F.min("kept_id").alias("kept_match"))
+    if broadcast_new:
+        kdup = F.broadcast(kdup)
 
     # new-vs-new among kept-survivors: one-level min-id-first greedy over
     # the shard's own bucketed pairs (shard-sized self-join)
@@ -1389,18 +1408,18 @@ def embed_incremental(
         new_df, float(threshold), id_col, vec_col, planes
     ).select("id_a", "id_b")
     nn_drop = (
-        nn.join(kdup.select(F.col("new_id").alias("id_a")), "id_a", "left_anti")
+        nn.join(kdup, nn["id_a"] == kdup["new_id"], "left_anti")
         .select(F.col("id_b").alias(id_col))
         .distinct()
         .withColumn("_nn", F.lit(True))
     )
+    ids = new_df.select(id_col)
     out = (
-        new_df.select(id_col)
-        .join(kdup.withColumnRenamed("new_id", id_col), id_col, "left")
+        ids.join(kdup, ids[id_col] == kdup["new_id"], "left")
         .join(nn_drop, id_col, "left")
     )
     return out.select(
-        F.col(id_col),
+        ids[id_col],
         F.col("kept_match").isNotNull().alias("dup_of_kept"),
         F.col("kept_match"),
         F.coalesce(F.col("_nn"), F.lit(False)).alias("dup_within_new"),
