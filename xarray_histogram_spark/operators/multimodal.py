@@ -662,6 +662,8 @@ def synth_png_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
     metadata without parsing bytes."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # pandas dependency, always present here
+
         for pdf in batches:
             payloads, mtypes = [], []
             for mid in pdf["media_id"]:
@@ -669,7 +671,15 @@ def synth_png_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
                 w, h = 1 + k % 64, 1 + (k // 3) % 48
                 note = b"k=%d " % k * (1 + k % 5)
                 if k % 2 == 0:
-                    px = bytes((k * 31 + i) % 256 for i in range(w * h * 3))
+                    # numpy-vectorized test pattern (round 13): the
+                    # per-byte Python generator was ~12M interpreter
+                    # iterations per batch wave at sf0.1; identical
+                    # bytes — (k·31+i) % 256 over int64 is exact and
+                    # already in [0, 255] before the uint8 narrowing
+                    px = (
+                        (k * 31 + np.arange(w * h * 3, dtype=np.int64))
+                        % 256
+                    ).astype(np.uint8).tobytes()
                     b = encode_png(w, h, px, text=note)
                     mt = "image/png"
                 else:
@@ -702,17 +712,24 @@ def synth_video_media(df: DataFrame, id_col: str, n_frames: int = 6,
     recompute, so the sampling kernel is hash-checkable end to end."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # pandas dependency, always present here
+
         nb = width * height * 3
         hdr = f"P6\n{width} {height}\n255\n".encode()
+        # per-frame byte offsets f·7 + i, precomputed once per task;
+        # (base + offs) % 256 is the identical arithmetic to the former
+        # per-byte generator (int64 exact, values in [0, 255] before the
+        # uint8 narrowing) — numpy-vectorized in round 13
+        offs = np.arange(nb, dtype=np.int64)
         for pdf in batches:
             payloads = []
             for k in pdf["media_id"]:
                 base = int(k) * 31
                 chunks = []
                 for f in range(n_frames):
-                    raster = bytes(
-                        (base + f * 7 + i) % 256 for i in range(nb)
-                    )
+                    raster = (
+                        (base + f * 7 + offs) % 256
+                    ).astype(np.uint8).tobytes()
                     chunks.append(hdr + raster)
                 payloads.append(b"".join(chunks))
             yield pd.DataFrame(
