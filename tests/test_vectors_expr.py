@@ -66,6 +66,14 @@ def test_lsh_bucket_expr_same_semantics(spark):
         b = df.select(V.lsh_bucket_expr("embedding", planes).alias("b"))
         assert a.sameSemantics(b)
         assert _bits(a.collect()) == _bits(b.collect())
+        # the folded-literal form (round 13): no sameSemantics (different
+        # shape — one fold over a constant-folded array literal), but the
+        # VALUES must be bit-equal and the plane array must actually
+        # constant-fold to a single Literal
+        c = df.select(V.lsh_bucket_fold_expr("embedding", planes).alias("b"))
+        pc = c._jdf.queryExecution().optimizedPlan().toString()
+        assert "named_struct" not in pc
+        assert _bits(a.collect()) == _bits(c.collect())
 
 
 def test_argmin_cid_expr_same_semantics(spark):

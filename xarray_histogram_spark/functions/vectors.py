@@ -233,6 +233,30 @@ def lsh_bucket_expr(col_name: str, planes: Sequence[Sequence[float]]) -> Column:
     return F.expr(terms)
 
 
+def lsh_bucket_fold_expr(
+    col_name: str, planes: Sequence[Sequence[float]]
+) -> Column:
+    """``lsh_bucket`` as a fold over ONE foldable
+    ``array(named_struct('pv', …, 'w', 2^j), …)`` literal that
+    ConstantFolding collapses into a single ``Literal`` node (round 13 —
+    the ``_argmin_cid_expr`` pattern): per-task plan setup becomes O(1)
+    in plane count instead of shipping one inlined dot subtree per
+    plane.  VALUES identical to ``lsh_bucket``/``lsh_bucket_expr``:
+    ``aggregate`` folds left over array order, producing the same
+    left-associated integer sum ``0 + t_0 + t_1 + …`` with each term the
+    same ``CASE WHEN dot > 0 THEN 2^j ELSE 0 END`` over the same doubles
+    (bit-equality pinned in tests/test_vectors_expr.py)."""
+    entries = ", ".join(
+        "named_struct('pv', " + lit_vec_sql(p) + f", 'w', {2 ** j})"
+        for j, p in enumerate(planes)
+    )
+    d = dot_sql_spark(f"`{col_name}`", "p.pv")
+    return F.expr(
+        f"aggregate(array({entries}), 0, "
+        f"(acc, p) -> acc + (CASE WHEN {d} > 0.0D THEN p.w ELSE 0 END))"
+    )
+
+
 def lsh_bucket_sql(emb: str, planes: Sequence[Sequence[float]]) -> str:
     terms = [
         f"CASE WHEN {dot_lit_sql(emb, p)} > {_D0} THEN {2**j} ELSE 0 END"

@@ -161,10 +161,12 @@ def with_lsh_bucket(
             "input already has a 'bucket' column — rename it before the "
             "LSH operators (the bucket id is computed here)"
         )
-    # round 13: one server-side parse instead of ~80 py4j round trips per
-    # plane — the analyzed tree (and thus plan and values) is identical to
-    # V.lsh_bucket(F.col(vec_col), planes), sameSemantics-pinned
-    return df.withColumn("bucket", V.lsh_bucket_expr(vec_col, planes))
+    # round 13 (second pass): the plane set rides as ONE constant-folded
+    # array-of-structs literal and the bucket is a fold over it
+    # (V.lsh_bucket_fold_expr) — per-task plan setup O(1) in plane count,
+    # values bit-identical to V.lsh_bucket (same left-associated integer
+    # sum over the same dots; pinned in tests/test_vectors_expr.py)
+    return df.withColumn("bucket", V.lsh_bucket_fold_expr(vec_col, planes))
 
 
 def ann_topk(
