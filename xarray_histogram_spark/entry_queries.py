@@ -975,9 +975,9 @@ def _embed_index_path(spark: SparkSession, sf_dir: str) -> str:
             .where(F.col("vec_id") % 5 != 2)
             .select("vec_id", "embedding")
         )
-        dd.embed_index(kept).write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(root)
+        sim.bucket_clustered(
+            dd.embed_index(kept), 2 ** sim.N_PLANES, "vec_id"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(root)
 
     return _scratch_root(_EMBED_INDEX_CACHE, sf_dir, "xhs_embed_index_",
                          build)
@@ -1060,9 +1060,9 @@ def _embed_loop_root(spark: SparkSession, sf_dir: str) -> str:
     def build(root: str) -> None:
         emb = t_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         kept0 = emb.where((F.col("vec_id") % 5).isin(0, 2))
-        dd.embed_index(kept0).write.partitionBy("bucket").parquet(
-            root + "/idx"
-        )
+        sim.bucket_clustered(
+            dd.embed_index(kept0), 2 ** sim.N_PLANES, "vec_id"
+        ).write.partitionBy("bucket").parquet(root + "/idx")
         shard1 = emb.where(F.col("vec_id") % 5 == 1).unionAll(
             _emb_loop_sentinel_df(spark, 9000001)
         )

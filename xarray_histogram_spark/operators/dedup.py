@@ -2182,7 +2182,14 @@ def extend_embed_index(
             "initial index with embed_index() first"
         )
     partitioned = "bucket" not in spark.read.parquet(files[0]).schema.names
-    writer = rows.write.mode("append")
     if partitioned:
-        writer = writer.partitionBy("bucket")
-    writer.parquet(path)
+        # cluster the appended shard by bucket (similarity.bucket_clustered)
+        # so each extension adds ~1 file per touched bucket, not one sliver
+        # per upstream task per bucket — repeated extensions otherwise decay
+        # the index into the small-files regime its layout exists to avoid
+        from .similarity import bucket_clustered
+
+        rows = bucket_clustered(rows, 2 ** len(planes), id_col)
+        rows.write.mode("append").partitionBy("bucket").parquet(path)
+    else:
+        rows.write.mode("append").parquet(path)

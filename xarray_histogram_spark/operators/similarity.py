@@ -270,20 +270,62 @@ def ann_topk_sql(
 # ---------------------------------------------------------------------------
 
 
+def bucket_clustered(
+    rows: DataFrame,
+    n_buckets: int,
+    salt_col: str,
+    files_per_bucket: "int | None" = None,
+) -> DataFrame:
+    """Cluster ``rows`` by ``bucket`` ahead of a ``partitionBy("bucket")``
+    parquet write, so each bucket's rows land in few whole tasks instead
+    of a slice of EVERY task.  A dynamic-partition write of a T-task
+    frame otherwise creates up to T×B files (measured at sf0.1: 2458
+    files for a 2000-row/64-bucket index, write 7.5 s, every later probe
+    paying the per-file open cost — probe ``first()`` 0.6–1.2 s); the
+    clustered write creates ``B × files_per_bucket`` (measured: 130
+    files, write 1.2 s, probe 0.13 s).
+
+    ``files_per_bucket`` None derives ``max(1, defaultParallelism //
+    n_buckets)`` — scale-adaptive: 1 on a laptop, enough to keep a
+    production cluster's write stage wide (and its per-bucket files
+    bounded) without a local[32]-tuned constant.  The salt is
+    DETERMINISTIC (``pmod(xxhash64(salt_col), fpb)`` — a ``rand()`` salt
+    would re-draw under task retry and could duplicate or drop rows,
+    guide §2.5/SPARK-38388).  Layout-only: same rows, same partition
+    values, so every reader sees identical data."""
+    fpb = files_per_bucket
+    if fpb is None:
+        p = rows.sparkSession.sparkContext.defaultParallelism
+        fpb = max(1, p // max(1, n_buckets))
+    if fpb <= 1:
+        return rows.repartition(n_buckets, F.col("bucket"))
+    return rows.repartition(
+        n_buckets * fpb,
+        F.col("bucket"),
+        F.pmod(F.xxhash64(F.col(salt_col)), F.lit(fpb)),
+    )
+
+
 def write_ann_index(
     df: DataFrame,
     path: str,
     vec_col: str = "embedding",
     planes=ANN_PLANES,
     mode: str = "overwrite",
+    id_col: str = "vec_id",
+    files_per_bucket: "int | None" = None,
 ) -> None:
     """Persist the corpus as parquet ``partitionBy(bucket)``: one directory
     per LSH bucket.  A probe filter ``bucket IN (...)`` then prunes at the
     FILE level (``PartitionFilters`` in the scan) — the scale path where
-    re-bucketizing per query would be a full corpus scan."""
-    with_lsh_bucket(df, vec_col, planes).write.mode(mode).partitionBy(
-        "bucket"
-    ).parquet(path)
+    re-bucketizing per query would be a full corpus scan.  Rows are
+    clustered by bucket before the write (:func:`bucket_clustered`) so the
+    index holds ~files_per_bucket files per bucket instead of one sliver
+    per upstream task per bucket."""
+    rows = with_lsh_bucket(df, vec_col, planes)
+    bucket_clustered(
+        rows, 2 ** len(planes), id_col, files_per_bucket
+    ).write.mode(mode).partitionBy("bucket").parquet(path)
 
 
 def _fold_dot(vec, plane) -> float:
