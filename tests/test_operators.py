@@ -164,6 +164,71 @@ def test_ann_indexed_equals_raw(spark, emb, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan
 
 
+def _parquet_data_files(path: str) -> list:
+    import os
+
+    return [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+
+def test_index_writes_are_bucket_clustered(spark, emb, tmp_path):
+    """The partitioned index writers must cluster rows by bucket before
+    the write: a T-task dynamic-partition write otherwise creates up to
+    T×B sliver files (round-13 measurement: 2458 files for a 2000-row
+    index, with every later probe paying the per-file open cost).  Bound:
+    at files_per_bucket=1 each present bucket holds exactly one data
+    file, and the clustered write is layout-only (same rows read back)."""
+    path = str(tmp_path / "annidx")
+    sim.write_ann_index(emb.repartition(4), path)
+    idx = spark.read.parquet(path)
+    n_buckets = idx.select("bucket").distinct().count()
+    files = _parquet_data_files(path)
+    # local[4] → defaultParallelism 4 < 64 buckets → files_per_bucket 1
+    assert len(files) == n_buckets
+    # layout-only: the index holds exactly the corpus rows
+    assert idx.count() == emb.count()
+
+    # explicit files_per_bucket caps per-bucket file count and keeps rows
+    rows = sim.with_lsh_bucket(emb, "embedding", sim.ANN_PLANES)
+    clustered = sim.bucket_clustered(rows, 64, "vec_id", files_per_bucket=2)
+    p2 = str(tmp_path / "fpb2")
+    clustered.write.partitionBy("bucket").parquet(p2)
+    per_bucket: dict = {}
+    for f in _parquet_data_files(p2):
+        b = [s for s in f.split("/") if s.startswith("bucket=")][0]
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert per_bucket and max(per_bucket.values()) <= 2
+    assert spark.read.parquet(p2).count() == emb.count()
+
+    # the extension append must stay clustered too: one new file per
+    # bucket the appended shard touches, not one per (task × bucket)
+    epath = str(tmp_path / "embidx")
+    kept = emb.where(F.col("vec_id") % 5 != 2).select("vec_id", "embedding")
+    sim.bucket_clustered(
+        dd.embed_index(kept), 2 ** sim.N_PLANES, "vec_id"
+    ).write.partitionBy("bucket").parquet(epath)
+    before = set(_parquet_data_files(epath))
+    new = (
+        emb.where(F.col("vec_id") % 5 == 2)
+        .select("vec_id", "embedding")
+        .repartition(4)
+    )
+    verdicts = new.select("vec_id", F.lit(True).alias("keep"))
+    dd.extend_embed_index(new, verdicts, epath)
+    added = set(_parquet_data_files(epath)) - before
+    touched = (
+        dd.embed_index(new).select("bucket").distinct().count()
+    )
+    assert len(added) <= touched
+    assert (
+        spark.read.parquet(epath).count() == kept.count() + new.count()
+    )
+
+
 def test_dedup_components_transitive(spark, docs):
     """A~B and B~C (but A and C further apart) must share one component —
     the transitive semantics the greedy keep-filter cannot express."""
