@@ -183,11 +183,12 @@ def test_index_writes_are_bucket_clustered(spark, emb, tmp_path):
     at files_per_bucket=1 each present bucket holds exactly one data
     file, and the clustered write is layout-only (same rows read back)."""
     path = str(tmp_path / "annidx")
-    sim.write_ann_index(emb.repartition(4), path)
+    # files_per_bucket=1 pinned explicitly so the 1-file/bucket assertion
+    # does not depend on the conftest fixture's parallelism (ADVICE r13)
+    sim.write_ann_index(emb.repartition(4), path, files_per_bucket=1)
     idx = spark.read.parquet(path)
     n_buckets = idx.select("bucket").distinct().count()
     files = _parquet_data_files(path)
-    # local[4] → defaultParallelism 4 < 64 buckets → files_per_bucket 1
     assert len(files) == n_buckets
     # layout-only: the index holds exactly the corpus rows
     assert idx.count() == emb.count()
@@ -227,6 +228,17 @@ def test_index_writes_are_bucket_clustered(spark, emb, tmp_path):
     assert (
         spark.read.parquet(epath).count() == kept.count() + new.count()
     )
+
+
+def test_bucket_clustered_missing_salt_col_fails_fast(spark, emb):
+    """A frame lacking the salt column must fail up front EVERYWHERE, not
+    only on clusters where defaultParallelism >= 2*n_buckets makes the
+    salt path live (the latent env-dependent break ADVICE r13 flagged)."""
+    rows = sim.with_lsh_bucket(
+        emb.select(F.col("embedding")), "embedding", sim.ANN_PLANES
+    )
+    with pytest.raises(ValueError, match="salt column 'vec_id' not in"):
+        sim.bucket_clustered(rows, 64, "vec_id")
 
 
 def test_dedup_components_transitive(spark, docs):

@@ -293,6 +293,17 @@ def bucket_clustered(
     would re-draw under task retry and could duplicate or drop rows,
     guide §2.5/SPARK-38388).  Layout-only: same rows, same partition
     values, so every reader sees identical data."""
+    # Validate the salt column UNCONDITIONALLY: the salt is only consulted
+    # when files_per_bucket > 1, which for the default derivation means
+    # defaultParallelism >= 2*n_buckets — a frame lacking ``salt_col``
+    # would work on a laptop and fail with an AnalysisException only on a
+    # large cluster, a latent config-dependent API break (ADVICE r13).
+    if salt_col not in rows.columns:
+        raise ValueError(
+            f"bucket_clustered: salt column {salt_col!r} not in frame "
+            f"columns {rows.columns} — pass the frame's id column (the "
+            f"salt must be deterministic per row; see SPARK-38388)"
+        )
     fpb = files_per_bucket
     if fpb is None:
         p = rows.sparkSession.sparkContext.defaultParallelism
