@@ -57,53 +57,21 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
     _REGISTRY[name] = (fn, sql)
 
 
-# Round-13 rotation refresh.  _DRIVER_VERIFIED holds the 50 names
-# CORRECTNESS_r12.json hash-verified (the freshest greens — nothing
-# moved to _CHANGED_THIS_ROUND this round: the only runtime-code
-# touches are to sampling.epoch_plan / upsample_corpus, which NO
-# previously-gated entry calls — they are first registered this round,
-# so the ADVICE-driven NaN-raise arm and the reserved-__u helper-column
-# rename land pre-gate, for free), so the driver's ~50-query window
-# reaches the 42 entries whose freshest green is r10 (two rounds old —
-# they lead _STALE_PRIORITY unconditionally per the capacity policy
-# below) and then the 50 r11-green entries in registry order.  Window
-# arithmetic this round: 3 new + 3 changed (mm_decode_image — the
-# PNG-arm merge into its sniff kernel — plus source_csv_roundtrip and
-# text_dup_ngrams — the NUL-byte writer guard and the shared
-# gram-kernel unification; both were already in the stale head, so the
-# total is unchanged) + 40 remaining stale = 46, leaving ~4
-# slots for the oldest r11 names (registry order) — so ROUND 14's
-# stale head is the ~45 remaining r11 names, and ROUND 14 MUST KEEP
-# NEW+CHANGED ≤ ~5 to close the cycle.  One round-14 new-entry
-# candidate ships tested but unregistered (the staging pattern that
-# has worked four rounds running): text.ngram_familiarity — the
-# corpus-relative CCNet/KenLM-analog familiarity score (integer-exact
-# mean corpus count per gram occurrence; mean LOG-prob is refused
-# because libm log and float-sum accumulation order would both
-# hash-diverge) — adversarial + fuzzed DuckDB mirrors committed
-# (test_adv_ngram_familiarity, test_fuzzed_ngram_familiarity_mirror),
-# plan shape the dup_ngram_stats audit (one explode + one gram-window
-# shuffle + one doc groupBy).  The first 2 new
-# entries execute VERDICT r12 items 2 and 3 in order (the third is
-# item 7's PNG decode): sample_epoch_upsample
-# registers the epoch-repeat materializer pair staged (tested +
-# mirrored) in round 12 — temperature_weights → epoch_plan →
-# upsample_corpus over a weight fixture that forces the n_epochs≥10
-# deep-upsample arm (zh mass divided by 16), the mix_weight<1
-# thinning-degeneration arm (en), the one-epoch fractional-extra arm
-# (fr/es) AND the forced-zero-mass NULL-plan drop arm (de) all
-# non-vacuous at every SF, under a non-default max_repeats=16 bound;
-# pipeline_pretrain_mix gates the END-TO-END pretraining mix — exact
-# dedup-keep → quality filter → PII scrub (persisted scratch stage,
-# the pipeline_curate_mixture precedent: expensive per-row regex folds
-# must not run once per downstream scan) → temperature weights →
-# epoch_plan → upsample → pack_sequences — ONE registered entry whose
-# remaining risk is composition (column collisions, persist
-# boundaries, group coverage across stages), every primitive already
-# individually driver-green.  All stale entries have UNCHANGED plans
-# and oracles since their last driver green and stay green in the
-# local full-registry gates (test_entry_contract, driver_sim); the
-# rotation itself is pure evidence-freshness maintenance.
+# Round-14 rotation refresh (optimization round 2/2 — no new features
+# beyond VERDICT r13 item 3's explicit order to register the staged
+# ngram_familiarity pair).  _DRIVER_VERIFIED holds the 50 names
+# CORRECTNESS_r13.json hash-verified; the stale head is the 45 entries
+# whose freshest green is r11 (two rounds old — they lead
+# unconditionally per the capacity policy below).  Window arithmetic
+# this round: 1 new (text_ngram_familiarity — the corpus-relative
+# CCNet/KenLM-analog familiarity score staged tested+mirrored in round
+# 13, VERDICT r13 item 3) + changed (optimization commits touching
+# runtime paths of non-stale entries — kept ≤ ~4) + 45 stale = ~50,
+# exactly the window.  ROUND 15's stale head is then the 50 r12-green
+# names.  All stale entries have UNCHANGED plans and oracles since
+# their last driver green and stay green in the local full-registry
+# gates (test_entry_contract, driver_sim); the rotation itself is pure
+# evidence-freshness maintenance.
 #
 # CAPACITY POLICY (decided round 8, per VERDICT r07 item 2): the registry
 # holds 142 entries against a ~50-query driver window (~92 non-fresh
@@ -119,51 +87,18 @@ def register(name: str, fn: QueryFn, sql: Optional[str]) -> None:
 # BinSpec codegen classes and each has caught a distinct class of bug;
 # window headroom comes from the growth cap instead.
 _DRIVER_VERIFIED = frozenset({
-    # the 50 names CORRECTNESS_r12.json hash-verified (all of them —
-    # nothing moved to _CHANGED_THIS_ROUND this round)
-    "alg_apply_func_log", "alg_normalize_after", "alg_project",
-    "alg_remove_flow", "alg_scale", "alg_slice_bins",
-    "dedup_chunks", "dedup_cluster_size_hist", "dedup_components",
-    "dedup_embed_pairs", "dedup_incremental", "dedup_jaccard",
-    "dedup_keep_best",
-    "events_hourly_hist", "events_props_json_hist", "events_retention",
-    "events_type_value_hist",
-    "hist_2d", "hist_3d_grouped", "hist_adopt_roundtrip",
-    "hist_bool_axis", "hist_columns", "hist_columns_weighted",
-    "hist_custom_transform_axis", "hist_fill_arrow_path",
-    "hist_growth_categories", "hist_growth_merge",
-    "hist_int64_storage", "hist_join_revenue",
-    "hist_log_axis", "hist_pow_axis", "hist_range_infer",
-    "hist_sqrt_axis", "hist_weighted_fastpath",
-    "hist_weighted_grouped_density",
-    "mm_decode_meta",
-    "pipeline_curate_temperature",
-    "sample_deterministic", "sample_pack_chunks", "sample_pack_emit",
-    "sample_split", "sample_stratified", "sample_temperature_weights",
-    "sim_ann_batch",
-    "source_jsonl_roundtrip",
-    "text_chunk_windows", "text_langid", "text_quality",
-    "text_url_cap_domain", "text_url_extract",
-})
-
-
-# Stale-head priority: the 42 entries whose freshest driver green is
-# ROUND 10 (two rounds old — recomputed from CORRECTNESS_r01..r12) —
-# they lead the window so no green ever ages a THIRD round.  The 50
-# r11-green entries follow in registry order and fill the remainder of
-# the ~50-query window (with 3 new + 3 changed + 40 remaining stale
-# = 46, about 4 of them fit this round; the rest lead round 14's
-# stale head; source_csv_roundtrip and text_dup_ngrams sit in BOTH
-# lists — changed wins, the stale block skips them as seen).
-_STALE_PRIORITY = (
+    # the 50 names CORRECTNESS_r13.json hash-verified (all of them)
     "alg_bin_coordinates", "alg_rebin",
     "dedup_contamination", "dedup_exact", "dedup_near_keep",
     "dedup_simhash", "dedup_simhash_pairs",
     "hist_cube_multires", "hist_join_align_2var", "hist_merge_shards",
-    "hist_quantile_bins", "hist_rollup_2d", "hist_rollup_multires",
-    "mm_decode_png_jpeg", "mm_sample_frames",
-    "pipeline_curate",
-    "sample_balanced", "sample_pack_bpe", "sample_top_quality",
+    "hist_quantile_bins", "hist_regular_1d", "hist_regular_flow",
+    "hist_rollup_2d", "hist_rollup_multires", "hist_weighted",
+    "mm_decode_image", "mm_decode_png_jpeg", "mm_decode_png_pixels",
+    "mm_sample_frames",
+    "pipeline_curate", "pipeline_pretrain_mix",
+    "sample_balanced", "sample_epoch_upsample", "sample_pack_bpe",
+    "sample_top_quality",
     "sim_ann_topk", "sim_cosine_topk",
     "source_csv_roundtrip",
     "stat_cdf25", "stat_interval80", "stat_mean", "stat_mean_2d",
@@ -171,61 +106,62 @@ _STALE_PRIORITY = (
     "stat_moment3", "stat_ppf90", "stat_std", "stat_var",
     "streaming_pii_scrub", "streaming_stateful_hist",
     "text_bpe_encode", "text_bpe_pair_counts", "text_bpe_tokens",
-    "text_gopher_rules", "text_line_dedup", "text_pii_scrub",
-    "text_top_terms",
+    "text_dup_ngrams", "text_gopher_rules", "text_line_dedup",
+    "text_pii_scrub", "text_top_terms",
+})
+
+
+# Stale-head priority: the 45 entries whose freshest driver green is
+# ROUND 11 (two rounds old — recomputed from CORRECTNESS_r01..r13) —
+# they lead the window so no green ever ages a THIRD round.  With 1 new
+# + these 45 + the changed block, the window is full; the 50 r12-green
+# names lead round 15's stale head.
+_STALE_PRIORITY = (
+    "binned_stat_grouped", "binned_stat_profile",
+    "dedup_chunks_keep", "dedup_chunks_near",
+    "dedup_embed_components", "dedup_embed_extend_loop",
+    "dedup_embed_incremental", "dedup_extend_loop",
+    "dedup_minhash_pairs",
+    "events_asof_join", "events_funnel", "events_range_join",
+    "events_session_hist", "events_sliding_hist",
+    "hist_density", "hist_density_flow", "hist_group_month",
+    "hist_grouped", "hist_intcategory", "hist_integer_axis",
+    "hist_mean_storage", "hist_rollup_weighted", "hist_strcategory",
+    "hist_variable_axis", "hist_variable_binary", "hist_weight_storage",
+    "mm_decode_audio",
+    "pipeline_curate_mixture", "pipeline_curate_narrow",
+    "pipeline_report",
+    "sample_mixture_weights", "sample_take_n", "sample_topk_group",
+    "sim_ann_indexed", "sim_ivf_topk", "sim_kmeans_refine",
+    "sim_quantize_int8",
+    "streaming_dedup_state", "streaming_range_join",
+    "streaming_window_hist",
+    "text_fingerprint", "text_quality_linear", "text_repetition",
+    "text_token_count", "text_vocabulary",
 )
 
 
-# Entries whose PLAN or ORACLE changed in round 13.  The
-# sampling.epoch_plan / upsample_corpus touches (ADVICE NaN-raise arm,
-# reserved-__u helper rename) re-gate nothing: no previously-gated
-# entry calls them — the pair is first REGISTERED this round.  But
-# merging the PNG arm into decode_image's sniff dispatch (review pass
-# 2: one quarantine kernel, not three drifting copies) changes the
-# runtime code on mm_decode_image's execution path, so it re-gates
-# under the any-implementation-change policy (its OUTPUT is
-# byte-identical — the fixture is BMP-only — but the policy pins the
-# path, not the diff's expected effect).  Likewise source_csv_roundtrip:
-# the hypothesis-found NUL-byte guard added to write_csv_corpus
-# (univocity silently drops a NUL inside a quoted field on read) is
-# runtime code on its export path — output byte-identical on the
-# NUL-free fixture, re-gated anyway; it was already in this round's
-# stale head, so the window total is unchanged (registry() places it
-# in the changed block and the stale block skips it as seen).  And
-# text_dup_ngrams: review pass 4 unified the four drifting gram-kernel
-# copies into _gram_array/_grams_sql — the oracle SQL is pinned
-# byte-identical and the engine expression unchanged, but the runtime
-# path moved through the shared helper, so it re-gates; also already
-# in the stale head, window total unchanged.
-_CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "mm_decode_image", "source_csv_roundtrip", "text_dup_ngrams",
-)
+# Entries whose PLAN or ORACLE changed in round 14 (optimization round
+# 2/2).  Populated as optimization commits land: any commit that moves
+# runtime code on a non-stale entry's execution path re-gates that entry
+# under the any-implementation-change policy, even when the output is
+# provably identical.  Entries already in the stale head re-gate for
+# free (registry() places them in the changed block and the stale block
+# skips them as seen).
+_CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 
-# Queries REGISTERED IN ROUND 13 — never in any driver CORRECTNESS record;
+# Queries REGISTERED IN ROUND 14 — never in any driver CORRECTNESS record;
 # they lead the registry so the driver's ~50-query window is guaranteed
 # to reach them regardless of where they appear in this file.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # the epoch-repeat materializer pair (VERDICT r12 item 2 — staged
-    # tested+mirrored in round 12, window was full):
-    # temperature_weights → epoch_plan → upsample_corpus, with the
-    # deep-upsample (zh, n_epochs≈10), thinning-degeneration (en,
-    # mix_weight<1), one-epoch fractional (fr/es) and NULL-plan drop
-    # (de, forced zero mass) arms all non-vacuous at every SF and a
-    # non-default max_repeats=16 bound
-    "sample_epoch_upsample",
-    # the END-TO-END pretraining mix (VERDICT r12 item 3): dedup-keep →
-    # quality filter → PII scrub (persisted scratch stage) →
-    # temperature weights → epoch_plan → upsample → pack_sequences —
-    # every primitive individually green, this gate pins the
-    # COMPOSITION (column flow, persist boundary, group coverage)
-    "pipeline_pretrain_mix",
-    # FULL PNG raster decode (VERDICT r12 item 7 / missing-item 2:
-    # stdlib zlib inflate + all-five-filter unfilter, every chunk CRC
-    # verified), gated on the synthesized real-PNG corpus whose pixel
-    # bytes the oracle recomputes in closed form; JPEG and
-    # corrupted-magic payloads pin the quarantine arm
-    "mm_decode_png_pixels",
+    # the corpus-relative n-gram familiarity score (VERDICT r13 item 3 —
+    # staged tested+mirrored in round 13: integer-exact mean corpus
+    # count per gram occurrence; mean LOG-prob was refused because libm
+    # log and float-sum accumulation order both hash-diverge).
+    # Adversarial + fuzzed DuckDB mirrors already committed
+    # (test_adv_ngram_familiarity, test_fuzzed_ngram_familiarity_mirror)
+    "text_ngram_familiarity",
 )
 
 
@@ -3588,6 +3524,29 @@ def _dup_ngram_sql() -> str:
 
 
 register("text_dup_ngrams", _dup_ngram_fn, _dup_ngram_sql())
+
+
+def _ngram_familiarity_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative n-gram familiarity per doc (the integer-exact
+    CCNet/KenLM-analog quality score staged+mirrored in round 13; plan
+    shape the dup_ngram_stats audit — one explode + one gram-window
+    shuffle + one doc groupBy)."""
+    from .operators.text import ngram_familiarity
+
+    return ngram_familiarity(
+        t_wide(spark, sf_dir, "documents"), "text", "doc_id", n=2
+    )
+
+
+def _ngram_familiarity_sql() -> str:
+    from .operators.text import ngram_familiarity_sql
+
+    return ngram_familiarity_sql("documents", "text", "doc_id", n=2)
+
+
+register(
+    "text_ngram_familiarity", _ngram_familiarity_fn, _ngram_familiarity_sql()
+)
 
 
 def _kmeans_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
