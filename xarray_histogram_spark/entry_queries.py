@@ -148,7 +148,13 @@ _STALE_PRIORITY = (
 # provably identical.  Entries already in the stale head re-gate for
 # free (registry() places them in the changed block and the stale block
 # skips them as seen).
-_CHANGED_THIS_ROUND: tuple[str, ...] = ()
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # values_at_ranks now builds its bucket-offset map literal server-side
+    # (one parsed SQL string instead of 2*B py4j lit round trips — plan
+    # byte-identical modulo expr IDs, plans/r14/*_before|after.txt); both
+    # consumers are r13-fresh so they re-gate
+    "hist_quantile_bins", "sample_top_quality",
+)
 
 
 # Queries REGISTERED IN ROUND 14 — never in any driver CORRECTNESS record;

@@ -1023,21 +1023,18 @@ def values_at_ranks(
         acc += counts.get(b, 0)
     from pyspark.sql.window import Window as _W
 
-    # keys and offsets both explicitly bigint: a Python-int F.lit flips from
-    # IntegerType to LongType at 2^31, and create_map rejects mixed value
-    # types — exactly the >2^31-row scale this path targets.  row_number is
-    # 32-bit-bounded PER BUCKET only (B=256 buckets), so the global rank is
-    # computed in int64.
-    off = F.element_at(
-        F.create_map(
-            *[
-                F.lit(v).cast("bigint")
-                for b in sorted(counts)
-                for v in (b, offsets[b])
-            ]
-        ),
-        F.col("b").cast("bigint"),
-    )
+    # keys and offsets both explicitly bigint (the ``L`` literal suffix):
+    # offsets exceed 2^31 at exactly the >2^31-row scale this path targets,
+    # and map() rejects mixed value types.  row_number is 32-bit-bounded PER
+    # BUCKET only (B=256 buckets), so the global rank is computed in int64.
+    # The map literal is built SERVER-SIDE as one parsed SQL string: the
+    # previous create_map(*[F.lit(v).cast("bigint") ...]) form issued up to
+    # 2*B py4j round trips (~1.2 s of pure driver latency per call, measured
+    # round 14) for the identical folded Literal map (guide §7.3).
+    map_sql = "map(" + ",".join(
+        f"{b}L,{offsets[b]}L" for b in sorted(counts)
+    ) + ")"
+    off = F.element_at(F.expr(map_sql), F.col("b").cast("bigint"))
     rn = (
         F.row_number().over(_W.partitionBy("b").orderBy("x")).cast("bigint")
         - 1 + off
