@@ -237,6 +237,7 @@ def test_adv_curate(spark, adv):
         )
 
 
+@pytest.mark.slow  # heavy battery; full-profile only
 def test_adv_events_mirrors(spark, tmp_path):
     """Every batch events mirror against a crafted events table with NULL
     ts / value / event_type / user_id rows: event-time operators drop
@@ -283,6 +284,7 @@ def test_adv_events_mirrors(spark, tmp_path):
         assert_matches_sql(fn(spark, d), sql, con)
 
 
+@pytest.mark.slow  # heavy battery; full-profile only
 def test_adv_streaming_mirrors(spark, tmp_path):
     """REAL streaming executions (stateful cumulative histogram, dedup
     state, stream-stream range join) over crafted NULL-laden corpora:
@@ -374,6 +376,7 @@ def test_adv_codec_extreme_ids(spark):
         assert aud[i]["format"] == "wav" and aud[i]["n_samples"] > 0
 
 
+@pytest.mark.slow  # heavy battery; full-profile only
 def test_adv_similarity_mirrors(spark, tmp_path):
     """Similarity mirrors over crafted embeddings: exact duplicate of the
     query, NaN element, zero-norm, NULL vector, NULL id — rankings and
@@ -676,6 +679,7 @@ def test_adv_chunk_dedup(spark, adv):
            con)
 
 
+@pytest.mark.slow  # heavy battery; full-profile only
 def test_adv_chunk_near_keep(spark, adv):
     df, con = adv
     for thr in (0.5, 0.8):
@@ -688,6 +692,7 @@ def test_adv_chunk_near_keep(spark, adv):
         )
 
 
+@pytest.mark.slow  # heavy battery; full-profile only
 def test_adv_extend_loop_composition(spark, adv, tmp_path):
     """The dedup_extend_loop entry's shape on the CRAFTED corpus: seed
     index from odd ids, dedup even ids against it, extend with their
@@ -1075,6 +1080,7 @@ def test_adv_ngram_familiarity(spark, adv):
            tx.ngram_familiarity_sql("ndocs", "text", "doc_id", n=1), ncon)
 
 
+@pytest.mark.slow  # heavy battery; full-profile only
 def test_adv_epoch_upsample(spark, adv):
     """epoch_plan + upsample_corpus vs their mirrors on the crafted
     corpus, with every arm forced: a multi-epoch group (de needs 3
@@ -1487,6 +1493,7 @@ def test_pretrain_mix_entry_arms_non_vacuous(spark, sf_dir):
         assert ptok[lang] > ctok[lang], lang         # repeats materialized
 
 
+@pytest.mark.slow  # heavy battery; full-profile only
 def test_adv_embed_extend_loop(spark, tmp_path):
     """The EMBEDDING twin of the band-loop composition: seed a persisted
     embed index, verdict shard 1 against it, extend_embed_index with
@@ -1678,6 +1685,7 @@ def test_adv_bpe_pair_counts(spark, adv):
                tx.bpe_pair_counts_sql("adocs", "text", merges), con)
 
 
+@pytest.mark.slow  # heavy battery; full-profile only
 def test_adv_incremental_dedup(spark, adv):
     df, con = adv
     new = df.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")

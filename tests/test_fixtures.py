@@ -340,6 +340,7 @@ def test_csv_corpus_corrupt_record_capture(spark, tmp_path):
         read_csv_corpus(spark, str(p), schema, corrupt_col="text")
 
 
+@pytest.mark.slow  # ~130 s of subprocess Spark startups; full-profile only
 @pytest.mark.parametrize(
     "script", ["migration_from_reference.py", "curation_pipeline.py"]
 )

@@ -18,6 +18,7 @@ from xarray_histogram_spark import (
 )
 from xarray_histogram_spark import oracle as orc
 
+from .conftest import scaled_seeds as _seeds
 from .util import assert_matches_sql, duck
 
 
@@ -63,7 +64,7 @@ def _random_config(rng: random.Random):
     return spec, col, flow, weights, group_by, density
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", _seeds(range(12), keep=4))
 def test_fuzzed_spec_matches_oracle(spark, sf_dir, seed):
     rng = random.Random(20260813 + seed)
     spec, col, flow, weights, group_by, density = _random_config(rng)
@@ -79,7 +80,7 @@ def test_fuzzed_spec_matches_oracle(spark, sf_dir, seed):
     assert_matches_sql(r.df, sql, duck(sf_dir))
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", _seeds(range(6), keep=2))
 def test_fuzzed_2var_matches_oracle(spark, sf_dir, seed):
     rng = random.Random(777 + seed)
     s1 = Regular(rng.randint(3, 10), rng.uniform(0.0, 5.0), rng.uniform(40.0, 60.0))
@@ -102,7 +103,7 @@ def test_fuzzed_2var_matches_oracle(spark, sf_dir, seed):
     assert_matches_sql(r.df, sql, duck(sf_dir))
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", _seeds(range(8), keep=3))
 def test_fuzzed_stats_match_oracle(spark, sf_dir, seed):
     """Randomized distribution-statistic configs through both the engine
     and `stats_oracle_sql` (fold-heavy generator — the riskiest mirror)."""
@@ -146,7 +147,7 @@ def test_fuzzed_stats_match_oracle(spark, sf_dir, seed):
     assert_matches_sql(sdf, sql, duck(sf_dir))
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", _seeds(range(6), keep=2))
 def test_fuzzed_binned_statistic_matches_oracle(spark, sf_dir, seed):
     """Randomized binned-statistic configs (axis × stats × grouping ×
     flow × scale) through engine and DuckDB mirror, compared exactly —
@@ -206,7 +207,7 @@ def _random_text(rng: random.Random) -> str:
     return "".join(rng.choice(_PII_ATOMS) for _ in range(n))
 
 
-@pytest.mark.parametrize("seed", [101, 202, 303])
+@pytest.mark.parametrize("seed", _seeds([101, 202, 303]))
 def test_fuzzed_pii_url_mirrors(spark, seed):
     """Spark (Java regex) vs DuckDB (RE2) over random near-PII text: the
     shared-syntax pattern subset must scan/replace identically — any
@@ -245,7 +246,7 @@ def test_fuzzed_pii_url_mirrors(spark, seed):
     )
 
 
-@pytest.mark.parametrize("seed", [31, 62])
+@pytest.mark.parametrize("seed", _seeds([31, 62]))
 def test_fuzzed_ngram_familiarity_mirror(spark, seed):
     """Random text corpora (shared + unique vocab, NULL/empty/short
     docs, mixed case) × gram widths vs the DuckDB mirror: the window
@@ -278,7 +279,7 @@ def test_fuzzed_ngram_familiarity_mirror(spark, seed):
         )
 
 
-@pytest.mark.parametrize("seed", [11, 22])
+@pytest.mark.parametrize("seed", _seeds([11, 22]))
 def test_fuzzed_balanced_sample_mirror(spark, seed):
     """Random group distributions (skew, NULL groups, NULL keys) ×
     random targets: Spark's Python-integer thresholds and the oracle's
@@ -311,7 +312,7 @@ def test_fuzzed_balanced_sample_mirror(spark, seed):
     )
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", _seeds(range(6), keep=2))
 def test_fuzzed_rollup_matches_oracle(spark, sf_dir, seed):
     """Rollup/cube oracle fuzz: random spec family × flow × weights ×
     group-hierarchy depth × cube flag — the one oracle generator family
@@ -341,7 +342,7 @@ def test_fuzzed_rollup_matches_oracle(spark, sf_dir, seed):
     assert_matches_sql(df, sql, duck(sf_dir))
 
 
-@pytest.mark.parametrize("seed", [7, 77, 777])
+@pytest.mark.parametrize("seed", _seeds([7, 77, 777]))
 def test_fuzzed_asof_join_mirror(spark, seed):
     """As-of join fuzz: random key/timestamp collisions (many exact ts
     ties, NULL keys/timestamps on both sides, random tolerance) through
@@ -376,7 +377,7 @@ def test_fuzzed_asof_join_mirror(spark, seed):
     assert_matches_sql(got, sql, con)
 
 
-@pytest.mark.parametrize("seed", [5, 55])
+@pytest.mark.parametrize("seed", _seeds([5, 55]))
 def test_fuzzed_curate_mirror(spark, sf_dir, seed):
     """Composed curation pipeline fuzz: random quality threshold, language
     filter, split fractions, salt and dedup shape — the hand-composed CTE
@@ -406,7 +407,7 @@ def test_fuzzed_curate_mirror(spark, sf_dir, seed):
         assert_matches_sql(got, sql, duck(sf_dir))
 
 
-@pytest.mark.parametrize("seed", [3, 33, 333])
+@pytest.mark.parametrize("seed", _seeds([3, 33, 333]))
 def test_fuzzed_funnel_and_range_mirror(spark, seed):
     """Funnel + range-join fuzz over collision-heavy random events:
     timestamps on a coarse grid that lands EXACTLY on window-bucket
@@ -476,7 +477,7 @@ def _random_corpus(rng: random.Random, n: int = 120) -> list:
     return rows
 
 
-@pytest.mark.parametrize("seed", [7, 77, 777])
+@pytest.mark.parametrize("seed", _seeds([7, 77, 777]))
 def test_fuzzed_incremental_dedup_mirror(spark, seed):
     """incremental_dedup vs its composed DuckDB mirror on random corpora
     with planted cross-/within-shard duplicates, NULL/empty texts and a
@@ -510,7 +511,7 @@ def test_fuzzed_incremental_dedup_mirror(spark, seed):
     )
 
 
-@pytest.mark.parametrize("seed", [19, 191])
+@pytest.mark.parametrize("seed", _seeds([19, 191]))
 def test_fuzzed_chunk_near_keep_mirror(spark, seed):
     """chunk_near_keep vs its composed DuckDB mirror on random corpora
     under RANDOM window grids (incl. stride>chunk gap mode) and
@@ -542,7 +543,7 @@ def test_fuzzed_chunk_near_keep_mirror(spark, seed):
         )
 
 
-@pytest.mark.parametrize("seed", [29, 291])
+@pytest.mark.parametrize("seed", _seeds([29, 291]))
 def test_fuzzed_linear_quality_score_mirror(spark, seed):
     """linear_quality_score vs its mirror on random corpora under RANDOM
     weight tables / sizes / biases — bucket assignment and the
@@ -573,7 +574,7 @@ def test_fuzzed_linear_quality_score_mirror(spark, seed):
         )
 
 
-@pytest.mark.parametrize("seed", [31, 311])
+@pytest.mark.parametrize("seed", _seeds([31, 311]))
 def test_fuzzed_mixture_weights_mirror(spark, seed):
     """mixture_weights vs its mirror under RANDOM group assignments,
     random integral masses (including zero-mass groups) and random
@@ -613,7 +614,7 @@ def test_fuzzed_mixture_weights_mirror(spark, seed):
             )
 
 
-@pytest.mark.parametrize("seed", [41, 411])
+@pytest.mark.parametrize("seed", _seeds([41, 411]))
 def test_fuzzed_temperature_weights_mirror(spark, seed):
     """temperature_weights vs its mirror under RANDOM group assignments
     and random integral masses (including zero-mass groups and NULL
@@ -657,7 +658,7 @@ def test_fuzzed_temperature_weights_mirror(spark, seed):
             )
 
 
-@pytest.mark.parametrize("seed", [47, 471])
+@pytest.mark.parametrize("seed", _seeds([47, 471]))
 def test_fuzzed_epoch_upsample_mirror(spark, seed):
     """epoch_plan + upsample_corpus vs their mirrors under RANDOM group
     assignments, random integral masses (zero-mass groups and NULL
@@ -707,7 +708,7 @@ def test_fuzzed_epoch_upsample_mirror(spark, seed):
         )
 
 
-@pytest.mark.parametrize("seed", [23, 231])
+@pytest.mark.parametrize("seed", _seeds([23, 231]))
 def test_fuzzed_extend_loop_mirror(spark, seed, tmp_path):
     """The multi-shard band-index production loop on RANDOM corpora
     under a RANDOM shard split: seed the index, verdict shard 1, extend
@@ -772,7 +773,7 @@ def test_fuzzed_extend_loop_mirror(spark, seed, tmp_path):
     assert back == rebuilt
 
 
-@pytest.mark.parametrize("seed", [13, 131])
+@pytest.mark.parametrize("seed", _seeds([13, 131]))
 def test_fuzzed_corpus_report_mirror(spark, seed):
     """corpus_report (with the per-rule Gopher breakdown) vs its mirror
     under RANDOM thresholds, NULL group keys, NULL/empty texts — the

@@ -7,6 +7,8 @@ import math
 
 import pytest
 from hypothesis import given, settings
+
+from .conftest import scaled_examples as _ex
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -49,7 +51,7 @@ def spark_ids(spark, spec, values, typ="double"):
     return [r["b"] for r in df.select(spec.raw_id_col(F.col("x")).alias("b")).collect()]
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=_ex(20), deadline=None)
 @given(
     st.lists(
         st.one_of(
@@ -68,7 +70,7 @@ def test_regular_bucketize_property(spark, values):
     assert got == exp
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 @given(
     st.lists(
         st.one_of(
@@ -104,7 +106,7 @@ def test_pow_bucketize_property(spark, values):
         assert spark_ids(spark, exact, ints) == spark_ids(spark, spec, ints)
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 @given(st.lists(st.floats(min_value=0.0, max_value=20.0), min_size=1, max_size=20))
 def test_variable_bucketize_property(spark, values):
     edges = (0.5, 1.0, 4.0, 9.5)
@@ -152,7 +154,7 @@ def test_log_axis_edges(spark):
     assert got == [-1, 0, 0, 1, 2, 3, 3, 3]  # neg/zero → overflow (NaN rule)
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=_ex(15), deadline=None)
 @given(
     st.lists(
         st.one_of(
@@ -236,7 +238,7 @@ def test_keep_pred_equals_id_filter(spark, spec, typ, values, flow):
     assert by_id == by_pred
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_ex(30), deadline=None)
 @given(
     st.lists(
         st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
@@ -262,7 +264,7 @@ def test_scaled_weight_col_matches_numpy_formula(spark, ws):
     assert got == want.tolist()
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=_ex(50), deadline=None)
 @given(st.floats(min_value=0.0, max_value=1.0))
 def test_hex_threshold_monotone(rate):
     """Sampling thresholds are monotone in the rate and 8 lowercase hex
@@ -345,7 +347,7 @@ def py_asof(left_rows, right_rows, tolerance=None):
     return out
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=_ex(15), deadline=None)
 @given(
     st.lists(
         st.tuples(st.integers(0, 3), st.integers(-5, 5)),
@@ -381,7 +383,7 @@ def test_asof_join_property(spark, lrows, rrows, tolerance):
     assert got == py_asof(left_rows, right_rows, tolerance)
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=_ex(15), deadline=None)
 @given(
     st.lists(
         st.tuples(st.integers(0, 2), st.integers(-200, 200)),
@@ -435,7 +437,7 @@ def py_monotone_id(spec, x):
     return min(int(math.floor((y - lo) * spec.n / (hi - lo))), spec.n - 1)
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 @given(
     st.lists(
         st.one_of(
@@ -459,7 +461,7 @@ def test_monotone_logit_fast_property(spark, values):
     assert got == exp
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 @given(
     st.lists(
         st.one_of(
@@ -487,7 +489,7 @@ def test_monotone_asinh_exact_property(spark, values):
     assert got == exp
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=_ex(8), deadline=None)
 @given(
     n=st.integers(min_value=2, max_value=12),
     lo=st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
@@ -515,7 +517,7 @@ def test_adopt_regular_roundtrip_property(spark, n, lo, span):
     )
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=_ex(15), deadline=None)
 @given(
     st.lists(
         st.one_of(
@@ -559,7 +561,7 @@ def test_luhn_fold_matches_reference(spark, runs):
     assert row.n_cc_raw == expected
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 @given(
     st.lists(
         st.text(
@@ -594,7 +596,7 @@ def test_csv_roundtrip_property(spark, tmp_path_factory, texts):
     assert got == sorted(rows)
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_ex(10), deadline=None)
 @given(
     st.lists(
         st.text(
@@ -661,7 +663,7 @@ _BPE_TOKENS = ("a", "b", "t", "h", "e", "1", ".", "é", "th", "he", "ab",
 _BPE_TEXT_ALPHABET = "abthe1 .,é\n\t\x1f\r-"
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=_ex(15), deadline=None)
 @given(
     st.lists(
         st.one_of(
@@ -812,7 +814,7 @@ def _bpe_pair_spec(texts, merges):
     return dict(c)
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=_ex(12), deadline=None)
 @given(
     st.lists(
         st.one_of(
@@ -865,7 +867,7 @@ def test_bpe_pair_counts_match_spec_and_mirror(spark, texts, merges):
     assert duck == exp, (merges, duck, exp)
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=_ex(12), deadline=None)
 @given(
     st.lists(
         st.one_of(
